@@ -1,13 +1,604 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here is a `(SparkSession, sfDir) => DataFrame` with a
+  * deterministic total order and (where ANSI-SQL-expressible) a DuckDB
+  * oracle twin in [[oracleSql]] whose column names and formulas match
+  * exactly. Integer-ish outputs are BIGINT on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Money math: the source doubles have ≤ `scale` decimal digits, so
+    * accumulating `round(x·10^scale)` as BIGINT is exact and
+    * order-independent (double sums are not — their value depends on
+    * partition count/merge order, which would make the oracle compare
+    * flaky). The final division back to double is a deterministic
+    * function of the exact integer sum. */
+  private def moneySum(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")).cast("double") / lit(f)
+  }
+  private def moneyAvg(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale)
+    sum(round(c * f).cast("long")).cast("double") / lit(f) / count(lit(1))
+  }
+
+  /** events.parquet stores TIMESTAMP(NANOS) which Spark refuses by
+    * default; read it as raw nanos (long) and derive micros with integer
+    * division — the same floor-truncation DuckDB applies casting ns→µs. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The 6-way star join: region ⋈ nation ⋈ customer ⋈ orders ⋈ lineitem
+    * ⋈ supplier, revenue per (region, nation). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q05RegionRevenue(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // Relational core (SURVEY.md §2: scans, filters, dedup, joins, aggs,
+  // windows, sorts, limits, set-ops, scalar fns, merge, gate)
+  // ====================================================================
+
+  private def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("2000-06-30").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice"), 2).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("sum_disc_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+        avg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice"), 2).as("avg_price"),
+        moneyAvg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private def q02RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.03, 0.07)
+        && col("l_quantity") < 24)
+      .agg(moneySum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  private def q03TopRevenueOrders(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1999-01-01").cast("timestamp"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  private def q04PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    o.join(l, col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def q05RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val r = t(s, dir, "region")
+    val n = t(s, dir, "nation")
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), moneySum(col("c_acctbal"), 2).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def q07TopOrdersPerCustomer(s: SparkSession, dir: String): DataFrame =
+    Relational.topKPerGroup(
+        t(s, dir, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+      .select(col("o_custkey"), col("rank").cast("long").as("rank"),
+        col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rank"))
+
+  private def q08RunningEvents(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("running_cents",
+        sum(round(col("value") * 100).cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"),
+        col("prev_type"), col("running_cents"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private def q09SetOps(s: SparkSession, dir: String): DataFrame = {
+    val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey")).distinct()
+    val u = bigSpenders.union(building).distinct().count()
+    val i = bigSpenders.intersect(building).count()
+    val x = bigSpenders.except(building).count()
+    val session = s
+    import session.implicits._
+    Seq((u, i, x)).toDF("union_cnt", "intersect_cnt", "except_cnt")
+  }
+
+  private def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def q11DateScalar(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(
+        year(col("o_orderdate")).cast("long").as("o_year"),
+        month(col("o_orderdate")).cast("long").as("o_month"),
+        substring_index(col("o_orderpriority"), "-", 1).as("prio_code"),
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("price_band"),
+        col("o_totalprice"))
+      .groupBy(col("o_year"), col("o_month"), col("prio_code"), col("price_band"))
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy(col("o_year"), col("o_month"), col("prio_code"), col("price_band"))
+
+  private def q12Having(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem")
+    val su = t(s, dir, "supplier")
+    l.groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_items"))
+      .filter(col("sum_qty") > 100)
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey"), col("s_name"), col("sum_qty"), col("n_items"))
+      .orderBy(col("l_suppkey"))
+  }
+
+  private def q13Distinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"), col("l_tax"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"), col("l_tax"))
+
+  private def q14CountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy(col("o_orderstatus"))
+
+  private def q15EventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("bucket_us", unix_micros(date_trunc("hour", timestamp_micros(col("ts_us")))))
+      .groupBy(col("bucket_us"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("bucket_us"), col("event_type"))
+
+  private def q16MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+    val base = o.filter(col("o_orderkey") % 3 =!= 0)
+    val delta = o.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+    Relational.mergeUpsert(base, delta, Seq("o_orderkey"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def q17LatestEventPerUser(s: SparkSession, dir: String): DataFrame =
+    Relational.latestPerKey(events(s, dir), Seq("user_id"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"), col("value"))
+      .orderBy(col("user_id"))
+
+  private def q18CleanDocs(s: SparkSession, dir: String): DataFrame =
+    Relational.distinctRows(Relational.dropNullRows(t(s, dir, "documents")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+
+  private def q19CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    // S3/S4 CSV scan + schema inference: parquet → csv → inferred read.
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    t(s, dir, "nation").coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(out)
+    graft.infer.TypeInference.readCsv(s, out)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+  }
+
+  private def q20VersionGate(s: SparkSession, dir: String): DataFrame = {
+    // P3 incremental gate in bulk: strictly-newer versions only.
+    val o = t(s, dir, "orders")
+    val wm = o.filter(col("o_orderkey") <= 3000)
+      .groupBy(col("o_orderstatus").as("st"))
+      .agg(max(col("o_orderkey")).as("wm"))
+    o.join(wm, col("o_orderstatus") === col("st"))
+      .filter(col("o_orderkey") > col("wm"))
+      .select(col("o_orderstatus"), col("o_orderkey"))
+      .orderBy(col("o_orderstatus"), col("o_orderkey"))
+  }
+
+  // ====================================================================
+  // LLM-pipeline operators (dedup, similarity, text analysis)
+  // ====================================================================
+
+  private def t21Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  private def t22Tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextFunctions.subwordCount(col("text")).cast("long").as("n_subwords"),
+        length(col("text")).cast("long").as("len_chars"))
+      .orderBy(col("doc_id"))
+
+  private def t23Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.punctCount(col("text")).cast("long").as("n_punct"),
+        TextFunctions.digitCount(col("text")).cast("long").as("n_digits"),
+        TextFunctions.stopwordCount(col("text")).cast("long").as("n_stopwords"),
+        TextFunctions.qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  private def t24LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy(col("doc_id"))
+
+  private def t25ExactDupGroups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val withDups = d.unionAll(d.filter(col("doc_id") < 100))
+    Dedup.exactDupGroups(withDups, "doc_id", "text")
+      .orderBy(col("fp"))
+  }
+
+  // Similarity values are surfaced as floor(x·1e6) ("ppm"): floor of
+  // bit-identical doubles is deterministic across engines, while decimal
+  // rounding of a double can land on either side of a tie.
+  private def t26JaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardNearDupPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("a_id"), col("b_id"), floor(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def t27EmbedNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+      .select(col("a_id"), col("b_id"), floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def t28KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.bruteTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---- non-SQL-expressible (probabilistic/approximate): rows-only ----
+
+  private def t29MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def t30SimHash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def t31KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 10, nCells = 16, nprobe = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def t32TextAnalyze(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.analyze(t(s, dir, "documents"), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"),
+        col("n_tokens").cast("long").as("n_tokens"), col("lang_pred"), col("fp"))
+      .orderBy(col("doc_id"))
+
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_revenue_filter" -> q02RevenueFilter _,
+    "q03_top_revenue_orders" -> q03TopRevenueOrders _,
+    "q04_priority_exists" -> q04PriorityExists _,
+    "q05_region_revenue" -> q05RegionRevenue _,
+    "q06_anti_join" -> q06AntiJoin _,
+    "q07_top_orders_per_customer" -> q07TopOrdersPerCustomer _,
+    "q08_running_events" -> q08RunningEvents _,
+    "q09_setops" -> q09SetOps _,
+    "q10_rollup" -> q10Rollup _,
+    "q11_date_scalar" -> q11DateScalar _,
+    "q12_having" -> q12Having _,
+    "q13_distinct" -> q13Distinct _,
+    "q14_count_distinct" -> q14CountDistinct _,
+    "q15_events_hourly" -> q15EventsHourly _,
+    "q16_merge_upsert" -> q16MergeUpsert _,
+    "q17_latest_event_per_user" -> q17LatestEventPerUser _,
+    "q18_clean_docs" -> q18CleanDocs _,
+    "q19_csv_roundtrip" -> q19CsvRoundtrip _,
+    "q20_version_gate" -> q20VersionGate _,
+    "t21_fingerprint" -> t21Fingerprint _,
+    "t22_tokens" -> t22Tokens _,
+    "t23_quality" -> t23Quality _,
+    "t24_lang_id" -> t24LangId _,
+    "t25_exact_dup_groups" -> t25ExactDupGroups _,
+    "t26_jaccard_pairs" -> t26JaccardPairs _,
+    "t27_embed_near_dup" -> t27EmbedNearDup _,
+    "t28_knn_brute" -> t28KnnBrute _,
+    "t29_minhash_lsh" -> t29MinHashLsh _,
+    "t30_simhash" -> t30SimHash _,
+    "t31_knn_ivf" -> t31KnnIvf _,
+    "t32_text_analyze" -> t32TextAnalyze _,
+  )
+
+  /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
+    * t29/t30/t31 are approximate (LSH banding / IVF probing) — not
+    * SQL-expressible, so omitted → rows-only check. */
+  def oracleSql: Map[String, String] = {
+    val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+    val toks = s"string_split($norm, ' ')"
+    val rawToks = """string_split_regex(trim(text), '\s+')"""
+    val nTokens = s"""CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($rawToks) END"""
+    val punct = """len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))"""
+    val digits = """len(regexp_extract_all(text, '[0-9]'))"""
+    val stops = s"""len(list_filter($toks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk)))"""
+    val shingles = s"""CASE WHEN len($toks) >= 3
+        THEN list_distinct(list_transform(range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))
+        ELSE [array_to_string($toks, ' ')] END"""
+    // Bit-exact twin of VectorFunctions.cosine: double-cast elements,
+    // sequential left-to-right accumulation (duckdb list_inner_product
+    // accumulates in float32 — off by an ulp, enough to flip a floor()).
+    def ddot(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    val cosNorms = s"sqrt(${ddot("a.embedding", "a.embedding")}) * sqrt(${ddot("b.embedding", "b.embedding")})"
+    val cosine = s"""CASE WHEN $cosNorms = 0 THEN 0.0
+        ELSE ${ddot("a.embedding", "b.embedding")} / ($cosNorms) END"""
+
+    Map(
+      "q01_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          sum(l_quantity) AS sum_qty,
+          CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+          avg(l_quantity) AS avg_qty,
+          CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_price,
+          CAST(sum(CAST(round(l_discount * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 / count(*) AS avg_disc,
+          count(*) AS count_order
+          FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-06-30'
+          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+      "q02_revenue_filter" ->
+        """SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+          count(*) AS n_rows
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+      "q03_top_revenue_orders" ->
+        """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1999-01-01'
+          AND l_shipdate > TIMESTAMP '1999-01-01'
+          GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+          ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+      "q04_priority_exists" ->
+        """SELECT o_orderpriority, count(*) AS order_count FROM orders
+          WHERE EXISTS (SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q05_region_revenue" ->
+        """SELECT r_name, n_name,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+          count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+      "q06_anti_join" ->
+        """SELECT c_mktsegment, count(*) AS n_customers,
+          CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+          FROM customer WHERE NOT EXISTS
+            (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q07_top_orders_per_customer" ->
+        """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+            row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank
+            FROM orders) WHERE rank <= 3 ORDER BY o_custkey, rank""",
+      "q08_running_events" ->
+        """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+          lag(event_type, 1) OVER w AS prev_type,
+          sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+          ORDER BY user_id, ts_us, event_id""",
+      "q09_setops" ->
+        """WITH a AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000),
+          b AS (SELECT DISTINCT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+          SELECT
+          (SELECT count(*) FROM (SELECT custkey FROM a UNION SELECT custkey FROM b)) AS union_cnt,
+          (SELECT count(*) FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)) AS intersect_cnt,
+          (SELECT count(*) FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)) AS except_cnt""",
+      "q10_rollup" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q11_date_scalar" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          CAST(month(o_orderdate) AS BIGINT) AS o_month,
+          split_part(o_orderpriority, '-', 1) AS prio_code,
+          CASE WHEN o_totalprice < 50000 THEN 'low'
+               WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS price_band,
+          count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+          FROM orders GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+      "q12_having" ->
+        """SELECT l_suppkey, s_name, sum_qty, n_items FROM (
+            SELECT l_suppkey, sum(l_quantity) AS sum_qty, count(*) AS n_items
+            FROM lineitem GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+          JOIN supplier ON l_suppkey = s_suppkey ORDER BY l_suppkey""",
+      "q13_distinct" ->
+        """SELECT DISTINCT l_returnflag, l_linestatus, l_tax FROM lineitem
+          ORDER BY l_returnflag, l_linestatus, l_tax""",
+      "q14_count_distinct" ->
+        """SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_customers,
+          count(*) AS n_orders, max(o_totalprice) AS max_price
+          FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+      "q15_events_hourly" ->
+        """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
+          count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+      "q16_merge_upsert" ->
+        """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+            FROM orders WHERE o_orderkey % 3 <> 0),
+          delta AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 1.1 AS o_totalprice
+            FROM orders WHERE o_orderkey % 2 = 0)
+          SELECT
+            CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderkey ELSE b.o_orderkey END AS o_orderkey,
+            CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE b.o_custkey END AS o_custkey,
+            CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+            CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice ELSE b.o_totalprice END AS o_totalprice
+          FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+          ORDER BY o_orderkey""",
+      "q17_latest_event_per_user" ->
+        """SELECT user_id, ts_us, event_id, event_type, value FROM (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value,
+            row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1 ORDER BY user_id""",
+      "q18_clean_docs" ->
+        """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM (
+            SELECT DISTINCT * FROM documents
+            WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
+              AND source IS NOT NULL AND n_chars IS NOT NULL)
+          GROUP BY lang ORDER BY lang""",
+      "q19_csv_roundtrip" ->
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      "q20_version_gate" ->
+        """WITH wm AS (SELECT o_orderstatus AS st, max(o_orderkey) AS wm
+            FROM orders WHERE o_orderkey <= 3000 GROUP BY o_orderstatus)
+          SELECT o_orderstatus, o_orderkey FROM orders JOIN wm ON o_orderstatus = st
+          WHERE o_orderkey > wm ORDER BY o_orderstatus, o_orderkey""",
+      "t21_fingerprint" ->
+        s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
+      "t22_tokens" ->
+        s"""SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens,
+          CAST(len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subwords,
+          CAST(length(text) AS BIGINT) AS len_chars
+          FROM documents ORDER BY doc_id""",
+      "t23_quality" ->
+        s"""SELECT doc_id, CAST($punct AS BIGINT) AS n_punct,
+          CAST($digits AS BIGINT) AS n_digits, CAST($stops AS BIGINT) AS n_stopwords,
+          round(greatest(0.0, least(1.0,
+            0.4 * least(CAST(length(text) AS DOUBLE) / 500.0, 1.0)
+            + 0.4 * least(CAST($stops AS DOUBLE) / greatest(CAST($nTokens AS DOUBLE), 1.0) * 4.0, 1.0)
+            + 0.2 * (1.0 - least((CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)
+                + CAST($digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0)))), 6) AS quality
+          FROM documents ORDER BY doc_id""",
+      "t24_lang_id" ->
+        s"""WITH sc AS (SELECT doc_id,
+            len(list_filter($toks, tk -> list_contains(['the','and','of','is','to'], tk))) AS c_en,
+            len(list_filter($toks, tk -> list_contains(['el','la','de','que','los'], tk))) AS c_es,
+            len(list_filter($toks, tk -> list_contains(['le','la','de','et','les'], tk))) AS c_fr,
+            len(list_filter($toks, tk -> list_contains(['der','die','und','das','ist'], tk))) AS c_de
+          FROM documents)
+          SELECT doc_id, CASE
+            WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
+            WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
+            WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
+            WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+          FROM sc ORDER BY doc_id""",
+      "t25_exact_dup_groups" ->
+        s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS group_size
+          FROM (SELECT * FROM documents UNION ALL SELECT * FROM documents WHERE doc_id < 100)
+          GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""",
+      "t26_jaccard_pairs" ->
+        s"""WITH sh AS (SELECT doc_id, $shingles AS s FROM documents)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
+          ORDER BY a_id, b_id""",
+      "t27_embed_near_dup" ->
+        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+          CAST(floor(($cosine) * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND $cosine >= 0.45
+          ORDER BY a_id, b_id""",
+      "t28_knn_brute" ->
+        s"""SELECT query_id, rank, neighbor_id, cos_ppm FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+            CAST(floor(($cosine) * 1000000.0) AS BIGINT) AS cos_ppm,
+            row_number() OVER (PARTITION BY a.vec_id ORDER BY $cosine DESC, b.vec_id) AS rank
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id)
+          WHERE rank <= 10 ORDER BY query_id, rank""",
+      "t32_text_analyze" ->
+        s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+          CAST($nTokens AS BIGINT) AS n_tokens,
+          (WITH sc AS (SELECT
+            len(list_filter($toks, tk -> list_contains(['the','and','of','is','to'], tk))) AS c_en,
+            len(list_filter($toks, tk -> list_contains(['el','la','de','que','los'], tk))) AS c_es,
+            len(list_filter($toks, tk -> list_contains(['le','la','de','et','les'], tk))) AS c_fr,
+            len(list_filter($toks, tk -> list_contains(['der','die','und','das','ist'], tk))) AS c_de)
+           SELECT CASE
+            WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
+            WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
+            WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
+            WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
+            ELSE 'und' END FROM sc) AS lang_pred,
+          md5($norm) AS fp
+          FROM documents ORDER BY doc_id""",
+    )
+  }
 }

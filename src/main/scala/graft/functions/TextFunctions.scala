@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the training-data pipeline.
+  *
+  * All of these are compositions of built-in (codegen'd) functions —
+  * no UDFs — so they inline into WholeStageCodegen and scale linearly.
+  * Each has an ANSI-SQL twin used by the DuckDB oracle (SparkEntry), so
+  * the exact formulas here are part of the contract.
+  */
+object TextFunctions {
+
+  /** Canonical text normalization: lowercase, collapse whitespace, trim. */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Document fingerprint: md5 of the normalized text. Engine-portable
+    * (md5 is identical everywhere), used for exact dedup at scale —
+    * grouping on a 128-bit digest instead of the full text keeps shuffle
+    * rows small. */
+  def fingerprint(c: Column): Column = md5(normalizeText(c))
+
+  /** Whitespace tokenization. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
+
+  /** A BPE-ish subword proxy: count of alternating letter/digit runs —
+    * `[a-z]+|[0-9]+|[^a-z0-9\s]` matches over normalized text. */
+  def subwordCount(c: Column): Column =
+    size(regexp_extract_all(normalizeText(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Word n-gram shingles over whitespace tokens (n ≥ 1). Returns an
+    * array of space-joined n-grams; documents shorter than n tokens get
+    * their whole token sequence as a single shingle. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(normalizeText(c))
+    val ngrams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
+    when(size(toks) >= n, ngrams).otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Distinct shingle set (order-insensitive) — the unit of Jaccard. */
+  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+
+  // ---- quality / stats ------------------------------------------------
+
+  /** ASCII punctuation count (explicit class — identical semantics in
+    * Java regex and RE2, so the oracle can mirror it). */
+  def punctCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[.,;:!?'\"()\\[\\]{}-]"), lit(0)))
+
+  def digitCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[0-9]"), lit(0)))
+
+  def upperCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Z]"), lit(0)))
+
+  val StopWords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** How many tokens are stopwords (multiset count). */
+  def stopwordCount(c: Column): Column = {
+    val toks = tokens(normalizeText(c))
+    size(filter(toks, t => t.isin(StopWords: _*)))
+  }
+
+  /** Composite quality score in [0,1]: penalizes punctuation/digit load,
+    * rewards stopword presence (natural-language-ness) and length.
+    * Fixed formula — mirrored in the oracle SQL. */
+  def qualityScore(c: Column): Column = {
+    val len = length(c).cast("double")
+    val nTok = tokenCount(c).cast("double")
+    val punctR = punctCount(c) / greatest(len, lit(1.0))
+    val digitR = digitCount(c) / greatest(len, lit(1.0))
+    val stopR = stopwordCount(c) / greatest(nTok, lit(1.0))
+    val lenScore = least(len / lit(500.0), lit(1.0))
+    round(
+      greatest(lit(0.0), least(lit(1.0),
+        lit(0.4) * lenScore + lit(0.4) * least(stopR * lit(4.0), lit(1.0)) +
+          lit(0.2) * (lit(1.0) - least((punctR + digitR) * lit(5.0), lit(1.0))))),
+      6)
+  }
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Marker-word sets per language for the n-gram/stopword heuristic.
+    * (Self-consistent heuristic: the oracle mirrors the same formula.) */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "to"),
+    "es" -> Seq("el", "la", "de", "que", "los"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+  )
+
+  /** Heuristic language ID: argmax over marker-word hit counts with a
+    * deterministic preference order (ties → earlier entry in
+    * `LangMarkers`; zero hits everywhere → "und"). */
+  def langId(c: Column): Column = {
+    val toks = tokens(normalizeText(c))
+    val scores = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val expr = LangMarkers.reverse.foldLeft(lit("und")) { case (acc, (lang, _)) =>
+      val sc = scores.find(_._1 == lang).get._2
+      when(sc === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    expr
+  }
+
+  // ---- hashing --------------------------------------------------------
+
+  /** Seeded 64-bit shingle hash used by MinHash/SimHash signatures.
+    * xxhash64 is Spark-native and codegen'd; the seed folds in via
+    * concat so one expression family serves all signature positions. */
+  def seededHash(c: Column, seed: Int): Column =
+    xxhash64(concat(lit(s"s$seed:"), c))
+}

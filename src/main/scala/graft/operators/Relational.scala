@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's relational operator library: pure `DataFrame => DataFrame`
+  * combinators over Spark built-ins, one per operator in SURVEY.md §2.
+  *
+  * Everything here is declarative — Catalyst gets the whole plan, so
+  * predicate pushdown / column pruning / join strategy selection stay
+  * free. No driver-side loops; the only `collect` in the package is the
+  * bounded alert sample in `nullViolationSample`.
+  */
+object Relational {
+
+  /** P2 — drop any row containing ≥1 null
+    * (reference `df.dropna()`, /root/reference/delta_load.py:97-98). */
+  def dropNullRows(df: DataFrame): DataFrame = df.na.drop("any")
+
+  /** P1 — the violation set (rows with ≥1 null), the side-output the
+    * reference alerts on per-row (/root/reference/delta_load.py:67-84).
+    * Set-oriented: one vectorized filter, not a per-row loop. */
+  def nullViolations(df: DataFrame): DataFrame = {
+    val anyNull = df.columns.map(c => col(c).isNull).reduce(_ || _)
+    df.filter(anyNull)
+  }
+
+  /** Bounded driver-side sample of violations for alerting (K5). */
+  def nullViolationSample(df: DataFrame, max: Int = 100): Array[org.apache.spark.sql.Row] =
+    nullViolations(df).limit(max).collect()
+
+  /** D1 — full-row distinct (reference `drop_duplicates()`,
+    * /root/reference/delta_load.py:97-98). Hash-aggregate over all
+    * columns; shuffles once on the full row. */
+  def distinctRows(df: DataFrame): DataFrame = df.dropDuplicates()
+
+  /** Key-based distinct — keeps an arbitrary-but-deterministic row per
+    * key when `tieBreak` is given (first by ascending tieBreak). */
+  def distinctByKey(df: DataFrame, keys: Seq[String], tieBreak: Seq[Column] = Nil): DataFrame =
+    if (tieBreak.isEmpty) df.dropDuplicates(keys)
+    else {
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(tieBreak: _*)
+      df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+
+  /** P3 in bulk — latest version per key:
+    * `row_number() OVER (PARTITION BY keys ORDER BY version DESC) = 1`.
+    * `order` must be a total order for determinism (append unique
+    * tie-breakers if the version column can tie). */
+  def latestPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order.map(_.desc): _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** D2 — keyed last-writer-wins merge ("upsert") as a full-outer join:
+    * incoming wins per key, existing rows without a match survive.
+    * This is the set-oriented MERGE the reference *intended* with
+    * `INSERT ... ON DUPLICATE KEY UPDATE` (/root/reference/delta_load.py:182-186
+    * — degenerate there because its DDL declares no keys;
+    * our version takes keys explicitly).
+    *
+    * Scale: one shuffle on `keys` for each side; with both sides
+    * bucketed/pre-partitioned on `keys` the shuffle is avoided. A small
+    * `incoming` should be broadcast — Catalyst/AQE picks that up from
+    * sizes, no hint needed for the common big-existing/small-delta case.
+    */
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "mergeUpsert needs explicit keys (reference bug D2: keyless upsert degenerates to append)")
+    val cols = existing.columns
+    require(incoming.columns.sameElements(cols), "schema mismatch between existing and incoming")
+    val ex = existing.alias("ex")
+    val in = incoming.alias("in")
+    val cond = keys.map(k => col(s"ex.$k") <=> col(s"in.$k")).reduce(_ && _)
+    val merged = ex.join(in, cond, "full_outer")
+    val anyInKey = keys.map(k => col(s"in.$k").isNotNull).reduce(_ || _)
+    val picked = cols.map { c =>
+      when(anyInKey, col(s"in.$c")).otherwise(col(s"ex.$c")).as(c)
+    }
+    merged.select(picked: _*)
+  }
+
+  /** Top-k per group with a deterministic total order. */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
+                   rankCol: String = "rank"): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.TableVersion
+import graft.operators.Relational
+import graft.sinks.ParquetMergeSink
+import graft.sources.SnapshotSource
+import graft.tracker.Watermarks
+
+/** The end-to-end incremental load pipeline — the engine's restatement of
+  * the reference's E1/E3 flow (SURVEY.md §3):
+  *
+  *   discover snapshots → incremental gate (strict `>`) → CSV scan with
+  *   inference → null-violation side-output → clean (dropna + distinct) →
+  *   keyed MERGE into the curated parquet store → advance watermark →
+  *   report.
+  *
+  * Reference stages: gate /root/reference/second_lambda_function.py:44-88;
+  * scan+clean /root/reference/delta_load.py:62-98; upsert
+  * delta_load.py:169-202; watermark delta_load.py:204-265; notify
+  * delta_load.py:267-286 (here: the returned report, `LoadReport`).
+  *
+  * Scale posture: per-table, per-version processing is independent —
+  * at cluster scale versions of distinct tables load in parallel; within
+  * one load everything is a Spark plan (scan → filter → hash-dedup →
+  * shuffle-on-keys merge join). The only driver-side state is the
+  * watermark map and the bounded alert sample.
+  */
+final case class LoadReport(
+    table: String,
+    version: Long,
+    processed: Boolean,
+    inputRows: Long = 0,
+    nullRows: Long = 0,
+    dupRows: Long = 0,
+    curatedRows: Long = 0,
+    alerts: Seq[String] = Nil)
+
+final class DeltaLoadPipeline(
+    spark: SparkSession,
+    warehouse: String,
+    trackerPath: String,
+    keysFor: String => Seq[String]) {
+
+  private val tracker = new Watermarks(trackerPath)
+
+  /** Process every pending snapshot under `ingestRoot`, oldest first
+    * (FIFO-per-table ordering, SURVEY.md §2.9). */
+  def runAll(ingestRoot: String): Seq[LoadReport] =
+    SnapshotSource.listSnapshots(ingestRoot).map { case (tv, path) => runOne(tv, path) }
+
+  /** Process a single (table, version) snapshot file. */
+  def runOne(tv: TableVersion, path: String): LoadReport = {
+    if (!tracker.shouldProcess(tv)) {
+      // Reference else-branch: not newer ⇒ skip (idempotent replay).
+      return LoadReport(tv.table, tv.version, processed = false)
+    }
+    val raw = SnapshotSource.readSnapshot(spark, path).cache()
+    try {
+      val inputRows = raw.count()
+      val violations = Relational.nullViolationSample(raw)
+      val alerts = violations.toSeq.map(r => s"null row in ${tv.table} v${tv.version}: $r")
+      val clean = Relational.distinctRows(Relational.dropNullRows(raw))
+      val cleanRows = clean.count()
+      val nullRows = violations.length.toLong
+      val curated = ParquetMergeSink.merge(spark, warehouse, tv.table, clean, keysFor(tv.table), tv.version)
+      tracker.advance(tv)
+      LoadReport(tv.table, tv.version, processed = true, inputRows,
+        nullRows, dupRows = inputRows - nullRows - cleanRows + countDupOverlap(nullRows, inputRows, cleanRows),
+        curatedRows = curated, alerts = alerts)
+    } finally raw.unpersist()
+  }
+
+  // dup accounting: rows removed by dedup among non-null rows.
+  private def countDupOverlap(nullRows: Long, input: Long, clean: Long): Long = 0L
+}

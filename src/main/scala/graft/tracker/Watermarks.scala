@@ -1,0 +1,47 @@
+package graft.tracker
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import graft.model.TableVersion
+
+/** Incremental-load watermark store — the engine's replacement for the
+  * reference's single-item DynamoDB map
+  * (`DeltaLoadTracker[FileName='database_list'] → {table: {folder_name}}`,
+  * /root/reference/second_lambda_function.py:44-66,
+  * /root/reference/delta_load.py:204-265).
+  *
+  * This is *control-plane* state: one row per table, tiny, read once per
+  * pipeline run — so it lives as a plain sorted text file written
+  * atomically (tmp + move), not a distributed dataset. At cluster scale
+  * the same interface backs onto a catalog/Delta table; the gate logic
+  * (strict `>`) is identical.
+  */
+final class Watermarks(val storePath: String) {
+
+  private def file: Path = Paths.get(storePath)
+
+  /** table → latest loaded version. */
+  def read(): Map[String, Long] =
+    if (!Files.exists(file)) Map.empty
+    else
+      Files.readAllLines(file).asScala.filter(_.nonEmpty).map { line =>
+        val Array(t, v) = line.split("\t", 2)
+        t -> v.toLong
+      }.toMap
+
+  /** The reference's incremental gate: process iff strictly newer
+    * (second_lambda_function.py:76-88 — equal/older versions skipped). */
+  def shouldProcess(tv: TableVersion): Boolean =
+    read().get(tv.table).forall(tv.version > _)
+
+  /** Advance the watermark for one table (last-writer-wins, atomic). */
+  def advance(tv: TableVersion): Unit = {
+    val next = read() + (tv.table -> tv.version)
+    val tmp = Paths.get(storePath + ".tmp")
+    if (file.getParent != null) Files.createDirectories(file.getParent)
+    val body = next.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" }.mkString("", "\n", "\n")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

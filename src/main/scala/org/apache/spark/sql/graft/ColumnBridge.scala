@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public Column(expr)/Column.expr bridge; the
+  * supported hooks live behind `private[sql]`. This shim (the standard
+  * library-extension trick: a one-file object inside the sql package
+  * namespace) re-exports just the two conversions custom expressions
+  * need. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
