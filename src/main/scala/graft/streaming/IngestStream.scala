@@ -35,10 +35,15 @@ object IngestStream {
       .drop("__path")
 
   /** Clean + merge each micro-batch through the batch operator library;
-    * `process` receives (cleanBatch, batchId). */
+    * `process` receives (cleanBatch, batchId).
+    *
+    * File-level exactly-once (the reference's SQS-FIFO dedup of
+    * (table, version) events, SURVEY.md §2.9 D3) comes from the file
+    * source's checkpointed file tracking — each file enters exactly one
+    * micro-batch, so no row-level dedup on (table, load_ts) is needed
+    * (and doing one would wrongly collapse a file's rows). */
   def start(df: DataFrame, checkpoint: String)(process: (DataFrame, Long) => Unit): StreamingQuery =
-    df.dropDuplicates("table", "load_ts")
-      .writeStream
+    df.writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>

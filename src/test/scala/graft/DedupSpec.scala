@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different text about spark catalyst optimizer internals and codegen"),
+    (3L, "THE   Quick Brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0 modulo case/ws
+    (4L, "another unrelated document mentioning minhash signatures and lsh banding")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup collapses normalized-identical docs, keeps min id") {
+    val out = Dedup.exactDedup(corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L, 4L))
+  }
+
+  test("exactDupGroups reports the duplicate group") {
+    val g = Dedup.exactDupGroups(corpus, "doc_id", "text")
+      .select("keep_id", "group_size").as[(Long, Long)].collect()
+    assert(g.toSeq == Seq((0L, 2L)))
+  }
+
+  test("jaccard join finds the planted near-dup pair and is complete vs brute force") {
+    val pairs = Dedup.jaccardNearDupPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 3L)) && pairs.contains((1L, 3L))) // 3 normalizes to 0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+
+    // brute-force oracle on the same tiny corpus
+    def shingles(s: String): Set[String] = {
+      val t = s.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+      if (t.length >= 3) t.sliding(3).map(_.mkString(" ")).toSet else Set(t.mkString(" "))
+    }
+    val docs = corpus.as[(Long, String)].collect()
+    val brute = (for {
+      (ai, at) <- docs; (bi, bt) <- docs if ai < bi
+      sa = shingles(at); sb = shingles(bt)
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= 0.5
+    } yield (ai, bi)).toSet
+    assert(pairs == brute)
+  }
+
+  test("minhash LSH finds the high-similarity pairs (verified exactly)") {
+    val pairs = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // exact dup pair must always survive banding; near-dup pair at J≈0.86
+    // survives with 32 bands of 2 rows w.h.p.
+    assert(pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("simhash: identical docs at hamming 0, near-dups close, distinct far") {
+    val sigs = Dedup.simHashes(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(0L), sigs(1L)) < ham(sigs(0L), sigs(2L)))
+  }
+
+  test("simhashPairs respects the hamming bound") {
+    val pairs = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.forall(_._3 <= 3))
+    assert(pairs.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 0))
+  }
+
+  test("embedding near-dup pairs on constructed vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // ~0.995 cosine to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+      (3L, Array(0.0f, 0.0f, 0.0f))    // zero vector: guarded, cos = 0
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

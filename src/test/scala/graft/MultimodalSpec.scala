@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def media = Multimodal.syntheticMedia(
+    spark,
+    Seq((0L, "hello world"), (1L, ""), (2L, "spark")).toDF("id", "txt"),
+    "id", "txt")
+
+  test("extractFeatures: deterministic stub decode, partition-local") {
+    val a = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(a.toSeq == b.toSeq)
+    assert(a(0).n_bytes == "hello world".getBytes("UTF-8").length)
+    assert(a(1).n_bytes == 0 && a(1).brightness == 0.0)
+    assert(a.forall(f => Set("image", "audio", "video").contains(f.kind)))
+  }
+
+  test("sampleFrames: n evenly spaced samples per item, empty-safe") {
+    val frames = Multimodal.sampleFrames(media, 4)
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId == Map(0L -> 4L, 1L -> 4L, 2L -> 4L))
+    val offsets = frames.filter($"media_id" === 0L).select("byte_offset")
+      .as[Int].collect().sorted
+    assert(offsets.toSeq == Seq(0, 2, 5, 8)) // 11 bytes, floor(11*i/4)
+  }
+}

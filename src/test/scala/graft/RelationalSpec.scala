@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def fixture = Seq(
+    (1L, Some("a"), Some(1.0)),
+    (2L, None, Some(2.0)),
+    (3L, Some("c"), None),
+    (4L, Some("d"), Some(4.0)),
+    (4L, Some("d"), Some(4.0)) // exact dup
+  ).toDF("id", "s", "v")
+
+  test("dropNullRows removes any-null rows (P2)") {
+    assert(Relational.dropNullRows(fixture).count() == 3)
+  }
+
+  test("nullViolations is the complement side-output (P1)") {
+    val v = Relational.nullViolations(fixture).select("id").as[Long].collect().sorted
+    assert(v.toSeq == Seq(2L, 3L))
+  }
+
+  test("distinctRows removes exact dups (D1)") {
+    assert(Relational.distinctRows(fixture).count() == 4)
+  }
+
+  test("latestPerKey keeps max-order row per key (P3 bulk)") {
+    val df = Seq((1L, 10L, "old"), (1L, 20L, "new"), (2L, 5L, "only"))
+      .toDF("k", "ver", "val")
+    val out = Relational.latestPerKey(df, Seq("k"), Seq(col("ver")))
+      .select("k", "val").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "new", 2L -> "only"))
+  }
+
+  test("mergeUpsert: incoming wins per key, unmatched existing survives (D2)") {
+    val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v")
+    val incoming = Seq((2L, "B", 20.0), (3L, "C", 30.0)).toDF("id", "s", "v")
+    val out = Relational.mergeUpsert(existing, incoming, Seq("id"))
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "C", 30.0)))
+  }
+
+  test("mergeUpsert is idempotent (re-applying the same delta)") {
+    val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v")
+    val incoming = Seq((2L, "B", 20.0)).toDF("id", "s", "v")
+    val once = Relational.mergeUpsert(existing, incoming, Seq("id"))
+    val twice = Relational.mergeUpsert(once, incoming, Seq("id"))
+    assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
+  }
+
+  test("mergeUpsert refuses empty keys (reference bug D2 guarded)") {
+    val df = Seq((1L, "a", 1.0)).toDF("id", "s", "v")
+    intercept[IllegalArgumentException] {
+      Relational.mergeUpsert(df, df, Nil)
+    }
+  }
+
+  test("topKPerGroup deterministic ranks") {
+    val df = Seq((1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 5.0, 102L), (2L, 1.0, 103L))
+      .toDF("g", "score", "id")
+    val out = Relational.topKPerGroup(df, Seq("g"), Seq(col("score").desc, col("id")), 2)
+      .select("g", "rank", "id").as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.toSeq == Seq((1L, 1, 100L), (1L, 2, 101L), (2L, 1, 103L)))
+  }
+}

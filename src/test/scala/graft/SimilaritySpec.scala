@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("bruteTopK returns exact cosine order, excluding self") {
+    val out = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1, 1L), (2, 4L), (3, 2L)))
+  }
+
+  test("ivfTopK with full probing matches brute force") {
+    val brute = Similarity.bruteTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding", 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" < 2), "vec_id", "embedding",
+        k = 3, nCells = 5, nprobe = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivf == brute)
+  }
+
+  test("ivfTopK with partial probing returns deterministic rows") {
+    val a = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 2, nCells = 3, nprobe = 2).collect().map(_.toSeq)
+    val b = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 2, nCells = 3, nprobe = 2).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq == b.toSeq)
+    // probing fewer cells can only shrink the candidate set (recall < 1)
+    val full = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+      k = 2, nCells = 3, nprobe = 3).collect()
+    assert(a.length <= full.length)
+  }
+}
