@@ -33,19 +33,16 @@ object TextFunctions {
   def subwordCount(c: Column): Column =
     size(regexp_extract_all(normalizeText(c), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
 
-  /** Word n-gram shingles over whitespace tokens (n ≥ 1). Returns an
-    * array of space-joined n-grams; documents shorter than n tokens get
-    * their whole token sequence as a single shingle. */
-  def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(normalizeText(c))
-    val ngrams = transform(
-      sequence(lit(0), size(toks) - n),
-      i => concat_ws(" ", slice(toks, i + 1, lit(n))))
-    when(size(toks) >= n, ngrams).otherwise(array(concat_ws(" ", toks)))
-  }
+  /** Word n-gram shingles over whitespace tokens (n ≥ 1): space-joined
+    * n-grams; documents shorter than n tokens get their whole token
+    * sequence as a single shingle. Native codegen'd expression
+    * ([[graft.functions.expr.WordShingles]]). */
+  def wordShingles(c: Column, n: Int): Column =
+    graft.functions.expr.WordShingles(tokens(normalizeText(c)), n, distinct = false)
 
   /** Distinct shingle set (order-insensitive) — the unit of Jaccard. */
-  def shingleSet(c: Column, n: Int): Column = array_distinct(wordShingles(c, n))
+  def shingleSet(c: Column, n: Int): Column =
+    graft.functions.expr.WordShingles(tokens(normalizeText(c)), n, distinct = true)
 
   // ---- quality / stats ------------------------------------------------
 

@@ -1,0 +1,66 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** MinHash signature of a string set: `numHashes` independent seeded
+  * xxhash64 minima, one `array<long>` per row.
+  *
+  * Native expression ⇒ signatures are computed in a single narrow scan
+  * with NO explode and NO shuffle — the composed form
+  * (explode → 64 hash columns → groupBy(min×64)) shuffles the whole
+  * shingle multiset. At 100 TB the signature stage is scan-bound, as it
+  * should be; only the tiny (id, band-key) pairs ever shuffle.
+  */
+case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
+
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"minhash_sig needs array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.eval(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.MinHashSig.eval($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def apply(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  def eval(arr: ArrayData, numHashes: Int): ArrayData = {
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        var k = 0
+        while (k < numHashes) {
+          val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+}

@@ -43,44 +43,49 @@ object Dedup {
   /** Complete Jaccard similarity self-join: all pairs (a < b) of docs
     * whose word-`n`-shingle sets have Jaccard ≥ `threshold`.
     *
-    * Plan shape (all distributed, no cross join):
+    * Plan shape (all distributed, no cross join) — the classic
+    * prefix-filtered set-similarity join:
     *   1. per-doc distinct shingle set + its size              (1 scan)
-    *   2. explode → inverted index (shingle → docs)            (shuffle)
-    *   3. self-join per shingle, `a.id < b.id`, with the
-    *      size-ratio prune  min ≥ t·max  (complete: J ≥ t ⇒
-    *      |A|≥t·|B| and |B|≥t·|A|)                             (shuffle)
-    *   4. distinct candidate pairs                              (shuffle)
-    *   5. exact verify: array_intersect/array_union on the two
-    *      shingle sets, keep J ≥ t.
+    *   2. explode → inverted index rows (shingle → doc)        (shuffle)
+    *   3. global shingle document-frequency; order each doc's
+    *      shingles rarest-first and keep only the *prefix* of
+    *      length |S| − ⌈t·|S|⌉ + 1. Completeness: two sets with
+    *      J ≥ t overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, so they
+    *      cannot miss each other's prefixes under a shared total
+    *      order (Chaudhuri et al., "A Primitive Operator for
+    *      Similarity Joins", ICDE'06).
+    *   4. self-join on prefix shingles, `a.id < b.id`, plus the
+    *      size-ratio prune  min ≥ t·max                         (shuffle)
+    *   5. distinct candidate pairs → exact verify (intersect /
+    *      union on the full shingle sets), keep J ≥ t.
     *
-    * `maxShingleDocFreq` (optional) drops shingles appearing in more
-    * than that many docs from the *index* (step 2) — a recall-trading
-    * throttle for adversarial corpora; completeness holds whenever every
-    * near-dup pair shares at least one sub-threshold-frequency shingle.
-    * Default 0 = off (fully complete). */
+    * The prefix keeps each doc's *rarest* shingles, so hot shingles
+    * (stop-phrases) never generate candidates — at 100 TB this is the
+    * difference between a bounded join and a quadratic blow-up. */
   def jaccardNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8,
-      maxShingleDocFreq: Long = 0L): DataFrame = {
+      threshold: Double = 0.8): DataFrame = {
 
     val withSets = docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
 
     val index0 = withSets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
-    val index =
-      if (maxShingleDocFreq <= 0) index0
-      else {
-        val freq = index0.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDocFreq)
-        index0.join(freq.select("shingle"), Seq("shingle"))
-      }
 
-    val a = index.select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
-    val b = index.select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))
+    // rarest-first canonical order: (document frequency, shingle)
+    val freq = index0.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = index0.join(freq, Seq("shingle"))
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("shingle"), col("id"), col("sz"))
+
+    val a = prefix.select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
+    val b = prefix.select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("a_id") < col("b_id"))
       .filter(least(col("a_sz"), col("b_sz")) >= lit(threshold) * greatest(col("a_sz"), col("b_sz")))
@@ -104,18 +109,14 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` independent min-hash values over the
-    * shingle set, computed as element-wise mins of a per-shingle hash
-    * array — one explode + one groupBy, no UDFs. */
+  /** MinHash signatures: `numHashes` independent seeded-hash minima over
+    * the shingle set — one narrow scan through the native
+    * [[graft.functions.expr.MinHashSig]] expression, no explode, no
+    * shuffle (only the banded keys ever shuffle downstream). */
   def minHashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val exploded = docs
-      .select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("shingle"))
-      .withColumn("hs", array((0 until numHashes).map(s => seededHash(col("shingle"), s)): _*))
-    val minAggs = (0 until numHashes).map(i => min(element_at(col("hs"), i + 1)).as(s"h$i"))
-    exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+                        n: Int = 3, numHashes: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.expr.MinHashSig(shingleSet(col(textCol), n), numHashes).as("sig"))
 
   /** MinHash-LSH near-dup pairs: band the signature, bucket-join on
     * (band, band-hash), then exact-verify Jaccard. Sub-quadratic; recall
@@ -144,31 +145,12 @@ object Dedup {
     verifyJaccard(candidates, withSets, threshold)
   }
 
-  /** Per-token ±1 votes for each of the 64 SimHash bits (constant shift
-    * distances — Spark's shiftright takes a literal bit count). */
-  private def simHashVotes(textCol: Column): Column = {
-    val toks = tokens(normalizeText(textCol))
-    def bitVotes(tk: Column): Column = {
-      val h = xxhash64(tk)
-      array((0 until 64).map { b =>
-        when(shiftright(h, b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L))
-      }: _*)
-    }
-    aggregate(toks, array_repeat(lit(0L), 64),
-      (acc, tk) => zip_with(acc, bitVotes(tk), (v, bv) => v + bv))
-  }
-
-  /** 64-bit SimHash of the whitespace-token multiset — computed entirely
-    * in expressions (no explode/shuffle): per-token ±1 bit votes are
-    * summed element-wise, then the sign of each vote becomes the bit. */
-  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sig = (0 until 64).map { b =>
-      when(element_at(col("__votes"), b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    docs
-      .select(col(idCol).as("id"), simHashVotes(col(textCol)).as("__votes"))
-      .select(col("id"), sig.as("sig"))
-  }
+  /** 64-bit SimHash of the whitespace-token multiset — one narrow scan
+    * through the native [[graft.functions.expr.SimHash64]] expression
+    * (no explode, no shuffle, stays in WholeStageCodegen). */
+  def simHashes(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.expr.SimHash64(tokens(normalizeText(col(textCol)))).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 7):
     * pigeonhole banding over eight 8-bit chunks (a pair within hamming
