@@ -254,6 +254,123 @@ object SparkEntry {
       .orderBy(col("o_orderstatus"), col("o_orderkey"))
   }
 
+  private def q33SqlSubquery(s: SparkSession, dir: String): DataFrame = {
+    // The SQL surface: same engine, ANSI text in, Catalyst plan out.
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT l.l_partkey, count(*) AS n, sum(l.l_quantity) AS sum_qty
+      FROM lineitem l
+      JOIN (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey) p
+        ON l.l_partkey = p.l_partkey
+      WHERE l.l_quantity < p.aq
+      GROUP BY l.l_partkey ORDER BY l.l_partkey""")
+  }
+
+  private def q34Cube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private def q35JsonExtract(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("bucket"))
+
+  private def q36AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks0 = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_event_id"))
+    // unique right row per (user, ts) for determinism
+    val clicks = Relational.latestPerKey(clicks0, Seq("user_id", "ts_us"), Seq(col("click_event_id")))
+    Relational.asOfJoin(purchases, clicks, Seq("user_id"), "ts_us", "ts_us", Seq("click_event_id"))
+      .filter(col("asof_ts_us").isNotNull)
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  private def q37Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+        expr("percentile(l_extendedprice, 0.75)").as("p75_price"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99_price"))
+      .orderBy(col("l_returnflag"))
+
+  private def q38Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 6L * 3600 * 1000000 // 6h inactivity closes a session
+    val e = events(s, dir).select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val flagged = e.withColumn("new_sess",
+      when(col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs
+        || lag(col("ts_us"), 1).over(w).isNull, 1L).otherwise(0L))
+    val sess = flagged.withColumn("sid",
+      sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts_us")).as("session_start_us"), max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
+  private def q39MultisetOps(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val a = li.filter(col("l_quantity") < 10).select(col("l_returnflag"))
+    val b = li.filter(col("l_discount") > 0.08).select(col("l_returnflag"))
+    val ex = a.exceptAll(b).groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    val in = a.intersectAll(b).groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    ex.unionByName(in).select(col("op"), col("l_returnflag"), col("n"))
+      .orderBy(col("op"), col("l_returnflag"))
+  }
+
+  private def q40ScalarBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      upper(col("o_orderstatus")).as("up"),
+      substring(col("o_orderpriority"), 3, 6).as("sub"),
+      reverse(col("o_orderpriority")).as("rev"),
+      length(col("o_orderpriority")).cast("long").as("len"),
+      lpad(col("o_orderstatus"), 3, "x").as("lp"),
+      concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("cat"),
+      translate(col("o_orderpriority"), "-", "_").as("tr"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("nz"),
+      abs(col("o_totalprice") - 100000).as("absdiff"),
+      ceil(col("o_totalprice")).cast("long").as("ceil_p"),
+      floor(col("o_totalprice")).cast("long").as("floor_p"),
+      sqrt(col("o_totalprice")).as("sqrt_p"),
+      pmod(col("o_orderkey"), lit(7)).as("pm"),
+      greatest(col("o_totalprice"), col("o_orderkey").cast("double")).as("gr"))
+      .orderBy(col("o_orderkey"))
+
+  private def q41DateBattery(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("y"),
+      quarter(col("o_orderdate")).cast("long").as("q"),
+      month(col("o_orderdate")).cast("long").as("m"),
+      dayofmonth(col("o_orderdate")).cast("long").as("d"),
+      dayofweek(col("o_orderdate")).cast("long").as("dow_sun1"),
+      trunc(col("o_orderdate"), "month").as("month_start"),
+      datediff(to_date(col("o_orderdate")), lit("2000-01-01").cast("date")).cast("long").as("days_since_2000"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+      last_day(col("o_orderdate")).as("month_end"))
+      .orderBy(col("o_orderkey"))
+
+  private def q42CollectSorted(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        countDistinct(col("o_orderstatus")).as("n_statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+
   // ====================================================================
   // LLM-pipeline operators (dedup, similarity, text analysis)
   // ====================================================================
@@ -361,6 +478,16 @@ object SparkEntry {
     "q18_clean_docs" -> q18CleanDocs _,
     "q19_csv_roundtrip" -> q19CsvRoundtrip _,
     "q20_version_gate" -> q20VersionGate _,
+    "q33_sql_subquery" -> q33SqlSubquery _,
+    "q34_cube" -> q34Cube _,
+    "q35_json_extract" -> q35JsonExtract _,
+    "q36_asof_join" -> q36AsofJoin _,
+    "q37_percentiles" -> q37Percentiles _,
+    "q38_sessionize" -> q38Sessionize _,
+    "q39_multiset_ops" -> q39MultisetOps _,
+    "q40_scalar_battery" -> q40ScalarBattery _,
+    "q41_date_battery" -> q41DateBattery _,
+    "q42_collect_sorted" -> q42CollectSorted _,
     "t21_fingerprint" -> t21Fingerprint _,
     "t22_tokens" -> t22Tokens _,
     "t23_quality" -> t23Quality _,
@@ -527,6 +654,91 @@ object SparkEntry {
             FROM orders WHERE o_orderkey <= 3000 GROUP BY o_orderstatus)
           SELECT o_orderstatus, o_orderkey FROM orders JOIN wm ON o_orderstatus = st
           WHERE o_orderkey > wm ORDER BY o_orderstatus, o_orderkey""",
+      "q33_sql_subquery" ->
+        """SELECT l.l_partkey, count(*) AS n, sum(l.l_quantity) AS sum_qty
+          FROM lineitem l
+          JOIN (SELECT l_partkey, avg(l_quantity) AS aq FROM lineitem GROUP BY l_partkey) p
+            ON l.l_partkey = p.l_partkey
+          WHERE l.l_quantity < p.aq
+          GROUP BY l.l_partkey ORDER BY l.l_partkey""",
+      "q34_cube" ->
+        """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+      "q35_json_extract" ->
+        """SELECT k % 10 AS bucket, count(*) AS n, min(k) AS min_k, max(k) AS max_k
+          FROM (SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k FROM events)
+          GROUP BY 1 ORDER BY 1""",
+      "q36_asof_join" ->
+        """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase'),
+          c0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'),
+          c AS (SELECT user_id, ts_us, event_id AS click_event_id FROM c0 WHERE rn = 1)
+          SELECT p.user_id, p.event_id, p.ts_us, c.ts_us AS asof_ts_us, c.click_event_id
+          FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+          ORDER BY p.user_id, p.ts_us, p.event_id""",
+      "q37_percentiles" ->
+        """SELECT l_returnflag,
+          quantile_cont(l_quantity, 0.5) AS p50_qty,
+          quantile_cont(l_quantity, 0.25) AS p25_qty,
+          quantile_cont(l_extendedprice, 0.75) AS p75_price,
+          quantile_cont(l_extendedprice, 0.99) AS p99_price
+          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q38_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, value FROM events),
+          flag AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 21600000000 THEN 1 ELSE 0 END AS new_sess
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+          sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flag)
+          SELECT user_id, sid, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+            count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+          FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""",
+      "q39_multiset_ops" ->
+        """WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity < 10),
+          b AS (SELECT l_returnflag FROM lineitem WHERE l_discount > 0.08),
+          ex AS (SELECT 'except_all' AS op, l_returnflag, count(*) AS n
+            FROM (SELECT l_returnflag FROM a EXCEPT ALL SELECT l_returnflag FROM b) GROUP BY 2),
+          ia AS (SELECT 'intersect_all' AS op, l_returnflag, count(*) AS n
+            FROM (SELECT l_returnflag FROM a INTERSECT ALL SELECT l_returnflag FROM b) GROUP BY 2)
+          SELECT op, l_returnflag, n FROM ex UNION ALL SELECT op, l_returnflag, n FROM ia
+          ORDER BY op, l_returnflag""",
+      "q40_scalar_battery" ->
+        """SELECT o_orderkey,
+          upper(o_orderstatus) AS up,
+          substring(o_orderpriority, 3, 6) AS sub,
+          reverse(o_orderpriority) AS rev,
+          CAST(length(o_orderpriority) AS BIGINT) AS len,
+          lpad(o_orderstatus, 3, 'x') AS lp,
+          concat(o_orderstatus, '-', o_orderpriority) AS cat,
+          translate(o_orderpriority, '-', '_') AS tr,
+          coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS nz,
+          abs(o_totalprice - 100000) AS absdiff,
+          CAST(ceil(o_totalprice) AS BIGINT) AS ceil_p,
+          CAST(floor(o_totalprice) AS BIGINT) AS floor_p,
+          sqrt(o_totalprice) AS sqrt_p,
+          o_orderkey % 7 AS pm,
+          greatest(o_totalprice, CAST(o_orderkey AS DOUBLE)) AS gr
+          FROM orders ORDER BY o_orderkey""",
+      "q41_date_battery" ->
+        """SELECT o_orderkey,
+          CAST(year(o_orderdate) AS BIGINT) AS y,
+          CAST(quarter(o_orderdate) AS BIGINT) AS q,
+          CAST(month(o_orderdate) AS BIGINT) AS m,
+          CAST(day(o_orderdate) AS BIGINT) AS d,
+          CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow_sun1,
+          CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+          CAST(datediff('day', DATE '2000-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_2000,
+          CAST(o_orderdate AS DATE) + 30 AS plus30,
+          CAST(last_day(o_orderdate) AS DATE) AS month_end
+          FROM orders ORDER BY o_orderkey""",
+      "q42_collect_sorted" ->
+        """SELECT o_orderpriority,
+          list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+          count(DISTINCT o_orderstatus) AS n_statuses, count(*) AS n
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "t21_fingerprint" ->
         s"SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id",
       "t22_tokens" ->

@@ -86,4 +86,42 @@ object Relational {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
+
+  /** As-of join: for each left row, the latest right row with
+    * `rightTs <= leftTs` within the same `keys` group (the time-series
+    * point-in-time lookup Spark has no built-in for).
+    *
+    * Implementation is the union-and-sweep pattern: tag both sides,
+    * sort each key group by (ts, side), carry the last-seen right row
+    * forward with `last(_, ignoreNulls)` — ONE shuffle on `keys` and one
+    * sort, versus the naive join-then-filter which explodes to
+    * |left|·|right| per key. Right rows sort before left rows at equal
+    * ts, so an exactly-simultaneous right row matches (>= semantics).
+    *
+    * Right rows must be unique per (keys, rightTs) for determinism —
+    * pre-aggregate with [[latestPerKey]] if they are not. Output: all
+    * left columns plus `payload` columns from the matched right row
+    * (null when nothing precedes ⇒ filter for inner semantics). */
+  def asOfJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, payload: Seq[String]): DataFrame = {
+    val keyCols = keys.map(col)
+    val rTagged = right.select(
+      keyCols :+ col(rightTs).as("__ts") :+ lit(0).as("__side") :+
+        struct((rightTs +: payload).map(col): _*).as("__r") : _*)
+    val lTagged = left.select(
+      keyCols :+ col(leftTs).as("__ts") :+ lit(1).as("__side") :+
+        lit(null).cast(rTagged.schema("__r").dataType).as("__r") :+
+        struct(left.columns.map(col): _*).as("__l") : _*)
+    val both = rTagged.withColumn("__l", lit(null).cast(lTagged.schema("__l").dataType))
+      .unionByName(lTagged)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val swept = both
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val leftCols = left.columns.map(c => col(s"__l.$c").as(c))
+    val matchCols = (rightTs +: payload).map(c =>
+      col(s"__match.$c").as(if (c == rightTs) s"asof_$c" else c))
+    swept.select(leftCols ++ matchCols: _*)
+  }
 }
