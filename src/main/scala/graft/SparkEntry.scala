@@ -430,7 +430,30 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  private def t33SqlCustomFn(s: SparkSession, dir: String): DataFrame = {
+    // Custom Catalyst expressions exposed through the SQL surface.
+    graft.functions.GraftFunctions.register(s)
+    t(s, dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    s.sql("""
+      SELECT vec_id, vec_dot(embedding, embedding) AS norm_sq
+      FROM embeddings_v ORDER BY vec_id""")
+  }
+
+  private def q43LimitOffset(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .offset(10).limit(15)
+      .select(col("o_orderkey"), col("o_totalprice"))
+
   // ---- non-SQL-expressible (probabilistic/approximate): rows-only ----
+
+  private def t44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
 
   private def t29MinHashLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -488,6 +511,9 @@ object SparkEntry {
     "q40_scalar_battery" -> q40ScalarBattery _,
     "q41_date_battery" -> q41DateBattery _,
     "q42_collect_sorted" -> q42CollectSorted _,
+    "q43_limit_offset" -> q43LimitOffset _,
+    "t33_sql_custom_fn" -> t33SqlCustomFn _,
+    "t44_approx_distinct" -> t44ApproxDistinct _,
     "t21_fingerprint" -> t21Fingerprint _,
     "t22_tokens" -> t22Tokens _,
     "t23_quality" -> t23Quality _,
@@ -734,6 +760,14 @@ object SparkEntry {
           CAST(o_orderdate AS DATE) + 30 AS plus30,
           CAST(last_day(o_orderdate) AS DATE) AS month_end
           FROM orders ORDER BY o_orderkey""",
+      "q43_limit_offset" ->
+        """SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10""",
+      "t33_sql_custom_fn" ->
+        """SELECT vec_id,
+          list_sum(list_transform(list_zip(embedding, embedding),
+            s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) AS norm_sq
+          FROM embeddings ORDER BY vec_id""",
       "q42_collect_sorted" ->
         """SELECT o_orderpriority,
           list_sort(list(DISTINCT o_orderstatus)) AS statuses,

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scale
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("saltedSum equals plain groupBy sum") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 50}", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(org.apache.spark.sql.functions.sum($"v").as("sum_v"))
+      .as[(String, Double)].collect().toMap
+    val salted = Scale.saltedSum(df, Seq("k"), "v", saltBuckets = 8)
+      .as[(String, Double)].collect().toMap
+    assert(salted.keySet == plain.keySet)
+    // integer-valued doubles: sums exact, so equality is safe
+    assert(salted == plain)
+  }
+
+  test("saltedJoin equals plain join when right is unique per key") {
+    val left = (1 to 500).map(i => (s"k${i % 7}", i.toLong)).toDF("k", "lv")
+    val right = (0 until 7).map(i => (s"k$i", s"payload$i")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).as[(String, Long, String)].collect().toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltBuckets = 4)
+      .select("k", "lv", "rv").as[(String, Long, String)].collect().toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed join plans without an exchange on either side") {
+    // warehouse dir is a static conf; tables land in ./spark-warehouse
+    // (gitignored) — fine for a plan-shape check
+    Seq("b_orders", "b_lineitem").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get("spark-warehouse", t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Scale.bucketizeForJoin(o.select("o_orderkey", "o_totalprice"), "b_orders", Seq("o_orderkey"), 4)
+    Scale.bucketizeForJoin(l.select("l_orderkey", "l_quantity"), "b_lineitem", Seq("l_orderkey"), 4)
+    // force a sort-merge join (broadcast would bypass buckets at this size)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"), $"l_orderkey" === $"o_orderkey")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p)
+      assert(!p.contains("Exchange hashpartitioning"), p) // no shuffle on either side
+      assert(joined.count() == l.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
