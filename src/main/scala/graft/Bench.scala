@@ -14,6 +14,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle/spill files on tmpfs: the VM's backing disk stalls
+      // intermittently, which shows up as multi-second spikes on
+      // shuffle-heavy queries; RAM-backed local dirs remove that noise
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

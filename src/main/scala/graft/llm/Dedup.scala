@@ -69,9 +69,15 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
 
+    // The shingle-set relation feeds four consumers (frequency table,
+    // prefix index, and both verify sides); materialize it once — this
+    // IS the similarity-join index, the state a cluster implementation
+    // would write to a table. MEMORY_AND_DISK: bounded by corpus token
+    // count, spills instead of OOM.
     val withSets = docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val index0 = withSets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
 
@@ -83,6 +89,7 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("shingle"), col("id"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefix.select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = prefix.select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))
