@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.model.{IngestEvent, TableVersion}
+import graft.pipeline.{DeltaLoadPipeline, LoadReport}
+import graft.sinks.ParquetMergeSink
+import graft.tracker.Watermarks
+
+/** User-facing facade — what a user of the reference pipeline calls
+  * instead of uploading to S3 and reading MySQL (SURVEY.md §3 entry
+  * points):
+  *
+  *   E1  `loadAll(ingestRoot)`  — full incremental intake of a
+  *       versioned snapshot layout `<ts>/<table>.csv`
+  *   E2  `ensureTable(csvPath)` — schema inference + registration
+  *   E3  `load(csvPath)`        — single-file validate→clean→merge
+  *   query: `table(name)` / `sql(...)` over the curated store (the
+  *       role MySQL Workbench played for the reference)
+  */
+final class Engine(
+    val spark: SparkSession,
+    warehouse: String,
+    trackerPath: String,
+    keysFor: String => Seq[String]) {
+
+  private val pipeline = new DeltaLoadPipeline(spark, warehouse, trackerPath, keysFor)
+  private val tracker = new Watermarks(trackerPath)
+
+  /** E2 — infer schema from the CSV and register the (empty or
+    * existing) table; first-writer-wins like the reference's
+    * `CREATE TABLE IF NOT EXISTS`. Returns the inferred schema. */
+  def ensureTable(csvPath: String): org.apache.spark.sql.types.StructType =
+    infer.TypeInference.spark(spark, csvPath)
+
+  /** E3 — load one snapshot file through gate→clean→merge→watermark. */
+  def load(csvPath: String): LoadReport = {
+    val p = java.nio.file.Paths.get(csvPath).toAbsolutePath
+    val folder = p.getParent.getFileName.toString
+    val tv = TableVersion(IngestEvent.tableOf(p.getFileName.toString), IngestEvent.versionOf(folder))
+    pipeline.runOne(tv, csvPath)
+  }
+
+  /** E1 — process every pending snapshot under the ingest root. */
+  def loadAll(ingestRoot: String): Seq[LoadReport] = pipeline.runAll(ingestRoot)
+
+  /** Current curated contents of a table. */
+  def table(name: String): DataFrame =
+    ParquetMergeSink.readCurrent(spark, warehouse, name)
+      .getOrElse(throw new NoSuchElementException(s"table $name not loaded"))
+
+  /** Registered-view SQL over every curated table + the engine's native
+    * functions — the analyst surface. */
+  def sql(query: String): DataFrame = {
+    functions.GraftFunctions.register(spark)
+    listTables().foreach(t => table(t).createOrReplaceTempView(t))
+    spark.sql(query)
+  }
+
+  def listTables(): Seq[String] = {
+    val wh = java.nio.file.Paths.get(warehouse)
+    if (!java.nio.file.Files.isDirectory(wh)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(wh).iterator().asScala
+        .filter(java.nio.file.Files.isDirectory(_))
+        .map(_.getFileName.toString).toSeq.sorted
+    }
+  }
+
+  def watermarks(): Map[String, Long] = tracker.read()
+}

@@ -447,6 +447,17 @@ object SparkEntry {
 
   // ---- non-SQL-expressible (probabilistic/approximate): rows-only ----
 
+  private def t45EmbedLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, numBits = 32, bandBits = 4)
+      .select(col("a_id"), col("b_id"), floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def t46Winnowing(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 8, minShared = 8)
+      .orderBy(col("a_id"), col("b_id"))
+
   private def t44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -514,6 +525,8 @@ object SparkEntry {
     "q43_limit_offset" -> q43LimitOffset _,
     "t33_sql_custom_fn" -> t33SqlCustomFn _,
     "t44_approx_distinct" -> t44ApproxDistinct _,
+    "t45_embed_lsh" -> t45EmbedLsh _,
+    "t46_winnowing" -> t46Winnowing _,
     "t21_fingerprint" -> t21Fingerprint _,
     "t22_tokens" -> t22Tokens _,
     "t23_quality" -> t23Quality _,

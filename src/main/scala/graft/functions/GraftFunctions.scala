@@ -24,5 +24,10 @@ object GraftFunctions {
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       exprs => WordShingles(exprs(0), exprs(1).eval().asInstanceOf[Int], distinct = true), "built-in")
+    reg.createOrReplaceTempFunction("sign_sketch",
+      exprs => expr.SignSketch(exprs(0), exprs(1).eval().asInstanceOf[Int], 42L), "built-in")
+    reg.createOrReplaceTempFunction("winnowing",
+      exprs => expr.Winnowing(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]), "built-in")
   }
 }

@@ -196,4 +196,60 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
   }
+
+  /** Embedding near-dup via cosine LSH — the 100 TB path: sign-sketch
+    * each vector (random hyperplanes), band the bits, generate
+    * candidates only within matching (band, bits) buckets, then verify
+    * exact cosine. Sub-quadratic: the full pairwise compare never
+    * happens; recall is the LSH S-curve over the banded sketch
+    * (raise `numBits`/lower `bandBits` for more recall). */
+  def embeddingNearDupLsh(embs: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, numBits: Int = 32,
+                          bandBits: Int = 8, seed: Long = 42L): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    import graft.functions.expr.SignSketch
+    require(numBits % bandBits == 0, "bandBits must divide numBits")
+    val bands = numBits / bandBits
+    val mask = (1L << bandBits) - 1
+
+    val sketched = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        norm(col(vecCol)).as("nrm"), SignSketch(col(vecCol), numBits, seed).as("sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sketched.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        shiftright(col("sk"), b * bandBits).bitwiseAND(mask)
+      }: _*)).as(Seq("band", "bkey")))
+
+    val l = banded.select(col("band"), col("bkey"), col("id").as("a_id"))
+    val r = banded.select(col("band"), col("bkey"), col("id").as("b_id"))
+    val candidates = l.join(r, Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+
+    val sa = sketched.select(col("id").as("a_id"), col("v").as("a_v"), col("nrm").as("a_n"))
+    val sb = sketched.select(col("id").as("b_id"), col("v").as("b_v"), col("nrm").as("b_n"))
+    candidates.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("cos", cosineWithNorms(dot(col("a_v"), col("b_v")), col("a_n"), col("b_n")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
+  }
+
+  /** Winnowing near-copy pairs: docs sharing ≥ `minShared` winnowing
+    * fingerprints (shared substrings of length ≥ w + k − 1). Inverted
+    * index on fingerprints — same join shape as the shingle path, but
+    * fingerprints are position-selected rolling hashes, so a handful
+    * per document regardless of length. */
+  def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 12, w: Int = 8, minShared: Int = 3): DataFrame = {
+    import graft.functions.expr.Winnowing
+    val fps = docs.select(col(idCol).as("id"),
+      explode(array_distinct(Winnowing(normalizeText(col(textCol)), k, w))).as("fp"))
+    val a = fps.select(col("fp"), col("id").as("a_id"))
+    val b = fps.select(col("fp"), col("id").as("b_id"))
+    a.join(b, Seq("fp"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+
+  test("facade: ensureTable / loadAll / table / sql end-to-end") {
+    val root = Files.createTempDirectory("graft_eng").toString
+    def put(rel: String, body: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, body)
+    }
+    put("20250101_000001/emp.csv", "EmpId,Name,Salary\n1,Ann,100.5\n2,Bob,90.0\n")
+    put("20250102_000001/emp.csv", "EmpId,Name,Salary\n2,Bob,95.0\n3,Cee,80.0\n")
+
+    val engine = new Engine(spark,
+      Files.createTempDirectory("graft_eng_wh").toString,
+      Files.createTempDirectory("graft_eng_tr").toString + "/wm.tsv",
+      _ => Seq("EmpId"))
+
+    val schema = engine.ensureTable(s"$root/20250101_000001/emp.csv")
+    assert(schema.fieldNames.toSeq == Seq("EmpId", "Name", "Salary"))
+
+    val reports = engine.loadAll(root)
+    assert(reports.count(_.processed) == 2)
+    assert(engine.listTables() == Seq("emp"))
+    assert(engine.watermarks() == Map("emp" -> 20250102000001L))
+
+    val rows = engine.table("emp").orderBy("EmpId").collect()
+      .map(r => (r.getAs[Any]("EmpId").toString, r.getAs[Double]("Salary")))
+    assert(rows.toSeq == Seq(("1", 100.5), ("2", 95.0), ("3", 80.0)))
+
+    val viaSql = engine.sql("SELECT count(*) AS n, sum(Salary) AS s FROM emp").collect()(0)
+    assert(viaSql.getLong(0) == 3 && viaSql.getDouble(1) == 275.5)
+
+    // replay is a no-op (gate)
+    assert(engine.loadAll(root).forall(!_.processed))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Dedup
+
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("sign-sketch LSH finds high-cosine pairs and verifies exactly") {
+    val vecs = Seq(
+      (0L, Array.tabulate(16)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(16)(i => (math.sin(i + 1) * 1.01 + 0.001).toFloat)), // ~same direction
+      (2L, Array.tabulate(16)(i => math.cos(i * 2 + 1).toFloat)),
+      (3L, Array.tabulate(16)(i => (if (i % 2 == 0) 1f else -1f)))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+        threshold = 0.99, numBits = 16, bandBits = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("sign-sketch LSH recall vs brute force on real embeddings (sf0.001)") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingNearDupLsh(embs, "vec_id", "embedding", 0.45,
+        numBits = 32, bandBits = 4) // 8 bands of 4 bits: high recall at cos>=0.45
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute)) // verification ⇒ precision 1.0
+    assert(brute.isEmpty || lsh.size.toDouble / brute.size >= 0.5,
+      s"recall ${lsh.size}/${brute.size}")
+  }
+
+  test("winnowing: doc sharing a long substring is caught, unrelated is not") {
+    val common = "spark structured streaming watermarks and stateful aggregation semantics"
+    val docs = Seq(
+      (0L, s"prefix words $common suffix words here"),
+      (1L, s"totally different opening $common and another ending"),
+      (2L, "nothing in common with the others at all, completely disjoint text")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowingPairs(docs, "doc_id", "text", k = 12, w = 8, minShared = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnowing guarantee: shared substring >= w+k-1 chars yields a shared fingerprint") {
+    import graft.functions.expr.Winnowing
+    import org.apache.spark.sql.functions.col
+    val shared = "abcdefghijklmnopqrs" // 19 = w+k-1 with k=12, w=8
+    val df = Seq((1L, s"XX${shared}YY"), (2L, s"QQQQ${shared}ZZZZZ")).toDF("id", "t")
+    val fps = df.select(col("id"), Winnowing(col("t"), 12, 8).as("f"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fps(1L).toSet.intersect(fps(2L).toSet).nonEmpty)
+  }
+}
