@@ -447,6 +447,32 @@ object SparkEntry {
 
   // ---- non-SQL-expressible (probabilistic/approximate): rows-only ----
 
+  private def q47GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  }
+
+  private def q48TypedTopK(s: SparkSession, dir: String): DataFrame = {
+    // Typed Dataset surface + custom Aggregator: bounded-heap top-k per
+    // group (O(n log k), no full per-group sort).
+    val session = s
+    import session.implicits._
+    val agg = new graft.operators.TopKAggregator(3).toColumn
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("top_orderkeys"))
+      .toDF("o_custkey", "top_orderkeys")
+      .orderBy(col("o_custkey"))
+  }
+
   private def t45EmbedLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, numBits = 32, bandBits = 4)
@@ -523,6 +549,8 @@ object SparkEntry {
     "q41_date_battery" -> q41DateBattery _,
     "q42_collect_sorted" -> q42CollectSorted _,
     "q43_limit_offset" -> q43LimitOffset _,
+    "q47_grouping_sets" -> q47GroupingSets _,
+    "q48_typed_topk" -> q48TypedTopK _,
     "t33_sql_custom_fn" -> t33SqlCustomFn _,
     "t44_approx_distinct" -> t44ApproxDistinct _,
     "t45_embed_lsh" -> t45EmbedLsh _,
@@ -776,6 +804,16 @@ object SparkEntry {
       "q43_limit_offset" ->
         """SELECT o_orderkey, o_totalprice FROM orders
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 10""",
+      "q47_grouping_sets" ->
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+          FROM orders
+          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+          ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+      "q48_typed_topk" ->
+        """SELECT o_custkey,
+          (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3] AS top_orderkeys
+          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
       "t33_sql_custom_fn" ->
         """SELECT vec_id,
           list_sum(list_transform(list_zip(embedding, embedding),
