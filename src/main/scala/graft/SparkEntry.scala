@@ -473,6 +473,32 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  private def q49Pivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("f_cents"), col("O").as("o_cents"), col("P").as("p_cents"))
+      .orderBy(col("o_orderpriority"))
+
+  private def q50Unpivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .unpivot(Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size").cast("double")),
+        "attr", "val")
+      .groupBy(col("attr"))
+      .agg(count(lit(1)).as("n"), moneySum(col("val"), 2).as("sum_val"))
+      .orderBy(col("attr"))
+
+  private def t47WordCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(TextFunctions.normalizeText(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(100)
+
   private def t45EmbedLsh(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, numBits = 32, bandBits = 4)
@@ -483,6 +509,18 @@ object SparkEntry {
     Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
         k = 16, w = 8, minShared = 8)
       .orderBy(col("a_id"), col("b_id"))
+
+  private def t48Multimodal(s: SparkSession, dir: String): DataFrame = {
+    // Multimodal plumbing over synthetic media (bytes = utf8(text));
+    // decode is the documented STUB — deterministic features, real
+    // partition-local batch shape. Rows-only check.
+    val media = graft.llm.Multimodal.syntheticMedia(s, t(s, dir, "documents"), "doc_id", "text")
+    graft.llm.Multimodal.extractFeatures(media, frameCount = 4)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
+        floor(sum(col("brightness")) * 1000).cast("long").as("brightness_milli"))
+      .orderBy(col("kind"))
+  }
 
   private def t44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -551,6 +589,10 @@ object SparkEntry {
     "q43_limit_offset" -> q43LimitOffset _,
     "q47_grouping_sets" -> q47GroupingSets _,
     "q48_typed_topk" -> q48TypedTopK _,
+    "q49_pivot" -> q49Pivot _,
+    "q50_unpivot" -> q50Unpivot _,
+    "t47_word_count" -> t47WordCount _,
+    "t48_multimodal" -> t48Multimodal _,
     "t33_sql_custom_fn" -> t33SqlCustomFn _,
     "t44_approx_distinct" -> t44ApproxDistinct _,
     "t45_embed_lsh" -> t45EmbedLsh _,
@@ -814,6 +856,24 @@ object SparkEntry {
         """SELECT o_custkey,
           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3] AS top_orderkeys
           FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+      "q49_pivot" ->
+        """SELECT o_orderpriority,
+          coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS f_cents,
+          coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS o_cents,
+          coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS p_cents
+          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+      "q50_unpivot" ->
+        """WITH u AS (
+            SELECT p_partkey, 'p_retailprice' AS attr, p_retailprice AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'p_size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part)
+          SELECT attr, count(*) AS n,
+            CAST(sum(CAST(round(val * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_val
+          FROM u GROUP BY attr ORDER BY attr""",
+      "t47_word_count" ->
+        s"""SELECT word, count(*) AS n
+          FROM (SELECT unnest($toks) AS word FROM documents)
+          GROUP BY word ORDER BY n DESC, word LIMIT 100""",
       "t33_sql_custom_fn" ->
         """SELECT vec_id,
           list_sum(list_transform(list_zip(embedding, embedding),
