@@ -473,6 +473,16 @@ object SparkEntry {
       .orderBy(col("o_custkey"))
   }
 
+  private def q51CorrelatedSubquery(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders")
+    t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o_totalprice > (SELECT 30 * coalesce(avg(l_extendedprice), 0)
+                            FROM lineitem WHERE l_orderkey = o.o_orderkey)
+      ORDER BY o_orderkey""")
+  }
+
   private def q49Pivot(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
@@ -590,6 +600,7 @@ object SparkEntry {
     "q47_grouping_sets" -> q47GroupingSets _,
     "q48_typed_topk" -> q48TypedTopK _,
     "q49_pivot" -> q49Pivot _,
+    "q51_correlated_subquery" -> q51CorrelatedSubquery _,
     "q50_unpivot" -> q50Unpivot _,
     "t47_word_count" -> t47WordCount _,
     "t48_multimodal" -> t48Multimodal _,
@@ -856,6 +867,11 @@ object SparkEntry {
         """SELECT o_custkey,
           (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3] AS top_orderkeys
           FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+      "q51_correlated_subquery" ->
+        """SELECT o_orderkey, o_totalprice FROM orders o
+          WHERE o_totalprice > (SELECT 30 * coalesce(avg(l_extendedprice), 0)
+                                FROM lineitem WHERE l_orderkey = o.o_orderkey)
+          ORDER BY o_orderkey""",
       "q49_pivot" ->
         """SELECT o_orderpriority,
           coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS f_cents,
