@@ -292,6 +292,20 @@ object SparkEntry {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  private def q52AsofNative(s: SparkSession, dir: String): DataFrame = {
+    // Same semantics as q36, through the custom LogicalPlan + Strategy +
+    // BinaryExecNode (graft.plans.AsOfJoinPlan) instead of composition.
+    val e = events(s, dir)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+    val clicks0 = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us"), col("event_id").as("click_event_id"))
+    val clicks = Relational.latestPerKey(clicks0, Seq("user_id", "ts_us"), Seq(col("click_event_id")))
+    graft.plans.AsOfJoinNative(purchases, clicks, Seq("user_id"), "ts_us", "ts_us", Seq("click_event_id"))
+      .filter(col("asof_ts_us").isNotNull)
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   private def q37Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -601,6 +615,7 @@ object SparkEntry {
     "q48_typed_topk" -> q48TypedTopK _,
     "q49_pivot" -> q49Pivot _,
     "q51_correlated_subquery" -> q51CorrelatedSubquery _,
+    "q52_asof_native" -> q52AsofNative _,
     "q50_unpivot" -> q50Unpivot _,
     "t47_word_count" -> t47WordCount _,
     "t48_multimodal" -> t48Multimodal _,
@@ -790,6 +805,16 @@ object SparkEntry {
           FROM (SELECT CAST(regexp_extract(props, '"k":\s*([0-9]+)', 1) AS BIGINT) AS k FROM events)
           GROUP BY 1 ORDER BY 1""",
       "q36_asof_join" ->
+        """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+            WHERE event_type = 'purchase'),
+          c0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            row_number() OVER (PARTITION BY user_id, epoch_us(ts) ORDER BY event_id DESC) AS rn
+            FROM events WHERE event_type = 'click'),
+          c AS (SELECT user_id, ts_us, event_id AS click_event_id FROM c0 WHERE rn = 1)
+          SELECT p.user_id, p.event_id, p.ts_us, c.ts_us AS asof_ts_us, c.click_event_id
+          FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+          ORDER BY p.user_id, p.ts_us, p.event_id""",
+      "q52_asof_native" ->
         """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
             WHERE event_type = 'purchase'),
           c0 AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
