@@ -306,6 +306,24 @@ object SparkEntry {
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
+  private def q53RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    // lineitems shipped within 30 days of their order's date: a range
+    // join binned to equi-join (no nested-loop explosion).
+    val day = 86400L
+    // o_orderdate/l_shipdate come back TIMESTAMP_NTZ from parquet; cast
+    // to TIMESTAMP under the UTC session = the oracle's epoch_us values
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("start_us"),
+      (unix_micros(col("o_orderdate").cast("timestamp")) + lit(30 * day * 1000000L)).as("end_us"))
+    val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+      unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+    Relational.rangeJoin(l, "ship_us", o, "start_us", "end_us", binWidth = 30 * day * 1000000L)
+      .filter(col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_in_window"))
+      .orderBy(col("o_orderkey"))
+  }
+
   private def q37Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -616,6 +634,7 @@ object SparkEntry {
     "q49_pivot" -> q49Pivot _,
     "q51_correlated_subquery" -> q51CorrelatedSubquery _,
     "q52_asof_native" -> q52AsofNative _,
+    "q53_range_join" -> q53RangeJoin _,
     "q50_unpivot" -> q50Unpivot _,
     "t47_word_count" -> t47WordCount _,
     "t48_multimodal" -> t48Multimodal _,
@@ -824,6 +843,12 @@ object SparkEntry {
           SELECT p.user_id, p.event_id, p.ts_us, c.ts_us AS asof_ts_us, c.click_event_id
           FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
           ORDER BY p.user_id, p.ts_us, p.event_id""",
+      "q53_range_join" ->
+        """SELECT o_orderkey, count(*) AS n_in_window
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          AND epoch_us(l_shipdate) BETWEEN epoch_us(o_orderdate)
+            AND epoch_us(o_orderdate) + 2592000000000
+          GROUP BY o_orderkey ORDER BY o_orderkey""",
       "q37_percentiles" ->
         """SELECT l_returnflag,
           quantile_cont(l_quantity, 0.5) AS p50_qty,

@@ -87,6 +87,28 @@ object Relational {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Range (interval) join: pairs where `left.pointCol` ∈
+    * `[right.startCol, right.endCol]`. Spark plans a raw BETWEEN join as
+    * a broadcast-nested-loop — O(|L|·|R|). This version bins the domain:
+    * each right interval explodes to the bins it covers, the left point
+    * maps to one bin, and the join becomes an equi-join on bin followed
+    * by the exact between filter. Complete (an overlapping interval
+    * always covers the point's bin); cost O(|L| + |R|·avgBinsPerInterval)
+    * shuffled on bin. Pick `binWidth` ≈ typical interval length. */
+  def rangeJoin(left: DataFrame, pointCol: String,
+                right: DataFrame, startCol: String, endCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    val lBinned = left.withColumn("__bin", floor(col(pointCol).cast("long") / binWidth))
+    val rBinned = right.withColumn("__bin",
+      explode(sequence(
+        floor(col(startCol).cast("long") / binWidth),
+        floor(col(endCol).cast("long") / binWidth))))
+    lBinned.join(rBinned, Seq("__bin"))
+      .filter(col(pointCol).cast("long").between(col(startCol).cast("long"), col(endCol).cast("long")))
+      .drop("__bin")
+  }
+
   /** As-of join: for each left row, the latest right row with
     * `rightTs <= leftTs` within the same `keys` group (the time-series
     * point-in-time lookup Spark has no built-in for).
