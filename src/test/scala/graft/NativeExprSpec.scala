@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.expr.{FloatVecDot, MinHashSig, SimHash64, WordShingles}
+import graft.functions.TextFunctions
+
+/** Edge cases for the native expressions: empty inputs, nulls, short
+  * docs, and value equivalence with the composed built-in forms. */
+class NativeExprSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  test("FloatVecDot equals composed aggregate(zip_with) bit-for-bit") {
+    val df = Seq(
+      (Array(1.5f, -2.25f, 3.125f), Array(0.5f, 4.0f, -1.75f)),
+      (Array.empty[Float], Array.empty[Float])
+    ).toDF("a", "b")
+    val composed = aggregate(
+      zip_with(transform($"a", x => x.cast("double")), transform($"b", x => x.cast("double")),
+        (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(FloatVecDot($"a", $"b").as("fast"), composed.as("slow"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (f, s) => assert(f == s) }
+  }
+
+  test("FloatVecDot null propagation") {
+    val df = Seq((Some(Array(1f)), None: Option[Array[Float]])).toDF("a", "b")
+    assert(df.select(FloatVecDot($"a", $"b")).collect()(0).isNullAt(0))
+  }
+
+  test("WordShingles: short docs, empty string, distinct order") {
+    val df = Seq("one two", "", "a b c d").toDF("t")
+    val out = df.select(WordShingles(TextFunctions.tokens(TextFunctions.normalizeText($"t")), 3,
+      distinct = true)).as[Seq[String]].collect()
+    assert(out(0) == Seq("one two"))   // shorter than n → whole sequence
+    assert(out(1) == Seq(""))          // empty text → single empty shingle
+    assert(out(2) == Seq("a b c", "b c d"))
+  }
+
+  test("WordShingles distinct keeps first occurrence once") {
+    val df = Seq("x y x y x y").toDF("t") // shingle "x y x"/"y x y" repeat
+    val s = df.select(WordShingles(TextFunctions.tokens($"t"), 3, distinct = true))
+      .as[Seq[String]].collect()(0)
+    assert(s == Seq("x y x", "y x y"))
+  }
+
+  test("MinHashSig: empty set gives MaxValue minima; equal sets equal sigs") {
+    val df = Seq(Seq.empty[String], Seq("a", "b"), Seq("b", "a")).toDF("s")
+    val sigs = df.select(MinHashSig($"s", 8)).as[Seq[Long]].collect()
+    assert(sigs(0).forall(_ == Long.MaxValue))
+    assert(sigs(1) == sigs(2)) // order-insensitive
+  }
+
+  test("SimHash64: empty tokens → 0; anagram token multisets equal") {
+    val df = Seq(Seq.empty[String], Seq("x", "y"), Seq("y", "x")).toDF("s")
+    val sigs = df.select(graft.functions.expr.SimHash64($"s")).as[Long].collect()
+    assert(sigs(0) == 0L)
+    assert(sigs(1) == sigs(2))
+  }
+
+  test("native expressions survive both codegen and interpreted paths") {
+    val df = Seq(("hello world program", Array(1f, 2f))).toDF("t", "v")
+    val q = df.select(
+      WordShingles(TextFunctions.tokens($"t"), 2, distinct = true).as("sh"),
+      FloatVecDot($"v", $"v").as("d"))
+    val viaCodegen = q.collect()
+    val prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      assert(q.collect().toSeq == viaCodegen.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", prev)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+}
