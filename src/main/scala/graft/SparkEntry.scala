@@ -564,6 +564,22 @@ object SparkEntry {
       .orderBy(col("kind"))
   }
 
+  private def t49KnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 10, nCells = 16, nprobe = 4, iters = 3)
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def t50BpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.llm.Bpe.train(docs, "text", numMerges = 40)
+    graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   private def t44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -642,6 +658,8 @@ object SparkEntry {
     "t44_approx_distinct" -> t44ApproxDistinct _,
     "t45_embed_lsh" -> t45EmbedLsh _,
     "t46_winnowing" -> t46Winnowing _,
+    "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
+    "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
     "t22_tokens" -> t22Tokens _,
     "t23_quality" -> t23Quality _,

@@ -36,6 +36,98 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
   }
 
+  /** Lloyd's k-means over the embedding column, deterministic:
+    * seeds = the k vectors with smallest xxhash64(id) (a fixed
+    * pseudo-random spread), `iters` rounds of assign + element-wise
+    * mean. Each round is one broadcast (k·dim doubles) + one narrow
+    * scan + one groupBy(cell, dim) shuffle of k·dim partials — nothing
+    * driver-side except the tiny centroid matrix. */
+  def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
+    import corpus.sparkSession.implicits._
+    val seedsDf = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(k)
+    var centroids: Array[(Int, Array[Double])] =
+      seedsDf.select("v").as[Seq[Double]].collect().zipWithIndex
+        .map { case (v, i) => (i, v.toArray) }
+
+    val dv = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    for (_ <- 0 until iters) {
+      val assigned = assignCells(dv, centroids)
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val next = means.groupBy(_._1).map { case (cell, xs) =>
+        val dim = xs.map(_._2).max + 1
+        val arr = new Array[Double](dim)
+        xs.foreach { case (_, d, m) => arr(d) = m }
+        (cell, arr)
+      }.toArray.sortBy(_._1)
+      centroids = if (next.nonEmpty) next else centroids
+    }
+    centroids
+  }
+
+  /** Assign each vector to its nearest centroid by L2 (broadcast the
+    * centroid matrix as literal arrays — no side state). */
+  private def assignCells(dv: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    // ||v - c||² = ||v||² − 2·v·c + ||c||²; argmin over cells
+    val v2 = dot(col("v"), col("v"))
+    val scored = centroids.map { case (cell, c) =>
+      val cCol = array(c.map(lit): _*)
+      val d2 = v2 - lit(2.0) * dot(col("v"), cCol) + lit(c.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    dv.withColumn("__best", array_min(array(scored: _*)))
+      .withColumn("cell", col("__best.cell"))
+      .drop("__best")
+  }
+
+  /** IVF search over a k-means index: corpus pre-assigned to its
+    * nearest centroid; each query probes the `nprobe` nearest cells and
+    * ranks exactly within them. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kMeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    val dvC = corpus.select(col(idCol), col(vecCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val assigned = assignCells(dvC, centroids)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("cell"))
+    val dvQ = queries.select(col(idCol), col(vecCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probes = probeCells(dvQ, centroids, nprobe)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
+  }
+
+  /** The `nprobe` nearest cells per query row (same L2 scoring). */
+  private def probeCells(dvQ: DataFrame, centroids: Array[(Int, Array[Double])],
+                         nprobe: Int): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val v2 = dot(col("v"), col("v"))
+    val scored = centroids.map { case (cell, c) =>
+      val cCol = array(c.map(lit): _*)
+      val d2 = v2 - lit(2.0) * dot(col("v"), cCol) + lit(c.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    dvQ.withColumn("__cells", slice(array_sort(array(scored: _*)), 1, nprobe))
+      .withColumn("cell", explode(col("__cells.cell")))
+      .drop("__cells")
+  }
+
   /** Deterministic IVF index: centroids = the `nCells` lowest-id vectors
     * (a fixed, seedless choice — swap in k-means for quality; the plan
     * shape is what matters), corpus assigned to nearest centroid. */

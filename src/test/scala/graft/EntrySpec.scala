@@ -16,7 +16,8 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = qs -- os
     // rows-only set is intentional: approximate / probabilistic / stubbed ops
     assert(rowsOnly == Set("t29_minhash_lsh", "t30_simhash", "t31_knn_ivf",
-      "t44_approx_distinct", "t45_embed_lsh", "t46_winnowing", "t48_multimodal"), rowsOnly)
+      "t44_approx_distinct", "t45_embed_lsh", "t46_winnowing", "t48_multimodal",
+      "t49_knn_ivf_kmeans", "t50_bpe_tokens"), rowsOnly)
   }
 
   test("all queries run at sf0.001 and return rows") {

@@ -31,6 +31,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ivf == brute)
   }
 
+  test("k-means IVF: centroids converge and recall beats naive-cell IVF") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val km = Similarity.ivfKmeansTopK(embs, queries, "vec_id", "embedding",
+        k = 5, nCells = 8, nprobe = 4, iters = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(km.subsetOf(brute.union(km))) // sanity
+    val recall = km.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"k-means IVF recall $recall")
+    // centroids deterministic across invocations
+    val c1 = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2).map(_._2.toSeq).toSeq
+    val c2 = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2).map(_._2.toSeq).toSeq
+    assert(c1 == c2)
+  }
+
   test("ivfTopK with partial probing returns deterministic rows") {
     val a = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
       k = 2, nCells = 3, nprobe = 2).collect().map(_.toSeq)
