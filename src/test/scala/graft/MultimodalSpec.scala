@@ -22,6 +22,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(f => Set("image", "audio", "video").contains(f.kind)))
   }
 
+  test("binaryFile source: real media ingestion path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "b.bin"), Array[Byte](4, 5))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "skip.txt"), "no")
+    val media = Multimodal.readBinaryDir(spark, dir, glob = "*.bin")
+    val feats = Multimodal.extractFeatures(media).collect().sortBy(_.n_bytes)
+    assert(feats.length == 2)
+    assert(feats.map(_.n_bytes).toSeq == Seq(2L, 3L))
+  }
+
   test("sampleFrames: n evenly spaced samples per item, empty-safe") {
     val frames = Multimodal.sampleFrames(media, 4)
     val byId = frames.groupBy("media_id").count().collect()

@@ -24,6 +24,20 @@ class SinksSpec extends AnyFunSuite {
     assert(ParquetMergeSink.currentPath(wh, "t").get.endsWith("v2"))
   }
 
+  test("time travel: versions, readVersion, vacuum keeps current") {
+    val wh = Files.createTempDirectory("graft_tt").toString
+    ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "a")).toDF("id", "s"), Seq("id"), 10L)
+    ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "b")).toDF("id", "s"), Seq("id"), 20L)
+    ParquetMergeSink.merge(spark, wh, "t", Seq((2L, "c")).toDF("id", "s"), Seq("id"), 30L)
+    assert(ParquetMergeSink.versions(wh, "t") == Seq(10L, 20L, 30L))
+    val asOf20 = ParquetMergeSink.readVersion(spark, wh, "t", 25L).get
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(asOf20.toSeq == Seq((1L, "b")))
+    ParquetMergeSink.vacuum(wh, "t", keep = 1)
+    assert(ParquetMergeSink.versions(wh, "t") == Seq(30L))
+    assert(ParquetMergeSink.readCurrent(spark, wh, "t").get.count() == 2)
+  }
+
   test("JdbcUpsertSink: batched executor-side upsert into Derby (K2)") {
     val db = Files.createTempDirectory("graft_derby").toString + "/db"
     val url = s"jdbc:derby:$db;create=true"
