@@ -567,7 +567,7 @@ object SparkEntry {
   private def t49KnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
     Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 10, nCells = 16, nprobe = 4, iters = 3)
+        k = 10, nCells = 16, nprobe = 4, iters = 2)
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
         floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
       .orderBy(col("query_id"), col("rank"))
@@ -575,7 +575,7 @@ object SparkEntry {
 
   private def t50BpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val merges = graft.llm.Bpe.train(docs, "text", numMerges = 40)
+    val merges = graft.llm.Bpe.train(docs, "text", numMerges = 24)
     graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", merges)
       .orderBy(col("doc_id"))
   }

@@ -81,14 +81,19 @@ object Dedup {
 
     val index0 = withSets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
 
-    // rarest-first canonical order: (document frequency, shingle)
+    // rarest-first canonical order: (document frequency, shingle).
+    // Per-doc prefix selection via groupBy + per-row array sort: one
+    // hash aggregation instead of a window (which would sort whole
+    // partitions); each doc's shingle list is small, the array sort is
+    // per-row local work inside codegen.
     val freq = index0.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
     val prefix = index0.join(freq, Seq("shingle"))
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("shingle"), col("id"), col("sz"))
+      .groupBy(col("id"), col("sz"))
+      .agg(collect_list(struct(col("df"), col("shingle"))).as("all"))
+      .select(col("id"), col("sz"),
+        explode(slice(array_sort(col("all")), lit(1), prefixLen)).as("p"))
+      .select(col("p.shingle").as("shingle"), col("id"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val a = prefix.select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
