@@ -324,6 +324,52 @@ object SparkEntry {
       .orderBy(col("o_orderkey"))
   }
 
+  private def q54NationVolume(s: SparkSession, dir: String): DataFrame = {
+    // Q7-style shipping volume between customer-nation and supplier-nation
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("c_nk"))
+      .join(broadcast(n2), col("s_nationkey") === col("s_nk"))
+      .filter(col("cust_nation") =!= col("supp_nation"))
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("cust_nation"), col("supp_nation"), year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("volume"),
+        count(lit(1)).as("n"))
+      .filter(col("n") >= 5) // keep the output compact and stable
+      .orderBy(col("cust_nation"), col("supp_nation"), col("l_year"))
+  }
+
+  private def q55TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    // Q15-style: suppliers achieving the maximum revenue (subquery on agg)
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")).as("rev_e4"))
+    val maxRev = rev.agg(max(col("rev_e4"))).first().getLong(0)
+    rev.filter(col("rev_e4") === maxRev)
+      .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        (col("rev_e4").cast("double") / 10000).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  private def q56ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    // Q12-style: per order-priority class, high/low line counts
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+
   private def q37Percentiles(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -651,6 +697,9 @@ object SparkEntry {
     "q51_correlated_subquery" -> q51CorrelatedSubquery _,
     "q52_asof_native" -> q52AsofNative _,
     "q53_range_join" -> q53RangeJoin _,
+    "q54_nation_volume" -> q54NationVolume _,
+    "q55_top_supplier" -> q55TopSupplier _,
+    "q56_conditional_agg" -> q56ConditionalAgg _,
     "q50_unpivot" -> q50Unpivot _,
     "t47_word_count" -> t47WordCount _,
     "t48_multimodal" -> t48Multimodal _,
@@ -755,8 +804,8 @@ object SparkEntry {
       "q08_running_events" ->
         """SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
           lag(event_type, 1) OVER w AS prev_type,
-          sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+          CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
           ORDER BY user_id, ts_us, event_id""",
@@ -794,7 +843,7 @@ object SparkEntry {
           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
       "q15_events_hourly" ->
         """SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type,
-          count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+          count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
       "q16_merge_upsert" ->
         """WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
@@ -867,6 +916,37 @@ object SparkEntry {
           AND epoch_us(l_shipdate) BETWEEN epoch_us(o_orderdate)
             AND epoch_us(o_orderdate) + 2592000000000
           GROUP BY o_orderkey ORDER BY o_orderkey""",
+      "q54_nation_volume" ->
+        """SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+          CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS volume,
+          count(*) AS n
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2, 3 HAVING count(*) >= 5 ORDER BY 1, 2, 3""",
+      "q55_top_supplier" ->
+        """WITH rev AS (SELECT l_suppkey,
+            sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) AS rev_e4
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+          GROUP BY l_suppkey)
+          SELECT s_suppkey, s_name, CAST(rev_e4 AS DOUBLE) / 10000 AS total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE rev_e4 = (SELECT max(rev_e4) FROM rev)
+          ORDER BY s_suppkey""",
+      "q56_conditional_agg" ->
+        """SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate
+          GROUP BY l_returnflag ORDER BY l_returnflag""",
       "q37_percentiles" ->
         """SELECT l_returnflag,
           quantile_cont(l_quantity, 0.5) AS p50_qty,
@@ -882,7 +962,7 @@ object SparkEntry {
           sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flag)
           SELECT user_id, sid, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
-            count(*) AS n_events, sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+            count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""",
       "q39_multiset_ops" ->
         """WITH a AS (SELECT l_returnflag FROM lineitem WHERE l_quantity < 10),
@@ -942,9 +1022,9 @@ object SparkEntry {
           ORDER BY o_orderkey""",
       "q49_pivot" ->
         """SELECT o_orderpriority,
-          coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS f_cents,
-          coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS o_cents,
-          coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS p_cents
+          CAST(coalesce(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS BIGINT) AS f_cents,
+          CAST(coalesce(sum(CASE WHEN o_orderstatus = 'O' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS BIGINT) AS o_cents,
+          CAST(coalesce(sum(CASE WHEN o_orderstatus = 'P' THEN CAST(round(o_totalprice * 100.0) AS BIGINT) END), 0) AS BIGINT) AS p_cents
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "q50_unpivot" ->
         """WITH u AS (
