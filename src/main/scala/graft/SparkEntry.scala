@@ -626,6 +626,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  private def q57HashSample(s: SparkSession, dir: String): DataFrame =
+    // deterministic md5-keyed sampling: identical membership in any
+    // engine — the reproducible train/test-split primitive
+    graft.operators.Sampling.split(
+        graft.operators.Sampling.hashSample(t(s, dir, "documents"), "doc_id", 0.5),
+        "doc_id", testFraction = 0.2, validFraction = 0.1)
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"), col("lang"))
+
   private def t44ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -700,6 +710,7 @@ object SparkEntry {
     "q54_nation_volume" -> q54NationVolume _,
     "q55_top_supplier" -> q55TopSupplier _,
     "q56_conditional_agg" -> q56ConditionalAgg _,
+    "q57_hash_sample" -> q57HashSample _,
     "q50_unpivot" -> q50Unpivot _,
     "t47_word_count" -> t47WordCount _,
     "t48_multimodal" -> t48Multimodal _,
@@ -863,7 +874,7 @@ object SparkEntry {
             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
             FROM events) WHERE rn = 1 ORDER BY user_id""",
       "q18_clean_docs" ->
-        """SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars FROM (
+        """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars FROM (
             SELECT DISTINCT * FROM documents
             WHERE doc_id IS NOT NULL AND text IS NOT NULL AND lang IS NOT NULL
               AND source IS NOT NULL AND n_chars IS NOT NULL)
@@ -947,6 +958,14 @@ object SparkEntry {
           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
           WHERE l_shipdate > o_orderdate
           GROUP BY l_returnflag ORDER BY l_returnflag""",
+      "q57_hash_sample" ->
+        """WITH u AS (SELECT *,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 AS hu
+          FROM documents)
+          SELECT CASE WHEN hu < 0.2 THEN 'test' WHEN hu < 0.3 THEN 'valid' ELSE 'train' END AS split,
+            lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM u WHERE hu < 0.5
+          GROUP BY 1, 2 ORDER BY 1, 2""",
       "q37_percentiles" ->
         """SELECT l_returnflag,
           quantile_cont(l_quantity, 0.5) AS p50_qty,

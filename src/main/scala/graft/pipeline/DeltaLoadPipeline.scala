@@ -35,7 +35,10 @@ final case class LoadReport(
     nullRows: Long = 0,
     dupRows: Long = 0,
     curatedRows: Long = 0,
-    alerts: Seq[String] = Nil)
+    alerts: Seq[String] = Nil,
+    // unique execution id (reference F9: UUID-named executions,
+    // second_lambda_function.py:137)
+    runId: String = java.util.UUID.randomUUID().toString)
 
 final class DeltaLoadPipeline(
     spark: SparkSession,
