@@ -980,7 +980,8 @@ object SparkEntry {
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
           sess AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM flag)
-          SELECT user_id, sid, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+          SELECT user_id, CAST(sid AS BIGINT) AS sid,
+            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
             count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
           FROM sess GROUP BY user_id, sid ORDER BY user_id, sid""",
       "q39_multiset_ops" ->

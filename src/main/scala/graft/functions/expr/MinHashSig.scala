@@ -29,10 +29,12 @@ case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    MinHashSig.eval(input.asInstanceOf[ArrayData], numHashes)
+    MinHashSig.evalMinHash(input.asInstanceOf[ArrayData], numHashes)
 
+  // Companion method deliberately not named `eval` (see WordShingles) so
+  // the static forwarder generates and the call codegens.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.MinHashSig.eval($c, $numHashes)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.MinHashSig.evalMinHash($c, $numHashes)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -44,7 +46,7 @@ object MinHashSig {
   def apply(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
 
-  def eval(arr: ArrayData, numHashes: Int): ArrayData = {
+  def evalMinHash(arr: ArrayData, numHashes: Int): ArrayData = {
     val mins = Array.fill(numHashes)(Long.MaxValue)
     val n = arr.numElements()
     var i = 0

@@ -34,11 +34,13 @@ case class SignSketch(child: Expression, numBits: Int, seed: Long) extends Unary
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    SignSketch.eval(input.asInstanceOf[ArrayData], numBits, seed, isFloat)
+    SignSketch.evalSketch(input.asInstanceOf[ArrayData], numBits, seed, isFloat)
 
+  // Companion method deliberately not named `eval` (see WordShingles) so
+  // the static forwarder generates and the call codegens.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.expr.SignSketch.eval($c, $numBits, ${seed}L, $isFloat)")
+      s"graft.functions.expr.SignSketch.evalSketch($c, $numBits, ${seed}L, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -57,7 +59,7 @@ object SignSketch {
     z ^ (z >>> 31)
   }
 
-  def eval(arr: ArrayData, numBits: Int, seed: Long, isFloat: Boolean): Long = {
+  def evalSketch(arr: ArrayData, numBits: Int, seed: Long, isFloat: Boolean): Long = {
     val n = arr.numElements()
     var sketch = 0L
     var b = 0

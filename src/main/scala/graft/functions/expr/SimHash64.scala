@@ -28,11 +28,13 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    SimHash64.eval(arr)
+    SimHash64.evalSim(arr)
   }
 
+  // Companion method deliberately not named `eval` (see WordShingles) so
+  // the static forwarder generates and the call codegens.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.SimHash64.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.SimHash64.evalSim($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,7 +47,7 @@ object SimHash64 {
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
 
   /** Shared by interpreted eval and generated code. */
-  def eval(arr: ArrayData): Long = {
+  def evalSim(arr: ArrayData): Long = {
     val votes = new Array[Int](64)
     val n = arr.numElements()
     var i = 0

@@ -32,10 +32,12 @@ case class Winnowing(child: Expression, k: Int, w: Int) extends UnaryExpression 
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    Winnowing.eval(input.asInstanceOf[UTF8String], k, w)
+    Winnowing.evalWinnow(input.asInstanceOf[UTF8String], k, w)
 
+  // Companion method deliberately not named `eval` (see WordShingles) so
+  // the static forwarder generates and the call codegens.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.Winnowing.eval($c, $k, $w)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.Winnowing.evalWinnow($c, $k, $w)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,7 +51,7 @@ object Winnowing {
 
   private val Base = 0x100000001b3L // FNV prime as the rolling base
 
-  def eval(text: UTF8String, k: Int, w: Int): ArrayData = {
+  def evalWinnow(text: UTF8String, k: Int, w: Int): ArrayData = {
     val bytes = text.getBytes
     val n = bytes.length
     if (n < k) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])

@@ -34,10 +34,15 @@ case class WordShingles(child: Expression, n: Int, distinct: Boolean)
   }
 
   override protected def nullSafeEval(input: Any): Any =
-    WordShingles.eval(input.asInstanceOf[ArrayData], n, distinct)
+    WordShingles.evalShingles(input.asInstanceOf[ArrayData], n, distinct)
 
+  // NB: the companion method must NOT be named `eval` — the class inherits
+  // eval(InternalRow) from Expression, which suppresses the static
+  // forwarder, so Janino would fail to resolve the call and Spark would
+  // silently fall back to InterpretedUnsafeProjection for the whole
+  // projection. NativeExprSpec pins this with CODEGEN_ONLY factory mode.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.expr.WordShingles.eval($c, $n, $distinct)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.expr.WordShingles.evalShingles($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -51,7 +56,7 @@ object WordShingles {
 
   private val Space = UTF8String.fromString(" ")
 
-  def eval(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
+  def evalShingles(arr: ArrayData, n: Int, distinct: Boolean): ArrayData = {
     val m = arr.numElements()
     val toks = new Array[UTF8String](m)
     var i = 0

@@ -60,6 +60,33 @@ class NativeExprSpec extends AnyFunSuite {
     assert(sigs(1) == sigs(2))
   }
 
+  test("all native expressions compile under CODEGEN_ONLY (no interpreter fallback)") {
+    // CODEGEN_ONLY makes any Janino failure throw instead of silently
+    // dropping the projection to InterpretedUnsafeProjection — this is
+    // the regression pin for the static-forwarder pitfall (a companion
+    // method named `eval` collides with Expression.eval(InternalRow) and
+    // never gets a forwarder, so generated code can't resolve it).
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", Array(1.0f, -2.0f, 0.5f)),
+      ("", Array.empty[Float])
+    ).toDF("t", "v")
+    val toks = TextFunctions.tokens(TextFunctions.normalizeText($"t"))
+    val q = df.select(
+      WordShingles(toks, 3, distinct = true).as("sh"),
+      MinHashSig(WordShingles(toks, 3, distinct = true), 16).as("mh"),
+      SimHash64(toks).as("simh"),
+      graft.functions.expr.SignSketch($"v", 16).as("sk"),
+      graft.functions.expr.Winnowing($"t", 4, 5).as("fp"),
+      FloatVecDot($"v", $"v").as("d"))
+    val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      assert(q.collect().length == 2)
+    } finally {
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFactory)
+    }
+  }
+
   test("native expressions survive both codegen and interpreted paths") {
     val df = Seq(("hello world program", Array(1f, 2f))).toDF("t", "v")
     val q = df.select(
