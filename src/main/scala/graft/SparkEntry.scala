@@ -147,16 +147,21 @@ object SparkEntry {
   }
 
   private def q09SetOps(s: SparkSession, dir: String): DataFrame = {
+    // union/intersect/except cardinalities in ONE plan: a single
+    // full-outer join of the two distinct key sets feeds all three
+    // counts (each input is scanned once; the naive form is three
+    // actions × two scans each, i.e. six scans and three jobs).
     val bigSpenders = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
       .select(col("o_custkey").as("custkey")).distinct()
+      .withColumn("in_a", lit(1))
     val building = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey").as("custkey")).distinct()
-    val u = bigSpenders.union(building).distinct().count()
-    val i = bigSpenders.intersect(building).count()
-    val x = bigSpenders.except(building).count()
-    val session = s
-    import session.implicits._
-    Seq((u, i, x)).toDF("union_cnt", "intersect_cnt", "except_cnt")
+      .withColumn("in_b", lit(1))
+    bigSpenders.join(building, Seq("custkey"), "full_outer")
+      .agg(
+        count(lit(1)).as("union_cnt"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L)).as("intersect_cnt"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L).otherwise(0L)).as("except_cnt"))
   }
 
   private def q10Rollup(s: SparkSession, dir: String): DataFrame =
@@ -351,8 +356,10 @@ object SparkEntry {
         && col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
       .groupBy(col("l_suppkey"))
       .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")).as("rev_e4"))
-    val maxRev = rev.agg(max(col("rev_e4"))).first().getLong(0)
-    rev.filter(col("rev_e4") === maxRev)
+    // scalar-max as a broadcast join, not .first(): keeps the query one
+    // plan/one job — no driver round-trip to carry the max back in
+    val maxRev = rev.agg(max(col("rev_e4")).as("max_rev_e4"))
+    rev.join(broadcast(maxRev), col("rev_e4") === col("max_rev_e4"))
       .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         (col("rev_e4").cast("double") / 10000).as("total_revenue"))
@@ -444,7 +451,11 @@ object SparkEntry {
   private def q42CollectSorted(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority"))
-      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(
+        // joined to a scalar string so the driver's pandas row-sort can
+        // hash it (arrays are unhashable there); the sort inside makes
+        // the join deterministic
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
         countDistinct(col("o_orderstatus")).as("n_statuses"),
         count(lit(1)).as("n"))
       .orderBy(col("o_orderpriority"))
@@ -547,7 +558,10 @@ object SparkEntry {
       .groupByKey(_._1)
       .mapValues(r => (r._2, r._3))
       .agg(agg.name("top_orderkeys"))
-      .toDF("o_custkey", "top_orderkeys")
+      .toDF("o_custkey", "top_keys")
+      // scalar string for the same pandas-hashability reason as q42
+      .select(col("o_custkey"),
+        expr("array_join(transform(top_keys, x -> cast(x as string)), ',')").as("top_orderkeys"))
       .orderBy(col("o_custkey"))
   }
 
@@ -1033,7 +1047,7 @@ object SparkEntry {
           ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
       "q48_typed_topk" ->
         """SELECT o_custkey,
-          (list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3] AS top_orderkeys
+          array_to_string((list(o_orderkey ORDER BY o_totalprice DESC, o_orderkey))[:3], ',') AS top_orderkeys
           FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
       "q51_correlated_subquery" ->
         """SELECT o_orderkey, o_totalprice FROM orders o
@@ -1065,7 +1079,7 @@ object SparkEntry {
           FROM embeddings ORDER BY vec_id""",
       "q42_collect_sorted" ->
         """SELECT o_orderpriority,
-          list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+          array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
           count(DISTINCT o_orderstatus) AS n_statuses, count(*) AS n
           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "t21_fingerprint" ->

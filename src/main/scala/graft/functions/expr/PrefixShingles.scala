@@ -1,0 +1,88 @@
+package graft.functions.expr
+
+import java.util.Arrays
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Prefix selection for the prefix-filtered set-similarity join
+  * (Chaudhuri et al., "A Primitive Operator for Similarity Joins",
+  * ICDE'06): order the row's shingle set by the GLOBAL total order
+  * (document frequency, shingle) and keep the first
+  * |S| − ⌈t·|S|⌉ + 1 elements. Two sets with Jaccard ≥ t cannot have
+  * disjoint prefixes under any shared total order, so joining on prefix
+  * shingles alone is complete.
+  *
+  * The df head map rides inside the expression (like the BPE merge
+  * table): shingles absent from the map count as df = 1 — the map only
+  * has to cover the hot head for the ordering to prune well, so it is
+  * capped (bounded driver/broadcast state at any corpus size). This
+  * turns the prefix computation into ONE narrow map over the doc scan —
+  * the composed form (explode → join df → regroup by doc) shuffles the
+  * full inverted index twice before the similarity join even starts. */
+case class PrefixShingles(child: Expression, threshold: Double, dfHead: Map[String, Long])
+    extends UnaryExpression {
+
+  require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"prefix_shingles needs array<string>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    // global order key: (df, shingle); absent shingles have df = 1
+    val keys = new Array[(Long, UTF8String)](n)
+    var i = 0
+    while (i < n) {
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      keys(i) = (dfHead.getOrElse(s.toString, 1L), s)
+      i += 1
+    }
+    Arrays.sort(keys, PrefixShingles.ByDfThenShingle)
+    val take = math.min(n, n - math.ceil(threshold * n).toInt + 1)
+    val out = new Array[Any](take)
+    i = 0
+    while (i < take) { out(i) = keys(i)._2; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  // The df map can't inline into Janino source — pass the expression
+  // instance as a reference object (BpeTokenCount pattern) so the call
+  // still sits inside the surrounding WholeStageCodegen.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("prefixExpr", this, classOf[PrefixShingles].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.evalPublic($c);")
+  }
+
+  /** Codegen entry (reference-object call). */
+  def evalPublic(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PrefixShingles {
+  import org.apache.spark.sql.graft.ColumnBridge
+
+  def apply(shingles: Column, threshold: Double, dfHead: Map[String, Long]): Column =
+    ColumnBridge.column(PrefixShingles(ColumnBridge.expression(shingles), threshold, dfHead))
+
+  private[expr] object ByDfThenShingle extends java.util.Comparator[(Long, UTF8String)] {
+    override def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {
+      val c = java.lang.Long.compare(a._1, b._1)
+      if (c != 0) c else a._2.compareTo(b._2)
+    }
+  }
+}

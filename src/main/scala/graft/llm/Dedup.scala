@@ -45,56 +45,59 @@ object Dedup {
     *
     * Plan shape (all distributed, no cross join) — the classic
     * prefix-filtered set-similarity join:
-    *   1. per-doc distinct shingle set + its size              (1 scan)
-    *   2. explode → inverted index rows (shingle → doc)        (shuffle)
-    *   3. global shingle document-frequency; order each doc's
-    *      shingles rarest-first and keep only the *prefix* of
-    *      length |S| − ⌈t·|S|⌉ + 1. Completeness: two sets with
-    *      J ≥ t overlap in ≥ ⌈t·max(|A|,|B|)⌉ elements, so they
-    *      cannot miss each other's prefixes under a shared total
-    *      order (Chaudhuri et al., "A Primitive Operator for
-    *      Similarity Joins", ICDE'06).
-    *   4. self-join on prefix shingles, `a.id < b.id`, plus the
-    *      size-ratio prune  min ≥ t·max                         (shuffle)
-    *   5. distinct candidate pairs → exact verify (intersect /
-    *      union on the full shingle sets), keep J ≥ t.
+    *   1. one small aggregate finds the document-frequency HEAD of the
+    *      shingle distribution (top `dfHeadSize` by df) — bounded
+    *      control-plane state, like a BPE merge table.
+    *   2. per-doc prefix selection is then ONE narrow map over the doc
+    *      scan ([[graft.functions.expr.PrefixShingles]]): order the
+    *      shingle set by the global (df, shingle) order — df = 1 for
+    *      anything outside the head — and keep the first
+    *      |S| − ⌈t·|S|⌉ + 1. Completeness: two sets with J ≥ t overlap
+    *      in ≥ ⌈t·max(|A|,|B|)⌉ elements, so they cannot miss each
+    *      other's prefixes under a shared total order (Chaudhuri et
+    *      al., "A Primitive Operator for Similarity Joins", ICDE'06).
+    *   3. self-join on prefix shingles, `a.id < b.id`, plus the
+    *      size-ratio prune  min ≥ t·max — the ONLY wide shuffle.
+    *   4. distinct candidate pairs → exact verify (intersect / union on
+    *      the full shingle sets), keep J ≥ t. Candidates are few, so
+    *      AQE broadcasts them against the recomputed sets.
     *
     * The prefix keeps each doc's *rarest* shingles, so hot shingles
     * (stop-phrases) never generate candidates — at 100 TB this is the
-    * difference between a bounded join and a quadratic blow-up. */
+    * difference between a bounded join and a quadratic blow-up. The
+    * earlier composed form (explode → join full df table → regroup per
+    * doc) shuffled the full inverted index twice before the similarity
+    * join even started; shingle sets are recomputed per consumer instead
+    * of persisted — they inline into the scan, and recompute beats
+    * caching the widest relation in the plan. */
   def jaccardNearDupPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      dfHeadSize: Int = 100000): DataFrame = {
+    import graft.functions.expr.PrefixShingles
 
-    // The shingle-set relation feeds four consumers (frequency table,
-    // prefix index, and both verify sides); materialize it once — this
-    // IS the similarity-join index, the state a cluster implementation
-    // would write to a table. MEMORY_AND_DISK: bounded by corpus token
-    // count, spills instead of OOM.
     val withSets = docs
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val index0 = withSets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    // job 1 (small): df head — distributed top-K (per-partition partial
+    // top-K, then merge), collected to bounded driver state. df = 1
+    // shingles sort identically with or without an entry, so only
+    // df >= 2 matter.
+    val dfHead: Map[String, Long] = withSets
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(dfHeadSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-    // rarest-first canonical order: (document frequency, shingle).
-    // Per-doc prefix selection via groupBy + per-row array sort: one
-    // hash aggregation instead of a window (which would sort whole
-    // partitions); each doc's shingle list is small, the array sort is
-    // per-row local work inside codegen.
-    val freq = index0.groupBy("shingle").agg(count(lit(1)).as("df"))
-    val prefixLen = (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")
-    val prefix = index0.join(freq, Seq("shingle"))
-      .groupBy(col("id"), col("sz"))
-      .agg(collect_list(struct(col("df"), col("shingle"))).as("all"))
-      .select(col("id"), col("sz"),
-        explode(slice(array_sort(col("all")), lit(1), prefixLen)).as("p"))
-      .select(col("p.shingle").as("shingle"), col("id"), col("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val prefix = withSets.select(
+      explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
+      col("id"), col("sz"))
 
     val a = prefix.select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
     val b = prefix.select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 import graft.model.TableVersion
 import graft.operators.Relational
@@ -61,20 +62,24 @@ final class DeltaLoadPipeline(
     }
     val raw = SnapshotSource.readSnapshot(spark, path).cache()
     try {
-      val inputRows = raw.count()
-      val violations = Relational.nullViolationSample(raw)
-      val alerts = violations.toSeq.map(r => s"null row in ${tv.table} v${tv.version}: $r")
+      // exact accounting in one aggregate over the cached input:
+      // inputRows and the TRUE null-violation count (the alert sample
+      // below is bounded and must not be used for arithmetic)
+      val anyNull = raw.columns.map(c => col(c).isNull).reduce(_ || _)
+      val counts = raw.agg(
+        count(lit(1)).as("input"),
+        sum(when(anyNull, 1L).otherwise(0L)).as("nulls")).head()
+      val inputRows = counts.getLong(0)
+      val nullRows = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+      val alerts = Relational.nullViolationSample(raw)
+        .toSeq.map(r => s"null row in ${tv.table} v${tv.version}: $r")
       val clean = Relational.distinctRows(Relational.dropNullRows(raw))
       val cleanRows = clean.count()
-      val nullRows = violations.length.toLong
       val curated = ParquetMergeSink.merge(spark, warehouse, tv.table, clean, keysFor(tv.table), tv.version)
       tracker.advance(tv)
       LoadReport(tv.table, tv.version, processed = true, inputRows,
-        nullRows, dupRows = inputRows - nullRows - cleanRows + countDupOverlap(nullRows, inputRows, cleanRows),
+        nullRows, dupRows = (inputRows - nullRows) - cleanRows,
         curatedRows = curated, alerts = alerts)
     } finally raw.unpersist()
   }
-
-  // dup accounting: rows removed by dedup among non-null rows.
-  private def countDupOverlap(nullRows: Long, input: Long, clean: Long): Long = 0L
 }

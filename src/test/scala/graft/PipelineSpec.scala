@@ -49,7 +49,10 @@ class PipelineSpec extends AnyFunSuite {
     val first = reports.head
     assert(first.inputRows == 4)
     assert(first.nullRows == 1)      // alert side-output fired
+    assert(first.dupRows == 1)       // the duplicated id-3 row, exactly
     assert(first.alerts.nonEmpty)
+    val second = reports(1)
+    assert(second.nullRows == 0 && second.dupRows == 0)
 
     val cur = ParquetMergeSink.readCurrent(spark, wh, "student").get
     val rows = cur.orderBy("StudentId").collect().map(r =>
