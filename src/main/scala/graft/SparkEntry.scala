@@ -506,6 +506,24 @@ object SparkEntry {
       .select(col("a_id"), col("b_id"), floor(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Near-dup group resolution: transitive closure of the exact-Jaccard
+    * pair graph via small-star/large-star, rep = min doc_id. */
+  private def t58JaccardClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardNearDupPairs(t(s, dir, "documents"), "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .orderBy(col("id"))
+  }
+
+  /** Survivor selection composed over the same pair graph: every doc
+    * except non-representative near-dup cluster members. */
+  private def t59DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.dedupByPairs(docs, "doc_id", pairs, "a_id", "b_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private def t27EmbedNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
       .select(col("a_id"), col("b_id"), floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
@@ -740,6 +758,8 @@ object SparkEntry {
     "t24_lang_id" -> t24LangId _,
     "t25_exact_dup_groups" -> t25ExactDupGroups _,
     "t26_jaccard_pairs" -> t26JaccardPairs _,
+    "t58_jaccard_clusters" -> t58JaccardClusters _,
+    "t59_dedup_survivors" -> t59DedupSurvivors _,
     "t27_embed_near_dup" -> t27EmbedNearDup _,
     "t28_knn_brute" -> t28KnnBrute _,
     "t29_minhash_lsh" -> t29MinHashLsh _,
@@ -1125,6 +1145,34 @@ object SparkEntry {
           AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
               / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8
           ORDER BY a_id, b_id""",
+      "t58_jaccard_clusters" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(id, reach) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u)
+          SELECT id, min(reach) AS rep FROM walk GROUP BY id ORDER BY id""",
+      "t59_dedup_survivors" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(id, reach) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+          losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
+          SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+          ORDER BY doc_id""",
       "t27_embed_near_dup" ->
         s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           CAST(floor(($cosine) * 1000000.0) AS BIGINT) AS cos_ppm

@@ -242,6 +242,87 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
   }
 
+  /** Connected components over an undirected pair graph — the group
+    * resolution step every near-dup pipeline needs after pair
+    * generation: pairs only SAY a~b; keeping one doc per cluster needs
+    * the transitive closure (a~b, b~c ⇒ {a,b,c} together).
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in
+    * O(log n) rounds on any graph (near-dup graphs — dense clusters,
+    * tiny diameter — typically converge in 2–3), each round two
+    * window-aggregations, no driver-side graph state. Termination is a
+    * sound set-equality check (count match + empty `except`), and each
+    * round `localCheckpoint`s to keep the plan from growing with the
+    * iteration count.
+    *
+    * Returns (`id`, `rep`): one row per node that appears in `pairs`,
+    * `rep` = the minimum id in its component (roots map to themselves).
+    * Nodes in no pair are absent — they are their own cluster by
+    * definition; [[dedupByPairs]] accounts for them with an anti-join.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("u")
+
+    // canonical directed form: u > v (point from larger to smaller)
+    var edges = pairs
+      .select(col(aCol).as("a"), col(bCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // large-star: every node links its LARGER neighbors to the min of
+      // its neighborhood (incl. itself) — works on the symmetric view
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val large = sym
+        .withColumn("m", least(min(col("v")).over(w), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: every node links its smaller neighbors (and itself)
+      // to the minimum of them — edges are already u > v form
+      val st = large.withColumn("m", min(col("v")).over(w))
+      val next = st.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(st.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint()
+      val (oldCnt, newCnt) = (edges.count(), next.count())
+      converged = oldCnt == newCnt && next.exceptAll(edges).isEmpty
+      edges = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // converged edge set is a forest of stars: u → root(min id)
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
+  }
+
+  /** Near-dup cluster summary: one row per multi-member cluster —
+    * representative (min id), member count. */
+  def nearDupClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("rep").as("keep_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+
+  /** Survivor selection: drop every doc that belongs to a near-dup
+    * cluster but is not its representative (min id). Composes with any
+    * pair generator ([[jaccardNearDupPairs]], [[minHashLshPairs]],
+    * [[simHashPairs]], [[embeddingNearDupLsh]], [[winnowingPairs]]).
+    * Docs in no pair survive untouched (anti-join keeps them). */
+  def dedupByPairs(docs: DataFrame, idCol: String,
+                   pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val losers = connectedComponents(pairs, aCol, bCol)
+      .filter(col("id") =!= col("rep"))
+      .select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Winnowing near-copy pairs: docs sharing ≥ `minShared` winnowing
     * fingerprints (shared substrings of length ≥ w + k − 1). Inverted
     * index on fingerprints — same join shape as the shingle path, but

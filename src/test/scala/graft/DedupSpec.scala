@@ -75,6 +75,43 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 0))
   }
 
+  test("connectedComponents: transitive chains collapse to min id") {
+    // two clusters via transitivity + an isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(cc(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(cc(_) == 10L))
+    assert(Seq(20L, 21L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
+  test("connectedComponents: long path graph converges (log-round stress)") {
+    val n = 200
+    val pairs = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect()
+    assert(cc.length == n + 1)
+    assert(cc.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: reversed/duplicate/self pairs are harmless") {
+    val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("dedupByPairs keeps cluster representatives and untouched docs") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "solo"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.dedupByPairs(docs, "doc_id", pairs, "a_id", "b_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 9L))
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
