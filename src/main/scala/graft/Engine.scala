@@ -35,9 +35,9 @@ final class Engine(
 
   /** E3 — load one snapshot file through gate→clean→merge→watermark. */
   def load(csvPath: String): LoadReport = {
-    val p = java.nio.file.Paths.get(csvPath).toAbsolutePath
-    val folder = p.getParent.getFileName.toString
-    val tv = TableVersion(IngestEvent.tableOf(p.getFileName.toString), IngestEvent.versionOf(folder))
+    val p = new org.apache.hadoop.fs.Path(csvPath)
+    val folder = p.getParent.getName
+    val tv = TableVersion(IngestEvent.tableOf(p.getName), IngestEvent.versionOf(folder))
     pipeline.runOne(tv, csvPath)
   }
 
@@ -57,16 +57,10 @@ final class Engine(
     spark.sql(query)
   }
 
-  def listTables(): Seq[String] = {
-    val wh = java.nio.file.Paths.get(warehouse)
-    if (!java.nio.file.Files.isDirectory(wh)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(wh).iterator().asScala
-        .filter(java.nio.file.Files.isDirectory(_))
-        .map(_.getFileName.toString).toSeq.sorted
-    }
-  }
+  def listTables(): Seq[String] =
+    graft.fs.Fs.list(warehouse)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName).sorted
 
   def watermarks(): Map[String, Long] = tracker.read()
 }

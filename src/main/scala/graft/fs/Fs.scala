@@ -1,0 +1,74 @@
+package graft.fs
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
+
+/** Scheme-aware filesystem helpers for the engine's control-plane IO
+  * (snapshot listing, watermark store, curated-store pointers).
+  *
+  * Everything routes through the Hadoop `FileSystem`/`FileContext` API —
+  * the same abstraction Spark's own readers use — so any path Spark can
+  * read works here too: `file://`, `hdfs://`, `s3a://` (the reference is
+  * S3-native; this is the engine's equivalent posture). Paths without a
+  * scheme resolve against the default filesystem (local in tests).
+  *
+  * Atomicity note: [[writeStringAtomic]] is tmp-write + OVERWRITE-rename,
+  * atomic on local/HDFS. Object stores rename by copy — single-writer
+  * discipline there comes from the queue/lock layer, not the rename
+  * (matching the reference, which keeps this state in DynamoDB rather
+  * than S3 for the same reason).
+  */
+object Fs {
+
+  def conf: Configuration = new Configuration()
+
+  def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
+
+  def exists(p: String): Boolean = fs(p).exists(new Path(p))
+
+  def isDir(p: String): Boolean = {
+    val f = fs(p)
+    val path = new Path(p)
+    f.exists(path) && f.getFileStatus(path).isDirectory
+  }
+
+  def list(p: String): Seq[FileStatus] =
+    if (!isDir(p)) Nil
+    else fs(p).listStatus(new Path(p)).toSeq
+
+  def readString(p: String): String = {
+    val in = fs(p).open(new Path(p))
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** tmp-write + OVERWRITE-rename (atomic where the FS can do it). */
+  def writeStringAtomic(p: String, body: String): Unit = {
+    val target = new Path(p)
+    val tmp = new Path(target.getParent, target.getName + ".tmp")
+    val f = fs(p)
+    f.mkdirs(target.getParent)
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    FileContext.getFileContext(target.toUri, conf)
+      .rename(tmp, target, Options.Rename.OVERWRITE)
+  }
+
+  def mkdirs(p: String): Unit = fs(p).mkdirs(new Path(p))
+
+  def deleteRecursive(p: String): Unit = fs(p).delete(new Path(p), true)
+
+  /** Local-filesystem view of a path, when it has one (`file:` scheme or
+    * no scheme) — used for OS-level file locks, which only exist there. */
+  def localPath(p: String): Option[java.nio.file.Path] = {
+    val uri = new Path(p).toUri
+    if (uri.getScheme == null || uri.getScheme == "file")
+      Some(java.nio.file.Paths.get(uri.getPath))
+    else None
+  }
+
+  def child(parent: String, name: String): String = new Path(parent, name).toString
+}

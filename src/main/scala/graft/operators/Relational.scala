@@ -65,17 +65,55 @@ object Relational {
     * `incoming` should be broadcast — Catalyst/AQE picks that up from
     * sizes, no hint needed for the common big-existing/small-delta case.
     */
-  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+  /** Schema-drift policy for [[mergeUpsert]]:
+    *  - [[SchemaPolicy.Strict]] — identical column sets required
+    *    (reference parity: schema frozen first-writer-wins,
+    *    /root/reference/first_lambda_function.py:101-105).
+    *  - [[SchemaPolicy.AddColumns]] — incoming may ADD columns (existing
+    *    rows read null there); columns incoming lacks keep their
+    *    existing value on key match. Same-named columns with different
+    *    types are always rejected with the full conflict list — silent
+    *    coercion at 100 TB corrupts a table no one can rebuild. */
+  sealed trait SchemaPolicy
+  object SchemaPolicy {
+    case object Strict extends SchemaPolicy
+    case object AddColumns extends SchemaPolicy
+  }
+
+  def mergeUpsert(existing: DataFrame, incoming: DataFrame, keys: Seq[String],
+                  policy: SchemaPolicy = SchemaPolicy.Strict): DataFrame = {
     require(keys.nonEmpty, "mergeUpsert needs explicit keys (reference bug D2: keyless upsert degenerates to append)")
-    val cols = existing.columns
-    require(incoming.columns.sameElements(cols), "schema mismatch between existing and incoming")
+    val exCols = existing.columns
+    val inCols = incoming.columns
+    keys.foreach { k =>
+      require(exCols.contains(k) && inCols.contains(k), s"merge key '$k' missing from a side")
+    }
+    val conflicts = exCols.toSet.intersect(inCols.toSet).toSeq.sorted.flatMap { c =>
+      val (et, it) = (existing.schema(c).dataType, incoming.schema(c).dataType)
+      if (et != it) Some(s"$c: existing=${et.simpleString} incoming=${it.simpleString}") else None
+    }
+    require(conflicts.isEmpty, s"schema conflict on merge — rejected: ${conflicts.mkString("; ")}")
+    policy match {
+      case SchemaPolicy.Strict =>
+        require(inCols.sorted.sameElements(exCols.sorted),
+          s"schema mismatch between existing and incoming (policy Strict): " +
+            s"existing-only=${exCols.diff(inCols).mkString(",")} incoming-only=${inCols.diff(exCols).mkString(",")}")
+      case SchemaPolicy.AddColumns => // union of columns, handled below
+    }
+    val cols = exCols ++ inCols.filterNot(exCols.contains)
     val ex = existing.alias("ex")
     val in = incoming.alias("in")
     val cond = keys.map(k => col(s"ex.$k") <=> col(s"in.$k")).reduce(_ && _)
     val merged = ex.join(in, cond, "full_outer")
     val anyInKey = keys.map(k => col(s"in.$k").isNotNull).reduce(_ || _)
     val picked = cols.map { c =>
-      when(anyInKey, col(s"in.$c")).otherwise(col(s"ex.$c")).as(c)
+      val exSide =
+        if (exCols.contains(c)) col(s"ex.$c")
+        else lit(null).cast(incoming.schema(c).dataType)
+      val inSide =
+        if (inCols.contains(c)) col(s"in.$c")
+        else exSide // incoming lacks it: existing value survives the match
+      when(anyInKey, inSide).otherwise(exSide).as(c)
     }
     merged.select(picked: _*)
   }

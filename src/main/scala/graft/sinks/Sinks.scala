@@ -1,11 +1,11 @@
 package graft.sinks
 
-import java.nio.file.{Files, Paths}
 import java.sql.{Connection, DriverManager, PreparedStatement}
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.types.StructType
 
+import graft.fs.Fs
 import graft.model.{Identifiers, JdbcConfig}
 import graft.operators.Relational
 
@@ -26,10 +26,11 @@ object ParquetMergeSink {
   /** Table root = `<warehouse>/<table>`; versioned write dirs with a
     * `_CURRENT` pointer file give atomic swap without a transaction log
     * (single-writer-per-table discipline, as the reference's FIFO groups
-    * enforce — SURVEY.md §2.9). */
+    * enforce — SURVEY.md §2.9). Paths are scheme-aware (`file://`,
+    * `hdfs://`, `s3a://`) via [[graft.fs.Fs]]. */
   def currentPath(warehouse: String, table: String): Option[String] = {
-    val ptr = Paths.get(warehouse, table, "_CURRENT")
-    if (Files.exists(ptr)) Some(Paths.get(warehouse, table, Files.readString(ptr).trim).toString)
+    val ptr = Fs.child(Fs.child(warehouse, table), "_CURRENT")
+    if (Fs.exists(ptr)) Some(Fs.child(Fs.child(warehouse, table), Fs.readString(ptr).trim))
     else None
   }
 
@@ -37,56 +38,80 @@ object ParquetMergeSink {
     currentPath(warehouse, table).map(spark.read.parquet(_))
 
   /** All retained versions of a table, ascending (time travel). */
-  def versions(warehouse: String, table: String): Seq[Long] = {
-    val dir = Paths.get(warehouse, table)
-    if (!Files.isDirectory(dir)) Nil
-    else {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
-        .toSeq.sorted
-    }
-  }
+  def versions(warehouse: String, table: String): Seq[Long] =
+    Fs.list(Fs.child(warehouse, table))
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+      .sorted
 
   /** Read a table as of a given version (the latest retained version
     * ≤ `asOf`) — every merge keeps its full snapshot dir, so any past
     * state is one read away until `vacuum`. */
   def readVersion(spark: SparkSession, warehouse: String, table: String, asOf: Long): Option[DataFrame] =
     versions(warehouse, table).filter(_ <= asOf).lastOption
-      .map(v => spark.read.parquet(Paths.get(warehouse, table, s"v$v").toString))
+      .map(v => spark.read.parquet(Fs.child(Fs.child(warehouse, table), s"v$v")))
 
   /** Drop all but the newest `keep` versions (never the current one). */
   def vacuum(warehouse: String, table: String, keep: Int = 1): Unit = {
-    val cur = currentPath(warehouse, table).map(p => Paths.get(p).getFileName.toString)
+    val cur = currentPath(warehouse, table)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
     val all = versions(warehouse, table)
     val drop = all.dropRight(math.max(keep, 1))
       .filterNot(v => cur.contains(s"v$v"))
-    drop.foreach { v =>
-      val dir = Paths.get(warehouse, table, s"v$v")
-      import scala.jdk.CollectionConverters._
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    drop.foreach(v => Fs.deleteRecursive(Fs.child(Fs.child(warehouse, table), s"v$v")))
+  }
+
+  // Per-table writer serialization — the engine-side analog of the
+  // reference's per-table SQS FIFO groups
+  // (/root/reference/second_lambda_function.py:119-124): read-CURRENT →
+  // merge → swap-CURRENT is a read-modify-write, so two concurrent
+  // writers on one table would each merge against the same base and the
+  // second pointer swap would silently drop the first writer's rows.
+  // JVM monitor for same-process threads + an OS file lock for
+  // cross-process writers (the file lock alone can't serialize threads
+  // of one JVM — overlapping locks there throw instead of blocking).
+  // OS file locks only exist on local filesystems; for object stores the
+  // cross-process discipline is the queue layer's job (the reference's
+  // SQS FIFO groups), while the JVM monitor still covers one driver.
+  private val tableMonitors = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def withTableLock[T](warehouse: String, table: String)(body: => T): T = {
+    val root = Fs.child(warehouse, table)
+    val mon = tableMonitors.computeIfAbsent(root, _ => new Object)
+    mon.synchronized {
+      Fs.mkdirs(root)
+      Fs.localPath(Fs.child(root, "_LOCK")) match {
+        case Some(lockFile) =>
+          val ch = java.nio.channels.FileChannel.open(lockFile,
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.WRITE)
+          try {
+            val fl = ch.lock() // blocks until any other process releases
+            try body finally fl.release()
+          } finally ch.close()
+        case None => body
+      }
     }
   }
 
   /** MERGE `incoming` into table on `keys` (insert-or-replace per key);
-    * creates the table on first write. Returns the merged row count. */
+    * creates the table on first write. Returns the merged row count.
+    * Serialized per table ([[withTableLock]]): concurrent merges apply
+    * one after another, each rereading the other's output — no lost
+    * updates. */
   def merge(spark: SparkSession, warehouse: String, table: String,
-            incoming: DataFrame, keys: Seq[String], version: Long): Long = {
-    val merged = readCurrent(spark, warehouse, table) match {
-      case Some(existing) => Relational.mergeUpsert(existing, incoming, keys)
-      case None           => incoming
+            incoming: DataFrame, keys: Seq[String], version: Long,
+            policy: Relational.SchemaPolicy = Relational.SchemaPolicy.Strict): Long =
+    withTableLock(warehouse, table) {
+      val merged = readCurrent(spark, warehouse, table) match {
+        case Some(existing) => Relational.mergeUpsert(existing, incoming, keys, policy)
+        case None           => incoming
+      }
+      val dir = s"v$version"
+      val target = Fs.child(Fs.child(warehouse, table), dir)
+      merged.write.mode(SaveMode.Overwrite).parquet(target)
+      Fs.writeStringAtomic(Fs.child(Fs.child(warehouse, table), "_CURRENT"), dir)
+      spark.read.parquet(target).count()
     }
-    val dir = s"v$version"
-    val target = Paths.get(warehouse, table, dir)
-    merged.write.mode(SaveMode.Overwrite).parquet(target.toString)
-    val ptrTmp = Paths.get(warehouse, table, "_CURRENT.tmp")
-    Files.writeString(ptrTmp, dir)
-    Files.move(ptrTmp, Paths.get(warehouse, table, "_CURRENT"),
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    spark.read.parquet(target.toString).count()
-  }
 }
 
 object JdbcUpsertSink {

@@ -1,9 +1,7 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.fs.Fs
 import graft.model.{IngestEvent, TableVersion}
 
 /** Versioned-snapshot CSV source.
@@ -16,24 +14,22 @@ import graft.model.{IngestEvent, TableVersion}
 object SnapshotSource {
 
   /** List every (table, version, path) under the ingest root.
-    * Control-plane listing — driver-side, one stat per file; at cluster
-    * scale this is an object-store LIST, same shape. */
-  def listSnapshots(root: String): Seq[(TableVersion, String)] = {
-    val rootPath = Paths.get(root)
-    if (!Files.isDirectory(rootPath)) return Nil
-    Files.list(rootPath).iterator().asScala
-      .filter(Files.isDirectory(_))
+    * Control-plane listing — driver-side, one stat per file; scheme-aware
+    * through the Hadoop FS API, so the root may be `file://`, `hdfs://`
+    * or `s3a://` (an object-store LIST, same shape as the reference's
+    * S3 ingest bucket). */
+  def listSnapshots(root: String): Seq[(TableVersion, String)] =
+    Fs.list(root)
+      .filter(_.isDirectory)
       .flatMap { folder =>
-        val version = IngestEvent.versionOf(folder.getFileName.toString)
-        Files.list(folder).iterator().asScala
-          .filter(p => p.toString.endsWith(".csv"))
+        val version = IngestEvent.versionOf(folder.getPath.getName)
+        Fs.list(folder.getPath.toString)
+          .filter(_.getPath.getName.endsWith(".csv"))
           .map { p =>
-            (TableVersion(IngestEvent.tableOf(p.getFileName.toString), version), p.toString)
+            (TableVersion(IngestEvent.tableOf(p.getPath.getName), version), p.getPath.toString)
           }
       }
-      .toSeq
       .sortBy { case (tv, _) => (tv.table, tv.version) }
-  }
 
   /** Read one snapshot file with full schema inference (S4 scan). */
   def readSnapshot(spark: SparkSession, path: String): DataFrame =

@@ -1,8 +1,6 @@
 package graft.tracker
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import scala.jdk.CollectionConverters._
-
+import graft.fs.Fs
 import graft.model.TableVersion
 
 /** Incremental-load watermark store — the engine's replacement for the
@@ -19,13 +17,11 @@ import graft.model.TableVersion
   */
 final class Watermarks(val storePath: String) {
 
-  private def file: Path = Paths.get(storePath)
-
   /** table → latest loaded version. */
   def read(): Map[String, Long] =
-    if (!Files.exists(file)) Map.empty
+    if (!Fs.exists(storePath)) Map.empty
     else
-      Files.readAllLines(file).asScala.filter(_.nonEmpty).map { line =>
+      Fs.readString(storePath).split("\n").toSeq.filter(_.nonEmpty).map { line =>
         val Array(t, v) = line.split("\t", 2)
         t -> v.toLong
       }.toMap
@@ -35,13 +31,11 @@ final class Watermarks(val storePath: String) {
   def shouldProcess(tv: TableVersion): Boolean =
     read().get(tv.table).forall(tv.version > _)
 
-  /** Advance the watermark for one table (last-writer-wins, atomic). */
+  /** Advance the watermark for one table (last-writer-wins; tmp+rename,
+    * atomic where the filesystem supports it — see [[graft.fs.Fs]]). */
   def advance(tv: TableVersion): Unit = {
     val next = read() + (tv.table -> tv.version)
-    val tmp = Paths.get(storePath + ".tmp")
-    if (file.getParent != null) Files.createDirectories(file.getParent)
     val body = next.toSeq.sortBy(_._1).map { case (t, v) => s"$t\t$v" }.mkString("", "\n", "\n")
-    Files.write(tmp, body.getBytes("UTF-8"))
-    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+    Fs.writeStringAtomic(storePath, body)
   }
 }

@@ -40,4 +40,36 @@ class EngineSpec extends AnyFunSuite {
     // replay is a no-op (gate)
     assert(engine.loadAll(root).forall(!_.processed))
   }
+
+  test("scheme-qualified paths: the whole flow runs on file:// URIs (s3a-shaped)") {
+    // Every control-plane path goes through the Hadoop FS layer, so a
+    // scheme-qualified root (file://, and by the same code path s3a://,
+    // hdfs://) must work end-to-end: listing, watermark store, curated
+    // store pointers, reads.
+    val rootDir = Files.createTempDirectory("graft_s3a").toString
+    def put(rel: String, body: String): Unit = {
+      val p = Paths.get(rootDir, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, body)
+    }
+    put("20250101_000001/emp.csv", "EmpId,Name,Salary\n1,Ann,100.5\n2,Bob,90.0\n")
+    put("20250102_000001/emp.csv", "EmpId,Name,Salary\n2,Bob,95.0\n3,Cee,80.0\n")
+
+    val root = s"file://$rootDir"
+    val wh = "file://" + Files.createTempDirectory("graft_s3a_wh").toString
+    val tr = "file://" + Files.createTempDirectory("graft_s3a_tr").toString + "/wm.tsv"
+    val engine = new Engine(spark, wh, tr, _ => Seq("EmpId"))
+
+    val reports = engine.loadAll(root)
+    assert(reports.count(_.processed) == 2)
+    assert(engine.listTables() == Seq("emp"))
+    assert(engine.watermarks() == Map("emp" -> 20250102000001L))
+    assert(engine.table("emp").count() == 3)
+    // single-file load via a scheme-qualified path hits the gate too
+    assert(!engine.load(s"$root/20250102_000001/emp.csv").processed)
+    // versioned store ops are scheme-aware as well
+    assert(graft.sinks.ParquetMergeSink.versions(wh, "emp").size == 2)
+    graft.sinks.ParquetMergeSink.vacuum(wh, "emp", keep = 1)
+    assert(graft.sinks.ParquetMergeSink.versions(wh, "emp").size == 1)
+  }
 }

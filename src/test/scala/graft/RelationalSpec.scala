@@ -61,6 +61,41 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeUpsert Strict rejects added/dropped columns with a useful message") {
+    val existing = Seq((1L, "a")).toDF("id", "s")
+    val incoming = Seq((1L, "a", 9.0)).toDF("id", "s", "extra")
+    val e = intercept[IllegalArgumentException] {
+      Relational.mergeUpsert(existing, incoming, Seq("id"))
+    }
+    assert(e.getMessage.contains("extra"))
+  }
+
+  test("mergeUpsert AddColumns: new column null-backfills, missing column keeps existing value") {
+    import Relational.SchemaPolicy
+    val existing = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "s", "v")
+    // incoming adds 'tag' and drops 'v'
+    val incoming = Seq((2L, "B", "hot"), (3L, "C", "new")).toDF("id", "s", "tag")
+    val out = Relational.mergeUpsert(existing, incoming, Seq("id"), SchemaPolicy.AddColumns)
+      .select("id", "s", "v", "tag")
+      .as[(Long, String, Option[Double], Option[String])].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "a", Some(1.0), None),        // untouched existing row; new col null
+      (2L, "B", Some(2.0), Some("hot")), // match: v survives, tag arrives
+      (3L, "C", None, Some("new"))))     // insert: v null
+  }
+
+  test("mergeUpsert always rejects same-name type conflicts (any policy)") {
+    import Relational.SchemaPolicy
+    val existing = Seq((1L, 1.5)).toDF("id", "v")
+    val incoming = Seq((1L, "x")).toDF("id", "v")
+    Seq(SchemaPolicy.Strict, SchemaPolicy.AddColumns).foreach { p =>
+      val e = intercept[IllegalArgumentException] {
+        Relational.mergeUpsert(existing, incoming, Seq("id"), p)
+      }
+      assert(e.getMessage.contains("v: existing=double incoming=string"), e.getMessage)
+    }
+  }
+
   test("topKPerGroup deterministic ranks") {
     val df = Seq((1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 5.0, 102L), (2L, 1.0, 103L))
       .toDF("g", "score", "id")

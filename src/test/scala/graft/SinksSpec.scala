@@ -24,6 +24,26 @@ class SinksSpec extends AnyFunSuite {
     assert(ParquetMergeSink.currentPath(wh, "t").get.endsWith("v2"))
   }
 
+  test("concurrent merges on one table lose no versions (single-writer discipline)") {
+    // Without per-table serialization, each writer merges against the
+    // same base and the last pointer swap drops the other writers' rows
+    // (the reference serializes this via SQS FIFO message groups).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val wh = Files.createTempDirectory("graft_race").toString
+    val writers = (0 until 4).map { w =>
+      Future {
+        val df = Seq.tabulate(5)(i => (w * 100L + i, s"w$w")).toDF("id", "s")
+        ParquetMergeSink.merge(spark, wh, "t", df, Seq("id"), 100L + w)
+      }
+    }
+    Await.result(Future.sequence(writers), 120.seconds)
+    val cur = ParquetMergeSink.readCurrent(spark, wh, "t").get
+    assert(cur.count() == 20L) // all four writers' keys survived
+    assert(cur.select("s").distinct().count() == 4L)
+  }
+
   test("time travel: versions, readVersion, vacuum keeps current") {
     val wh = Files.createTempDirectory("graft_tt").toString
     ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "a")).toDF("id", "s"), Seq("id"), 10L)
