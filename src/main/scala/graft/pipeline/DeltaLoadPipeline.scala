@@ -45,7 +45,8 @@ final class DeltaLoadPipeline(
     spark: SparkSession,
     warehouse: String,
     trackerPath: String,
-    keysFor: String => Seq[String]) {
+    keysFor: String => Seq[String],
+    alerts: graft.sinks.AlertChannel = graft.sinks.AlertChannel.Noop) {
 
   private val tracker = new Watermarks(trackerPath)
 
@@ -71,15 +72,21 @@ final class DeltaLoadPipeline(
         sum(when(anyNull, 1L).otherwise(0L)).as("nulls")).head()
       val inputRows = counts.getLong(0)
       val nullRows = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-      val alerts = Relational.nullViolationSample(raw)
+      val alertMsgs = Relational.nullViolationSample(raw)
         .toSeq.map(r => s"null row in ${tv.table} v${tv.version}: $r")
       val clean = Relational.distinctRows(Relational.dropNullRows(raw))
       val cleanRows = clean.count()
       val curated = ParquetMergeSink.merge(spark, warehouse, tv.table, clean, keysFor(tv.table), tv.version)
       tracker.advance(tv)
+      // K4/K5 out-of-band notify: bounded alert sample + one success
+      // event per load (reference SNS publishes, delta_load.py:267-286)
+      alertMsgs.foreach(m =>
+        alerts.send(graft.sinks.AlertChannel.Event("alert", tv.table, tv.version, m)))
+      alerts.send(graft.sinks.AlertChannel.Event("success", tv.table, tv.version,
+        s"loaded $inputRows rows ($nullRows null, ${(inputRows - nullRows) - cleanRows} dup) -> $curated curated"))
       LoadReport(tv.table, tv.version, processed = true, inputRows,
         nullRows, dupRows = (inputRows - nullRows) - cleanRows,
-        curatedRows = curated, alerts = alerts)
+        curatedRows = curated, alerts = alertMsgs)
     } finally raw.unpersist()
   }
 }

@@ -43,7 +43,8 @@ class PipelineSpec extends AnyFunSuite {
     val tr = Files.createTempDirectory("graft_tr").toString + "/wm.tsv"
     writeFixture(root)
 
-    val pipe = new DeltaLoadPipeline(spark, wh, tr, _ => Seq("StudentId"))
+    val channel = new graft.sinks.AlertChannel.Recording
+    val pipe = new DeltaLoadPipeline(spark, wh, tr, _ => Seq("StudentId"), channel)
     val reports = pipe.runAll(root)
     assert(reports.map(_.processed) == Seq(true, true))
     val first = reports.head
@@ -53,6 +54,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(first.alerts.nonEmpty)
     val second = reports(1)
     assert(second.nullRows == 0 && second.dupRows == 0)
+
+    // K4/K5: the pluggable channel saw one alert (v1's null row) and one
+    // success event per processed load
+    val events = channel.drain()
+    assert(events.count(_.kind == "success") == 2)
+    assert(events.count(_.kind == "alert") == 1)
+    assert(events.filter(_.kind == "alert").forall(_.version == 20250108074313L))
 
     val cur = ParquetMergeSink.readCurrent(spark, wh, "student").get
     val rows = cur.orderBy("StudentId").collect().map(r =>
