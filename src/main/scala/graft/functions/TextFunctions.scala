@@ -110,6 +110,46 @@ object TextFunctions {
     expr
   }
 
+  // ---- PII redaction --------------------------------------------------
+
+  /** Redaction patterns, applied in this order (email first — its local
+    * part may contain digit runs that the NUM rule would otherwise eat).
+    * Explicit ASCII classes + `\b`/`{m,n}` only: identical semantics in
+    * Java regex and RE2, so the DuckDB oracle mirrors them verbatim. */
+  val PiiRules: Seq[(String, String)] = Seq(
+    """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""" -> "[EMAIL]",
+    """\b\d{1,3}(\.\d{1,3}){3}\b""" -> "[IP]",
+    """\d{7,}""" -> "[NUM]")
+
+  /** Scrub emails / IPv4s / long digit runs (phone-ish ids) — the
+    * pre-training privacy pass. One narrow codegen'd map; order fixed. */
+  def redactPii(c: Column): Column =
+    PiiRules.foldLeft(c) { case (acc, (pat, repl)) => regexp_replace(acc, pat, repl) }
+
+  // ---- repetition / boilerplate signals (Gopher-style rules) ----------
+
+  /** Duplicate word-`n`-gram fraction in ppm: 1 − |distinct|/|all| —
+    * the intra-document repetition signal used by Gopher/C4-class
+    * quality filters (high ⇒ boilerplate or looping text). */
+  def dupShingleFracPpm(c: Column, n: Int): Column = {
+    val all = size(wordShingles(c, n)).cast("double")
+    val dis = size(shingleSet(c, n)).cast("double")
+    floor((lit(1.0) - dis / greatest(all, lit(1.0))) * 1e6).cast("long")
+  }
+
+  /** Mean token length in ppm (Gopher bounds flag machine-generated or
+    * OCR-noise text via extreme mean word length). */
+  def meanWordLenPpm(c: Column): Column = {
+    val toks = tokens(normalizeText(c))
+    val total = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    floor(total.cast("double") / greatest(size(toks).cast("double"), lit(1.0)) * 1e6).cast("long")
+  }
+
+  /** Punctuation-per-token in ppm (symbol-to-word ratio). */
+  def punctPerTokenPpm(c: Column): Column =
+    floor(punctCount(c).cast("double") /
+      greatest(tokenCount(c).cast("double"), lit(1.0)) * 1e6).cast("long")
+
   // ---- hashing --------------------------------------------------------
 
   /** Seeded 64-bit shingle hash used by MinHash/SimHash signatures.
