@@ -18,17 +18,24 @@ import org.apache.spark.unsafe.types.UTF8String
   * disjoint prefixes under any shared total order, so joining on prefix
   * shingles alone is complete.
   *
-  * The df head map rides inside the expression (like the BPE merge
-  * table): shingles absent from the map count as df = 1 — the map only
-  * has to cover the hot head for the ordering to prune well, so it is
-  * capped (bounded driver/broadcast state at any corpus size). This
-  * turns the prefix computation into ONE narrow map over the doc scan —
-  * the composed form (explode → join df → regroup by doc) shuffles the
-  * full inverted index twice before the similarity join even starts. */
-case class PrefixShingles(child: Expression, threshold: Double, dfHead: Map[String, Long])
+  * The df head rides as a BROADCAST variable referenced by the
+  * expression: shingles absent from it count as df = 1 — it only has to
+  * cover the hot head for the ordering to prune well, so it is capped
+  * (bounded state at any corpus size). Broadcasting (vs. a plain map
+  * field) ships the up-to-100k-entry head once per executor instead of
+  * Java-serializing it into the plan for every task, and keeps TreeNode
+  * equality/canonicalization O(1) (Broadcast compares by reference).
+  * This turns the prefix computation into ONE narrow map over the doc
+  * scan — the composed form (explode → join df → regroup by doc)
+  * shuffles the full inverted index twice before the similarity join
+  * even starts. */
+case class PrefixShingles(child: Expression, threshold: Double,
+                          dfHeadBc: org.apache.spark.broadcast.Broadcast[Map[String, Long]])
     extends UnaryExpression {
 
   require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+
+  private lazy val dfHead: Map[String, Long] = dfHeadBc.value
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -76,8 +83,10 @@ case class PrefixShingles(child: Expression, threshold: Double, dfHead: Map[Stri
 object PrefixShingles {
   import org.apache.spark.sql.graft.ColumnBridge
 
-  def apply(shingles: Column, threshold: Double, dfHead: Map[String, Long]): Column =
-    ColumnBridge.column(PrefixShingles(ColumnBridge.expression(shingles), threshold, dfHead))
+  def apply(shingles: Column, threshold: Double, dfHead: Map[String, Long]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(dfHead)
+    ColumnBridge.column(PrefixShingles(ColumnBridge.expression(shingles), threshold, bc))
+  }
 
   private[expr] object ByDfThenShingle extends java.util.Comparator[(Long, UTF8String)] {
     override def compare(a: (Long, UTF8String), b: (Long, UTF8String)): Int = {

@@ -250,11 +250,21 @@ object Dedup {
     * Alternating large-star / small-star (Kiveris et al., "Connected
     * Components in MapReduce and Beyond", SoCC'14): converges in
     * O(log n) rounds on any graph (near-dup graphs — dense clusters,
-    * tiny diameter — typically converge in 2–3), each round two
-    * window-aggregations, no driver-side graph state. Termination is a
-    * sound set-equality check (count match + empty `except`), and each
-    * round `localCheckpoint`s to keep the plan from growing with the
-    * iteration count.
+    * tiny diameter — typically converge in 2–3), no driver-side graph
+    * state. Neighborhood minima come from `groupBy(u).agg(min(v))` +
+    * a join back — NOT a window — so hot nodes (a boilerplate cluster
+    * whose rep accumulates millions of neighbors at corpus scale) are
+    * absorbed by map-side partial aggregation, and the remaining
+    * edges⋈mins join is a sort-merge join AQE can skew-split; a window
+    * would force every edge of a hot node through one task.
+    *
+    * Per round: ONE materializing `localCheckpoint` job (which also
+    * truncates lineage) + one small aggregate computing (count,
+    * order-independent xxhash64 checksum). The edge set is unchanged iff
+    * count and checksum both repeat (collision odds ~2⁻⁶⁴ per round);
+    * a final one-time `exceptAll` assertion makes termination exact —
+    * per-round `exceptAll` (a full shuffle of both edge sets every
+    * iteration) is gone.
     *
     * Returns (`id`, `rep`): one row per node that appears in `pairs`,
     * `rep` = the minimum id in its component (roots map to themselves).
@@ -263,8 +273,17 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("u")
+    // (count, order-independent content checksum) — one small job, the
+    // round's only action besides the checkpoint itself. The 64-bit row
+    // hashes accumulate in decimal(38,0): a long sum would overflow
+    // under ANSI mode after two adversarial rows.
+    def signature(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)")).as("sig")).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
 
     // canonical directed form: u > v (point from larger to smaller)
     var edges = pairs
@@ -273,27 +292,36 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
       .localCheckpoint()
+    var prevSig = signature(edges)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
       // large-star: every node links its LARGER neighbors to the min of
       // its neighborhood (incl. itself) — works on the symmetric view
       val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
-      val large = sym
-        .withColumn("m", least(min(col("v")).over(w), col("u")))
+      val largeMins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+      val large = sym.join(largeMins, "u")
+        .withColumn("m", least(col("mn"), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
         .distinct()
       // small-star: every node links its smaller neighbors (and itself)
       // to the minimum of them — edges are already u > v form
-      val st = large.withColumn("m", min(col("v")).over(w))
-      val next = st.filter(col("v") =!= col("m"))
+      val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val next = large.join(smallMins, "u")
+        .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
-        .unionByName(st.select(col("u"), col("m").as("v")))
+        .unionByName(smallMins.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint()
-      val (oldCnt, newCnt) = (edges.count(), next.count())
-      converged = oldCnt == newCnt && next.exceptAll(edges).isEmpty
+      val sig = signature(next)
+      if (sig == prevSig) {
+        // checksum says fixed point — certify exactly, once
+        converged = next.exceptAll(edges).isEmpty
+        require(converged,
+          "connectedComponents checksum collision: edge sets differ at equal signature")
+      }
+      prevSig = sig
       edges = next
       it += 1
     }

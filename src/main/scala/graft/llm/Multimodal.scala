@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extraction /
   * frame-sampling as partition-local transforms.
   *
-  * The decode step is a clearly-marked STUB (no media codecs in this
-  * environment): `decodeStub` derives deterministic fake features from
-  * the raw bytes. Everything around it — schema, batching, partition
-  * shape, null handling — is the real distributed plumbing a codec-backed
-  * implementation drops into (swap `fakeDecode` for the real library
-  * call inside the same `mapPartitions`).
+  * Images decode for REAL via `javax.imageio` (JPEG/PNG/BMP/GIF ship in
+  * the JDK — no external codec needed): true width/height and mean
+  * luminance from the decoded pixels. Bytes that aren't a decodable
+  * image — and the audio/video kinds, whose codecs the JDK does not
+  * ship — fall back to the deterministic byte-derived features, so the
+  * operator is total and the synthetic-media oracle query stays
+  * reproducible. Everything around the decode — schema, batching,
+  * partition shape, null handling — is shared by both paths (the
+  * audio/video codec call drops into the same `mapPartitions` seam).
   */
 object Multimodal {
 
@@ -30,34 +33,74 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       checksum: Long,
-      // STUB features: real impl returns decoded tensors/embeddings
       brightness: Double,
-      n_frames_sampled: Int)
+      n_frames_sampled: Int,
+      // decoded pixel dimensions (0 = not decodable / non-image)
+      decoded_width: Int,
+      decoded_height: Int,
+      decoded: Boolean)
 
-  /** STUB decode: deterministic pseudo-features from raw bytes.
-    * Real implementation: replace body with an image/audio codec call —
-    * the signature, batching, and partition-local execution stay. */
-  private def fakeDecode(r: MediaRecord, frameCount: Int): MediaFeatures = {
+  private def byteChecksum(bytes: Array[Byte]): Long = {
     var checksum = 0L
+    var i = 0
+    while (i < bytes.length) { checksum = checksum * 31 + (bytes(i) & 0xFF); i += 1 }
+    checksum
+  }
+
+  /** Fallback decode: deterministic pseudo-features from raw bytes —
+    * used for non-image kinds and undecodable blobs (keeps the operator
+    * total and the synthetic-media oracle deterministic). */
+  private def fakeDecode(r: MediaRecord, frameCount: Int): MediaFeatures = {
     var sum = 0L
     var i = 0
-    while (i < r.bytes.length) {
-      checksum = checksum * 31 + (r.bytes(i) & 0xFF)
-      sum += (r.bytes(i) & 0xFF)
-      i += 1
-    }
+    while (i < r.bytes.length) { sum += (r.bytes(i) & 0xFF); i += 1 }
     val brightness = if (r.bytes.isEmpty) 0.0 else sum.toDouble / (255.0 * r.bytes.length)
-    MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, checksum, brightness, frameCount)
+    MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, byteChecksum(r.bytes),
+      brightness, frameCount, 0, 0, decoded = false)
   }
+
+  /** Real image decode (JDK `javax.imageio`): true dimensions + mean
+    * luminance (R+G+B)/3 over all pixels, normalized to [0, 1]. Returns
+    * None when the bytes aren't a decodable image. */
+  private def imageIoDecode(r: MediaRecord, frameCount: Int): Option[MediaFeatures] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0.0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        val brightness = if (w == 0 || h == 0) 0.0 else sum / (255.0 * w * h)
+        Some(MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, byteChecksum(r.bytes),
+          brightness, frameCount, w, h, decoded = true))
+      }
+    } catch { case _: Exception => None }
 
   /** Decode + featurize, partition-local (the Scala analog of a batched
     * `mapInPandas` decode: one iterator pass per partition, no driver
-    * involvement, codec state reusable across rows within a partition). */
+    * involvement, codec state reusable across rows within a partition).
+    * Image rows go through the real `ImageIO` decoder; everything else
+    * (and undecodable bytes) takes the deterministic fallback. */
   def extractFeatures(media: Dataset[MediaRecord], frameCount: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init point: real impl opens the codec once here
-      it.map(r => fakeDecode(r, frameCount))
+      // per-partition init: in-memory decode only, no ImageIO tmp-file
+      // cache on executor disks
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.kind == "image") imageIoDecode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
+        else fakeDecode(r, frameCount)
+      }
     }
   }
 

@@ -51,13 +51,16 @@ object IngestEvent {
 final case class TableVersion(table: String, version: Long)
 
 /** JDBC sink configuration (reference: RDS credentials from Secrets
-  * Manager, delta_load.py:100-113 — here just injected config). */
+  * Manager, delta_load.py:100-113 — here just injected config).
+  * `quoteChar` is the target dialect's identifier quote (backtick for
+  * MySQL — the reference's RDS engine — double-quote for ANSI/Derby). */
 final case class JdbcConfig(
     url: String,
     user: String,
     password: String,
     database: String,
-    batchSize: Int = 1000)
+    batchSize: Int = 1000,
+    quoteChar: String = "`")
 
 /** Identifier hygiene, matching the reference's BOM-strip + quote-escape
   * (first_lambda_function.py:97,103) and extending it to something safe. */
@@ -71,7 +74,8 @@ object Identifiers {
       case s                       => s
     }
   }
-  /** SQL identifier quoting for generated DDL/DML (backtick dialect). */
-  def quote(name: String): String =
-    "`" + name.replace("`", "``") + "`"
+  /** SQL identifier quoting for generated DDL/DML (backtick dialect by
+    * default; pass the dialect's quote char for ANSI double-quote). */
+  def quote(name: String, q: String = "`"): String =
+    q + name.replace(q, q + q) + q
 }

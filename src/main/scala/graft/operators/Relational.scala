@@ -20,9 +20,18 @@ object Relational {
 
   /** P1 — the violation set (rows with ≥1 null), the side-output the
     * reference alerts on per-row (/root/reference/delta_load.py:67-84).
-    * Set-oriented: one vectorized filter, not a per-row loop. */
+    * Set-oriented: one vectorized filter, not a per-row loop. NaN counts
+    * as null for float/double columns — [[dropNullRows]] (`na.drop`)
+    * drops those rows too, and the violation set must match what the
+    * cleaner removes. */
   def nullViolations(df: DataFrame): DataFrame = {
-    val anyNull = df.columns.map(c => col(c).isNull).reduce(_ || _)
+    val anyNull = df.schema.fields.map { f =>
+      f.dataType match {
+        case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+          col(f.name).isNull || isnan(col(f.name))
+        case _ => col(f.name).isNull
+      }
+    }.reduce(_ || _)
     df.filter(anyNull)
   }
 

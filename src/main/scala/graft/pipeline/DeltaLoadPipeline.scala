@@ -65,8 +65,17 @@ final class DeltaLoadPipeline(
     try {
       // exact accounting in one aggregate over the cached input:
       // inputRows and the TRUE null-violation count (the alert sample
-      // below is bounded and must not be used for arithmetic)
-      val anyNull = raw.columns.map(c => col(c).isNull).reduce(_ || _)
+      // below is bounded and must not be used for arithmetic).
+      // NaN counts as null for float/double columns because
+      // Relational.dropNullRows (na.drop) also drops NaN there — without
+      // this the NaN-dropped rows would be misattributed to dupRows.
+      val anyNull = raw.schema.fields.map { f =>
+        f.dataType match {
+          case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
+            col(f.name).isNull || isnan(col(f.name))
+          case _ => col(f.name).isNull
+        }
+      }.reduce(_ || _)
       val counts = raw.agg(
         count(lit(1)).as("input"),
         sum(when(anyNull, 1L).otherwise(0L)).as("nulls")).head()

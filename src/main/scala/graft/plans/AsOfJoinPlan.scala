@@ -143,6 +143,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfLimitPushdown)
+    e.injectOptimizerRule(_ => IntervalJoinRewrite)
   }
 }
 
@@ -155,6 +156,9 @@ object AsOfJoinNative {
     }
     if (!spark.experimental.extraOptimizations.contains(AsOfLimitPushdown)) {
       spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ AsOfLimitPushdown
+    }
+    if (!spark.experimental.extraOptimizations.contains(IntervalJoinRewrite)) {
+      spark.experimental.extraOptimizations = spark.experimental.extraOptimizations :+ IntervalJoinRewrite
     }
   }
 

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
+
+/** Auto-rewrite of interval-predicate joins — the optimizer-rule form of
+  * [[graft.operators.Relational.rangeJoin]].
+  *
+  * A user writing plain SQL `... JOIN r ON l.point BETWEEN r.s AND r.e`
+  * gets Spark's BroadcastNestedLoopJoin: every left row compared against
+  * every right row, O(|L|·|R|) — the reference provisions exactly this
+  * ad-hoc SQL surface over its curated tables
+  * (/root/reference/README.md:8-12). This rule detects the
+  * point-in-interval join shape (an inner join whose condition has no
+  * equi-conjunct but bounds one side's numeric expression between two
+  * expressions of the other side) and rewrites it to the binned form:
+  *
+  *   - point side gains `__graft_bin = floor(point / w)`
+  *   - interval side explodes to every bin its `[s, e]` covers
+  *   - join becomes an EQUI-join on bin, original predicates kept as the
+  *     exact filter
+  *
+  * Complete (an interval covering the point always covers the point's
+  * bin); cost O(|L| + |R| · avgBinsPerInterval) shuffled on bin instead
+  * of |L|·|R|. The bin width comes from
+  * `spark.graft.rangeJoin.binWidth` (default 1000 domain units; set it
+  * ≈ the typical interval length — too small explodes wide intervals,
+  * too large degrades toward one bucket). Setting it to 0 disables the
+  * rewrite. The rewritten join carries a bin equi-conjunct, so the rule
+  * never re-fires on its own output (the guard that skips any join that
+  * already has an equi-conjunct).
+  */
+object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val width = conf.getConfString(BinWidthKey, "1000").toLong
+    if (width <= 0) return plan
+    plan.transform {
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          if j.resolved && !hasEquiConjunct(cond, left, right) =>
+        findInterval(splitConjunctivePredicates(cond), left, right) match {
+          case Some((point, start, end, pointOnLeft)) =>
+            rewrite(j, point, start, end, pointOnLeft, width, hint)
+          case None => j
+        }
+    }
+  }
+
+  private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet) && e.deterministic
+
+  /** Any conjunct `a = b` across the two sides ⇒ Spark already plans a
+    * hash/sort-merge join; leave the plan alone. */
+  private def hasEquiConjunct(cond: Expression, left: LogicalPlan, right: LogicalPlan): Boolean =
+    splitConjunctivePredicates(cond).exists {
+      case EqualTo(a, b) =>
+        (refsOnly(a, left) && refsOnly(b, right)) || (refsOnly(a, right) && refsOnly(b, left))
+      case EqualNullSafe(a, b) =>
+        (refsOnly(a, left) && refsOnly(b, right)) || (refsOnly(a, right) && refsOnly(b, left))
+      case _ => false
+    }
+
+  /** Find `(point, start, end, pointOnLeft)` such that the condition
+    * contains `point >= start` and `point <= end` (any spelling — SQL
+    * BETWEEN desugars to exactly this pair), point on one side, both
+    * bounds on the other, all numeric. */
+  private def findInterval(conjuncts: Seq[Expression], left: LogicalPlan, right: LogicalPlan)
+      : Option[(Expression, Expression, Expression, Boolean)] = {
+    def sideOf(e: Expression): Option[Boolean] =
+      if (refsOnly(e, left)) Some(true) else if (refsOnly(e, right)) Some(false) else None
+    def numeric(e: Expression): Boolean = e.dataType.isInstanceOf[NumericType]
+    val lowers = conjuncts.collect {
+      case GreaterThanOrEqual(p, s) => (p, s)
+      case LessThanOrEqual(s, p)    => (p, s)
+    }
+    val uppers = conjuncts.collect {
+      case LessThanOrEqual(p, e)    => (p, e)
+      case GreaterThanOrEqual(e, p) => (p, e)
+    }
+    (for {
+      (p1, s) <- lowers
+      (p2, e) <- uppers
+      if p1.semanticEquals(p2)
+      pointSide <- sideOf(p1)
+      startSide <- sideOf(s)
+      endSide <- sideOf(e)
+      if startSide == endSide && pointSide != startSide
+      if numeric(p1) && numeric(s) && numeric(e)
+    } yield (p1, s, e, pointSide)).headOption
+  }
+
+  private def rewrite(j: Join, point: Expression, start: Expression, end: Expression,
+                      pointOnLeft: Boolean, width: Long,
+                      hint: org.apache.spark.sql.catalyst.plans.logical.JoinHint): LogicalPlan = {
+    // floor(x / w) over double — same binning as Relational.rangeJoin
+    def binOf(e: Expression): Expression =
+      Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble)))
+
+    val (pointPlan, intervalPlan) = if (pointOnLeft) (j.left, j.right) else (j.right, j.left)
+
+    val pointBin = Alias(binOf(point), "__graft_bin")()
+    val pointProj = Project(pointPlan.output :+ pointBin, pointPlan)
+
+    // one row per bin the interval covers; null bounds yield a null
+    // sequence, dropped by the non-outer Generate (they can't satisfy
+    // BETWEEN anyway)
+    // TimeZoneAwareExpression: resolved only with a timezone set (unused
+    // for integral sequences, but required for `resolved`)
+    val seq = new Sequence(binOf(start), binOf(end), None, Some(conf.sessionLocalTimeZone))
+    val intervalBin = AttributeReference("__graft_bin", LongType, nullable = false)()
+    val intervalGen = Generate(Explode(seq), Nil, outer = false, None, Seq(intervalBin), intervalPlan)
+
+    val binEq = EqualTo(pointBin.toAttribute, intervalBin)
+    val newCond = (binEq +: splitConjunctivePredicates(j.condition.get)).reduce(And)
+    val (nl, nr) = if (pointOnLeft) (pointProj, intervalGen) else (intervalGen, pointProj)
+    Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+  }
+}

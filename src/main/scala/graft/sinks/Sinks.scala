@@ -133,8 +133,9 @@ object JdbcUpsertSink {
 
   /** Generic keyed upsert statement pair (UPDATE-then-INSERT), portable
     * across JDBC dialects without MERGE support. */
-  private[sinks] def statements(table: String, cols: Seq[String], keys: Seq[String]): (String, String) = {
-    val q = (s: String) => Identifiers.quote(s)
+  private[sinks] def statements(table: String, cols: Seq[String], keys: Seq[String],
+                                quoteChar: String = "`"): (String, String) = {
+    val q = (s: String) => Identifiers.quote(s, quoteChar)
     val nonKeys = cols.filterNot(keys.contains)
     val update =
       s"UPDATE ${q(table)} SET ${nonKeys.map(c => s"${q(c)} = ?").mkString(", ")} " +
@@ -145,11 +146,20 @@ object JdbcUpsertSink {
   }
 
   /** K2 — distributed keyed upsert: per partition, one connection, one
-    * transaction, batched statements. Executor-side; the driver never
-    * sees a row. */
+    * transaction, fully batched statements on BOTH paths. Executor-side;
+    * the driver never sees a row.
+    *
+    * Per batch of `cfg.batchSize` rows: one batched UPDATE round trip,
+    * then — for the rows whose update count came back 0 (no such key) —
+    * one batched INSERT round trip. Two network round trips per batch
+    * regardless of the update/insert mix, vs. the reference's one commit
+    * per row (/root/reference/delta_load.py:180-193). Correctness note:
+    * a delta deduped on `keys` (the engine's merge contract) has no
+    * intra-batch key collisions, so update-then-insert per batch cannot
+    * double-insert. */
   def upsert(df: DataFrame, table: String, keys: Seq[String], cfg: JdbcConfig): Unit = {
     val cols = df.columns.toSeq
-    val (updateSql, insertSql) = statements(table, cols, keys)
+    val (updateSql, insertSql) = statements(table, cols, keys, cfg.quoteChar)
     val nonKeys = cols.filterNot(keys.contains)
     df.foreachPartition { (rows: Iterator[Row]) =>
       if (rows.nonEmpty) {
@@ -158,18 +168,36 @@ object JdbcUpsertSink {
           conn.setAutoCommit(false)
           val upd: PreparedStatement = conn.prepareStatement(updateSql)
           val ins: PreparedStatement = conn.prepareStatement(insertSql)
-          var pending = 0
-          rows.foreach { row =>
-            nonKeys.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, row.getAs[Any](c)) }
-            keys.zipWithIndex.foreach { case (k, i) => upd.setObject(nonKeys.size + i + 1, row.getAs[Any](k)) }
-            if (upd.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, i) => ins.setObject(i + 1, row.getAs[Any](c)) }
-              ins.addBatch()
-              pending += 1
-              if (pending >= cfg.batchSize) { ins.executeBatch(); pending = 0 }
+
+          def flush(batch: Seq[Row]): Unit = if (batch.nonEmpty) {
+            batch.foreach { row =>
+              nonKeys.zipWithIndex.foreach { case (c, i) => upd.setObject(i + 1, row.getAs[Any](c)) }
+              keys.zipWithIndex.foreach { case (k, i) => upd.setObject(nonKeys.size + i + 1, row.getAs[Any](k)) }
+              upd.addBatch()
             }
+            val counts = upd.executeBatch()
+            // SUCCESS_NO_INFO (-2) means "executed, count unknown" — the
+            // row was updated, so only a real 0 routes to the insert path
+            var inserts = 0
+            var i = 0
+            while (i < counts.length) {
+              if (counts(i) == 0) {
+                val row = batch(i)
+                cols.zipWithIndex.foreach { case (c, j) => ins.setObject(j + 1, row.getAs[Any](c)) }
+                ins.addBatch()
+                inserts += 1
+              }
+              i += 1
+            }
+            if (inserts > 0) ins.executeBatch()
           }
-          if (pending > 0) ins.executeBatch()
+
+          val buf = new scala.collection.mutable.ArrayBuffer[Row](cfg.batchSize)
+          rows.foreach { row =>
+            buf += row
+            if (buf.length >= cfg.batchSize) { flush(buf.toSeq); buf.clear() }
+          }
+          flush(buf.toSeq)
           conn.commit()
         } catch {
           case e: Throwable => conn.rollback(); throw e

@@ -21,9 +21,11 @@ final class Watermarks(val storePath: String) {
   def read(): Map[String, Long] =
     if (!Fs.exists(storePath)) Map.empty
     else
-      Fs.readString(storePath).split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      Fs.readString(storePath).split("\r?\n").toSeq.filter(_.nonEmpty).map { line =>
+        // \r?\n: a store file written/edited with CRLF endings must not
+        // leave a trailing \r on the version field (toLong would throw)
         val Array(t, v) = line.split("\t", 2)
-        t -> v.toLong
+        t -> v.trim.toLong
       }.toMap
 
   /** The reference's incremental gate: process iff strictly newer

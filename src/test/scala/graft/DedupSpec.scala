@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.Dedup
@@ -94,6 +95,17 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect()
     assert(cc.length == n + 1)
     assert(cc.forall(_._2 == 0L))
+  }
+
+  test("connectedComponents: hub node with 1e5 neighbors (skew stress)") {
+    // one boilerplate-style hub: node 5 paired with 100k others — the
+    // pathological neighborhood the groupBy+join form absorbs map-side
+    // (a window-min would sort the whole neighborhood in one task)
+    val hub = spark.range(1, 100001)
+      .select((col("id") + 10L).as("a_id"), lit(5L).as("b_id"))
+    val cc = Dedup.connectedComponents(hub, "a_id", "b_id")
+    assert(cc.count() == 100001L)
+    assert(cc.filter(col("rep") =!= 5L).count() == 0L)
   }
 
   test("connectedComponents: reversed/duplicate/self pairs are harmless") {

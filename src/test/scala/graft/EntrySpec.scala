@@ -16,7 +16,7 @@ class EntrySpec extends AnyFunSuite {
     val rowsOnly = qs -- os
     // rows-only set is intentional: approximate / probabilistic / stubbed ops
     assert(rowsOnly == Set("t29_minhash_lsh", "t30_simhash", "t31_knn_ivf",
-      "t44_approx_distinct", "t45_embed_lsh", "t46_winnowing", "t48_multimodal",
+      "t62_distinct_approx", "t45_embed_lsh", "t46_winnowing", "t48_multimodal",
       "t49_knn_ivf_kmeans", "t50_bpe_tokens"), rowsOnly)
   }
 

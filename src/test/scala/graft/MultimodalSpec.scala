@@ -22,6 +22,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a.forall(f => Set("image", "audio", "video").contains(f.kind)))
   }
 
+  test("real ImageIO decode: true dimensions and brightness from PNG/JPEG pixels") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    import javax.imageio.ImageIO
+    // 8×6 PNG, left half black, right half white → brightness 0.5
+    def halfAndHalf(w: Int, h: Int): BufferedImage = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xFFFFFF)
+      img
+    }
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, fmt, out)
+      out.toByteArray
+    }
+    val png = encode(halfAndHalf(8, 6), "png")
+    val jpg = encode(halfAndHalf(16, 10), "jpg")
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image", png, 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "image", jpg, 0, 0, 0L),
+      Multimodal.MediaRecord(3L, "image", "not an image".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+
+    assert(f(0).decoded && f(0).decoded_width == 8 && f(0).decoded_height == 6)
+    assert(math.abs(f(0).brightness - 0.5) < 1e-9) // PNG is lossless: exactly half white
+    assert(f(1).decoded && f(1).decoded_width == 16 && f(1).decoded_height == 10)
+    assert(math.abs(f(1).brightness - 0.5) < 0.05) // JPEG is lossy: near half
+    assert(!f(2).decoded && f(2).decoded_width == 0) // fallback stays total
+  }
+
   test("binaryFile source: real media ingestion path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))

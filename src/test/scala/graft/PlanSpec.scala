@@ -70,4 +70,42 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Window"), p.take(2000))
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("q60: SQL BETWEEN join auto-rewrites to a binned equi-join, no nested loop") {
+    val p = plan("q60_sql_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q60: rewrite is semantics-preserving vs the unrewritten nested-loop plan") {
+    import graft.plans.IntervalJoinRewrite
+    val rewritten = SparkEntry.queries("q60_sql_interval_join")(spark, dir).collect().toSeq
+    spark.conf.set(IntervalJoinRewrite.BinWidthKey, "0") // disable
+    try {
+      val q = SparkEntry.queries("q60_sql_interval_join")(spark, dir)
+      // the query function re-sets binWidth; force-disable after building
+      spark.conf.set(IntervalJoinRewrite.BinWidthKey, "0")
+      val naive = q.collect().toSeq
+      assert(rewritten == naive)
+    } finally spark.conf.unset(IntervalJoinRewrite.BinWidthKey)
+  }
+
+  test("interval rewrite leaves equi-joins and non-interval conditions alone") {
+    import graft.plans.AsOfJoinNative
+    AsOfJoinNative.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 15L)).toDF("id", "p").createOrReplaceTempView("pts")
+    Seq((10L, 0L, 10L), (20L, 10L, 20L)).toDF("iid", "s", "e").createOrReplaceTempView("iv")
+    // equi conjunct present → untouched (no Generate/explode in plan)
+    val equi = spark.sql("SELECT * FROM pts JOIN iv ON id = iid AND p BETWEEN s AND e")
+    assert(!equi.queryExecution.optimizedPlan.toString.contains("explode"))
+    // one-sided bound only → not an interval, untouched
+    val half = spark.sql("SELECT * FROM pts JOIN iv ON p >= s")
+    assert(!half.queryExecution.optimizedPlan.toString.contains("explode"))
+    // true interval join → rewritten, and results exact on boundaries
+    val iv = spark.sql("SELECT id, iid FROM pts JOIN iv ON p BETWEEN s AND e")
+    assert(iv.queryExecution.optimizedPlan.toString.contains("explode"))
+    assert(iv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
 }

@@ -63,53 +63,58 @@ class SinksSpec extends AnyFunSuite {
     val url = s"jdbc:derby:$db;create=true"
     val conn = DriverManager.getConnection(url)
     conn.createStatement().execute(
-      "CREATE TABLE people (\"id\" BIGINT PRIMARY KEY, \"name\" VARCHAR(255), \"score\" DOUBLE)")
+      "CREATE TABLE \"people\" (\"id\" BIGINT PRIMARY KEY, \"name\" VARCHAR(255), \"score\" DOUBLE)")
     conn.close()
 
-    val cfg = JdbcConfig(url, "", "", "db", batchSize = 2)
-    val quote = "\"" // Derby quotes identifiers with double quotes
-    // Identifiers.quote uses backticks (MySQL dialect); Derby test goes
-    // through the same batching path with pre-created lowercase cols.
+    // ANSI double-quote dialect for Derby; the real upsert path end-to-end.
+    val cfg = JdbcConfig(url, "", "", "db", batchSize = 2, quoteChar = "\"")
     val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("id", "name", "score")
-    upsertDerby(df, url)
+    JdbcUpsertSink.upsert(df, "people", Seq("id"), cfg)
     val df2 = Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "name", "score")
-    upsertDerby(df2, url)
+    JdbcUpsertSink.upsert(df2, "people", Seq("id"), cfg)
 
     val c2 = DriverManager.getConnection(url)
-    val rs = c2.createStatement().executeQuery("SELECT \"id\", \"name\" FROM people ORDER BY \"id\"")
+    val rs = c2.createStatement().executeQuery("SELECT \"id\", \"name\" FROM \"people\" ORDER BY \"id\"")
     val got = Iterator.continually(rs).takeWhile(_.next()).map(r => (r.getLong(1), r.getString(2))).toList
     c2.close()
     assert(got == List((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
   }
 
-  // Derby-dialect wrapper: same partition/batch logic, double-quoted ids.
-  private def upsertDerby(df: org.apache.spark.sql.DataFrame, url: String): Unit = {
-    import org.apache.spark.sql.Row
-    val cols = df.columns.toSeq
-    val keys = Seq("id")
-    val nonKeys = cols.filterNot(keys.contains)
-    val upd = s"UPDATE people SET ${nonKeys.map(c => s""""$c" = ?""").mkString(", ")} WHERE ${keys.map(k => s""""$k" = ?""").mkString(" AND ")}"
-    val ins = s"INSERT INTO people (${cols.map(c => s""""$c"""").mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
-    df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          val u = conn.prepareStatement(upd)
-          val i = conn.prepareStatement(ins)
-          rows.foreach { row =>
-            nonKeys.zipWithIndex.foreach { case (c, ix) => u.setObject(ix + 1, row.getAs[Any](c)) }
-            keys.zipWithIndex.foreach { case (k, ix) => u.setObject(nonKeys.size + ix + 1, row.getAs[Any](k)) }
-            if (u.executeUpdate() == 0) {
-              cols.zipWithIndex.foreach { case (c, ix) => i.setObject(ix + 1, row.getAs[Any](c)) }
-              i.addBatch()
-            }
-          }
-          i.executeBatch()
-          conn.commit()
-        } finally conn.close()
-      }
-    }
+  test("JdbcUpsertSink batches BOTH paths: zero per-row executeUpdate round trips") {
+    val db = Files.createTempDirectory("graft_derby_cnt").toString + "/db"
+    val real = s"jdbc:derby:$db;create=true"
+    DriverManager.getConnection(real).close() // create db
+    val c0 = DriverManager.getConnection(real)
+    c0.createStatement().execute(
+      "CREATE TABLE \"t\" (\"id\" BIGINT PRIMARY KEY, \"v\" VARCHAR(255))")
+    c0.close()
+    CountingJdbcDriver.ensureRegistered()
+    CountingJdbcDriver.reset()
+
+    // seed 50 existing keys through the counted path too
+    val cfg = JdbcConfig(s"jdbc:counting:derby:$db", "", "", "db",
+      batchSize = 16, quoteChar = "\"")
+    val seed = (0L until 50L).map(i => (i, s"old$i")).toDF("id", "v").repartition(1)
+    JdbcUpsertSink.upsert(seed, "t", Seq("id"), cfg)
+    CountingJdbcDriver.reset()
+
+    // mixed delta: 50 updates (keys 0..49) + 50 inserts (keys 100..149)
+    val delta = ((0L until 50L).map(i => (i, s"new$i")) ++
+      (100L until 150L).map(i => (i, s"ins$i"))).toDF("id", "v").repartition(1)
+    JdbcUpsertSink.upsert(delta, "t", Seq("id"), cfg)
+
+    // one partition, 100 rows, batchSize 16 → 7 update flushes + ≤7
+    // insert flushes; the per-row path would be ≥50 executeUpdate calls
+    assert(CountingJdbcDriver.executeUpdates.get() == 0,
+      "upsert must never fire a per-row executeUpdate")
+    val batches = CountingJdbcDriver.executeBatches.get()
+    assert(batches >= 7 && batches <= 14, s"expected 7..14 batched round trips, got $batches")
+
+    val c2 = DriverManager.getConnection(real)
+    val rs = c2.createStatement().executeQuery("SELECT count(*), sum(CASE WHEN \"v\" LIKE 'new%' THEN 1 ELSE 0 END) FROM \"t\"")
+    rs.next()
+    assert(rs.getLong(1) == 100L && rs.getLong(2) == 50L)
+    c2.close()
   }
 
   test("ensureTableDdl maps Spark types to SQL (K1)") {
@@ -117,4 +122,67 @@ class SinksSpec extends AnyFunSuite {
       Seq((1L, "x", 1.5)).toDF("id", "name", "sal").schema)
     assert(ddl == "CREATE TABLE IF NOT EXISTS `emp` (`id` BIGINT, `name` VARCHAR(255), `sal` DOUBLE)")
   }
+}
+
+/** Statement-count probe: a `jdbc:counting:` URL prefix that delegates to
+  * the real driver but counts `executeUpdate` (per-row round trips) and
+  * `executeBatch` (batched round trips) on every PreparedStatement.
+  * Local-mode executors share the JVM, so the static counters see
+  * executor-side calls. */
+object CountingJdbcDriver {
+  val executeUpdates = new java.util.concurrent.atomic.AtomicInteger
+  val executeBatches = new java.util.concurrent.atomic.AtomicInteger
+  def reset(): Unit = { executeUpdates.set(0); executeBatches.set(0) }
+
+  @volatile private var registered = false
+  def ensureRegistered(): Unit = synchronized {
+    if (!registered) { DriverManager.registerDriver(new CountingJdbcDriver); registered = true }
+  }
+}
+
+class CountingJdbcDriver extends java.sql.Driver {
+  import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
+  private val prefix = "jdbc:counting:"
+
+  override def acceptsURL(url: String): Boolean = url != null && url.startsWith(prefix)
+
+  override def connect(url: String, info: java.util.Properties): java.sql.Connection =
+    if (!acceptsURL(url)) null
+    else proxyConn(DriverManager.getConnection("jdbc:" + url.stripPrefix(prefix), info))
+
+  private def invokeTarget(target: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+    try { if (args == null) m.invoke(target) else m.invoke(target, args: _*) }
+    catch { case e: InvocationTargetException => throw e.getCause }
+
+  private def proxyConn(c: java.sql.Connection): java.sql.Connection =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array[Class[_]](classOf[java.sql.Connection]),
+      new InvocationHandler {
+        override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+          val r = invokeTarget(c, m, args)
+          if (m.getName == "prepareStatement" && r != null)
+            proxyPs(r.asInstanceOf[java.sql.PreparedStatement])
+          else r
+        }
+      }).asInstanceOf[java.sql.Connection]
+
+  private def proxyPs(ps: java.sql.PreparedStatement): java.sql.PreparedStatement =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array[Class[_]](classOf[java.sql.PreparedStatement]),
+      new InvocationHandler {
+        override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
+          m.getName match {
+            case "executeUpdate" => CountingJdbcDriver.executeUpdates.incrementAndGet()
+            case "executeBatch"  => CountingJdbcDriver.executeBatches.incrementAndGet()
+            case _               =>
+          }
+          invokeTarget(ps, m, args)
+        }
+      }).asInstanceOf[java.sql.PreparedStatement]
+
+  override def getMajorVersion: Int = 1
+  override def getMinorVersion: Int = 0
+  override def jdbcCompliant(): Boolean = false
+  override def getPropertyInfo(url: String, info: java.util.Properties): Array[java.sql.DriverPropertyInfo] =
+    Array.empty
+  override def getParentLogger: java.util.logging.Logger =
+    throw new java.sql.SQLFeatureNotSupportedException()
 }
