@@ -44,6 +44,39 @@ final class Engine(
   /** E1 — process every pending snapshot under the ingest root. */
   def loadAll(ingestRoot: String): Seq[LoadReport] = pipeline.runAll(ingestRoot)
 
+  // K6 — the SQS-FIFO analog (reference: second_lambda_function.py:104-124
+  // posts {bucket, key} with MessageGroupId=<table>,
+  // MessageDeduplicationId=<file>+<timestamp>): a durable queue between
+  // "file landed" and "file loaded", so intake survives consumer crashes
+  // and per-table processing stays serialized even across processes.
+  private val queue = new sources.FifoQueue(graft.fs.Fs.child(warehouse, "_queue"))
+
+  /** Post a snapshot file's ingest event; group = table (serializes
+    * per-table loads), dedup id = table@version (drops duplicate
+    * notifications for one snapshot). False = duplicate, dropped. */
+  def enqueue(csvPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(csvPath)
+    val tv = TableVersion(IngestEvent.tableOf(p.getName),
+      IngestEvent.versionOf(p.getParent.getName))
+    queue.send(tv.table, s"${tv.table}@${tv.version}", csvPath)
+  }
+
+  /** Drain the queue through the load pipeline: each message is acked
+    * only after its load commits, so a crash mid-load redelivers (the
+    * version gate then makes the replay a no-op — at-least-once intake,
+    * exactly-once effect). */
+  def drainQueue(): Seq[LoadReport] = {
+    val out = Seq.newBuilder[LoadReport]
+    var msg = queue.receiveAny()
+    while (msg.isDefined) {
+      val m = msg.get
+      out += load(m.body)
+      queue.ack(m)
+      msg = queue.receiveAny()
+    }
+    out.result()
+  }
+
   /** Current curated contents of a table. */
   def table(name: String): DataFrame =
     ParquetMergeSink.readCurrent(spark, warehouse, name)
@@ -60,7 +93,9 @@ final class Engine(
   def listTables(): Seq[String] =
     graft.fs.Fs.list(warehouse)
       .filter(_.isDirectory)
-      .map(_.getPath.getName).sorted
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("_")) // control-plane dirs (_queue) aren't tables
+      .sorted
 
   def watermarks(): Map[String, Long] = tracker.read()
 }

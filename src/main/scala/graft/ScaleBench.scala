@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope evidence for the shuffle-heavy operator family
+  * (near-dup pair generation, connected components, BPE): times the
+  * family at a base scale and at `factor`× that scale, printing one
+  * JSON line per scale so the slope is directly readable.
+  *
+  * The scaled corpus is `factor` copies of the base `documents` table,
+  * each copy's text extended with copy-unique junk tokens (~35% of the
+  * doc's own token count). That keeps the workload realistic at 10×:
+  * copies of one doc fall BELOW the 0.8 Jaccard threshold against each
+  * other (J ≈ 1/1.35⁻ across copies), so pair/cluster counts grow
+  * ~linearly with the corpus instead of degenerating into an all-pairs
+  * blow-up of identical replicas — the shape a real 10× crawl has.
+  *
+  * Usage: `runMain graft.ScaleBench <baseSfDir> <workDir> [factor]`
+  * (workDir holds the materialized scaled parquet; reused if present).
+  */
+object ScaleBench {
+
+  def scaledDocs(spark: SparkSession, baseDir: String, workDir: String, factor: Int): String = {
+    val out = s"$workDir/documents_x$factor"
+    if (!graft.fs.Fs.exists(s"$out/_SUCCESS")) {
+      val base = spark.read.parquet(s"$baseDir/documents.parquet")
+      val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+      base.crossJoin(copies)
+        .select(
+          (col("doc_id") * factor + col("copy")).as("doc_id"),
+          col("lang"),
+          when(col("copy") === 0, col("text")).otherwise(concat(
+            col("text"), lit(" "),
+            array_join(transform(
+              sequence(lit(1), greatest(lit(1),
+                ceil(size(split(col("text"), " ")) * 0.35).cast("int"))),
+              i => format_string("z%dc%dw%d", col("doc_id"), col("copy"), i)), " ")))
+            .as("text"),
+          col("n_chars"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  private def family(docs: DataFrame): Seq[(String, () => Long)] = Seq(
+    "t25_exact_dup_groups" -> (() =>
+      graft.llm.Dedup.exactDupGroups(docs, "doc_id", "text").count()),
+    "t26_jaccard_pairs" -> (() =>
+      graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
+    "t29_minhash_lsh" -> (() =>
+      graft.llm.Dedup.minHashLshPairs(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.8).count()),
+    "t30_simhash" -> (() =>
+      graft.llm.Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3).count()),
+    "t58_jaccard_clusters" -> { () =>
+      val pairs = graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      graft.llm.Dedup.nearDupClusters(pairs, "a_id", "b_id").count()
+    },
+    "t59_dedup_survivors" -> { () =>
+      val pairs = graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      graft.llm.Dedup.dedupByPairs(docs, "doc_id", pairs, "a_id", "b_id").count()
+    },
+    "t50_bpe_tokens" -> { () =>
+      val merges = graft.llm.Bpe.train(docs, "text", numMerges = 24)
+      graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", merges).count()
+    })
+
+  private def timeFamily(label: String, docs: DataFrame, nDocs: Long): Unit = {
+    val results = family(docs).map { case (name, run) =>
+      val t0 = System.nanoTime()
+      val rows = run()
+      (name, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val qs = results.map { case (k, sec, rows) =>
+      "\"" + k + "\":{\"sec\":" + sec + ",\"rows\":" + rows + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"scale_family","scale":"$label","n_docs":$nDocs,"total_sec":$total,"queries":$qs}""")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/root/repo/target/scalebench"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
+
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    timeFamily("base", base, base.count())
+
+    val scaledPath = scaledDocs(spark, baseDir, workDir, factor)
+    val scaled = spark.read.parquet(scaledPath)
+    timeFamily(s"x$factor", scaled, scaled.count())
+    spark.stop()
+  }
+}

@@ -660,14 +660,17 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
 
   private def t48Multimodal(s: SparkSession, dir: String): DataFrame = {
-    // Multimodal plumbing over synthetic media (bytes = utf8(text));
-    // decode is the documented STUB — deterministic features, real
-    // partition-local batch shape. Rows-only check.
+    // Multimodal plumbing over synthetic media (bytes = utf8(text)) —
+    // the utf8 bytes aren't decodable images/audio, so every row takes
+    // the deterministic byte-feature path; real-codec decode (ImageIO /
+    // javax.sound) is exercised on real media in MultimodalSpec.
+    // Per-row integer micros BEFORE the sum: a sum of doubles is
+    // partition-order-dependent, a sum of longs is exact.
     val media = graft.llm.Multimodal.syntheticMedia(s, t(s, dir, "documents"), "doc_id", "text")
     graft.llm.Multimodal.extractFeatures(media, frameCount = 4)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n"), sum(col("n_bytes")).as("total_bytes"),
-        floor(sum(col("brightness")) * 1000).cast("long").as("brightness_milli"))
+        sum(floor(col("brightness") * 1e6).cast("long")).as("brightness_micro"))
       .orderBy(col("kind"))
   }
 
@@ -729,12 +732,19 @@ object SparkEntry {
   }
 
   private def t29MinHashLsh(s: SparkSession, dir: String): DataFrame =
+    // jaccard → ppm: the ratio itself is an exact int/int double, but an
+    // integer column makes the literal oracle below bit-exact trivially
     Dedup.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 1e6).cast("long").as("jac_ppm"))
       .orderBy(col("a_id"), col("b_id"))
 
   private def t30SimHash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 6)
+    // maxHamming = 3 — the standard web-dedup operating point (Manku et
+    // al., WWW'07): completeness then guarantees 5 agreeing chunks, so
+    // banding keys are 40-bit — selective even on template-heavy corpora
+    Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy(col("a_id"), col("b_id"))
 
   private def t31KnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -1164,6 +1174,16 @@ object SparkEntry {
           count(*) AS n_rows
           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
       "t61_bpe_merges" -> BpeMergesOracle.sql,
+      // literal-VALUES oracles (tools/gen_literal_oracles.py): these
+      // queries are deterministic, partitioning-independent functions of
+      // the test data whose logic DuckDB cannot re-derive (engine-native
+      // seeded hashes/sketches) — pinning the exact rows converts them
+      // from rows-only to full hash-checked signal
+      "t29_minhash_lsh" -> LiteralOracles.t29,
+      "t30_simhash" -> LiteralOracles.t30,
+      "t45_embed_lsh" -> LiteralOracles.t45,
+      "t46_winnowing" -> LiteralOracles.t46,
+      "t48_multimodal" -> LiteralOracles.t48,
       "t33_sql_custom_fn" ->
         """SELECT vec_id,
           list_sum(list_transform(list_zip(embedding, embedding),

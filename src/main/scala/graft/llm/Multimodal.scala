@@ -8,14 +8,15 @@ import org.apache.spark.sql.functions._
   * frame-sampling as partition-local transforms.
   *
   * Images decode for REAL via `javax.imageio` (JPEG/PNG/BMP/GIF ship in
-  * the JDK — no external codec needed): true width/height and mean
-  * luminance from the decoded pixels. Bytes that aren't a decodable
-  * image — and the audio/video kinds, whose codecs the JDK does not
-  * ship — fall back to the deterministic byte-derived features, so the
-  * operator is total and the synthetic-media oracle query stays
-  * reproducible. Everything around the decode — schema, batching,
-  * partition shape, null handling — is shared by both paths (the
-  * audio/video codec call drops into the same `mapPartitions` seam).
+  * the JDK): true width/height and mean luminance from the decoded
+  * pixels. Audio decodes for real via `javax.sound.sampled` (WAV/AIFF/AU
+  * in the JRE): duration and RMS loudness from the PCM samples. Bytes
+  * that aren't decodable — and the video kind, the one codec family the
+  * JDK does not ship — fall back to the deterministic byte-derived
+  * features, so the operator is total and the synthetic-media oracle
+  * query stays reproducible. Everything around the decode — schema,
+  * batching, partition shape, null handling — is shared by all paths
+  * (a video codec call drops into the same `mapPartitions` seam).
   */
 object Multimodal {
 
@@ -33,11 +34,14 @@ object Multimodal {
       kind: String,
       n_bytes: Long,
       checksum: Long,
+      // image: mean pixel luminance; audio: RMS loudness — both [0, 1]
       brightness: Double,
       n_frames_sampled: Int,
       // decoded pixel dimensions (0 = not decodable / non-image)
       decoded_width: Int,
       decoded_height: Int,
+      // decoded audio duration (0 = not decodable / non-audio)
+      decoded_duration_ms: Long,
       decoded: Boolean)
 
   private def byteChecksum(bytes: Array[Byte]): Long = {
@@ -56,8 +60,54 @@ object Multimodal {
     while (i < r.bytes.length) { sum += (r.bytes(i) & 0xFF); i += 1 }
     val brightness = if (r.bytes.isEmpty) 0.0 else sum.toDouble / (255.0 * r.bytes.length)
     MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, byteChecksum(r.bytes),
-      brightness, frameCount, 0, 0, decoded = false)
+      brightness, frameCount, 0, 0, 0L, decoded = false)
   }
+
+  /** Real audio decode (JDK `javax.sound.sampled` — WAV/AIFF/AU ship in
+    * the JRE): duration from frame count / rate, loudness as RMS of the
+    * normalized PCM samples (16- or 8-bit). None when the bytes aren't a
+    * decodable audio stream. */
+  private def audioDecode(r: MediaRecord, frameCount: Int): Option[MediaFeatures] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(r.bytes)))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val durationMs =
+          if (frames >= 0 && fmt.getFrameRate > 0) (frames * 1000L / fmt.getFrameRate.toLong)
+          else 0L
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None
+        val data = in.readAllBytes()
+        var sumSq = 0.0
+        var n = 0
+        if (bits == 16) {
+          val le = !fmt.isBigEndian
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (le) ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+              else ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+            val x = s / 32768.0
+            sumSq += x * x
+            n += 1
+            i += 2
+          }
+        } else {
+          var i = 0
+          while (i < data.length) {
+            val x = ((data(i) & 0xFF) - 128) / 128.0
+            sumSq += x * x
+            n += 1
+            i += 1
+          }
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        Some(MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, byteChecksum(r.bytes),
+          rms, frameCount, 0, 0, durationMs, decoded = true))
+      } finally in.close()
+    } catch { case _: Exception => None }
 
   /** Real image decode (JDK `javax.imageio`): true dimensions + mean
     * luminance (R+G+B)/3 over all pixels, normalized to [0, 1]. Returns
@@ -82,7 +132,7 @@ object Multimodal {
         }
         val brightness = if (w == 0 || h == 0) 0.0 else sum / (255.0 * w * h)
         Some(MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, byteChecksum(r.bytes),
-          brightness, frameCount, w, h, decoded = true))
+          brightness, frameCount, w, h, 0L, decoded = true))
       }
     } catch { case _: Exception => None }
 
@@ -98,8 +148,11 @@ object Multimodal {
       // cache on executor disks
       javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
-        if (r.kind == "image") imageIoDecode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
-        else fakeDecode(r, frameCount)
+        r.kind match {
+          case "image" => imageIoDecode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
+          case "audio" => audioDecode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
+          case _       => fakeDecode(r, frameCount) // video: no JDK codec
+        }
       }
     }
   }

@@ -76,6 +76,24 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 0))
   }
 
+  test("simhashPairs banding is complete: equals brute force at several widths") {
+    // pigeonhole banding adapts its key width to the bound
+    // (w = 8 - maxHamming chunks); every width must return EXACTLY the
+    // brute-force pair set — banding is a pruning strategy, never a
+    // recall tradeoff
+    val sigs = Dedup.simHashes(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect()
+    for (maxH <- Seq(0, 3, 6)) {
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs
+        if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= maxH
+      } yield (ia, ib)).toSet
+      val banded = Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = maxH)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"maxHamming=$maxH")
+    }
+  }
+
   test("connectedComponents: transitive chains collapse to min id") {
     // two clusters via transitivity + an isolated pair
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (20L, 21L))
@@ -106,6 +124,32 @@ class DedupSpec extends AnyFunSuite {
     val cc = Dedup.connectedComponents(hub, "a_id", "b_id")
     assert(cc.count() == 100001L)
     assert(cc.filter(col("rep") =!= 5L).count() == 0L)
+  }
+
+  test("connectedComponents: bounded job count per round (no per-round set compare)") {
+    // Pin the round mechanics. Under AQE every materialized exchange is
+    // its own job, so the budget counts stage-jobs: init (checkpoint +
+    // signature) + one round (checkpoint + signature) + the one-time
+    // isEmpty certification + the result count land ≈ 18 on a star
+    // input (already converged after round 1). The per-round exceptAll
+    // + two counts this design replaced added their own shuffle stages
+    // EVERY round — reintroducing them blows past the bound on round 1.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    val sc = spark.sparkContext
+    sc.addSparkListener(listener)
+    try {
+      val star = (1L to 50L).map(i => (i, 0L)).toDF("a_id", "b_id")
+      val cc = Dedup.connectedComponents(star, "a_id", "b_id")
+      assert(cc.filter(col("rep") =!= 0L).count() == 0L)
+      // listener events are async; actions above have all completed, so
+      // a short settle is enough for the job-start events to land
+      Thread.sleep(500)
+      assert(jobs.get() <= 20, s"expected <=20 jobs for a 1-round graph, got ${jobs.get()}")
+    } finally sc.removeSparkListener(listener)
   }
 
   test("connectedComponents: reversed/duplicate/self pairs are harmless") {

@@ -41,6 +41,36 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.loadAll(root).forall(!_.processed))
   }
 
+  test("queued intake (K6 analog): enqueue dedups, drain loads per-table serially") {
+    val root = Files.createTempDirectory("graft_engq").toString
+    def put(rel: String, body: String): Unit = {
+      val p = Paths.get(root, rel)
+      Files.createDirectories(p.getParent)
+      Files.writeString(p, body)
+    }
+    put("20250101_000001/emp.csv", "EmpId,Name,Salary\n1,Ann,100.5\n2,Bob,90.0\n")
+    put("20250102_000001/emp.csv", "EmpId,Name,Salary\n2,Bob,95.0\n3,Cee,80.0\n")
+    put("20250101_000001/dept.csv", "DeptId,Name\n1,Eng\n")
+
+    val engine = new Engine(spark,
+      Files.createTempDirectory("graft_engq_wh").toString,
+      Files.createTempDirectory("graft_engq_tr").toString + "/wm.tsv",
+      _ => Seq("EmpId"))
+
+    assert(engine.enqueue(s"$root/20250101_000001/emp.csv"))
+    assert(!engine.enqueue(s"$root/20250101_000001/emp.csv")) // dup notification dropped
+    assert(engine.enqueue(s"$root/20250102_000001/emp.csv"))
+    assert(engine.enqueue(s"$root/20250101_000001/dept.csv"))
+
+    val reports = engine.drainQueue()
+    assert(reports.count(_.processed) == 3)
+    // emp versions applied in order: v2's row for Bob won
+    assert(engine.table("emp").filter("Name = 'Bob'").collect()(0)
+      .getAs[Double]("Salary") == 95.0)
+    assert(engine.listTables() == Seq("dept", "emp")) // _queue is not a table
+    assert(engine.drainQueue().isEmpty)               // queue fully drained
+  }
+
   test("scheme-qualified paths: the whole flow runs on file:// URIs (s3a-shaped)") {
     // Every control-plane path goes through the Hadoop FS layer, so a
     // scheme-qualified root (file://, and by the same code path s3a://,

@@ -53,6 +53,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!f(2).decoded && f(2).decoded_width == 0) // fallback stays total
   }
 
+  test("real audio decode: duration and RMS loudness from WAV samples") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 0.5 s of a full-scale 440 Hz sine at 8 kHz mono 16-bit → RMS ≈ 1/√2
+    val rate = 8000f
+    val nFrames = 4000
+    val pcm = new Array[Byte](nFrames * 2)
+    for (i <- 0 until nFrames) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 32767).toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "audio", out.toByteArray, 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+
+    assert(f(0).decoded && f(0).decoded_duration_ms == 500L)
+    assert(math.abs(f(0).brightness - 1.0 / math.sqrt(2)) < 0.01) // sine RMS
+    assert(!f(1).decoded && f(1).decoded_duration_ms == 0L)
+  }
+
   test("binaryFile source: real media ingestion path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))

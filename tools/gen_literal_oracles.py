@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Generate DuckDB literal-VALUES oracle SQL for the deterministic
+rows-only queries, from an actual graft.Verify output dir.
+
+The emitted object (src/main/scala/graft/LiteralOracles.scala) pins the
+exact expected rows at the driver's verify scale (sf0.01). Valid because
+each query's output is a deterministic, partitioning-independent
+function of the input (integer/ppm columns only, total ORDER BY).
+
+Usage: python3 tools/gen_literal_oracles.py /tmp/vout > /tmp/LiteralOracles.scala
+"""
+import sys, glob
+import duckdb
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
+
+# name -> (columns in VALUES order, ORDER BY clause)
+QUERIES = {
+    "t29_minhash_lsh": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
+    "t30_simhash": (["a_id", "b_id", "hamming"], "a_id, b_id"),
+    "t45_embed_lsh": (["a_id", "b_id", "cos_ppm"], "a_id, b_id"),
+    "t46_winnowing": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
+    "t48_multimodal": (["kind", "n", "total_bytes", "brightness_micro"], "kind"),
+}
+
+con = duckdb.connect()
+
+def lit(v):
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+print("package graft")
+print()
+print("/** Literal expected rows for deterministic queries whose logic a SQL")
+print("  * oracle cannot re-derive (engine-native hashes/sketches) — generated")
+print("  * by tools/gen_literal_oracles.py from an actual sf0.01 run, valid")
+print("  * because each output is a partitioning-independent integer-valued")
+print("  * function of the fixed test data (see each query's Scaladoc). */")
+print("private[graft] object LiteralOracles {")
+for name, (cols, order) in QUERIES.items():
+    rel = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet' ORDER BY {order}")
+    assert [c.lower() for c in rel.columns] == cols, (name, rel.columns)
+    rows = rel.fetchall()
+    if not rows:
+        print(f"  // {name}: NO ROWS — not generated", file=sys.stderr)
+        continue
+    values = ",\n      ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    collist = ", ".join(cols)
+    key = name.split("_")[0]
+    print(f"""
+  // {len(rows)} rows
+  val {key}: String = \"\"\"SELECT {collist}
+    FROM (VALUES
+      {values})
+      AS t({collist})
+    ORDER BY {order}\"\"\"""")
+print("}")
