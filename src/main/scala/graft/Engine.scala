@@ -64,7 +64,9 @@ final class Engine(
   /** Drain the queue through the load pipeline: each message is acked
     * only after its load commits, so a crash mid-load redelivers (the
     * version gate then makes the replay a no-op — at-least-once intake,
-    * exactly-once effect). */
+    * exactly-once effect). A load that throws aborts the drain with its
+    * message still leased; it redelivers after the visibility timeout,
+    * and other groups keep draining on the next call. */
   def drainQueue(): Seq[LoadReport] = {
     val out = Seq.newBuilder[LoadReport]
     var msg = queue.receiveAny()

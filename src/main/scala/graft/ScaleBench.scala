@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   * ~linearly with the corpus instead of degenerating into an all-pairs
   * blow-up of identical replicas — the shape a real 10× crawl has.
   *
-  * Usage: `runMain graft.ScaleBench <baseSfDir> <workDir> [factor]`
-  * (workDir holds the materialized scaled parquet; reused if present).
+  * Usage: `runMain graft.ScaleBench <baseSfDir> <workDir> [factor] [onlyPrefix] [repeat]`
+  * (workDir holds the materialized scaled parquet; reused if present;
+  * onlyPrefix filters the family by query-name prefix, repeat re-times
+  * the scaled family N times — for separating host noise from real
+  * slope).
   */
 object ScaleBench {
 
@@ -66,8 +69,9 @@ object ScaleBench {
       graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", merges).count()
     })
 
-  private def timeFamily(label: String, docs: DataFrame, nDocs: Long): Unit = {
-    val results = family(docs).map { case (name, run) =>
+  private def timeFamily(label: String, docs: DataFrame, nDocs: Long,
+                         onlyPrefix: String = ""): Unit = {
+    val results = family(docs).filter(_._1.startsWith(onlyPrefix)).map { case (name, run) =>
       val t0 = System.nanoTime()
       val rows = run()
       (name, (System.nanoTime() - t0) / 1e9, rows)
@@ -95,12 +99,17 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
 
+    val onlyPrefix = if (args.length > 3) args(3) else ""
+    val repeat = if (args.length > 4) args(4).toInt else 1
+
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    timeFamily("base", base, base.count())
+    timeFamily("base", base, base.count(), onlyPrefix)
 
     val scaledPath = scaledDocs(spark, baseDir, workDir, factor)
     val scaled = spark.read.parquet(scaledPath)
-    timeFamily(s"x$factor", scaled, scaled.count())
+    (1 to repeat).foreach { i =>
+      timeFamily(s"x$factor#$i", scaled, scaled.count(), onlyPrefix)
+    }
     spark.stop()
   }
 }

@@ -53,9 +53,14 @@ object Bpe {
         val (l, r, _) = top.head
         merges += ((l, r))
         val pat = "(?<=^| )" + java.util.regex.Pattern.quote(l + " " + r) + "(?=$| )"
+        val prev = words
         words = words
           .withColumn("sym", regexp_replace(col("sym"), pat, java.util.regex.Matcher.quoteReplacement(l + r)))
           .localCheckpoint(true)
+        // the superseded round's checkpoint blocks would otherwise stay
+        // persisted until a JVM GC notices — numMerges rounds of word
+        // tables is real executor memory at corpus scale
+        Dedup.unpersistCheckpoint(prev)
       }
       i += 1
     }

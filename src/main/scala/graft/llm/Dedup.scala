@@ -356,6 +356,14 @@ object Dedup {
     * Nodes in no pair are absent — they are their own cluster by
     * definition; [[dedupByPairs]] accounts for them with an anti-join.
     */
+  /** Release the persisted blocks behind a `localCheckpoint`ed frame
+    * (its plan is a `LogicalRDD` over the persisted RDD; the Dataset
+    * `unpersist` API only talks to the cache manager and misses it). */
+  private[llm] def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+    }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame = {
     // (count, order-independent content checksum) — one small job, the
@@ -407,6 +415,14 @@ object Dedup {
           "connectedComponents checksum collision: edge sets differ at equal signature")
       }
       prevSig = sig
+      // free the finished round's checkpoint blocks NOW: localCheckpoint
+      // persists its RDD, and dropping the reference only releases the
+      // blocks when the JVM happens to GC — across O(log n) rounds the
+      // un-collected rounds multiply the edge set's executor-memory
+      // footprint (measured as 2× slowdown on repeated 10× runs in one
+      // JVM). Dataset.unpersist() won't do it (localCheckpoint bypasses
+      // the cache manager), so release the underlying RDD directly.
+      unpersistCheckpoint(edges)
       edges = next
       it += 1
     }

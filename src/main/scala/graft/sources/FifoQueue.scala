@@ -65,7 +65,6 @@ final class FifoQueue(root: String,
         (now - Fs.readString(marker).trim.toLong) < dedupWindowMs
       if (duplicate) false
       else {
-        Fs.writeStringAtomic(marker, now.toString)
         val dir = msgsDir(group)
         Fs.mkdirs(dir)
         val next = listSeqs(dir).lastOption.map(_ + 1).getOrElse(0L)
@@ -83,6 +82,11 @@ final class FifoQueue(root: String,
             case _: java.io.IOException => seq += 1
           }
         }
+        // marker AFTER the message lands: a crash between the two turns
+        // a resend into a duplicate message (at-least-once — the version
+        // gate downstream absorbs it); marker-first would LOSE the event
+        // and then suppress its resends for the whole dedup window
+        Fs.writeStringAtomic(marker, now.toString)
         true
       }
     }

@@ -152,6 +152,20 @@ class DedupSpec extends AnyFunSuite {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("connectedComponents: superseded rounds release their checkpoint blocks") {
+    // a 200-node chain takes ~log n small/large-star rounds; each round
+    // localCheckpoints — without the explicit unpersist, every round's
+    // blocks stay persisted until an eventual JVM GC (measured as a 2×
+    // slowdown on repeated large runs in one JVM)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val pairs = (0 until 200).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    assert(cc.count() == 201)
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // only the final converged edge set may remain persisted
+    assert(after <= before + 1, s"leaked checkpoints: $before -> $after persisted RDDs")
+  }
+
   test("connectedComponents: reversed/duplicate/self pairs are harmless") {
     val pairs = Seq((2L, 1L), (1L, 2L), (2L, 2L), (3L, 2L)).toDF("a_id", "b_id")
     val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
