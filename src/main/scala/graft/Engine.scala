@@ -49,7 +49,12 @@ final class Engine(
   // MessageDeduplicationId=<file>+<timestamp>): a durable queue between
   // "file landed" and "file loaded", so intake survives consumer crashes
   // and per-table processing stays serialized even across processes.
-  private val queue = new sources.FifoQueue(graft.fs.Fs.child(warehouse, "_queue"))
+  // visibility timeout must exceed the slowest expected load — an
+  // expired lease mid-load means the message redelivers and the load
+  // runs twice (the gate absorbs it, but the duplicate Spark job and
+  // report are waste); 15 min covers any single-snapshot CSV load
+  private val queue = new sources.FifoQueue(graft.fs.Fs.child(warehouse, "_queue"),
+    visibilityTimeoutMs = 15 * 60 * 1000L)
 
   /** Post a snapshot file's ingest event; group = table (serializes
     * per-table loads), dedup id = table@version (drops duplicate

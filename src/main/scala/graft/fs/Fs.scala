@@ -23,26 +23,27 @@ import org.apache.hadoop.fs.{FileContext, FileStatus, FileSystem, Options, Path}
 object Fs {
 
   // Spark's Hadoop configuration (carries spark.hadoop.* — s3a
-  // credentials, endpoints, hdfs nameservices), cached once it is
-  // session-derived: a bare `new Configuration()` would silently ignore
-  // cluster settings AND re-parse XML resources on every call. Before
-  // any session exists (pure-unit-test paths) fall back to defaults
-  // without caching, so the first session's settings still win later.
-  @volatile private var cachedConf: Configuration = _
+  // credentials, endpoints, hdfs nameservices), cached PER SESSION: a
+  // bare `new Configuration()` would silently ignore cluster settings
+  // AND re-parse XML resources on every call, while a cache keyed on
+  // nothing would pin the FIRST session's settings past a restart or
+  // reconfiguration. Before any session exists (pure-unit-test paths)
+  // fall back to defaults without caching.
+  @volatile private var cached: (org.apache.spark.sql.SparkSession, Configuration) = _
 
-  def conf: Configuration = {
-    val c = cachedConf
-    if (c != null) c
-    else
-      org.apache.spark.sql.SparkSession.getActiveSession
-        .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
-        case Some(s) =>
+  def conf: Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession) match {
+      case Some(s) =>
+        val c = cached
+        if (c != null && (c._1 eq s)) c._2
+        else {
           val built = s.sessionState.newHadoopConf()
-          cachedConf = built
+          cached = (s, built)
           built
-        case None => new Configuration()
-      }
-  }
+        }
+      case None => new Configuration()
+    }
 
   def fs(p: String): FileSystem = new Path(p).getFileSystem(conf)
 

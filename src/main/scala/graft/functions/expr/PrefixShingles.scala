@@ -83,8 +83,30 @@ case class PrefixShingles(child: Expression, threshold: Double,
 object PrefixShingles {
   import org.apache.spark.sql.graft.ColumnBridge
 
+  // Re-use the broadcast across calls with an equal df-head (repeated
+  // dedup jobs in one long-lived session — bench loops, cron drivers):
+  // without this every call ships and retains a fresh multi-MB broadcast
+  // for the session's lifetime. Evicted entries are unpersisted (not
+  // destroyed) so any still-running query can refetch from the driver.
+  private val bcCache = new java.util.LinkedHashMap[
+      Map[String, Long], org.apache.spark.broadcast.Broadcast[Map[String, Long]]](
+      8, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Map[String, Long],
+          org.apache.spark.broadcast.Broadcast[Map[String, Long]]]): Boolean =
+      if (size > 4) { e.getValue.unpersist(false); true } else false
+  }
+
   def apply(shingles: Column, threshold: Double, dfHead: Map[String, Long]): Column = {
-    val bc = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(dfHead)
+    val bc = bcCache.synchronized {
+      val hit = bcCache.get(dfHead)
+      if (hit != null) hit
+      else {
+        val b = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(dfHead)
+        bcCache.put(dfHead, b)
+        b
+      }
+    }
     ColumnBridge.column(PrefixShingles(ColumnBridge.expression(shingles), threshold, bc))
   }
 

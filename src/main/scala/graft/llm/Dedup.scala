@@ -218,7 +218,14 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "8-chunk combination banding is complete only for maxHamming <= 7")
+    // persisted because FIVE downstream plan branches scan it (reps
+    // aggregate, both expansion joins, both intra-join sides) with
+    // different join keys — without it each branch re-tokenizes and
+    // re-hashes the whole corpus. 16 bytes/doc; same tradeoff as the
+    // sibling embeddingNearDupLsh's sketched table (no unpersist: the
+    // returned frame is lazy and owns the reference).
     val sigs = simHashes(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sigs.groupBy(col("sig")).agg(count(lit(1)).as("m")).select("sig")
 
     def chunkOf(sig: Column, c: Int): Column = shiftright(sig, c * 8).bitwiseAND(0xFFL)

@@ -24,16 +24,20 @@ object Relational {
     * as null for float/double columns — [[dropNullRows]] (`na.drop`)
     * drops those rows too, and the violation set must match what the
     * cleaner removes. */
-  def nullViolations(df: DataFrame): DataFrame = {
-    val anyNull = df.schema.fields.map { f =>
+  def nullViolations(df: DataFrame): DataFrame = df.filter(anyNullPredicate(df.schema))
+
+  /** The "row has ≥1 null" predicate `na.drop("any")` actually applies:
+    * NaN counts as null in float/double columns. ONE definition, shared
+    * by the violation side-output and the pipeline's accounting, so the
+    * alert sample and the dropped-row counts can never disagree. */
+  def anyNullPredicate(schema: org.apache.spark.sql.types.StructType): Column =
+    schema.fields.map { f =>
       f.dataType match {
         case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
           col(f.name).isNull || isnan(col(f.name))
         case _ => col(f.name).isNull
       }
     }.reduce(_ || _)
-    df.filter(anyNull)
-  }
 
   /** Bounded driver-side sample of violations for alerting (K5). */
   def nullViolationSample(df: DataFrame, max: Int = 100): Array[org.apache.spark.sql.Row] =

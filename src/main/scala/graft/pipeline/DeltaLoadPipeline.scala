@@ -65,17 +65,11 @@ final class DeltaLoadPipeline(
     try {
       // exact accounting in one aggregate over the cached input:
       // inputRows and the TRUE null-violation count (the alert sample
-      // below is bounded and must not be used for arithmetic).
-      // NaN counts as null for float/double columns because
-      // Relational.dropNullRows (na.drop) also drops NaN there — without
-      // this the NaN-dropped rows would be misattributed to dupRows.
-      val anyNull = raw.schema.fields.map { f =>
-        f.dataType match {
-          case org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.FloatType =>
-            col(f.name).isNull || isnan(col(f.name))
-          case _ => col(f.name).isNull
-        }
-      }.reduce(_ || _)
+      // below is bounded and must not be used for arithmetic). The
+      // predicate is THE shared definition (Relational.anyNullPredicate)
+      // so this count always matches what dropNullRows removes and what
+      // the alert side-output samples.
+      val anyNull = Relational.anyNullPredicate(raw.schema)
       val counts = raw.agg(
         count(lit(1)).as("input"),
         sum(when(anyNull, 1L).otherwise(0L)).as("nulls")).head()

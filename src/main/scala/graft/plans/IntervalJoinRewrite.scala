@@ -32,10 +32,19 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * rewrite. The rewritten join carries a bin equi-conjunct, so the rule
   * never re-fires on its own output (the guard that skips any join that
   * already has an equi-conjunct).
+  *
+  * Safety valve: an interval spanning more than
+  * `spark.graft.rangeJoin.maxBinsPerInterval` bins (default 16384)
+  * fails FAST with an actionable error naming the binWidth knob —
+  * without it, a binWidth far below the data's interval widths (epoch
+  * micros against the 1000-unit default, say) would silently explode
+  * each interval row into millions of generated rows and OOM the
+  * executors mid-join.
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
+  val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString(BinWidthKey, "1000").toLong
@@ -111,7 +120,23 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // BETWEEN anyway)
     // TimeZoneAwareExpression: resolved only with a timezone set (unused
     // for integral sequences, but required for `resolved`)
-    val seq = new Sequence(binOf(start), binOf(end), None, Some(conf.sessionLocalTimeZone))
+    val maxBins = conf.getConfString(MaxBinsKey, "16384").toLong
+    val startBin = binOf(start)
+    val endBin = binOf(end)
+    // fail fast per-row if the interval spans more bins than the cap:
+    // RaiseError's message tells the user which knob to turn, instead of
+    // the executor OOM / opaque "Too long sequence" a mis-sized binWidth
+    // would otherwise produce deep inside the generated plan
+    val guardedEnd = If(
+      LessThanOrEqual(Subtract(endBin, startBin), Literal(maxBins)),
+      endBin,
+      new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+        CreateMap(Seq(Literal("errorMessage"), Literal(
+          s"graft rangeJoin: interval spans more than $maxBins bins; " +
+            s"raise $BinWidthKey toward the typical interval length " +
+            s"(or raise $MaxBinsKey)"))),
+        LongType))
+    val seq = new Sequence(startBin, guardedEnd, None, Some(conf.sessionLocalTimeZone))
     val intervalBin = AttributeReference("__graft_bin", LongType, nullable = false)()
     val intervalGen = Generate(Explode(seq), Nil, outer = false, None, Seq(intervalBin), intervalPlan)
 

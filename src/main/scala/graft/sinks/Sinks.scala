@@ -117,8 +117,12 @@ object ParquetMergeSink {
 object JdbcUpsertSink {
 
   /** K1 — first-writer-wins `CREATE TABLE IF NOT EXISTS` from a Spark
-    * schema (reference /root/reference/first_lambda_function.py:92-132). */
-  def ensureTableDdl(table: String, schema: StructType, dialectUpsert: Boolean = true): String = {
+    * schema (reference /root/reference/first_lambda_function.py:92-132).
+    * `quoteChar` matches the DML side ([[statements]]/`upsert`) so the
+    * whole K1→K2 flow speaks one dialect. */
+  def ensureTableDdl(table: String, schema: StructType, dialectUpsert: Boolean = true,
+                     quoteChar: String = "`"): String = {
+    val q = (s: String) => Identifiers.quote(s, quoteChar)
     val cols = schema.fields.map { f =>
       val sqlType = f.dataType.typeName match {
         case "long" | "integer" => "BIGINT"
@@ -126,9 +130,9 @@ object JdbcUpsertSink {
         case "timestamp"        => "TIMESTAMP"
         case _                  => "VARCHAR(255)"
       }
-      s"${Identifiers.quote(Identifiers.sanitize(f.name))} $sqlType"
+      s"${q(Identifiers.sanitize(f.name))} $sqlType"
     }
-    s"CREATE TABLE IF NOT EXISTS ${Identifiers.quote(table)} (${cols.mkString(", ")})"
+    s"CREATE TABLE IF NOT EXISTS ${q(table)} (${cols.mkString(", ")})"
   }
 
   /** Generic keyed upsert statement pair (UPDATE-then-INSERT), portable
@@ -153,7 +157,9 @@ object JdbcUpsertSink {
     * then — for the rows whose update count came back 0 (no such key) —
     * one batched INSERT round trip. Two network round trips per batch
     * regardless of the update/insert mix, vs. the reference's one commit
-    * per row (/root/reference/delta_load.py:180-193). Correctness note:
+    * per row (/root/reference/delta_load.py:180-193). Drivers that
+    * report SUCCESS_NO_INFO instead of exact counts get a per-unknown-row
+    * key probe (the only sound resolution — see `probe`). Correctness note:
     * a delta deduped on `keys` (the engine's merge contract) has no
     * intra-batch key collisions, so update-then-insert per batch cannot
     * double-insert. */
@@ -168,6 +174,21 @@ object JdbcUpsertSink {
           conn.setAutoCommit(false)
           val upd: PreparedStatement = conn.prepareStatement(updateSql)
           val ins: PreparedStatement = conn.prepareStatement(insertSql)
+          // key-existence probe, used ONLY for batch elements reporting
+          // SUCCESS_NO_INFO (-2): per JDBC that means "executed, affected
+          // count unknown" — NOT "a row matched". Treating -2 as matched
+          // silently drops new rows on drivers that batch-rewrite
+          // updates; treating it as unmatched double-inserts. Probing is
+          // the only sound resolution, and exact-count drivers never pay
+          // for it.
+          lazy val probe: PreparedStatement = conn.prepareStatement(
+            s"SELECT 1 FROM ${Identifiers.quote(table, cfg.quoteChar)} WHERE " +
+              keys.map(k => s"${Identifiers.quote(k, cfg.quoteChar)} = ?").mkString(" AND "))
+          def keyExists(row: Row): Boolean = {
+            keys.zipWithIndex.foreach { case (k, i) => probe.setObject(i + 1, row.getAs[Any](k)) }
+            val rs = probe.executeQuery()
+            try rs.next() finally rs.close()
+          }
 
           def flush(batch: Seq[Row]): Unit = if (batch.nonEmpty) {
             batch.foreach { row =>
@@ -176,12 +197,12 @@ object JdbcUpsertSink {
               upd.addBatch()
             }
             val counts = upd.executeBatch()
-            // SUCCESS_NO_INFO (-2) means "executed, count unknown" — the
-            // row was updated, so only a real 0 routes to the insert path
             var inserts = 0
             var i = 0
             while (i < counts.length) {
-              if (counts(i) == 0) {
+              val missing = counts(i) == 0 ||
+                (counts(i) == java.sql.Statement.SUCCESS_NO_INFO && !keyExists(batch(i)))
+              if (missing) {
                 val row = batch(i)
                 cols.zipWithIndex.foreach { case (c, j) => ins.setObject(j + 1, row.getAs[Any](c)) }
                 ins.addBatch()

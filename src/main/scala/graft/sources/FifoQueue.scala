@@ -69,17 +69,20 @@ final class FifoQueue(root: String,
         Fs.mkdirs(dir)
         val next = listSeqs(dir).lastOption.map(_ + 1).getOrElse(0L)
         // create-exclusive: a concurrent process that raced to the same
-        // seq throws here and retries one higher (local/HDFS atomic)
+        // seq throws here and retries one higher (local/HDFS atomic).
+        // Only an already-exists failure retries — any other IO error
+        // (disk full, permissions) must propagate, not busy-loop
         var seq = next
         var done = false
         while (!done) {
+          val p = new org.apache.hadoop.fs.Path(msgFile(group, seq))
           try {
-            val p = new org.apache.hadoop.fs.Path(msgFile(group, seq))
             val out = Fs.fs(dir).create(p, false)
             try out.write(body.getBytes("UTF-8")) finally out.close()
             done = true
           } catch {
-            case _: java.io.IOException => seq += 1
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => seq += 1
+            case e: java.io.IOException if Fs.fs(dir).exists(p) => seq += 1
           }
         }
         // marker AFTER the message lands: a crash between the two turns

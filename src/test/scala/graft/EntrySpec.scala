@@ -14,10 +14,11 @@ class EntrySpec extends AnyFunSuite {
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
     val rowsOnly = qs -- os
-    // rows-only set is intentional: approximate / probabilistic / stubbed ops
-    assert(rowsOnly == Set("t29_minhash_lsh", "t30_simhash", "t31_knn_ivf",
-      "t62_distinct_approx", "t45_embed_lsh", "t46_winnowing", "t48_multimodal",
-      "t49_knn_ivf_kmeans", "t50_bpe_tokens"), rowsOnly)
+    // rows-only set is intentional: ANN recall < 1 (t31/t49), HLL
+    // estimator internals (t62), 500-row token table whose deterministic
+    // merge table is hash-checked as t61 (t50)
+    assert(rowsOnly == Set("t31_knn_ivf", "t49_knn_ivf_kmeans",
+      "t50_bpe_tokens", "t62_distinct_approx"), rowsOnly)
   }
 
   test("all queries run at sf0.001 and return rows") {

@@ -108,4 +108,24 @@ class PlanSpec extends AnyFunSuite {
     assert(iv.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
       Set((1L, 10L), (2L, 20L)))
   }
+
+  test("interval rewrite fails fast with an actionable error past the bin cap") {
+    import graft.plans.{AsOfJoinNative, IntervalJoinRewrite}
+    AsOfJoinNative.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L)).toDF("id", "p").createOrReplaceTempView("pts_cap")
+    // a single interval spanning 10^9 domain units: with binWidth=1 that
+    // is 10^9 bins per row — the silent-OOM shape the cap must reject
+    Seq((10L, 0L, 1000000000L)).toDF("iid", "s", "e").createOrReplaceTempView("iv_cap")
+    spark.conf.set(IntervalJoinRewrite.BinWidthKey, "1")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT id, iid FROM pts_cap JOIN iv_cap ON p BETWEEN s AND e").collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("rangeJoin.binWidth")),
+        s"error should name the binWidth knob: ${messages(e).mkString(" | ")}")
+    } finally spark.conf.unset(IntervalJoinRewrite.BinWidthKey)
+  }
 }

@@ -80,6 +80,41 @@ class SinksSpec extends AnyFunSuite {
     assert(got == List((1L, "a"), (2L, "B"), (3L, "c"), (4L, "d")))
   }
 
+  test("upsert stays correct when the driver reports SUCCESS_NO_INFO for update batches") {
+    // MySQL with rewriteBatchedStatements returns -2 per batch element:
+    // "executed, count unknown" — NOT "a row matched". Without the key
+    // probe, new rows would be silently dropped (treated as updated) or
+    // existing rows double-inserted (treated as missing).
+    val db = Files.createTempDirectory("graft_derby_noinfo").toString + "/db"
+    val real = s"jdbc:derby:$db;create=true"
+    DriverManager.getConnection(real).close()
+    val c0 = DriverManager.getConnection(real)
+    c0.createStatement().execute(
+      "CREATE TABLE \"t\" (\"id\" BIGINT PRIMARY KEY, \"v\" VARCHAR(255))")
+    c0.close()
+    CountingJdbcDriver.ensureRegistered()
+    CountingJdbcDriver.reset()
+    val cfg = JdbcConfig(s"jdbc:counting:derby:$db", "", "", "db",
+      batchSize = 16, quoteChar = "\"")
+    JdbcUpsertSink.upsert((0L until 30L).map(i => (i, s"old$i")).toDF("id", "v").repartition(1),
+      "t", Seq("id"), cfg)
+
+    CountingJdbcDriver.maskUpdateCounts = true
+    val delta = ((0L until 30L).map(i => (i, s"new$i")) ++
+      (100L until 130L).map(i => (i, s"ins$i"))).toDF("id", "v").repartition(1)
+    JdbcUpsertSink.upsert(delta, "t", Seq("id"), cfg)
+    CountingJdbcDriver.maskUpdateCounts = false
+
+    val c2 = DriverManager.getConnection(real)
+    val rs = c2.createStatement().executeQuery(
+      "SELECT count(*), sum(CASE WHEN \"v\" LIKE 'new%' THEN 1 ELSE 0 END), " +
+        "sum(CASE WHEN \"v\" LIKE 'ins%' THEN 1 ELSE 0 END) FROM \"t\"")
+    rs.next()
+    // 60 rows total: all 30 updates applied, all 30 inserts landed
+    assert(rs.getLong(1) == 60L && rs.getLong(2) == 30L && rs.getLong(3) == 30L)
+    c2.close()
+  }
+
   test("JdbcUpsertSink batches BOTH paths: zero per-row executeUpdate round trips") {
     val db = Files.createTempDirectory("graft_derby_cnt").toString + "/db"
     val real = s"jdbc:derby:$db;create=true"
@@ -132,7 +167,11 @@ class SinksSpec extends AnyFunSuite {
 object CountingJdbcDriver {
   val executeUpdates = new java.util.concurrent.atomic.AtomicInteger
   val executeBatches = new java.util.concurrent.atomic.AtomicInteger
-  def reset(): Unit = { executeUpdates.set(0); executeBatches.set(0) }
+  // simulate drivers (MySQL rewriteBatchedStatements) that return
+  // SUCCESS_NO_INFO (-2) for every UPDATE batch element instead of
+  // exact counts — the regime where the sink must key-probe
+  @volatile var maskUpdateCounts = false
+  def reset(): Unit = { executeUpdates.set(0); executeBatches.set(0); maskUpdateCounts = false }
 
   @volatile private var registered = false
   def ensureRegistered(): Unit = synchronized {
@@ -160,12 +199,13 @@ class CountingJdbcDriver extends java.sql.Driver {
         override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
           val r = invokeTarget(c, m, args)
           if (m.getName == "prepareStatement" && r != null)
-            proxyPs(r.asInstanceOf[java.sql.PreparedStatement])
+            proxyPs(r.asInstanceOf[java.sql.PreparedStatement],
+              args(0).asInstanceOf[String])
           else r
         }
       }).asInstanceOf[java.sql.Connection]
 
-  private def proxyPs(ps: java.sql.PreparedStatement): java.sql.PreparedStatement =
+  private def proxyPs(ps: java.sql.PreparedStatement, sql: String): java.sql.PreparedStatement =
     Proxy.newProxyInstance(getClass.getClassLoader, Array[Class[_]](classOf[java.sql.PreparedStatement]),
       new InvocationHandler {
         override def invoke(p: AnyRef, m: Method, args: Array[AnyRef]): AnyRef = {
@@ -174,7 +214,11 @@ class CountingJdbcDriver extends java.sql.Driver {
             case "executeBatch"  => CountingJdbcDriver.executeBatches.incrementAndGet()
             case _               =>
           }
-          invokeTarget(ps, m, args)
+          val r = invokeTarget(ps, m, args)
+          if (m.getName == "executeBatch" && CountingJdbcDriver.maskUpdateCounts &&
+              sql.trim.toUpperCase.startsWith("UPDATE"))
+            Array.fill(r.asInstanceOf[Array[Int]].length)(java.sql.Statement.SUCCESS_NO_INFO)
+          else r
         }
       }).asInstanceOf[java.sql.PreparedStatement]
 
