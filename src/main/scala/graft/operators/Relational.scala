@@ -145,18 +145,38 @@ object Relational {
     * maps to one bin, and the join becomes an equi-join on bin followed
     * by the exact between filter. Complete (an overlapping interval
     * always covers the point's bin); cost O(|L| + |R|·avgBinsPerInterval)
-    * shuffled on bin. Pick `binWidth` ≈ typical interval length. */
+    * shuffled on bin. Pick `binWidth` ≈ typical interval length — an
+    * interval spanning more than `maxBinsPerInterval` bins fails fast
+    * with an actionable error instead of exploding toward an executor
+    * OOM (same valve as the `IntervalJoinRewrite` optimizer rule). */
   def rangeJoin(left: DataFrame, pointCol: String,
                 right: DataFrame, startCol: String, endCol: String,
-                binWidth: Long): DataFrame = {
+                binWidth: Long, maxBinsPerInterval: Long = 16384L): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val lBinned = left.withColumn("__bin", floor(col(pointCol).cast("long") / binWidth))
-    val rBinned = right.withColumn("__bin",
-      explode(sequence(
-        floor(col(startCol).cast("long") / binWidth),
-        floor(col(endCol).cast("long") / binWidth))))
+    // floor of the RAW value (not a long-truncating cast): trunc rounds
+    // toward zero, which both misbins fractional/negative points and —
+    // in the exact filter — manufactured false matches (5.9 BETWEEN
+    // [5.0, 5.1] after truncation); floor is monotone, so p ∈ [s, e] ⇒
+    // bin(p) ∈ [bin(s), bin(e)] holds for every numeric type
+    def binOf(c: Column): Column = floor(c / binWidth).cast("long")
+    val lBinned = left.withColumn("__bin", binOf(col(pointCol)))
+    val startBin = binOf(col(startCol))
+    val endBin = binOf(col(endCol))
+    val span = endBin - startBin
+    // null or reversed bounds: the interval matches nothing — emit a
+    // null sequence so the non-outer explode drops the row (raising
+    // would punish data that the join semantics already exclude);
+    // reversed bounds must NOT reach sequence(), whose default step -1
+    // would happily generate the huge descending ramp the cap exists
+    // to prevent
+    val guardedEnd = when(span.isNull || span < 0, lit(null).cast("long"))
+      .when(span < lit(maxBinsPerInterval), endBin)
+      .otherwise(raise_error(lit(
+        s"graft rangeJoin: interval spans more than $maxBinsPerInterval bins; " +
+          "raise binWidth toward the typical interval length")))
+    val rBinned = right.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
     lBinned.join(rBinned, Seq("__bin"))
-      .filter(col(pointCol).cast("long").between(col(startCol).cast("long"), col(endCol).cast("long")))
+      .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }
 

@@ -123,19 +123,28 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val maxBins = conf.getConfString(MaxBinsKey, "16384").toLong
     val startBin = binOf(start)
     val endBin = binOf(end)
-    // fail fast per-row if the interval spans more bins than the cap:
-    // RaiseError's message tells the user which knob to turn, instead of
-    // the executor OOM / opaque "Too long sequence" a mis-sized binWidth
-    // would otherwise produce deep inside the generated plan
-    val guardedEnd = If(
-      LessThanOrEqual(Subtract(endBin, startBin), Literal(maxBins)),
-      endBin,
-      new RaiseError(Literal("USER_RAISED_EXCEPTION"),
+    val span = Subtract(endBin, startBin)
+    // three-way guard, mirroring Relational.rangeJoin:
+    //   - null or reversed bounds match nothing: emit a null sequence so
+    //     the non-outer Generate drops the row (exactly what the
+    //     original BETWEEN join does with them — the rewrite must stay
+    //     transparent; and a reversed span must never reach Sequence,
+    //     whose default step -1 generates the huge descending ramp the
+    //     cap exists to prevent)
+    //   - span within the cap: real sequence
+    //   - wider: fail fast with the knob to turn, instead of the
+    //     executor OOM / opaque "Too long sequence" a mis-sized binWidth
+    //     would otherwise produce deep inside the generated plan
+    val guardedEnd = CaseWhen(
+      Seq(
+        (Or(IsNull(span), LessThan(span, Literal(0L))), Literal(null, LongType)),
+        (LessThan(span, Literal(maxBins)), endBin)),
+      Some(new RaiseError(Literal("USER_RAISED_EXCEPTION"),
         CreateMap(Seq(Literal("errorMessage"), Literal(
           s"graft rangeJoin: interval spans more than $maxBins bins; " +
             s"raise $BinWidthKey toward the typical interval length " +
             s"(or raise $MaxBinsKey)"))),
-        LongType))
+        LongType)))
     val seq = new Sequence(startBin, guardedEnd, None, Some(conf.sessionLocalTimeZone))
     val intervalBin = AttributeReference("__graft_bin", LongType, nullable = false)()
     val intervalGen = Generate(Explode(seq), Nil, outer = false, None, Seq(intervalBin), intervalPlan)

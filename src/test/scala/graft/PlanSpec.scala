@@ -109,6 +109,23 @@ class PlanSpec extends AnyFunSuite {
       Set((1L, 10L), (2L, 20L)))
   }
 
+  test("interval rewrite stays transparent for null and reversed bounds") {
+    import graft.plans.AsOfJoinNative
+    AsOfJoinNative.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 15L)).toDF("id", "p").createOrReplaceTempView("pts_nb")
+    Seq(
+      (10L, Some(0L), Some(10L)),  // matches p=5
+      (20L, None, Some(10L)),      // null start: BETWEEN is never true
+      (30L, Some(0L), None),       // null end: same
+      (40L, Some(1000000000L), Some(0L)) // reversed: never true, and must
+                                   // not feed Sequence a descending ramp
+    ).toDF("iid", "s", "e").createOrReplaceTempView("iv_nb")
+    val q = spark.sql("SELECT id, iid FROM pts_nb JOIN iv_nb ON p BETWEEN s AND e")
+    assert(q.queryExecution.optimizedPlan.toString.contains("explode")) // rewritten
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+  }
+
   test("interval rewrite fails fast with an actionable error past the bin cap") {
     import graft.plans.{AsOfJoinNative, IntervalJoinRewrite}
     AsOfJoinNative.register(spark)

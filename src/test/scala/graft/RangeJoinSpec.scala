@@ -25,6 +25,45 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(naive == Set((1L, 10L), (2L, 20L), (3L, 30L)))
   }
 
+  test("null and reversed bounds drop (match nothing) instead of raising; cap still fires") {
+    val points = Seq((1L, 5L), (2L, 15L)).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, Some(0L), Some(9L)),   // normal: matches pid 1
+      (20L, None, Some(9L)),       // null start: matches nothing, silently
+      (30L, Some(0L), None),       // null end: matches nothing, silently
+      (40L, Some(20L), Some(2L))   // reversed: matches nothing — and must
+                                   // NOT reach sequence() (desc ramp)
+    ).toDF("iid", "s", "e")
+    val got = Relational.rangeJoin(points, "ts", intervals, "s", "e", binWidth = 10L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+
+    // an interval genuinely wider than the cap raises an actionable error
+    val wide = Seq((50L, 0L, 1000000L)).toDF("iid", "s", "e")
+    val e = intercept[Exception] {
+      Relational.rangeJoin(points, "ts", wide, "s", "e", binWidth = 1L,
+        maxBinsPerInterval = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("binWidth")), messages(e).mkString(" | "))
+  }
+
+  test("fractional points and bounds: exact semantics, no long truncation") {
+    // 5.9 is NOT in [5.0, 5.1]; a trunc-to-long compare would say it is
+    val points = Seq((1L, 5.9), (2L, 5.05), (3L, -5.9)).toDF("pid", "ts")
+    val intervals = Seq(
+      (10L, 5.0, 5.1),    // contains 5.05 only
+      (20L, -6.0, -5.5)   // contains -5.9 only (floor-binning, not trunc)
+    ).toDF("iid", "s", "e")
+    val naive = points.join(intervals, $"ts".between($"s", $"e"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val binned = Relational.rangeJoin(points, "ts", intervals, "s", "e", binWidth = 1L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(binned == naive)
+    assert(naive == Set((2L, 10L), (3L, 20L)))
+  }
+
   test("binned range join plans as equi-join, not nested loop") {
     val points = Seq((1L, 5L)).toDF("pid", "ts")
     val intervals = Seq((10L, 0L, 9L)).toDF("iid", "s", "e")
