@@ -84,6 +84,14 @@ final class Engine(
     out.result()
   }
 
+  /** K7 — the Step-Functions analog: managed executions over the same
+    * load path (bounded retries, durable execution history, dead-letter
+    * + redrive). `drainQueue` above is the bare-queue path; this is the
+    * orchestrated one (reference second_lambda_function.py:135-150). */
+  def orchestrator(maxAttempts: Int = 3): graft.pipeline.Orchestrator =
+    new graft.pipeline.Orchestrator(graft.fs.Fs.child(warehouse, "_orchestrator"),
+      load(_), maxAttempts)
+
   /** Current curated contents of a table. */
   def table(name: String): DataFrame =
     ParquetMergeSink.readCurrent(spark, warehouse, name)

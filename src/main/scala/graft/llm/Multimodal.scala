@@ -157,6 +157,50 @@ object Multimodal {
     }
   }
 
+  /** Resize decodable images to fit within `maxW`×`maxH` (aspect ratio
+    * preserved, never upscaled) and re-encode as PNG, updating the
+    * width/height metadata to the decoded output dimensions.
+    * Partition-local like [[extractFeatures]] — the normalize step of an
+    * image-training pipeline, running where the bytes already are (no
+    * shuffle; one pass per partition). Non-image kinds and undecodable
+    * bytes pass through untouched, so the operator is total. */
+  def resizeImages(media: Dataset[MediaRecord], maxW: Int, maxH: Int): Dataset[MediaRecord] = {
+    import media.sparkSession.implicits._
+    require(maxW > 0 && maxH > 0, s"resize bounds must be positive: ${maxW}x$maxH")
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.kind != "image") r
+        else
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+            if (img == null) r
+            else {
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+              val nw = math.max(1, math.floor(img.getWidth * scale).toInt)
+              val nh = math.max(1, math.floor(img.getHeight * scale).toInt)
+              if (nw == img.getWidth && nh == img.getHeight)
+                r.copy(width = img.getWidth, height = img.getHeight)
+              else {
+                val out = new java.awt.image.BufferedImage(nw, nh,
+                  java.awt.image.BufferedImage.TYPE_INT_RGB)
+                val g = out.createGraphics()
+                try {
+                  g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+                    java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                  g.drawImage(img, 0, 0, nw, nh, null)
+                } finally g.dispose()
+                val bos = new java.io.ByteArrayOutputStream()
+                javax.imageio.ImageIO.write(out, "png", bos)
+                r.copy(bytes = bos.toByteArray, width = nw, height = nh)
+              }
+            }
+          } catch { case _: Exception => r }
+      }
+    }
+  }
+
   /** Deterministic frame sampling plumbing: pick `n` evenly-spaced byte
     * offsets as stand-ins for frame indices. Real impl: container
     * demuxing at the same offsets. */

@@ -53,6 +53,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!f(2).decoded && f(2).decoded_width == 0) // fallback stays total
   }
 
+  test("resizeImages: fit-within downscale, aspect preserved, pass-through for the rest") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, 0x808080)
+      val out = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "image", png(64, 48), 0, 0, 0L), // downscale
+      Multimodal.MediaRecord(2L, "image", png(16, 16), 0, 0, 0L), // already fits — no upscale
+      Multimodal.MediaRecord(3L, "image", "junk".getBytes("UTF-8"), 0, 0, 0L), // undecodable
+      Multimodal.MediaRecord(4L, "audio", "pcm".getBytes("UTF-8"), 7, 7, 0L)).toDS()
+    val r = Multimodal.resizeImages(ds, 32, 32).collect().sortBy(_.media_id)
+
+    assert((r(0).width, r(0).height) == (32, 24)) // 64×48 → ×0.5, aspect kept
+    val decoded = ImageIO.read(new java.io.ByteArrayInputStream(r(0).bytes))
+    assert(decoded.getWidth == 32 && decoded.getHeight == 24) // bytes really re-encoded
+    assert((r(1).width, r(1).height) == (16, 16) && r(1).bytes.sameElements(png(16, 16)))
+    assert(r(2).bytes.sameElements("junk".getBytes("UTF-8"))) // total: junk unchanged
+    assert(r(3).width == 7 && r(3).bytes.sameElements("pcm".getBytes("UTF-8")))
+  }
+
   test("real audio decode: duration and RMS loudness from WAV samples") {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     // 0.5 s of a full-scale 440 Hz sine at 8 kHz mono 16-bit → RMS ≈ 1/√2

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.infer.TypeInference
+import graft.model.{Identifiers, IngestEvent}
+
+/** Property-based coverage promised in SURVEY.md §5: idempotence of the
+  * intake/merge path, commutativity of the clean ops, upsert
+  * convergence — plus the pure parsing/inference lattice. Pure
+  * properties run the full default 100 cases; Spark-bound ones run a
+  * reduced case count (each case is a real local job). */
+class PurePropertySpec extends Properties("graft.pure") {
+
+  property("sanitize is idempotent and yields a safe SQL identifier") =
+    forAll { (s: String) =>
+      val once = Identifiers.sanitize(s)
+      Identifiers.sanitize(once) == once &&
+        once.nonEmpty && !once.head.isDigit &&
+        once.forall(c => c.isLetterOrDigit && c < 128 || c == '_')
+    }
+
+  property("quote doubles every embedded quote char") =
+    forAll { (s: String) =>
+      val q = Identifiers.quote(s)
+      q.head == '`' && q.last == '`' &&
+        q.substring(1, q.length - 1) == s.replace("`", "``")
+    }
+
+  private val tsFolder: Gen[String] = for {
+    y <- Gen.choose(2000, 2099); mo <- Gen.choose(1, 12); d <- Gen.choose(1, 28)
+    h <- Gen.choose(0, 23); mi <- Gen.choose(0, 59); se <- Gen.choose(0, 59)
+  } yield f"$y%04d$mo%02d$d%02d_$h%02d$mi%02d$se%02d"
+
+  property("versionOf preserves snapshot-folder lexical order (the gate's total order)") =
+    forAll(tsFolder, tsFolder) { (a, b) =>
+      (a.compareTo(b).sign) == IngestEvent.versionOf(a).compareTo(IngestEvent.versionOf(b)).sign
+    }
+
+  private val baseName: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+
+  property("tableOf strips one extension and any folder prefix") =
+    forAll(baseName, baseName, Gen.oneOf("csv", "parquet", "json")) { (dir, base, ext) =>
+      IngestEvent.tableOf(s"$dir/$base.$ext") == base &&
+        IngestEvent.tableOf(s"$base.$ext") == base
+    }
+
+  property("reference inference lattice: digits→LONG else parseable→DOUBLE else VARCHAR") =
+    forAll { (s: String) =>
+      import org.apache.spark.sql.types._
+      val t = TypeInference.referenceMode(Seq("c"), Seq(s)).head.dataType
+      val isDigits = s.nonEmpty && s.forall(_.isDigit)
+      val isDouble = try { s.trim.nonEmpty && { s.trim.toDouble; true } }
+                     catch { case _: NumberFormatException => false }
+      if (isDigits) t == LongType
+      else if (isDouble) t == DoubleType
+      else t == StringType
+    }
+
+  // FIFO queue: per-group delivery order == send order, for any
+  // interleaving of groups (the per-table serialization the reference
+  // gets from MessageGroupId). File IO per case → reduced count.
+  private val sends: Gen[List[(String, Int)]] =
+    Gen.listOfN(12, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 999)))
+
+  property("FIFO queue: per-group receive order equals send order") = Prop.forAllNoShrink(sends) { xs =>
+    val root = java.nio.file.Files.createTempDirectory("graft_prop_q").toString
+    val q = new graft.sources.FifoQueue(root)
+    xs.zipWithIndex.foreach { case ((g, body), i) => q.send(g, s"id$i", s"$g:$body:$i") }
+    Seq("a", "b", "c").forall { g =>
+      val got = Iterator.continually(q.receive(g)).takeWhile(_.isDefined)
+        .map { m => q.ack(m.get); m.get.body }.toList
+      got == xs.zipWithIndex.collect { case ((`g`, body), i) => s"$g:$body:$i" }
+    }
+  }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(60)
+}
+
+/** Spark-bound properties — each case runs local jobs, so the case
+  * count is small; the data shapes still vary enough to hit the
+  * null/duplicate/key-collision corners. */
+class SparkPropertySpec extends Properties("graft.spark") {
+  private lazy val spark = GraftSpark.spark
+
+  import graft.operators.{Relational, Sampling}
+
+  private def rowsDf(rows: List[(Int, Option[Int], String)]) = {
+    import spark.implicits._
+    rows.toDF("k", "v", "s")
+  }
+
+  private def bag(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  private val rowGen: Gen[(Int, Option[Int], String)] =
+    Gen.zip(Gen.choose(0, 6), Gen.option(Gen.choose(0, 3)), Gen.oneOf("x", "y", ""))
+
+  property("clean ops commute: dropNull∘distinct == distinct∘dropNull (as multisets)") =
+    forAll(Gen.listOfN(20, rowGen)) { rows =>
+      val df = rowsDf(rows)
+      bag(Relational.distinctRows(Relational.dropNullRows(df))) ==
+        bag(Relational.dropNullRows(Relational.distinctRows(df)))
+    }
+
+  // Sequential keyed merges converge to driver-side last-writer-wins —
+  // the D2 upsert semantics (and replaying the last delta is a no-op).
+  private val batchGen: Gen[List[(Int, Int)]] =
+    Gen.listOfN(8, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 99)))
+      .map(_.groupBy(_._1).map(_._2.last).toList) // unique keys per batch
+
+  property("mergeUpsert converges to last-writer-wins and is idempotent per delta") =
+    forAll(batchGen, batchGen, batchGen) { (b0, b1, b2) =>
+      import spark.implicits._
+      def df(b: List[(Int, Int)]) = b.toDF("k", "v")
+      val m1 = Relational.mergeUpsert(df(b0), df(b1), Seq("k"))
+      val m2 = Relational.mergeUpsert(m1, df(b2), Seq("k"))
+      val expected = (b0.toMap ++ b1.toMap ++ b2.toMap).toList.map { case (k, v) => s"$k|$v" }.sorted
+      val again = Relational.mergeUpsert(m2, df(b2), Seq("k"))
+      bag(m2) == expected && bag(again) == expected
+    }
+
+  property("hashSample membership is partitioning-independent") =
+    forAll(Gen.choose(1, 8), Gen.choose(0.1, 0.9)) { (parts, frac) =>
+      import spark.implicits._
+      val df = (0 until 200).toDF("k")
+      bag(Sampling.hashSample(df.repartition(parts), "k", frac)) ==
+        bag(Sampling.hashSample(df.coalesce(1), "k", frac))
+    }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(8)
+}
