@@ -119,4 +119,24 @@ private[graft] object LiteralOracles {
       ('video', 166, 46220, 61594816))
       AS t(kind, n, total_bytes, brightness_micro)
     ORDER BY kind"""
+
+  // 14 rows
+  val t65: String = """SELECT a_id, b_id, jac_ppm
+    FROM (VALUES
+      (8, 245, 987804),
+      (26, 455, 900000),
+      (45, 267, 974025),
+      (45, 413, 987012),
+      (61, 185, 982456),
+      (70, 447, 989130),
+      (92, 450, 958333),
+      (98, 290, 989130),
+      (120, 332, 971428),
+      (285, 301, 989130),
+      (295, 374, 966666),
+      (310, 389, 961538),
+      (393, 420, 987341),
+      (435, 486, 966666))
+      AS t(a_id, b_id, jac_ppm)
+    ORDER BY a_id, b_id"""
 }

@@ -731,6 +731,43 @@ object SparkEntry {
       .orderBy(col("rank"))
   }
 
+  private def t63Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // "benchmark" = a fixed slice of the corpus: every 50th doc stands
+    // in for an eval suite that leaked into the training data — the
+    // query flags the leaked docs themselves plus their near-dups
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    graft.llm.Decontaminate.overlapPairs(d, "doc_id", "text",
+        bench, "doc_id", "text", n = 8, minShared = 1)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  private def t64IncrementalExact(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // delta batch = re-keyed copies of the first 100 docs (same text,
+    // new ids) — every delta doc is an exact dup of its corpus original
+    val delta = d.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    Dedup.exactDeltaDups(delta, "doc_id", "text",
+        Dedup.fingerprintIndex(d, "doc_id", "text"))
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
+  private def t65IncrementalMinhash(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // corpus/delta split of the same table: the delta (every 5th doc)
+    // dedups against the persisted band index of the rest — per-batch
+    // cost ∝ |delta|, the corpus is probed, never self-joined
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    Dedup.minHashDeltaPairs(delta, corpus,
+        Dedup.minHashBandIndex(corpus, "doc_id", "text"),
+        "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.8)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 1e6).cast("long").as("jac_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   private def t29MinHashLsh(s: SparkSession, dir: String): DataFrame =
     // jaccard → ppm: the ratio itself is an exact int/int double, but an
     // integer column makes the literal oracle below bit-exact trivially
@@ -825,6 +862,9 @@ object SparkEntry {
     "t26_jaccard_pairs" -> t26JaccardPairs _,
     "t58_jaccard_clusters" -> t58JaccardClusters _,
     "t59_dedup_survivors" -> t59DedupSurvivors _,
+    "t63_decontaminate" -> t63Decontaminate _,
+    "t64_incremental_exact" -> t64IncrementalExact _,
+    "t65_incremental_minhash" -> t65IncrementalMinhash _,
     "t27_embed_near_dup" -> t27EmbedNearDup _,
     "t28_knn_brute" -> t28KnnBrute _,
     "t29_minhash_lsh" -> t29MinHashLsh _,
@@ -846,6 +886,11 @@ object SparkEntry {
     val stops = s"""len(list_filter($toks, tk -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk)))"""
     val shingles = s"""CASE WHEN len($toks) >= 3
         THEN list_distinct(list_transform(range(1, len($toks) - 1), i -> $toks[i] || ' ' || $toks[i+1] || ' ' || $toks[i+2]))
+        ELSE [array_to_string($toks, ' ')] END"""
+    // 8-gram twin of TextFunctions.shingleSet(_, 8) (decontamination
+    // n-grams): slice-based because 8 positional concats would be noise
+    val grams8 = s"""CASE WHEN len($toks) >= 8
+        THEN list_distinct(list_transform(range(1, len($toks) - 6), i -> array_to_string($toks[i:i+7], ' ')))
         ELSE [array_to_string($toks, ' ')] END"""
     // Bit-exact twin of VectorFunctions.cosine: double-cast elements,
     // sequential left-to-right accumulation (duckdb list_inner_product
@@ -1184,6 +1229,7 @@ object SparkEntry {
       "t45_embed_lsh" -> LiteralOracles.t45,
       "t46_winnowing" -> LiteralOracles.t46,
       "t48_multimodal" -> LiteralOracles.t48,
+      "t65_incremental_minhash" -> LiteralOracles.t65,
       "t33_sql_custom_fn" ->
         """SELECT vec_id,
           list_sum(list_transform(list_zip(embedding, embedding),
@@ -1265,6 +1311,18 @@ object SparkEntry {
           losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
           SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
           ORDER BY doc_id""",
+      "t63_decontaminate" ->
+        s"""WITH g AS (SELECT doc_id, unnest($grams8) AS gram FROM documents),
+          b AS (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0)
+          SELECT g.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+          FROM g JOIN b USING (gram)
+          GROUP BY g.doc_id, b.bench_id ORDER BY g.doc_id, b.bench_id""",
+      "t64_incremental_exact" ->
+        s"""WITH ci AS (SELECT doc_id AS corpus_id, md5($norm) AS fp FROM documents),
+          de AS (SELECT doc_id + 100000 AS delta_id, md5($norm) AS fp
+                 FROM documents WHERE doc_id < 100)
+          SELECT delta_id, corpus_id FROM de JOIN ci USING (fp)
+          ORDER BY delta_id, corpus_id""",
       "t27_embed_near_dup" ->
         s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
           CAST(floor(($cosine) * 1000000.0) AS BIGINT) AS cos_ppm

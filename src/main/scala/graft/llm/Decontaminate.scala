@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Benchmark decontamination: find (and scrub) training documents that
+  * share word n-grams with an evaluation/benchmark set — the standard
+  * defense against test-set leakage in LLM training corpora (n-gram
+  * overlap decontamination, e.g. GPT-3 §2.2 / PaLM app. — 8-to-13-gram
+  * matches flag a document as contaminated).
+  *
+  * Scale shape (the part that matters at 100 TB): the benchmark side is
+  * SMALL by construction (eval suites are thousands of documents, not
+  * billions), so its distinct n-grams are broadcast and the corpus side
+  * never shuffles — one codegen'd scan of the corpus: explode n-grams →
+  * broadcast-hash-join → partial-agg count per (doc, bench) pair. Cost
+  * is linear in corpus tokens with no wide exchange; there is no
+  * all-pairs anything.
+  *
+  * N-grams come from the same native shingle expression the dedup
+  * family uses ([[graft.functions.expr.WordShingles]] over normalized
+  * whitespace tokens, distinct per document; documents shorter than n
+  * tokens contribute their whole token sequence as one shingle), so
+  * "shared grams" has one definition engine-wide.
+  */
+object Decontaminate {
+
+  /** (doc, bench) pairs sharing at least `minShared` distinct n-grams,
+    * with the shared-gram count. Both id columns pass through under
+    * their own names (aliased to `doc_id` / `bench_id`). */
+  def overlapPairs(docs: DataFrame, docIdCol: String, docTextCol: String,
+                   bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                   n: Int = 8, minShared: Int = 1): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val docGrams = docs.select(col(docIdCol).as("doc_id"),
+      explode(TextFunctions.shingleSet(col(docTextCol), n)).as("gram"))
+    val benchGrams = bench.select(col(benchIdCol).as("bench_id"),
+      explode(TextFunctions.shingleSet(col(benchTextCol), n)).as("gram"))
+    // shingleSet is distinct per document on BOTH sides, so each join
+    // row is one distinct shared gram — count(1) == distinct overlap
+    docGrams.join(broadcast(benchGrams), Seq("gram"))
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .filter(col("n_shared_grams") >= minShared)
+  }
+
+  /** The clean corpus: documents NOT flagged against any benchmark doc
+    * (anti-join on the flagged id set — docs pass through untouched,
+    * original schema preserved). */
+  def scrub(docs: DataFrame, docIdCol: String, docTextCol: String,
+            bench: DataFrame, benchIdCol: String, benchTextCol: String,
+            n: Int = 8, minShared: Int = 1): DataFrame = {
+    val flagged = overlapPairs(docs, docIdCol, docTextCol,
+      bench, benchIdCol, benchTextCol, n, minShared)
+      .select(col("doc_id")).distinct()
+    docs.join(flagged, docs(docIdCol) === flagged("doc_id"), "left_anti")
+  }
+}

@@ -182,6 +182,38 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(1L, 4L, 9L))
   }
 
+  test("exactDeltaDups: delta matches against the corpus fingerprint index only") {
+    val index = Dedup.fingerprintIndex(corpus, "doc_id", "text")
+    val delta = Seq(
+      (100L, "The   QUICK brown fox jumps over the lazy dog near the river bank today"), // dup of 0 and 3
+      (101L, "a genuinely novel document no corpus entry matches")
+    ).toDF("doc_id", "text")
+    val dups = Dedup.exactDeltaDups(delta, "doc_id", "text", index)
+      .as[(Long, Long)].collect().toSet
+    assert(dups == Set((100L, 0L), (100L, 3L)))
+  }
+
+  test("minHashDeltaPairs equals the full self-join restricted to delta-touching pairs") {
+    val delta = corpus.filter(col("doc_id") % 2 === 0)      // 0, 2, 4
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)       // 1, 3
+    val index = Dedup.minHashBandIndex(rest, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+
+    val incremental = Dedup.minHashDeltaPairs(delta, rest, index, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val deltaIds = Set(0L, 2L, 4L)
+    val fullTouchingDelta = Dedup.minHashLshPairs(corpus, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+
+    assert(incremental == fullTouchingDelta)
+    assert(incremental.contains((0L, 1L)) && incremental.contains((0L, 3L)))
+    // corpus-internal pair (1,3) must NOT be produced by a delta run
+    assert(!incremental.contains((1L, 3L)))
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

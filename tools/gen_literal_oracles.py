@@ -21,6 +21,7 @@ QUERIES = {
     "t45_embed_lsh": (["a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t46_winnowing": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
     "t48_multimodal": (["kind", "n", "total_bytes", "brightness_micro"], "kind"),
+    "t65_incremental_minhash": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
 }
 
 con = duckdb.connect()
