@@ -1073,7 +1073,7 @@ object SparkEntry {
           GROUP BY o_orderkey ORDER BY o_orderkey""",
       "q60_sql_interval_join" ->
         """SELECT b.band_id, count(*) AS n_orders,
-          sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS sum_cents
+          CAST(sum(CAST(round(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
           FROM orders o
           JOIN (SELECT p_partkey AS band_id,
                        p_retailprice * 50.0 AS lo,

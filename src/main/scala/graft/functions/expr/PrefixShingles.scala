@@ -86,24 +86,32 @@ object PrefixShingles {
   // Re-use the broadcast across calls with an equal df-head (repeated
   // dedup jobs in one long-lived session — bench loops, cron drivers):
   // without this every call ships and retains a fresh multi-MB broadcast
-  // for the session's lifetime. Evicted entries are unpersisted (not
-  // destroyed) so any still-running query can refetch from the driver.
+  // for the session's lifetime. Keyed by the owning SparkContext too — a
+  // cached Broadcast bound to a stopped context (test suites restart
+  // sessions) would fail the query instead of re-broadcasting. Evicted
+  // entries are unpersisted (not destroyed) so any still-running query
+  // can refetch from the driver.
   private val bcCache = new java.util.LinkedHashMap[
-      Map[String, Long], org.apache.spark.broadcast.Broadcast[Map[String, Long]]](
+      (org.apache.spark.SparkContext, Map[String, Long]),
+      org.apache.spark.broadcast.Broadcast[Map[String, Long]]](
       8, 0.75f, true) {
     override def removeEldestEntry(
-        e: java.util.Map.Entry[Map[String, Long],
+        e: java.util.Map.Entry[(org.apache.spark.SparkContext, Map[String, Long]),
           org.apache.spark.broadcast.Broadcast[Map[String, Long]]]): Boolean =
-      if (size > 4) { e.getValue.unpersist(false); true } else false
+      if (size > 4 || e.getKey._1.isStopped) {
+        if (!e.getKey._1.isStopped) e.getValue.unpersist(false)
+        true
+      } else false
   }
 
   def apply(shingles: Column, threshold: Double, dfHead: Map[String, Long]): Column = {
+    val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = bcCache.synchronized {
-      val hit = bcCache.get(dfHead)
+      val hit = bcCache.get((sc, dfHead))
       if (hit != null) hit
       else {
-        val b = org.apache.spark.sql.SparkSession.active.sparkContext.broadcast(dfHead)
-        bcCache.put(dfHead, b)
+        val b = sc.broadcast(dfHead)
+        bcCache.put((sc, dfHead), b)
         b
       }
     }

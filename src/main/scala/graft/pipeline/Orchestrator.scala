@@ -45,8 +45,10 @@ final case class ExecutionRecord(
   * so a crash anywhere mid-execution redelivers after the visibility
   * timeout and the version gate makes replays of committed loads no-ops
   * (at-least-once intake, exactly-once effect). A crash between the
-  * FAILED record and the dead-letter send can duplicate the DLQ entry;
-  * the DLQ's content-dedup id (input path) absorbs it.
+  * FAILED record and the ack can duplicate the DLQ entry (the dedup id
+  * is per-execution, so the redelivered execution dead-letters again);
+  * the duplicate is tolerated as at-least-once — the extra redrive is a
+  * no-op under the version gate.
   *
   * Scale posture: pure control plane — state is one tiny file per
   * execution/message, never data rows; each drained message runs one
@@ -123,7 +125,11 @@ final class Orchestrator(
     // terminal record durable BEFORE the ack: a crash in between only
     // redelivers (extra execution), never loses history or the message
     writeRecord(rec)
-    if (rec.status == "FAILED") deadLetters.send(msg.group, s"dlq:${msg.body}", msg.body)
+    // dedup id is per-EXECUTION (not per-input): a content-keyed id would
+    // silently swallow the DLQ send when the same input fails again within
+    // the dedup window (e.g. a fast redrive), leaving the message in
+    // neither queue — breaking the redrive recovery path
+    if (rec.status == "FAILED") deadLetters.send(msg.group, s"dlq:$name", msg.body)
     intake.ack(msg)
     rec
   }

@@ -73,6 +73,24 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(orch.executions().map(_.status).sorted == Seq("FAILED", "SUCCEEDED", "SUCCEEDED"))
   }
 
+  test("input that fails again after redrive dead-letters again (no silent loss)") {
+    // regression: a content-keyed DLQ dedup id dropped the second
+    // dead-letter send inside the dedup window, acking the message into
+    // oblivion — neither queue held it and redrive() returned nothing
+    val orch = new Orchestrator(tmp("graft_orc_dlq2"),
+      _ => sys.error("still broken"), maxAttempts = 1)
+
+    assert(orch.submit("/in/20250101_000001/emp.csv"))
+    assert(orch.drain().map(_.status) == Seq("FAILED"))
+    assert(orch.deadLetterCount() == 1)
+
+    assert(orch.redrive() == Seq("/in/20250101_000001/emp.csv"))
+    assert(orch.drain().map(_.status) == Seq("FAILED"))
+    // second failure must land back in the DLQ, immediately redrivable
+    assert(orch.deadLetterCount() == 1)
+    assert(orch.redrive() == Seq("/in/20250101_000001/emp.csv"))
+  }
+
   test("engine integration: orchestrated load lands in the curated store with history") {
     val root = tmp("graft_orc_in")
     val p = Paths.get(root, "20250101_000001/emp.csv")
