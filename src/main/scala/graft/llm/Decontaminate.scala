@@ -13,11 +13,19 @@ import graft.functions.TextFunctions
   *
   * Scale shape (the part that matters at 100 TB): the benchmark side is
   * SMALL by construction (eval suites are thousands of documents, not
-  * billions), so its distinct n-grams are broadcast and the corpus side
-  * never shuffles — one codegen'd scan of the corpus: explode n-grams →
-  * broadcast-hash-join → partial-agg count per (doc, bench) pair. Cost
-  * is linear in corpus tokens with no wide exchange; there is no
-  * all-pairs anything.
+  * billions) — but its EXPLODED (bench_id, gram) rows are not: a
+  * realistic suite explodes to millions of rows, past any broadcast
+  * budget. So the corpus-side scan is prefiltered with a broadcast of
+  * only the DISTINCT gram strings (one deduped column — the smallest
+  * object that decides membership), as a semi-join: one codegen'd pass
+  * over the corpus grams, no corpus shuffle. The survivors — corpus
+  * grams that actually occur in the benchmark, typically a vanishing
+  * fraction — then join the exploded bench rows for per-(doc, bench)
+  * counting; that join is left to Catalyst and is free to shuffle,
+  * because both of its inputs are small relative to the corpus. Cost is
+  * linear in corpus tokens with no wide exchange of the corpus; there
+  * is no all-pairs anything, and nothing forces the exploded bench
+  * rows into a broadcast.
   *
   * N-grams come from the same native shingle expression the dedup
   * family uses ([[graft.functions.expr.WordShingles]] over normalized
@@ -39,9 +47,19 @@ object Decontaminate {
       explode(TextFunctions.shingleSet(col(docTextCol), n)).as("gram"))
     val benchGrams = bench.select(col(benchIdCol).as("bench_id"),
       explode(TextFunctions.shingleSet(col(benchTextCol), n)).as("gram"))
+    // Stage 1 — membership prefilter: broadcast only the deduped gram
+    // strings (not the exploded (bench_id, gram) rows, which can be
+    // orders of magnitude larger). Semi-join keeps corpus grams that
+    // occur anywhere in the benchmark; the corpus never shuffles here.
+    val benchGramSet = benchGrams.select(col("gram")).distinct()
+    val survivors = docGrams.join(broadcast(benchGramSet), Seq("gram"), "left_semi")
+    // Stage 2 — attribution: join the (tiny) survivor set against the
+    // exploded bench rows to recover WHICH bench doc each gram came
+    // from. No broadcast is forced — Catalyst may shuffle both sides,
+    // which is fine: both are bench-suite-sized, not corpus-sized.
     // shingleSet is distinct per document on BOTH sides, so each join
     // row is one distinct shared gram — count(1) == distinct overlap
-    docGrams.join(broadcast(benchGrams), Seq("gram"))
+    survivors.join(benchGrams, Seq("gram"))
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("n_shared_grams"))
       .filter(col("n_shared_grams") >= minShared)

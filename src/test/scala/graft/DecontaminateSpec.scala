@@ -47,9 +47,58 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(clean.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
-  test("bench side is broadcast — the corpus never shuffles for the join") {
-    val plan = Decontaminate.overlapPairs(docs, "doc_id", "text",
-      bench, "bench_id", "text", n = 8).queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join, got:\n$plan")
+  test("only the DISTINCT gram set is broadcast — never the exploded bench rows") {
+    // Simulate exploded bench grams exceeding any broadcast budget:
+    // threshold -1 disables every AUTOMATIC broadcast, so whatever
+    // broadcast survives is one the operator explicitly forced. AQE off
+    // so the executed plan is inspectable without running the query.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Decontaminate.overlapPairs(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 8).queryExecution.executedPlan
+      val broadcastOutputs = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.output.map(_.name)
+      }
+      // exactly one broadcast: the deduped single-column gram set
+      assert(broadcastOutputs == Seq(Seq("gram")),
+        s"expected one gram-only broadcast, got $broadcastOutputs in:\n$plan")
+      // the (doc, bench) attribution join is a shuffle join, and the
+      // prefilter reaches the corpus side as a semi-join
+      val s = plan.toString
+      assert(s.contains("LeftSemi"), s)
+      assert(s.contains("SortMergeJoin") || s.contains("ShuffledHashJoin"), s)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("two-stage plan matches a single brute-force gram join on a wide bench") {
+    import org.apache.spark.sql.functions._
+    // a bench big enough that its exploded grams dwarf its doc count:
+    // 120 docs x 40 tokens => ~4k exploded 8-gram rows from 3 base docs
+    val wideBench = spark.range(120).select(
+      (col("id") + 100L).as("bench_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), ((col("id") % 3) * 40 + i).cast("string"))): _*).as("text"))
+    val corpus = spark.range(30).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), ((col("id") % 5) * 40 + i).cast("string"))): _*).as("text"))
+    val got = Decontaminate.overlapPairs(corpus, "doc_id", "text",
+        wideBench, "bench_id", "text", n = 8, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: plain exploded join, no prefilter
+    val g = corpus.select(col("doc_id"),
+      explode(graft.functions.TextFunctions.shingleSet(col("text"), 8)).as("gram"))
+    val b = wideBench.select(col("bench_id"),
+      explode(graft.functions.TextFunctions.shingleSet(col("text"), 8)).as("gram"))
+    val want = g.join(b, "gram").groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n")).as[(Long, Long, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
   }
 }
