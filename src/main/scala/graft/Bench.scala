@@ -26,15 +26,26 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
 
+    // Median-of-N per query: NOTES_r1.md documents host stalls spiking
+    // individual shuffle-heavy queries 5-10x on a single run; a median
+    // cannot be produced by one stall, so phantom spikes stop
+    // masquerading as regressions. Per-run times stay in the JSON.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val runs = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (name, runs.sorted.apply(reps / 2), runs)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
+      .mkString("{", ",", "}")
+    val rs = results.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

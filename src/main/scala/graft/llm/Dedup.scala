@@ -261,7 +261,7 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       graft.functions.expr.SimHash64(tokens(normalizeText(col(textCol)))).as("sig"))
 
-  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 6).
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 7).
     *
     * The scale structure is DISTINCT-SIGNATURE candidate generation +
     * output-bound expansion — the fix for the measured quadratic

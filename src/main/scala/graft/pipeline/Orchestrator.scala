@@ -66,7 +66,14 @@ final class Orchestrator(
     // plug exponential backoff here (Step Functions IntervalSeconds/
     // BackoffRate analog)
     retryDelayMs: Int => Long = _ => 0L,
-    sleep: Long => Unit = ms => if (ms > 0) Thread.sleep(ms)) {
+    sleep: Long => Unit = ms => if (ms > 0) Thread.sleep(ms),
+    // fault-injection point for the documented at-least-once window:
+    // invoked AFTER the terminal record (and any DLQ send) is durable,
+    // BEFORE the intake ack. A test that throws here models a crash in
+    // that window (record + DLQ entry persisted, message redelivered
+    // after the visibility timeout → duplicate history/DLQ rows, whose
+    // replays the version gate must absorb).
+    onRecordPersisted: ExecutionRecord => Unit = _ => ()) {
 
   private val intake = new FifoQueue(Fs.child(root, "queue"),
     visibilityTimeoutMs = visibilityTimeoutMs, clock = clock)
@@ -95,6 +102,13 @@ final class Orchestrator(
       out += execute(msg.get)
       msg = intake.receiveAny()
     }
+    // opportunistic hygiene: expired dedup markers accumulate one tiny
+    // file per distinct dedup id (intake) / per FAILED execution (dlq);
+    // under repeated failures the dlq marker dir otherwise grows
+    // without bound. Safe mid-flight: prune only drops markers older
+    // than the window, which by definition no longer suppress sends.
+    intake.pruneDedup()
+    deadLetters.pruneDedup()
     out.result()
   }
 
@@ -130,6 +144,7 @@ final class Orchestrator(
     // the dedup window (e.g. a fast redrive), leaving the message in
     // neither queue — breaking the redrive recovery path
     if (rec.status == "FAILED") deadLetters.send(msg.group, s"dlq:$name", msg.body)
+    onRecordPersisted(rec)
     intake.ack(msg)
     rec
   }

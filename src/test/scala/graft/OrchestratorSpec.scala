@@ -91,6 +91,80 @@ class OrchestratorSpec extends AnyFunSuite {
     assert(orch.redrive() == Seq("/in/20250101_000001/emp.csv"))
   }
 
+  test("crash between FAILED record/DLQ send and ack: redelivery duplicates, version gate absorbs") {
+    // The documented at-least-once window (Orchestrator scaladoc): the
+    // terminal record and DLQ entry are durable but the intake ack never
+    // happens. The message MUST redeliver after the visibility timeout,
+    // the DLQ MAY hold duplicates, and the duplicate redrive MUST be a
+    // no-op under the version gate (exactly-once effect).
+    var now = 0L
+    var crash = true
+    var broken = true
+    val applied = collection.mutable.ArrayBuffer.empty[String]
+    var committedVersion = 0L
+    val input = "/in/20250101_000001/emp.csv"
+    val orch = new Orchestrator(tmp("graft_orc_crash"),
+      load = p => {
+        if (broken) sys.error("schema mismatch")
+        val v = 20250101000001L // version gate: strictly-greater commits
+        if (v <= committedVersion) LoadReport("emp", v, processed = false)
+        else { committedVersion = v; applied += p; LoadReport("emp", v, processed = true) }
+      },
+      maxAttempts = 1,
+      visibilityTimeoutMs = 60000L,
+      clock = () => now,
+      onRecordPersisted = _ => if (crash) sys.error("crash before ack"))
+
+    assert(orch.submit(input))
+    intercept[RuntimeException](orch.drain()) // the crash
+
+    // record + DLQ entry survived the crash; the message was never acked
+    assert(orch.executions().map(_.status) == Seq("FAILED"))
+    assert(orch.deadLetterCount() == 1)
+    crash = false
+    // before the visibility timeout the in-flight message is invisible
+    assert(orch.drain().isEmpty)
+
+    // past the timeout it redelivers: a SECOND FAILED execution and a
+    // DUPLICATE DLQ entry (dedup id is per-execution) — at-least-once
+    now += 60001L
+    assert(orch.drain().map(_.status) == Seq("FAILED"))
+    assert(orch.executions().map(_.status) == Seq("FAILED", "FAILED"))
+    assert(orch.deadLetterCount() == 2)
+
+    // operator fixes the cause; BOTH dlq copies redrive, the duplicate
+    // run is a version-gate no-op: the load effect applies exactly once
+    broken = false
+    assert(orch.redrive() == Seq(input, input))
+    val recs = orch.drain()
+    assert(recs.map(_.status) == Seq("SUCCEEDED", "SUCCEEDED"))
+    assert(applied == Seq(input)) // exactly-once effect
+  }
+
+  test("drain prunes expired dedup markers on intake and dlq (no unbounded growth)") {
+    var now = 0L
+    val root = tmp("graft_orc_prune")
+    val orch = new Orchestrator(root, _ => sys.error("always fails"),
+      maxAttempts = 1, clock = () => now)
+    def markers(q: String): Long = {
+      val d = Paths.get(root, q, "dedup")
+      if (!Files.isDirectory(d)) 0L
+      else Files.list(d) // exclude Hadoop .crc sidecars
+        .filter(p => !p.getFileName.toString.startsWith(".")).count()
+    }
+
+    assert(orch.submit("/in/20250101_000001/emp.csv"))
+    assert(orch.drain().map(_.status) == Seq("FAILED"))
+    assert(markers("queue") == 1 && markers("dlq") == 1)
+
+    // past the dedup window (default 5 min), the next drain sweeps both
+    now += 5 * 60 * 1000L + 1
+    assert(orch.submit("/in/20250102_000001/emp.csv"))
+    orch.drain()
+    // the old markers are gone; only the fresh ones (this submit/fail) remain
+    assert(markers("queue") == 1 && markers("dlq") == 1)
+  }
+
   test("engine integration: orchestrated load lands in the curated store with history") {
     val root = tmp("graft_orc_in")
     val p = Paths.get(root, "20250101_000001/emp.csv")
