@@ -674,15 +674,26 @@ object SparkEntry {
       .orderBy(col("kind"))
   }
 
+  /** k-means-IVF ANN graded against brute force: per query, how many of
+    * the true top-10 the index recovered (recall@10, floor 0.5). The
+    * output is integer counts — deterministic because centroids
+    * accumulate in decimal (partition-order-independent) and every tie
+    * breaks on ids — so the driver hash-checks ANN *quality*, not just
+    * row counts (r5 verdict #3). The raw top-k lists stay covered by
+    * SimilaritySpec. */
   private def t49KnnIvfKmeans(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 10, nCells = 16, nprobe = 4, iters = 2)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"),
-        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
-      .orderBy(col("query_id"), col("rank"))
+    val q = e.filter(col("vec_id") < 20)
+    val ann = Similarity.ivfKmeansTopK(e, q, "vec_id", "embedding",
+      k = 10, nCells = 16, nprobe = 4, iters = 2)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
   }
 
+  /** Per-doc BPE token counts under the learned merge table (which is
+    * itself hash-checked as t61). Deterministic — training ties break
+    * lexicographically, encoding is a pure function of (text, merges) —
+    * so the full 500-row table literal-oracle-checks. */
   private def t50BpeTokens(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
     val merges = graft.llm.Bpe.train(docs, "text", numMerges = 24)
@@ -701,8 +712,10 @@ object SparkEntry {
       .orderBy(col("split"), col("lang"))
 
   // t44 split (r2 verdict): the exact half is hash-checked against the
-  // oracle; the HLL half lives in t62 (rows-only — estimator internals
-  // aren't reproducible across engines).
+  // DuckDB oracle; the HLL half lives in t62, hash-checked against a
+  // literal oracle (HLL registers merge by max — order-independent —
+  // so the estimate is a deterministic function of the data, just not
+  // one another engine's sketch reproduces).
   private def t44DistinctExact(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -784,12 +797,15 @@ object SparkEntry {
     Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** IVF ANN graded against brute force — same recall contract as
+    * [[t49KnnIvfKmeans]], over the deterministic lowest-id-centroid
+    * index. */
   private def t31KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Similarity.ivfTopK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        k = 10, nCells = 16, nprobe = 4)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("neighbor_id"), col("cos_sim"))
-      .orderBy(col("query_id"), col("rank"))
+    val q = e.filter(col("vec_id") < 20)
+    val ann = Similarity.ivfTopK(e, q, "vec_id", "embedding", k = 10, nCells = 16, nprobe = 4)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
   }
 
   private def t32TextAnalyze(s: SparkSession, dir: String): DataFrame =
@@ -874,8 +890,11 @@ object SparkEntry {
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
-    * t29/t30/t31 are approximate (LSH banding / IVF probing) — not
-    * SQL-expressible, so omitted → rows-only check. */
+    * Queries whose logic SQL cannot re-derive (native hashes, sketches,
+    * ANN recall, learned BPE) check against [[LiteralOracles]] —
+    * machine-generated expected rows from an sf0.01 run, valid because
+    * each output is a deterministic partitioning-independent
+    * integer-valued function of the fixed test data. */
   def oracleSql: Map[String, String] = {
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
     val toks = s"string_split($norm, ' ')"
@@ -1226,9 +1245,13 @@ object SparkEntry {
       // from rows-only to full hash-checked signal
       "t29_minhash_lsh" -> LiteralOracles.t29,
       "t30_simhash" -> LiteralOracles.t30,
+      "t31_knn_ivf" -> LiteralOracles.t31,
       "t45_embed_lsh" -> LiteralOracles.t45,
       "t46_winnowing" -> LiteralOracles.t46,
       "t48_multimodal" -> LiteralOracles.t48,
+      "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
+      "t50_bpe_tokens" -> LiteralOracles.t50,
+      "t62_distinct_approx" -> LiteralOracles.t62,
       "t65_incremental_minhash" -> LiteralOracles.t65,
       "t33_sql_custom_fn" ->
         """SELECT vec_id,

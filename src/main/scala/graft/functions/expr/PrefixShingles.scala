@@ -98,15 +98,36 @@ object PrefixShingles {
     override def removeEldestEntry(
         e: java.util.Map.Entry[(org.apache.spark.SparkContext, Map[String, Long]),
           org.apache.spark.broadcast.Broadcast[Map[String, Long]]]): Boolean =
-      if (size > 4 || e.getKey._1.isStopped) {
-        if (!e.getKey._1.isStopped) e.getValue.unpersist(false)
+      if (size > 4 || stoppedProbe(e.getKey._1)) {
+        if (!stoppedProbe(e.getKey._1)) e.getValue.unpersist(false)
         true
       } else false
   }
 
+  // Test seam: suites can't stop the shared SparkContext, so the sweep
+  // predicate is injectable. Production value: SparkContext.isStopped.
+  private[graft] var stoppedProbe: org.apache.spark.SparkContext => Boolean = _.isStopped
+
+  /** Drop every cache entry bound to a stopped context. The LRU
+    * `removeEldestEntry` hook only ever inspects the eldest entry, so a
+    * stopped-context entry that isn't eldest could otherwise linger for
+    * the JVM's lifetime, pinning its multi-MB map on the driver. Called
+    * on every [[apply]] (the monitor is reentrant). */
+  private[graft] def sweepStopped(): Int = bcCache.synchronized {
+    var removed = 0
+    val it = bcCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (stoppedProbe(it.next().getKey._1)) { it.remove(); removed += 1 }
+    }
+    removed
+  }
+
+  private[graft] def cacheSize: Int = bcCache.synchronized(bcCache.size)
+
   def apply(shingles: Column, threshold: Double, dfHead: Map[String, Long]): Column = {
     val sc = org.apache.spark.sql.SparkSession.active.sparkContext
     val bc = bcCache.synchronized {
+      sweepStopped()
       val hit = bcCache.get((sc, dfHead))
       if (hit != null) hit
       else {

@@ -15,17 +15,25 @@ import graft.functions.TextFunctions
   * SMALL by construction (eval suites are thousands of documents, not
   * billions) — but its EXPLODED (bench_id, gram) rows are not: a
   * realistic suite explodes to millions of rows, past any broadcast
-  * budget. So the corpus-side scan is prefiltered with a broadcast of
-  * only the DISTINCT gram strings (one deduped column — the smallest
-  * object that decides membership), as a semi-join: one codegen'd pass
-  * over the corpus grams, no corpus shuffle. The survivors — corpus
-  * grams that actually occur in the benchmark, typically a vanishing
-  * fraction — then join the exploded bench rows for per-(doc, bench)
-  * counting; that join is left to Catalyst and is free to shuffle,
-  * because both of its inputs are small relative to the corpus. Cost is
-  * linear in corpus tokens with no wide exchange of the corpus; there
-  * is no all-pairs anything, and nothing forces the exploded bench
-  * rows into a broadcast.
+  * budget. So the corpus-side scan is prefiltered with only the
+  * DISTINCT gram strings (one deduped column — the smallest object that
+  * decides membership): one codegen'd pass over the corpus grams, no
+  * corpus shuffle. The prefilter itself is size-guarded by a cheap
+  * bench-side probe (count + summed gram length), because a forced
+  * `broadcast()` hint bypasses `autoBroadcastJoinThreshold` entirely
+  * and a pathological suite could still blow the driver: under the
+  * budget the gram set broadcasts verbatim as a semi-join; over it the
+  * prefilter degrades to a broadcast BLOOM FILTER of the gram set
+  * (~1.2 MB per million grams at 1% fpp vs the strings themselves),
+  * whose false positives are scrubbed by the stage-2 inner join — the
+  * corpus still never shuffles, at any bench size. The survivors —
+  * corpus grams that actually occur in the benchmark, typically a
+  * vanishing fraction — then join the exploded bench rows for
+  * per-(doc, bench) counting; that join is left to Catalyst and is
+  * free to shuffle, because both of its inputs are small relative to
+  * the corpus. Cost is linear in corpus tokens with no wide exchange
+  * of the corpus; there is no all-pairs anything, and nothing forces
+  * the exploded bench rows into a broadcast.
   *
   * N-grams come from the same native shingle expression the dedup
   * family uses ([[graft.functions.expr.WordShingles]] over normalized
@@ -35,24 +43,57 @@ import graft.functions.TextFunctions
   */
 object Decontaminate {
 
+  /** Default in-memory budget for broadcasting the distinct gram set
+    * verbatim; above it the prefilter switches to a bloom filter. Far
+    * under Spark's 8 GB broadcast hard cap — the gram set is held on
+    * the driver AND every executor, so conservative is right. */
+  val DefaultGramBroadcastBudget: Long = 256L << 20
+
   /** (doc, bench) pairs sharing at least `minShared` distinct n-grams,
     * with the shared-gram count. Both id columns pass through under
-    * their own names (aliased to `doc_id` / `bench_id`). */
+    * their own names (aliased to `doc_id` / `bench_id`).
+    *
+    * Note: unlike most operators here this one runs a small eager
+    * action at build time (the bench-side size probe, plus the bloom
+    * build when over budget) — both touch only the bench side, never
+    * the corpus. */
   def overlapPairs(docs: DataFrame, docIdCol: String, docTextCol: String,
                    bench: DataFrame, benchIdCol: String, benchTextCol: String,
-                   n: Int = 8, minShared: Int = 1): DataFrame = {
+                   n: Int = 8, minShared: Int = 1,
+                   gramBroadcastBudget: Long = DefaultGramBroadcastBudget): DataFrame = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     val docGrams = docs.select(col(docIdCol).as("doc_id"),
       explode(TextFunctions.shingleSet(col(docTextCol), n)).as("gram"))
     val benchGrams = bench.select(col(benchIdCol).as("bench_id"),
       explode(TextFunctions.shingleSet(col(benchTextCol), n)).as("gram"))
-    // Stage 1 — membership prefilter: broadcast only the deduped gram
-    // strings (not the exploded (bench_id, gram) rows, which can be
-    // orders of magnitude larger). Semi-join keeps corpus grams that
-    // occur anywhere in the benchmark; the corpus never shuffles here.
+    // Stage 1 — membership prefilter over only the deduped gram strings
+    // (not the exploded (bench_id, gram) rows, which can be orders of
+    // magnitude larger). Either form keeps exactly the corpus grams
+    // that might occur in the benchmark; the corpus never shuffles.
     val benchGramSet = benchGrams.select(col("gram")).distinct()
-    val survivors = docGrams.join(broadcast(benchGramSet), Seq("gram"), "left_semi")
+    // Size probe: estimated in-memory footprint of the broadcast map
+    // (UTF-16 payload + ~48 B object/entry overhead). One cheap
+    // bench-side aggregate — the bench is small relative to the corpus
+    // by construction, so the extra job is noise.
+    val probe = benchGramSet
+      .agg(count(lit(1)), coalesce(sum(length(col("gram"))), lit(0L))).head()
+    val nGrams = probe.getLong(0)
+    val estBytes = probe.getLong(1) * 2L + nGrams * 48L
+    val survivors =
+      if (nGrams == 0L || estBytes <= gramBroadcastBudget)
+        docGrams.join(broadcast(benchGramSet), Seq("gram"), "left_semi")
+      else {
+        // Over budget: broadcast a bloom filter of the gram set instead
+        // of the strings (orders of magnitude smaller). Its false
+        // positives survive this filter but are dropped by the stage-2
+        // inner join below (a gram not in the bench matches no bench
+        // row), so results are identical — only the prefilter's
+        // selectivity degrades, by fpp.
+        val bf = benchGramSet.stat.bloomFilter("gram", nGrams, 0.01)
+        val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+        docGrams.filter(graft.functions.expr.BloomMightContain(col("gram"), bfBc))
+      }
     // Stage 2 — attribution: join the (tiny) survivor set against the
     // exploded bench rows to recover WHICH bench doc each gram came
     // from. No broadcast is forced — Catalyst may shuffle both sides,
@@ -70,9 +111,10 @@ object Decontaminate {
     * original schema preserved). */
   def scrub(docs: DataFrame, docIdCol: String, docTextCol: String,
             bench: DataFrame, benchIdCol: String, benchTextCol: String,
-            n: Int = 8, minShared: Int = 1): DataFrame = {
+            n: Int = 8, minShared: Int = 1,
+            gramBroadcastBudget: Long = DefaultGramBroadcastBudget): DataFrame = {
     val flagged = overlapPairs(docs, docIdCol, docTextCol,
-      bench, benchIdCol, benchTextCol, n, minShared)
+      bench, benchIdCol, benchTextCol, n, minShared, gramBroadcastBudget)
       .select(col("doc_id")).distinct()
     docs.join(flagged, docs(docIdCol) === flagged("doc_id"), "left_anti")
   }

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * Images decode for REAL via `javax.imageio` (JPEG/PNG/BMP/GIF ship in
   * the JDK): true width/height and mean luminance from the decoded
   * pixels. Audio decodes for real via `javax.sound.sampled` (WAV/AIFF/AU
-  * in the JRE): duration and RMS loudness from the PCM samples. Bytes
-  * that aren't decodable — and the video kind, the one codec family the
-  * JDK does not ship — fall back to the deterministic byte-derived
-  * features, so the operator is total and the synthetic-media oracle
-  * query stays reproducible. Everything around the decode — schema,
-  * batching, partition shape, null handling — is shared by all paths
-  * (a video codec call drops into the same `mapPartitions` seam).
+  * in the JRE): duration and RMS loudness from the PCM samples. Video
+  * CONTAINER metadata decodes for real via a pure-JVM ISO-BMFF box walk
+  * ([[IsoBmff]] — MP4/MOV/3GP duration + display dimensions); only the
+  * pixel stream itself stays undecoded (the JDK ships no video codec),
+  * so video brightness keeps the byte-derived value. Bytes no path can
+  * decode fall back to the deterministic byte-derived features, so the
+  * operator is total and the synthetic-media oracle query stays
+  * reproducible. Everything around the decode — schema, batching,
+  * partition shape, null handling — is shared by all paths (a real
+  * codec call drops into the same `mapPartitions` seam).
   */
 object Multimodal {
 
@@ -109,6 +112,24 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Video metadata decode: minimal pure-JVM ISO-BMFF (MP4/MOV/3GP)
+    * box walk — no JDK video codec exists, but the CONTAINER header is
+    * plain big-endian struct parsing (ISO/IEC 14496-12 §8.2.2 mvhd,
+    * §8.3.2 tkhd). Yields the presentation duration
+    * (mvhd duration/timescale) and the first track's fixed-point 16.16
+    * display dimensions. Pixel data stays undecoded (no codec), so
+    * brightness keeps the deterministic byte-derived value; None when
+    * the bytes aren't an ISO-BMFF container (then the byte-feature
+    * fallback applies, keeping the operator total). */
+  private def mp4Decode(r: MediaRecord, frameCount: Int): Option[MediaFeatures] =
+    IsoBmff.parse(r.bytes).map { meta =>
+      fakeDecode(r, frameCount).copy(
+        decoded_duration_ms = meta.durationMs,
+        decoded_width = meta.width,
+        decoded_height = meta.height,
+        decoded = true)
+    }
+
   /** Real image decode (JDK `javax.imageio`): true dimensions + mean
     * luminance (R+G+B)/3 over all pixels, normalized to [0, 1]. Returns
     * None when the bytes aren't a decodable image. */
@@ -151,7 +172,8 @@ object Multimodal {
         r.kind match {
           case "image" => imageIoDecode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
           case "audio" => audioDecode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
-          case _       => fakeDecode(r, frameCount) // video: no JDK codec
+          case "video" => mp4Decode(r, frameCount).getOrElse(fakeDecode(r, frameCount))
+          case _       => fakeDecode(r, frameCount)
         }
       }
     }

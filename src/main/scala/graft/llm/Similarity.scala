@@ -41,7 +41,14 @@ object Similarity {
     * pseudo-random spread), `iters` rounds of assign + element-wise
     * mean. Each round is one broadcast (k·dim doubles) + one narrow
     * scan + one groupBy(cell, dim) shuffle of k·dim partials — nothing
-    * driver-side except the tiny centroid matrix. */
+    * driver-side except the tiny centroid matrix.
+    *
+    * Means accumulate as DECIMAL, not double: decimal addition is
+    * exact, so the per-cell sum — and therefore the centroids, the
+    * assignments, and every downstream top-k — is independent of
+    * partition count and merge order. A double `avg` drifts by an ulp
+    * per re-partitioning, which can flip a borderline cell assignment
+    * and make the whole index non-reproducible across cluster sizes. */
   def kMeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iters: Int = 5): Array[(Int, Array[Double])] = {
     import corpus.sparkSession.implicits._
@@ -59,8 +66,11 @@ object Similarity {
       val assigned = assignCells(dv, centroids)
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        // decimal(38,20): embeddings are unit-scale floats, so 18
+        // integer digits absorb ~1e18 rows per cell before overflow
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("x")).as("m"))
+        .agg((sum(col("x").cast("decimal(38,20)")).cast("double")
+          / count(lit(1))).as("m"))
         .as[(Int, Int, Double)].collect()
       val next = means.groupBy(_._1).map { case (cell, xs) =>
         val dim = xs.map(_._2).max + 1
@@ -111,6 +121,26 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
+  }
+
+  /** Recall of an ANN result against the exact brute-force answer over
+    * the same queries: per query, the fraction of true top-k neighbors
+    * the ANN result found. Both inputs use the (query_id, neighbor_id)
+    * shape [[bruteTopK]]/[[ivfTopK]]/[[ivfKmeansTopK]] emit. Output is
+    * integer-valued (counts + floor'd ppm) so it is bit-reproducible
+    * across engines and partitionings — the driver-checkable quality
+    * gate for approximate search (both frames are query-count-sized;
+    * the join is a few rows per query, nothing corpus-scale). */
+  def recallAtK(ann: DataFrame, brute: DataFrame, floorPpm: Long = 500000L): DataFrame = {
+    val hits = ann.select(col("query_id"), col("neighbor_id")).withColumn("hit", lit(1L))
+    brute.select(col("query_id"), col("neighbor_id"))
+      .join(hits, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .select(col("query_id"), col("n_brute"), col("n_hits"),
+        floor(col("n_hits") * lit(1000000L) / col("n_brute")).cast("long").as("recall_ppm"))
+      .withColumn("floor_ok", (col("recall_ppm") >= lit(floorPpm)).cast("int"))
   }
 
   /** The `nprobe` nearest cells per query row (same L2 scoring). */

@@ -77,6 +77,53 @@ class DecontaminateSpec extends AnyFunSuite {
     }
   }
 
+  test("over-budget gram set degrades to a bloom prefilter: same results, no forced broadcast") {
+    import org.apache.spark.sql.functions._
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // budget 0 forces the over-budget path regardless of bench size
+      val bloomed = Decontaminate.overlapPairs(docs, "doc_id", "text",
+        bench, "bench_id", "text", n = 8, minShared = 1, gramBroadcastBudget = 0L)
+      // identical results: bloom false positives die in the stage-2 join
+      assert(bloomed.as[(Long, Long, Long)].collect().toSet
+        == Set((1L, 10L, 1L), (3L, 12L, 1L)))
+      val plan = bloomed.queryExecution.executedPlan
+      // the gram-set broadcast is gone — the corpus side sees only the
+      // codegen bloom probe, and with auto-broadcast disabled no
+      // BroadcastExchange exists anywhere in the plan
+      val broadcasts = plan.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec => b
+      }
+      assert(broadcasts.isEmpty, s"expected no broadcast, got:\n$plan")
+      assert(plan.toString.contains("bloom_might_contain"), plan.toString)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
+
+  test("bloom path equals broadcast path on a wide bench (false positives scrubbed)") {
+    import org.apache.spark.sql.functions._
+    val wideBench = spark.range(120).select(
+      (col("id") + 100L).as("bench_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), ((col("id") % 3) * 40 + i).cast("string"))): _*).as("text"))
+    val corpus = spark.range(30).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 until 40).map(i =>
+        concat(lit("w"), ((col("id") % 5) * 40 + i).cast("string"))): _*).as("text"))
+    val viaBroadcast = Decontaminate.overlapPairs(corpus, "doc_id", "text",
+        wideBench, "bench_id", "text", n = 8, minShared = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val viaBloom = Decontaminate.overlapPairs(corpus, "doc_id", "text",
+        wideBench, "bench_id", "text", n = 8, minShared = 1, gramBroadcastBudget = 0L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(viaBloom == viaBroadcast && viaBloom.nonEmpty)
+  }
+
   test("two-stage plan matches a single brute-force gram join on a wide bench") {
     import org.apache.spark.sql.functions._
     // a bench big enough that its exploded grams dwarf its doc count:

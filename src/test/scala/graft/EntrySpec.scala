@@ -9,16 +9,14 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has either an oracle or a documented rows-only check") {
+  test("every query has an oracle — no rows-only checks remain") {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
-    val rowsOnly = qs -- os
-    // rows-only set is intentional: ANN recall < 1 (t31/t49), HLL
-    // estimator internals (t62), 500-row token table whose deterministic
-    // merge table is hash-checked as t61 (t50)
-    assert(rowsOnly == Set("t31_knn_ivf", "t49_knn_ivf_kmeans",
-      "t50_bpe_tokens", "t62_distinct_approx"), rowsOnly)
+    // r7: the last four rows-only queries converted — t31/t49 emit
+    // integer recall-vs-brute (literal oracle), t50's token table and
+    // t62's HLL estimates are deterministic and pinned as literals
+    assert((qs -- os).isEmpty, s"rows-only queries: ${qs -- os}")
   }
 
   test("all queries run at sf0.001 and return rows") {

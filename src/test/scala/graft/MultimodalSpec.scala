@@ -104,6 +104,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!f(1).decoded && f(1).decoded_duration_ms == 0L)
   }
 
+  test("real ISO-BMFF video decode: mvhd duration + tkhd display dims from a synthetic MP4") {
+    import java.io.ByteArrayOutputStream
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val size = payload.length + 8
+      out.write(Array((size >>> 24).toByte, (size >>> 16).toByte, (size >>> 8).toByte, size.toByte))
+      out.write(tpe.getBytes("US-ASCII"))
+      out.write(payload)
+      out.toByteArray
+    }
+    def u32(v: Long): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    // mvhd v0: version/flags, creation, modification, timescale=600,
+    // duration=3000 ticks → 5000 ms; remaining fields zeroed
+    val mvhd = box("mvhd", u32(0) ++ u32(0) ++ u32(0) ++ u32(600) ++ u32(3000)
+      ++ Array.fill[Byte](80)(0))
+    // tkhd v0: 76 bytes up through the matrix, then 16.16 width/height
+    val tkhdHead = u32(0) ++ u32(0) ++ u32(0) ++ u32(1) ++ u32(0) ++ u32(3000)
+    val tkhd = box("tkhd", tkhdHead ++ Array.fill[Byte](76 - tkhdHead.length)(0)
+      ++ u32(640L << 16) ++ u32(360L << 16))
+    val mp4 = box("ftyp", "isom".getBytes("US-ASCII") ++ u32(512) ++ "isomiso2".getBytes("US-ASCII")) ++
+      box("moov", mvhd ++ box("trak", tkhd))
+
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "video", mp4, 0, 0, 0L),
+      Multimodal.MediaRecord(2L, "video", "not a container".getBytes("UTF-8"), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(f(0).decoded && f(0).decoded_duration_ms == 5000L)
+    assert(f(0).decoded_width == 640 && f(0).decoded_height == 360)
+    assert(!f(1).decoded && f(1).decoded_duration_ms == 0L) // fallback stays total
+  }
+
   test("binaryFile source: real media ingestion path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.bin"), Array[Byte](1, 2, 3))

@@ -87,6 +87,34 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("PrefixShingles broadcast cache sweeps stopped-context entries on apply") {
+    import graft.functions.expr.PrefixShingles
+    val df = Seq(Seq("a b c", "b c d")).toDF("sh")
+    // populate with two live entries (distinct df-heads → distinct keys)
+    PrefixShingles($"sh", 0.8, Map("a b c" -> 7L))
+    PrefixShingles($"sh", 0.8, Map("b c d" -> 9L))
+    assert(PrefixShingles.cacheSize >= 2)
+    val prevProbe = PrefixShingles.stoppedProbe
+    try {
+      // simulate the owning context stopping: every cached key now reads
+      // as stopped — the next apply must sweep them all, not just the
+      // eldest, then insert the fresh entry
+      PrefixShingles.stoppedProbe = _ => true
+      val swept = PrefixShingles.sweepStopped()
+      assert(swept >= 2)
+      assert(PrefixShingles.cacheSize == 0)
+    } finally PrefixShingles.stoppedProbe = prevProbe
+    // live context again: apply repopulates and reuses on equal df-head
+    PrefixShingles($"sh", 0.8, Map("a b c" -> 7L))
+    val afterFirst = PrefixShingles.cacheSize
+    PrefixShingles($"sh", 0.8, Map("a b c" -> 7L))
+    assert(PrefixShingles.cacheSize == afterFirst) // cache hit, no new entry
+    // query still works end-to-end after a sweep
+    val out = df.select(PrefixShingles($"sh", 0.8, Map("a b c" -> 7L)).as("p"))
+      .as[Seq[String]].collect()
+    assert(out(0).nonEmpty)
+  }
+
   test("native expressions survive both codegen and interpreted paths") {
     val df = Seq(("hello world program", Array(1f, 2f))).toDF("t", "v")
     val q = df.select(

@@ -18,9 +18,13 @@ outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/vout"
 QUERIES = {
     "t29_minhash_lsh": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
     "t30_simhash": (["a_id", "b_id", "hamming"], "a_id, b_id"),
+    "t31_knn_ivf": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t45_embed_lsh": (["a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t46_winnowing": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
     "t48_multimodal": (["kind", "n", "total_bytes", "brightness_micro"], "kind"),
+    "t49_knn_ivf_kmeans": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
+    "t50_bpe_tokens": (["doc_id", "n_bpe_tokens"], "doc_id"),
+    "t62_distinct_approx": (["l_returnflag", "approx_orders", "approx_parts"], "l_returnflag"),
     "t65_incremental_minhash": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
 }
 
