@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
-import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.llm.{Dedup, Packing, Similarity, TextAnalysis}
 import graft.operators.Relational
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -814,9 +814,93 @@ object SparkEntry {
         col("n_tokens").cast("long").as("n_tokens"), col("lang_pred"), col("fp"))
       .orderBy(col("doc_id"))
 
+  /** PII scrub (pre-training privacy pass). The synthetic corpus is
+    * clean, so deterministic PII is appended first — an email, an IPv4
+    * and a 7-digit phone-ish run derived from doc_id — then scrubbed
+    * with [[TextFunctions.redactPii]]; per-kind match counts come from
+    * the same patterns over the un-scrubbed text. */
+  private def t66PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val dirty = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"),
+        lit("."), (col("doc_id") % 100).cast("string"),
+        lit(" tel "), lpad(((col("doc_id") * 7919) % 10000000).cast("string"), 7, "0")
+      ).as("text"))
+    val counts = TextFunctions.PiiRules.map(_._1).zip(Seq("n_email", "n_ip", "n_num"))
+      .map { case (pat, name) =>
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as(name)
+      }
+    dirty.select(col("doc_id") +: TextFunctions.redactPii(col("text")).as("clean") +: counts: _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher/C4-style repetition & boilerplate signals: duplicate 2/3-gram
+    * fraction, mean word length, punctuation-per-token — one narrow
+    * codegen'd scan, no shuffle. */
+  private def t67Repetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      TextFunctions.dupShingleFracPpm(col("text"), 2).as("dup_2gram_ppm"),
+      TextFunctions.dupShingleFracPpm(col("text"), 3).as("dup_3gram_ppm"),
+      TextFunctions.meanWordLenPpm(col("text")).as("mean_word_len_ppm"),
+      TextFunctions.punctPerTokenPpm(col("text")).as("punct_per_token_ppm"))
+      .orderBy(col("doc_id"))
+
+  /** Concat-and-chunk sequence packing into 64-token context blocks via
+    * the distributed prefix sum in [[Packing.packBlocks]]. */
+  private def t68SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    Packing.packBlocks(d, "doc_id", TextFunctions.tokenCount(col("text")), blockTokens = 64)
+      .select(col("doc_id"), col("n_tokens"), col("start_tok"),
+        col("start_block"), col("end_block"), col("n_blocks"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** JSON-lines sink + source round-trip (schema-on-read with the
+    * writer's schema), then an aggregate proving value fidelity. */
+  private def q61JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val src = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+    src.write.mode("overwrite").json(out)
+    s.read.schema(src.schema).json(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("c_acctbal") * 100).cast("long")).cast("double") / 100.0).as("sum_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Columnar ORC sink + source round-trip (second columnar format
+    * besides parquet), aggregate fidelity check. */
+  private def q62OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    t(s, dir, "supplier").write.mode("overwrite").orc(out)
+    s.read.orc(out)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("s_acctbal") * 100).cast("long")).cast("double") / 100.0).as("sum_bal"))
+      .orderBy(col("s_nationkey"))
+  }
+
+  /** Per-stratum deterministic sampling (training-mix rebalance): each
+    * language keeps its own quota, unlisted languages drop out. */
+  private def q63StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHashSample(
+        t(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5, "fr" -> 0.3, "de" -> 0.2))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("lang"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t66_pii_scrub" -> t66PiiScrub _,
+    "t67_repetition" -> t67Repetition _,
+    "t68_sequence_packing" -> t68SequencePacking _,
+    "q61_json_roundtrip" -> q61JsonRoundtrip _,
+    "q62_orc_roundtrip" -> q62OrcRoundtrip _,
+    "q63_stratified_sample" -> q63StratifiedSample _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_revenue_filter" -> q02RevenueFilter _,
     "q03_top_revenue_orders" -> q03TopRevenueOrders _,
@@ -911,6 +995,14 @@ object SparkEntry {
     val grams8 = s"""CASE WHEN len($toks) >= 8
         THEN list_distinct(list_transform(range(1, len($toks) - 6), i -> array_to_string($toks[i:i+7], ' ')))
         ELSE [array_to_string($toks, ' ')] END"""
+    // ordered (multiset) n-gram twins of TextFunctions.wordShingles —
+    // NON-distinct, for the duplicate-shingle repetition signal
+    def gramsAll(n: Int) = s"""CASE WHEN len($toks) >= $n
+        THEN list_transform(range(1, len($toks) - ${n - 2}), i -> array_to_string($toks[i:i+${n - 1}], ' '))
+        ELSE [array_to_string($toks, ' ')] END"""
+    def dupFracPpm(n: Int) =
+      s"""CAST(floor((1.0 - CAST(len(list_distinct(${gramsAll(n)})) AS DOUBLE)
+        / greatest(CAST(len(${gramsAll(n)}) AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT)"""
     // Bit-exact twin of VectorFunctions.cosine: double-cast elements,
     // sequential left-to-right accumulation (duckdb list_inner_product
     // accumulates in float32 — off by an ulp, enough to flip a floor()).

@@ -20,6 +20,22 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
     df.filter(hashUnit(col(keyCol)) < fraction)
 
+  /** Per-stratum deterministic sampling — the per-source quota pass of a
+    * training-mix rebalance: each stratum keeps its own fraction; strata
+    * not in the map are dropped. Membership is still a pure function of
+    * the key's md5, so the sample is identical across partitionings and
+    * reruns; the fraction map folds into one literal CASE expression
+    * (codegen'd, no join, no shuffle). */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, strataCol: String,
+                           fractions: Map[String, Double]): DataFrame = {
+    require(fractions.values.forall(f => f >= 0.0 && f <= 1.0),
+      s"fractions must be in [0,1], got $fractions")
+    val frac = fractions.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (k, f)) => when(col(strataCol) === k, lit(f)).otherwise(acc)
+    }
+    df.filter(hashUnit(col(keyCol)) < frac)
+  }
+
   /** Stable train/validation/test split: adds a `split` column from the
     * key hash. Fractions must sum to ≤ 1; the remainder goes to train. */
   def split(df: DataFrame, keyCol: String,
