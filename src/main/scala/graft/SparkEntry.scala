@@ -20,6 +20,28 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Per-JVM scratch root for sink round-trip queries (q19/q61/q62):
+    * `createTempDirectory` makes it unique per process, so concurrent
+    * runs over the same dataset never trample each other's files, and a
+    * shutdown hook removes the whole tree on exit. Each invocation gets
+    * a fresh subdirectory — the written files must outlive the returned
+    * (lazy) DataFrame, so cleanup is deferred to JVM exit rather than
+    * done after the read. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(): Unit
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def scratch(tag: String): String =
+    s"$scratchRoot/${tag}_${scratchSeq.incrementAndGet()}"
+
   /** Money math: the source doubles have ≤ `scale` decimal digits, so
     * accumulating `round(x·10^scale)` as BIGINT is exact and
     * order-independent (double sums are not — their value depends on
@@ -243,7 +265,7 @@ object SparkEntry {
 
   private def q19CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     // S3/S4 CSV scan + schema inference: parquet → csv → inferred read.
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val out = scratch("csv")
     // partitioned write + globbed read-back — the distributed shape
     // (each writer task emits its own part file; the reader lists the
     // directory), no single-file coalesce bottleneck
@@ -859,7 +881,7 @@ object SparkEntry {
   /** JSON-lines sink + source round-trip (schema-on-read with the
     * writer's schema), then an aggregate proving value fidelity. */
   private def q61JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val out = scratch("json")
     val src = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     src.write.mode("overwrite").json(out)
@@ -873,7 +895,7 @@ object SparkEntry {
   /** Columnar ORC sink + source round-trip (second columnar format
     * besides parquet), aggregate fidelity check. */
   private def q62OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip_${dir.replaceAll("[^0-9a-zA-Z]", "_")}"
+    val out = scratch("orc")
     t(s, dir, "supplier").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy(col("s_nationkey"))
@@ -1003,6 +1025,20 @@ object SparkEntry {
     def dupFracPpm(n: Int) =
       s"""CAST(floor((1.0 - CAST(len(list_distinct(${gramsAll(n)})) AS DOUBLE)
         / greatest(CAST(len(${gramsAll(n)}) AS DOUBLE), 1.0)) * 1000000.0) AS BIGINT)"""
+    // twins of TextFunctions.meanWordLenPpm / punctPerTokenPpm
+    val meanWordLenPpm =
+      s"""CAST(floor(CAST(coalesce(list_sum(list_transform($toks, tk -> length(tk))), 0) AS DOUBLE)
+        / greatest(CAST(len($toks) AS DOUBLE), 1.0) * 1000000.0) AS BIGINT)"""
+    val punctPerTokenPpm =
+      s"""CAST(floor(CAST($punct AS DOUBLE) / greatest(CAST($nTokens AS DOUBLE), 1.0) * 1000000.0) AS BIGINT)"""
+    // t66's dirty-text twin (same doc_id-derived synthetic PII as the
+    // Spark side) and its redaction patterns — pulled from PiiRules so
+    // the oracle can never drift from the engine's rule list
+    val Seq(emailPat, ipPat, numPat) = TextFunctions.PiiRules.map(_._1)
+    val dirtyText =
+      """text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+        || ' tel ' || lpad(CAST((doc_id * 7919) % 10000000 AS VARCHAR), 7, '0')"""
     // Bit-exact twin of VectorFunctions.cosine: double-cast elements,
     // sequential left-to-right accumulation (duckdb list_inner_product
     // accumulates in float32 — off by an ulp, enough to flip a floor()).
@@ -1467,6 +1503,53 @@ object SparkEntry {
             ELSE 'und' END FROM sc) AS lang_pred,
           md5($norm) AS fp
           FROM documents ORDER BY doc_id""",
+      // q61/q62 write+read the same rows, so the oracle is the plain
+      // aggregate over the source parquet — value fidelity through the
+      // JSON/ORC round-trip is exactly what the hash compare proves
+      "q61_json_roundtrip" ->
+        """SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+          FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+      "q62_orc_roundtrip" ->
+        """SELECT s_nationkey, count(*) AS n,
+          CAST(sum(CAST(round(s_acctbal * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_bal
+          FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""",
+      // md5-hashUnit twin of Sampling.stratifiedHashSample (q57 idiom)
+      "q63_stratified_sample" ->
+        """WITH u AS (SELECT *,
+            CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 AS hu
+          FROM documents)
+          SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM u WHERE hu < CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.3 WHEN 'de' THEN 0.2 ELSE 0.0 END
+          GROUP BY lang ORDER BY lang""",
+      "t66_pii_scrub" ->
+        s"""WITH d AS (SELECT doc_id, $dirtyText AS dirty FROM documents)
+          SELECT doc_id,
+            regexp_replace(regexp_replace(regexp_replace(dirty,
+              '$emailPat', '[EMAIL]', 'g'), '$ipPat', '[IP]', 'g'), '$numPat', '[NUM]', 'g') AS clean,
+            CAST(len(regexp_extract_all(dirty, '$emailPat')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(dirty, '$ipPat')) AS BIGINT) AS n_ip,
+            CAST(len(regexp_extract_all(dirty, '$numPat')) AS BIGINT) AS n_num
+          FROM d ORDER BY doc_id""",
+      "t67_repetition" ->
+        s"""SELECT doc_id,
+          ${dupFracPpm(2)} AS dup_2gram_ppm,
+          ${dupFracPpm(3)} AS dup_3gram_ppm,
+          $meanWordLenPpm AS mean_word_len_ppm,
+          $punctPerTokenPpm AS punct_per_token_ppm
+          FROM documents ORDER BY doc_id""",
+      // window prefix-sum twin of Packing.packBlocks (blockTokens = 64)
+      "t68_sequence_packing" ->
+        s"""WITH tok AS (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens FROM documents),
+          o AS (SELECT doc_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+          FROM tok)
+          SELECT doc_id, n_tokens, start_tok,
+            (start_tok // 64) AS start_block,
+            ((start_tok + greatest(n_tokens, 1) - 1) // 64) AS end_block,
+            (((start_tok + greatest(n_tokens, 1) - 1) // 64) - (start_tok // 64) + 1) AS n_blocks
+          FROM o ORDER BY doc_id""",
     )
   }
 }

@@ -3,7 +3,6 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Sequence packing: lay documents end-to-end in a deterministic order
   * (the id column) and chunk the concatenated token stream into
@@ -15,12 +14,21 @@ import org.apache.spark.storage.StorageLevel
   * The global running offset is a distributed prefix sum, NOT a
   * single-partition `Window.orderBy` (the classic 100 TB degenerate
   * plan). Three steps:
-  *   1. range-partition the thin (id, n_tokens) projection by id;
-  *   2. one subtotal row per partition to the driver (#partitions rows,
-  *      not data-sized), exclusive-prefix them, broadcast the bases;
-  *   3. partition-local running-sum window keyed on the partition id.
-  * Only the two-column projection shuffles (twice: the range exchange
-  * and the window's hash exchange); document text never moves.
+  *   1. range-partition the thin (id, n_tokens) projection by id ONLY
+  *      to pick balanced id boundaries; collect one (hi, subtotal) row
+  *      per partition (#partitions rows, not data-sized);
+  *   2. exclusive-prefix the subtotals on the driver;
+  *   3. re-derive each row's bucket from the collected hi boundaries as
+  *      a literal CASE over the id, then a bucket-local running-sum
+  *      window on top of the broadcast base offsets.
+  * Because the bucket is a pure function of the id (not of
+  * `spark_partition_id()`), pass 2 is partitioning-independent by
+  * construction — recomputation, AQE coalescing, or a different
+  * RangePartitioner sample can never skew the offsets — and nothing
+  * needs to stay persisted across the two passes. Only the two-column
+  * projection shuffles; document text never moves.
+  *
+  * Ids must be unique (they define the packing order).
   */
 object Packing {
 
@@ -38,31 +46,42 @@ object Packing {
       if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // Thin projection, range-partitioned so partition id order == id order.
-    // Persisted because the subtotal pass and the offset pass must see the
-    // SAME partition assignment (range boundaries are sampled).
-    val base = docs
-      .select(col(idCol).as("_id"), tokens.cast("long").as("n_tokens"))
-      .repartitionByRange(nParts, col("_id"))
+    val thin = docs.select(col(idCol).as("_id"), tokens.cast("long").as("n_tokens"))
+
+    // Pass 1: balanced boundaries + per-range subtotals, one row per
+    // non-empty partition, ordered by the range's low key.
+    val stats = thin.repartitionByRange(nParts, col("_id"))
       .withColumn("_pid", spark_partition_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
-
-    // Pass 1: one row per partition; exclusive prefix on the driver.
-    val subtotals = base.groupBy(col("_pid"))
-      .agg(sum(col("n_tokens")).as("t"))
+      .groupBy(col("_pid"))
+      .agg(min(col("_id")).as("lo"), max(col("_id")).as("hi"),
+        sum(col("n_tokens")).as("t"))
+      .orderBy(col("lo"))
       .collect()
-      .map(r => r.getInt(0) -> r.getLong(1))
-      .sortBy(_._1)
-    var acc = 0L
-    val bases = subtotals.map { case (pid, t) => val b = acc; acc += t; (pid, b) }
-    val baseDf = spark.createDataFrame(bases.toSeq).toDF("_bpid", "_base")
 
-    // Pass 2: partition-local running sum on top of the broadcast base.
-    val w = Window.partitionBy(col("_pid")).orderBy(col("_id"))
+    val his = stats.map(_.get(2))
+    var acc = 0L
+    val bases = stats.map { r => val b = acc; acc += r.getLong(3); b }
+
+    // Bucket + base offset as literal CASE chains over the id: rows in
+    // range i (id <= hi_i, exclusive of earlier ranges) get bucket i.
+    val bucket =
+      if (his.length <= 1) lit(0)
+      else his.init.zipWithIndex.foldRight(lit(his.length - 1): Column) {
+        case ((hi, i), acc) => when(col("_id") <= lit(hi), lit(i)).otherwise(acc)
+      }
+    val baseOff =
+      if (bases.isEmpty) lit(0L)
+      else his.init.zip(bases.init).foldRight(lit(bases.last): Column) {
+        case ((hi, b), acc) => when(col("_id") <= lit(hi), lit(b)).otherwise(acc)
+      }
+
+    // Pass 2: bucket-local running sum on top of the prefix base.
+    val w = Window.partitionBy(col("_bucket")).orderBy(col("_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val b = blockTokens.toLong
-    base.join(broadcast(baseDf), col("_pid") === col("_bpid"))
-      .withColumn("start_tok", col("_base") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    thin
+      .withColumn("_bucket", bucket)
+      .withColumn("start_tok", baseOff + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("start_block", expr(s"start_tok DIV $b"))
       .withColumn("end_block", expr(s"(start_tok + greatest(n_tokens, 1L) - 1L) DIV $b"))
       .withColumn("n_blocks", col("end_block") - col("start_block") + lit(1L))

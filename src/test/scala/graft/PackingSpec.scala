@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Packing
+
+class PackingSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def docs(n: Int) =
+    (0 until n).map(i => (i.toLong, (i * 37 % 90) + 1)).toDF("id", "n_tok")
+
+  /** Driver-side reference: sorted sequential prefix sum. */
+  private def reference(rows: Seq[(Long, Int)], block: Long): Map[Long, (Long, Long, Long, Long)] = {
+    var off = 0L
+    rows.sortBy(_._1).map { case (id, nt) =>
+      val start = off
+      off += nt
+      val end = (start + math.max(nt, 1) - 1) / block
+      id -> (start, start / block, end, end - start / block + 1)
+    }.toMap
+  }
+
+  test("packBlocks matches the sequential prefix sum") {
+    val n = 500
+    val in = (0 until n).map(i => (i.toLong, (i * 37 % 90) + 1))
+    val exp = reference(in, 64)
+    val got = Packing.packBlocks(docs(n), "id", col("n_tok"), blockTokens = 64)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got === exp)
+  }
+
+  test("offsets are partition-count independent") {
+    val d = docs(300)
+    val a = Packing.packBlocks(d, "id", col("n_tok"), 64, partitions = 3)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Packing.packBlocks(d.repartition(17), "id", col("n_tok"), 64, partitions = 11)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("empty docs occupy a zero-width span in their start block") {
+    val d = Seq((1L, 64), (2L, 0), (3L, 1)).toDF("id", "n_tok")
+    val got = Packing.packBlocks(d, "id", col("n_tok"), 64)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // doc 2 starts at token 64 (block 1), zero width — still block 1
+    assert(got === Array((1L, 0L, 0L, 0L), (2L, 64L, 1L, 1L), (3L, 64L, 1L, 1L)))
+  }
+
+  test("repeated calls leak no persisted RDDs (NOTES_r3 discipline)") {
+    val d = docs(200)
+    Packing.packBlocks(d, "id", col("n_tok"), 64).count() // warm
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach(_ => Packing.packBlocks(d, "id", col("n_tok"), 64).count())
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before, s"leaked persisted RDDs: $before -> $after")
+  }
+
+  test("empty input returns empty output") {
+    val d = Seq.empty[(Long, Int)].toDF("id", "n_tok")
+    assert(Packing.packBlocks(d, "id", col("n_tok"), 64).count() === 0)
+  }
+}
