@@ -351,8 +351,11 @@ object SparkEntry {
       (unix_micros(col("o_orderdate").cast("timestamp")) + lit(30 * day * 1000000L)).as("end_us"))
     val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
       unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
-    Relational.rangeJoin(l, "ship_us", o, "start_us", "end_us", binWidth = 30 * day * 1000000L)
-      .filter(col("l_orderkey") === col("o_orderkey"))
+    // the orderkey equi-conjunct goes INTO the join (not a post-filter):
+    // with bin-only candidates, k× denser data forms k² pairs per bin —
+    // the r7 RelScaleBench outlier (6.2× at 10×, NOTES_r8)
+    Relational.rangeJoin(l, "ship_us", o, "start_us", "end_us",
+        binWidth = 30 * day * 1000000L, keys = Seq("l_orderkey" -> "o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_in_window"))
       .orderBy(col("o_orderkey"))

@@ -148,10 +148,19 @@ object Relational {
     * shuffled on bin. Pick `binWidth` ≈ typical interval length — an
     * interval spanning more than `maxBinsPerInterval` bins fails fast
     * with an actionable error instead of exploding toward an executor
-    * OOM (same valve as the `IntervalJoinRewrite` optimizer rule). */
+    * OOM (same valve as the `IntervalJoinRewrite` optimizer rule).
+    *
+    * `keys` (left-column → right-column equi-conjuncts) joins on
+    * (keys…, bin) instead of bin alone. This matters under DENSITY, not
+    * just volume: when both sides grow k× inside the same time domain,
+    * a bin-only join forms k² candidate pairs per bin before any
+    * post-filter can reject them (measured 6.2× wall-clock at 10× in
+    * NOTES_r8 for q53), while the keyed join's candidates grow with the
+    * true output. Always push an available equi-key into the join. */
   def rangeJoin(left: DataFrame, pointCol: String,
                 right: DataFrame, startCol: String, endCol: String,
-                binWidth: Long, maxBinsPerInterval: Long = 16384L): DataFrame = {
+                binWidth: Long, maxBinsPerInterval: Long = 16384L,
+                keys: Seq[(String, String)] = Nil): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
     // floor of the RAW value (not a long-truncating cast): trunc rounds
     // toward zero, which both misbins fractional/negative points and —
@@ -174,8 +183,40 @@ object Relational {
       .otherwise(raise_error(lit(
         s"graft rangeJoin: interval spans more than $maxBinsPerInterval bins; " +
           "raise binWidth toward the typical interval length")))
-    val rBinned = right.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
-    lBinned.join(rBinned, Seq("__bin"))
+    val rBinned0 = right.withColumn("__bin", explode(sequence(startBin, guardedEnd)))
+    // Broadcast decision correction: Catalyst estimates the exploded
+    // side at its PRE-explode size, so a large interval table can sail
+    // under autoBroadcastJoinThreshold and broadcast millions of binned
+    // rows (measured 1.8× slower than a shuffled hash join at 10× in
+    // NOTES_r8). If the pre-explode estimate times a 4× expansion
+    // margin (binWidth ≈ interval length ⇒ ~2 bins/interval) exceeds
+    // the threshold — or broadcasting is disabled — pre-empt with a
+    // shuffle-hash hint (hash beats sort-merge: no sort, and the
+    // (keys, bin) composite distributes well). A genuinely small
+    // interval table keeps Spark's broadcast plan: the point side then
+    // never shuffles at all, which is the right 100 TB plan.
+    val estBytes = rBinned0.queryExecution.optimizedPlan.stats.sizeInBytes
+    val rawThresh = right.sparkSession.conf
+      .get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val bcDisabled = rawThresh.startsWith("-")
+    val bcThresh =
+      if (bcDisabled) -1L
+      else try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThresh)
+      catch { case _: Exception => 10L << 20 }
+    val rBinned =
+      if (bcDisabled || estBytes * 4 > bcThresh) rBinned0.hint("shuffle_hash")
+      else rBinned0
+    val joined =
+      if (keys.isEmpty) lBinned.join(rBinned, Seq("__bin"))
+      else {
+        val lA = lBinned.alias("__gl")
+        val rA = rBinned.alias("__gr")
+        val cond = keys.foldLeft(col("__gl.__bin") === col("__gr.__bin")) {
+          case (acc, (lk, rk)) => acc && col(s"__gl.$lk") === col(s"__gr.$rk")
+        }
+        lA.join(rA, cond).drop(col("__gr.__bin"))
+      }
+    joined
       .filter(col(pointCol).between(col(startCol), col(endCol)))
       .drop("__bin")
   }

@@ -71,4 +71,31 @@ class RangeJoinSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("keyed range join equals bin-only join + equality post-filter") {
+    val points = Seq((1L, 100L, 5L), (2L, 100L, 15L), (3L, 200L, 5L), (4L, 200L, 99L))
+      .toDF("pid", "lk", "ts")
+    val intervals = Seq((10L, 100L, 0L, 9L), (20L, 100L, 8L, 22L), (30L, 200L, 0L, 9L))
+      .toDF("iid", "rk", "s", "e")
+    val keyless = Relational.rangeJoin(points, "ts", intervals, "s", "e", binWidth = 10L)
+      .filter($"lk" === $"rk")
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val keyed = Relational.rangeJoin(points, "ts", intervals, "s", "e", binWidth = 10L,
+        keys = Seq("lk" -> "rk"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(keyed == keyless)
+    assert(keyed == Set((1L, 10L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("keyed range join hashes on the key, not just the bin") {
+    val points = Seq((1L, 100L, 5L)).toDF("pid", "lk", "ts")
+    val intervals = Seq((10L, 100L, 0L, 9L)).toDF("iid", "rk", "s", "e")
+    val p = Relational.rangeJoin(points, "ts", intervals, "s", "e", 10L,
+        keys = Seq("lk" -> "rk"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // the join's equi-keys must include the user key (lk/rk), so k×
+    // denser data cannot pile k² candidates into one bin's hash bucket
+    assert(p.contains("lk") && p.contains("rk"), p)
+  }
 }
