@@ -917,9 +917,56 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("lang"))
 
+  /** Corpus-frequency rarity (OOV signal). The synthetic corpus has a
+    * tiny fully-frequent vocabulary, so each doc first gets one unique
+    * marker token (same synthesis idiom as t66's PII) — the operator
+    * then has real rare mass to find. */
+  private def t69RareTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" uniq"), col("doc_id").cast("string")).as("text"))
+    TextAnalysis.rareTokenStats(d, "doc_id", "text", maxCount = 2L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-rule quality filter bundle: keep/drop + first-fail reason,
+    * thresholds tuned so the sf corpus shows every verdict. */
+  private def t70GopherFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.gopherFilter(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** URL host extraction + per-domain corpus stats (crawl curation:
+    * domain mix / blocklist input). URLs are synthesized from doc_id —
+    * the corpus has none — then extracted with the shared RE2-safe
+    * pattern. */
+  private def t71UrlStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      concat(col("text"),
+        lit(" see https://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        lit(" and http://ref"), (col("doc_id") % 3).cast("string"), lit(".net/x")).as("text"))
+    d.select(col("doc_id"), explode(TextFunctions.urlHosts(col("text"))).as("host"))
+      .groupBy(col("host"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), count(lit(1)).as("n_hits"))
+      .orderBy(col("host"))
+  }
+
+  /** SemDeDup: embedding near-dup pairs restricted to k-means clusters
+    * — the O(n²/k) semantic-dedup scale path; ppm-floored cosine for
+    * the literal oracle. */
+  private def t72SemDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.semDedupPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        nClusters = 8, minCos = 0.45)
+      .select(col("cell"), col("a_id"), col("b_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t69_rare_tokens" -> t69RareTokens _,
+    "t70_gopher_filter" -> t70GopherFilter _,
+    "t71_url_stats" -> t71UrlStats _,
+    "t72_semdedup" -> t72SemDedup _,
     "t66_pii_scrub" -> t66PiiScrub _,
     "t67_repetition" -> t67Repetition _,
     "t68_sequence_packing" -> t68SequencePacking _,
@@ -1553,6 +1600,48 @@ object SparkEntry {
             ((start_tok + greatest(n_tokens, 1) - 1) // 64) AS end_block,
             (((start_tok + greatest(n_tokens, 1) - 1) // 64) - (start_tok // 64) + 1) AS n_blocks
           FROM o ORDER BY doc_id""",
+      // corpus-frequency rarity over the marker-token corpus; the ppm is
+      // integer division on both sides — bit-stable with no doubles
+      "t69_rare_tokens" ->
+        s"""WITH d AS (SELECT doc_id, text || ' uniq' || CAST(doc_id AS VARCHAR) AS text FROM documents),
+          p AS (SELECT doc_id, unnest($toks) AS tok FROM d),
+          v AS (SELECT tok, count(*) AS c FROM p GROUP BY tok)
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+            CAST(sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+            CAST((sum(CASE WHEN c <= 2 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS rare_frac_ppm
+          FROM p JOIN v USING (tok)
+          GROUP BY doc_id ORDER BY doc_id""",
+      // Gopher rule bundle: same signals as t67's twins, same rule order
+      // as TextAnalysis.gopherFilter
+      "t70_gopher_filter" ->
+        s"""WITH b AS (SELECT doc_id,
+            CAST($nTokens AS BIGINT) AS n_tokens,
+            $meanWordLenPpm AS mean_word_len_ppm,
+            ${dupFracPpm(2)} AS dup_2gram_ppm,
+            CAST($stops AS BIGINT) AS n_stopwords
+          FROM documents),
+          r AS (SELECT *,
+            CASE WHEN n_tokens < 25 THEN 'too_short'
+                 WHEN n_tokens > 100000 THEN 'too_long'
+                 WHEN mean_word_len_ppm < 4300000 THEN 'word_len_low'
+                 WHEN mean_word_len_ppm > 4700000 THEN 'word_len_high'
+                 WHEN dup_2gram_ppm > 50000 THEN 'repetitive'
+                 WHEN n_stopwords < 1 THEN 'no_stopwords'
+                 ELSE 'ok' END AS reason
+          FROM b)
+          SELECT doc_id, n_tokens, mean_word_len_ppm, dup_2gram_ppm, n_stopwords,
+            reason, reason = 'ok' AS keep
+          FROM r ORDER BY doc_id""",
+      "t71_url_stats" ->
+        s"""WITH d AS (SELECT doc_id,
+            text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                 || ' and http://ref' || CAST(doc_id % 3 AS VARCHAR) || '.net/x' AS text
+          FROM documents),
+          h AS (SELECT doc_id, unnest(regexp_extract_all(text, '${TextFunctions.UrlHostPattern}', 1)) AS host FROM d)
+          SELECT host, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_hits
+          FROM h GROUP BY host ORDER BY host""",
+      "t72_semdedup" -> LiteralOracles.t72,
     )
   }
 }

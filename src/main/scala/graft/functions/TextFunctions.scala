@@ -150,6 +150,18 @@ object TextFunctions {
     floor(punctCount(c).cast("double") /
       greatest(tokenCount(c).cast("double"), lit(1.0)) * 1e6).cast("long")
 
+  // ---- URLs ------------------------------------------------------------
+
+  /** URL host pattern (scheme + host, group 1 = host). Explicit ASCII
+    * classes only — identical semantics in Java regex and RE2, so the
+    * DuckDB oracle mirrors it verbatim (same contract as [[PiiRules]]). */
+  val UrlHostPattern: String = """https?://([a-zA-Z0-9.-]+)"""
+
+  /** All URL hosts in a text column (array; host = up to the first
+    * character outside [a-zA-Z0-9.-], i.e. path/query excluded). */
+  def urlHosts(c: Column): Column =
+    regexp_extract_all(c, lit(UrlHostPattern), lit(1))
+
   // ---- hashing --------------------------------------------------------
 
   /** Seeded 64-bit shingle hash used by MinHash/SimHash signatures.

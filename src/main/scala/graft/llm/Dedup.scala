@@ -373,6 +373,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
   }
 
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): semantic near-dup pairs
+    * found only WITHIN k-means clusters — cluster the embeddings with
+    * the deterministic decimal-exact k-means from [[Similarity]], then
+    * compare pairs inside each cluster. Cost drops from the exact
+    * variant's O(n²) to O(Σ|cluster|²) ≈ O(n²/k); cross-cluster pairs
+    * are never formed (the SemDeDup recall trade: semantic duplicates
+    * land in the same cluster because they are near-identical vectors).
+    * The per-cluster self-join shuffles the (id, vec, norm) projection
+    * once on the cluster id; norms are hoisted out of the pair stage.
+    * Deterministic end-to-end (hash-seeded k-means, decimal means), so
+    * the output is partitioning-independent and literal-oracle-able. */
+  def semDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
+                    nClusters: Int, minCos: Double, iters: Int = 3): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    val centroids = Similarity.kMeansCentroids(embs, idCol, vecCol, nClusters, iters)
+    val dv = embs.select(col(idCol).as("id"), col(vecCol).as("fv"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val assigned = Similarity.assignCells(dv, centroids)
+      .select(col("id"), col("fv"), col("cell"), norm(col("fv")).as("nrm"))
+    val a = assigned.select(col("cell"), col("id").as("a_id"),
+      col("fv").as("a_v"), col("nrm").as("a_n"))
+    val b = assigned.select(col("cell"), col("id").as("b_id"),
+      col("fv").as("b_v"), col("nrm").as("b_n"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("a_v"), col("b_v")), col("a_n"), col("b_n")))
+      .filter(col("cos") >= minCos)
+      .select(col("cell"), col("a_id"), col("b_id"), col("cos").as("cos_sim"))
+  }
+
   /** Embedding near-dup via cosine LSH — the 100 TB path: sign-sketch
     * each vector (random hyperplanes), band the bits, generate
     * candidates only within matching (band, bits) buckets, then verify

@@ -84,8 +84,9 @@ object Similarity {
   }
 
   /** Assign each vector to its nearest centroid by L2 (broadcast the
-    * centroid matrix as literal arrays — no side state). */
-  private def assignCells(dv: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
+    * centroid matrix as literal arrays — no side state). Expects a
+    * double-array column named `v`; preserves all other columns. */
+  private[llm] def assignCells(dv: DataFrame, centroids: Array[(Int, Array[Double])]): DataFrame = {
     import graft.functions.VectorFunctions.dot
     // ||v - c||² = ||v||² − 2·v·c + ||c||²; argmin over cells
     val v2 = dot(col("v"), col("v"))

@@ -24,4 +24,59 @@ object TextAnalysis {
       langId(t).as("lang_pred"),
       fingerprint(t).as("fp"))
   }
+
+  /** Corpus-frequency rarity (the OOV / rare-token quality signal): per
+    * document, how many token OCCURRENCES have corpus frequency ≤
+    * `maxCount`, plus the integer-exact fraction in ppm
+    * (`n_rare·10⁶ DIV n_tokens` — no doubles, so the oracle compare is
+    * bit-stable by construction).
+    *
+    * Scale shape: two map-side-combined shuffles of the thin
+    * (id, token, n) projection — document text never moves, and the
+    * vocabulary join runs against the per-(doc, token) AGGREGATED form,
+    * not the raw token stream. The vocabulary table itself is
+    * Heaps-law-small relative to the corpus, so Catalyst/AQE broadcasts
+    * it when it fits and hash-joins otherwise. */
+  def rareTokenStats(docs: DataFrame, idCol: String, textCol: String,
+                     maxCount: Long): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(normalizeText(col(textCol)))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = pairs.groupBy(col("tok")).agg(sum(col("n")).as("c"))
+    pairs.join(vocab, "tok")
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(when(col("c") <= maxCount, col("n")).otherwise(lit(0L))).as("n_rare"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_rare"),
+        expr("n_rare * 1000000L DIV n_tokens").as("rare_frac_ppm"))
+  }
+
+  /** Gopher-style quality rule bundle (Rae et al., arXiv:2112.11446
+    * §A1.1, thresholds adapted to the corpus at hand): ordered rules,
+    * FIRST failing rule is the recorded reason, keep = all pass. One
+    * narrow codegen'd scan — every signal is a `TextFunctions` column
+    * with an existing oracle twin; no shuffle, no UDF. */
+  def gopherFilter(docs: DataFrame, idCol: String, textCol: String,
+                   minTokens: Long = 25, maxTokens: Long = 100000,
+                   minMeanWordLenPpm: Long = 4300000L,
+                   maxMeanWordLenPpm: Long = 4700000L,
+                   maxDup2GramPpm: Long = 50000L,
+                   minStopwordHits: Long = 1): DataFrame = {
+    val t = col(textCol)
+    val base = docs.select(col(idCol),
+      tokenCount(t).cast("long").as("n_tokens"),
+      meanWordLenPpm(t).as("mean_word_len_ppm"),
+      dupShingleFracPpm(t, 2).as("dup_2gram_ppm"),
+      stopwordCount(t).cast("long").as("n_stopwords"))
+    val reason = when(col("n_tokens") < minTokens, "too_short")
+      .when(col("n_tokens") > maxTokens, "too_long")
+      .when(col("mean_word_len_ppm") < minMeanWordLenPpm, "word_len_low")
+      .when(col("mean_word_len_ppm") > maxMeanWordLenPpm, "word_len_high")
+      .when(col("dup_2gram_ppm") > maxDup2GramPpm, "repetitive")
+      .when(col("n_stopwords") < minStopwordHits, "no_stopwords")
+      .otherwise("ok")
+    base.withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "ok")
+  }
 }

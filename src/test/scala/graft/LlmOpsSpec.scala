@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+import graft.llm.{Dedup, TextAnalysis}
+
+/** Semantic tests for the round-8 LLM-pipeline operators — independent
+  * of the DuckDB/literal oracles, which only see the sf corpus. */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  // ---- SemDeDup --------------------------------------------------------
+
+  test("semDedupPairs is a co-clustered subset of the exact pair set, with equal cosines") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
+      .select($"a_id", $"b_id", floor($"cos_sim" * 1e6).cast("long").as("ppm"))
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val sem = Dedup.semDedupPairs(embs, "vec_id", "embedding", nClusters = 4, minCos = 0.45)
+      .select($"a_id", $"b_id", floor($"cos_sim" * 1e6).cast("long").as("ppm"))
+      .as[(Long, Long, Long)].collect()
+    assert(sem.nonEmpty, "cluster-scoped search found nothing at sf0.001")
+    sem.foreach { case (a, b, ppm) =>
+      assert(exact.get((a, b)).contains(ppm),
+        s"($a,$b) ppm=$ppm not in / not equal to the exact pair set")
+    }
+  }
+
+  test("semDedupPairs with one cluster equals the exact pair set") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Dedup.embeddingNearDupPairs(embs, "vec_id", "embedding", 0.45)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val sem = Dedup.semDedupPairs(embs, "vec_id", "embedding", nClusters = 1, minCos = 0.45)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(sem == exact)
+  }
+
+  // ---- Gopher filter ----------------------------------------------------
+
+  test("gopherFilter: each rule fires, in declaration order") {
+    // mean word length must sit inside [4.3, 4.7] for later rules to be
+    // reachable — mixes of 4- and 5-char words land at ~4.5
+    def mix(n: Int, tag: String) =
+      Seq.tabulate(n)(i => if (i % 2 == 0) f"$tag${i}%03d" else f"$tag${i}%04d")
+    val docs = Seq(
+      (1L, "tiny doc"),                                          // too_short (also no stopwords — order wins)
+      (2L, ("the words thing other " * 10).trim),                // repetitive (dup 2-grams; words in range)
+      (3L, "the " + Seq.tabulate(30)(i => s"internationalization$i").mkString(" ")), // word_len_high
+      (4L, "a " + Seq.tabulate(30)(i => s"w$i").mkString(" ")),   // word_len_low
+      (5L, mix(30, "q").mkString(" "))                            // no_stopwords
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "doc_id", "text")
+      .select($"doc_id", $"reason", $"keep").as[(Long, String, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("too_short", false))
+    assert(got(2L) == ("repetitive", false))
+    assert(got(3L) == ("word_len_high", false))
+    assert(got(4L) == ("word_len_low", false))
+    assert(got(5L) == ("no_stopwords", false))
+  }
+
+  test("gopherFilter: too_long fires and a clean doc keeps") {
+    def mix(n: Int, tag: String) =
+      Seq.tabulate(n)(i => if (i % 2 == 0) f"$tag${i}%03d" else f"$tag${i}%04d")
+    val docs = Seq(
+      (1L, "the and of " + mix(40, "k").mkString(" ")),
+      (2L, "the " + Seq.tabulate(60)(i => s"word$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherFilter(docs, "doc_id", "text", maxTokens = 50)
+      .select($"doc_id", $"reason", $"keep").as[(Long, String, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L)._1 == "ok" && got(1L)._2)
+    assert(got(2L) == ("too_long", false))
+  }
+
+  // ---- rare tokens -------------------------------------------------------
+
+  test("rareTokenStats counts occurrences, not types, and the ppm is exact") {
+    val docs = Seq(
+      (1L, "alpha alpha beta common common common"),
+      (2L, "common common gamma gamma gamma")
+    ).toDF("doc_id", "text")
+    // corpus counts: alpha 2, beta 1, common 5, gamma 3 → rare (≤2): alpha, beta
+    val got = TextAnalysis.rareTokenStats(docs, "doc_id", "text", maxCount = 2)
+      .orderBy("doc_id")
+      .select($"n_tokens", $"n_rare", $"rare_frac_ppm")
+      .as[(Long, Long, Long)].collect()
+    assert(got(0) == ((6L, 3L, 500000L)))  // alpha×2 + beta×1 of 6
+    assert(got(1) == ((5L, 0L, 0L)))
+  }
+
+  // ---- URL hosts ----------------------------------------------------------
+
+  test("urlHosts extracts hosts only, path and bare domains excluded") {
+    val got = Seq(
+      "see https://a.example.org/x/y?z=1 and http://b.net plus bare.domain.com",
+      "no urls here",
+      "edge https://end.io"
+    ).toDF("text").select(TextFunctions.urlHosts($"text").as("h"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("a.example.org", "b.net"))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq("end.io"))
+  }
+}

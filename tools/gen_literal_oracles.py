@@ -26,6 +26,7 @@ QUERIES = {
     "t50_bpe_tokens": (["doc_id", "n_bpe_tokens"], "doc_id"),
     "t62_distinct_approx": (["l_returnflag", "approx_orders", "approx_parts"], "l_returnflag"),
     "t65_incremental_minhash": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
+    "t72_semdedup": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
 }
 
 con = duckdb.connect()
