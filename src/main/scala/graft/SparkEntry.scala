@@ -960,9 +960,22 @@ object SparkEntry {
         floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
       .orderBy(col("a_id"), col("b_id"))
 
+  /** End-to-end SemDeDup scrub: cluster-scoped pairs → connected
+    * components → survivor selection (drop all but each component's min
+    * id). Oracle = DuckDB recursive CC over the t72 literal pair set —
+    * the pairs themselves are hash-checked by t72, so this checks the
+    * resolution + anti-join composition. */
+  private def t73SemDedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val pairs = Dedup.semDedupPairs(e, "vec_id", "embedding", nClusters = 8, minCos = 0.45)
+    Dedup.dedupByPairs(e.select(col("vec_id")), "vec_id", pairs, "a_id", "b_id")
+      .orderBy(col("vec_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t73_semdedup_survivors" -> t73SemDedupSurvivors _,
     "t69_rare_tokens" -> t69RareTokens _,
     "t70_gopher_filter" -> t70GopherFilter _,
     "t71_url_stats" -> t71UrlStats _,
@@ -1642,6 +1655,18 @@ object SparkEntry {
             CAST(count(*) AS BIGINT) AS n_hits
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
+      // CC + survivor selection over the t72 literal pairs (t59 idiom)
+      "t73_semdedup_survivors" ->
+        s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (${LiteralOracles.t72})),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(id, reach) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+          losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
+          SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers)
+          ORDER BY vec_id""",
     )
   }
 }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_HASH}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
@@ -152,6 +152,28 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val binEq = EqualTo(pointBin.toAttribute, intervalBin)
     val newCond = (binEq +: splitConjunctivePredicates(j.condition.get)).reduce(And)
     val (nl, nr) = if (pointOnLeft) (pointProj, intervalGen) else (intervalGen, pointProj)
-    Project(j.output, Join(nl, nr, Inner, Some(newCond), hint))
+
+    // Broadcast decision correction, mirroring Relational.rangeJoin:
+    // Catalyst costs Generate at its PRE-explode child size, so a large
+    // interval table can slip under autoBroadcastJoinThreshold and
+    // broadcast every binned row (measured 1.8× slower than a shuffled
+    // hash join at 10× — NOTES_r8). If the pre-explode estimate times a
+    // 4× expansion margin exceeds the threshold (or broadcasting is
+    // disabled), pin the interval side to SHUFFLE_HASH. User-supplied
+    // strategy hints are never overridden; a genuinely small interval
+    // table keeps the broadcast plan (the point side never shuffles).
+    val bcThresh = conf.autoBroadcastJoinThreshold
+    val preempt = bcThresh < 0 || intervalPlan.stats.sizeInBytes * 4 > bcThresh
+    def pin(h: Option[HintInfo]): Option[HintInfo] = h match {
+      case Some(hi) if hi.strategy.isDefined => h
+      case Some(hi) => Some(hi.copy(strategy = Some(SHUFFLE_HASH)))
+      case None => Some(HintInfo(strategy = Some(SHUFFLE_HASH)))
+    }
+    val newHint: JoinHint =
+      if (!preempt) hint
+      else if (pointOnLeft) hint.copy(rightHint = pin(hint.rightHint))
+      else hint.copy(leftHint = pin(hint.leftHint))
+
+    Project(j.output, Join(nl, nr, Inner, Some(newCond), newHint))
   }
 }

@@ -109,6 +109,23 @@ class PlanSpec extends AnyFunSuite {
       Set((1L, 10L), (2L, 20L)))
   }
 
+  test("interval rewrite pins shuffle-hash when the interval side's estimate nears the broadcast threshold") {
+    import graft.plans.AsOfJoinNative
+    AsOfJoinNative.register(spark)
+    import spark.implicits._
+    Seq((1L, 5L), (2L, 15L)).toDF("id", "p").createOrReplaceTempView("pts_h")
+    Seq((10L, 0L, 10L), (20L, 10L, 20L)).toDF("iid", "s", "e").createOrReplaceTempView("iv_h")
+    def planFor() = spark
+      .sql("SELECT id, iid FROM pts_h JOIN iv_h ON p BETWEEN s AND e")
+      .queryExecution.executedPlan.toString
+    // tiny threshold ⇒ the 4×-margin guard trips ⇒ shuffled hash join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+    try assert(planFor().contains("ShuffledHashJoin"), planFor().take(2000))
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // default threshold, tiny interval side ⇒ broadcast plan retained
+    assert(planFor().contains("BroadcastHashJoin"), planFor().take(2000))
+  }
+
   test("interval rewrite stays transparent for null and reversed bounds") {
     import graft.plans.AsOfJoinNative
     AsOfJoinNative.register(spark)
