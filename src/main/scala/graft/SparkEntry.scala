@@ -972,9 +972,35 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Semantic (embedding) decontamination against an eval subset — the
+    * paraphrase-robust complement of t63's n-gram overlap. Self-pairs
+    * (the eval set is a corpus subset here) are excluded in the query,
+    * not the operator: cross-table usage has no identity to exclude. */
+  private def t74SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.llm.Decontaminate.semanticOverlapPairs(
+        e, e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", minCos = 0.35)
+      .filter(col("doc_id") =!= col("bench_id"))
+      .select(col("doc_id"), col("bench_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** Best-fit-decreasing packing into 128-token windows over 8 id-hash
+    * buckets — the fewer-truncations packing path (no document ever
+    * splits, unlike t68's concat-and-chunk). BFD is not
+    * SQL-expressible, so the whole (deterministic,
+    * partitioning-independent) assignment table is literal-oracled. */
+  private def t75BinPacking(s: SparkSession, dir: String): DataFrame =
+    Packing.packBinsBFD(t(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), capacity = 128, nBuckets = 8)
+      .orderBy(col("doc_id"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t75_bin_packing" -> t75BinPacking _,
+    "t74_semantic_decontaminate" -> t74SemanticDecontaminate _,
     "t73_semdedup_survivors" -> t73SemDedupSurvivors _,
     "t69_rare_tokens" -> t69RareTokens _,
     "t70_gopher_filter" -> t70GopherFilter _,
@@ -1655,6 +1681,14 @@ object SparkEntry {
             CAST(count(*) AS BIGINT) AS n_hits
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
+      "t75_bin_packing" -> LiteralOracles.t75,
+      // embedding decontamination vs the %50 eval subset (t27 cosine twin)
+      "t74_semantic_decontaminate" ->
+        s"""SELECT a.vec_id AS doc_id, b.vec_id AS bench_id,
+          CAST(floor(($cosine) * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM embeddings a, embeddings b
+          WHERE b.vec_id % 50 = 0 AND a.vec_id <> b.vec_id AND $cosine >= 0.35
+          ORDER BY doc_id, bench_id""",
       // CC + survivor selection over the t72 literal pairs (t59 idiom)
       "t73_semdedup_survivors" ->
         s"""WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM (${LiteralOracles.t72})),

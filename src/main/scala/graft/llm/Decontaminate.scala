@@ -109,6 +109,28 @@ object Decontaminate {
   /** The clean corpus: documents NOT flagged against any benchmark doc
     * (anti-join on the flagged id set — docs pass through untouched,
     * original schema preserved). */
+  /** Semantic decontamination: corpus documents whose EMBEDDING is
+    * near an evaluation-set embedding (cosine ≥ `minCos`) — catches the
+    * paraphrased/translated leakage that n-gram overlap misses (the
+    * embedding analog of [[overlapPairs]]). The eval set is small by
+    * construction and broadcasts; the corpus scans once and never
+    * shuffles — same 100 TB posture as the n-gram path. Norms are
+    * hoisted out of the pair stage. Output: (doc_id, bench_id,
+    * cos_sim), one row per contaminated (corpus, eval) pair. */
+  def semanticOverlapPairs(corpus: DataFrame, evalSet: DataFrame,
+                           idCol: String, vecCol: String,
+                           minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    val c = corpus.select(col(idCol).as("doc_id"), col(vecCol).as("c_v"),
+      norm(col(vecCol)).as("c_n"))
+    val e = evalSet.select(col(idCol).as("bench_id"), col(vecCol).as("e_v"),
+      norm(col(vecCol)).as("e_n"))
+    c.crossJoin(broadcast(e))
+      .withColumn("cos", cosineWithNorms(dot(col("c_v"), col("e_v")), col("c_n"), col("e_n")))
+      .filter(col("cos") >= minCos)
+      .select(col("doc_id"), col("bench_id"), col("cos").as("cos_sim"))
+  }
+
   def scrub(docs: DataFrame, docIdCol: String, docTextCol: String,
             bench: DataFrame, benchIdCol: String, benchTextCol: String,
             n: Int = 8, minShared: Int = 1,

@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** One document's bin assignment from [[Packing.packBinsBFD]]. */
+case class PackedDoc(id: Long, n_tokens: Long, bucket: Int, bin: Int, oversize: Boolean)
+
 /** Sequence packing: lay documents end-to-end in a deterministic order
   * (the id column) and chunk the concatenated token stream into
   * fixed-size context blocks — GPT-style concat-and-chunk packing. The
@@ -87,5 +90,64 @@ object Packing {
       .withColumn("n_blocks", col("end_block") - col("start_block") + lit(1L))
       .select(col("_id").as(idCol), col("n_tokens"), col("start_tok"),
         col("start_block"), col("end_block"), col("n_blocks"))
+  }
+
+  /** Best-fit-decreasing bin packing into fixed-capacity context
+    * windows — the "fewer truncations" alternative to [[packBlocks]]'s
+    * concat-and-chunk (Ding et al., arXiv:2404.10830): no document is
+    * ever split across windows; each goes whole into the fullest bin
+    * that still fits it, largest documents first.
+    *
+    * Distributed shape: documents are hash-bucketed by id
+    * (`xxhash64 mod nBuckets` — a pure function of the id, so the
+    * assignment is partitioning-independent and reproducible), and BFD
+    * runs independently per bucket via `flatMapGroups`. One shuffle of
+    * the thin (id, n_tokens) projection; each bucket's member list is
+    * held in executor memory — size `nBuckets` so corpus/nBuckets rows
+    * fit (the packing quality loss vs global BFD is the usual
+    * sharded-BFD bound: each bucket wastes at most one partially-filled
+    * bin per fill level). Documents larger than `capacity` get a bin of
+    * their own, flagged `oversize` (the trainer's truncate-or-reject
+    * decision, not the packer's).
+    *
+    * Deterministic end-to-end: bucket is a hash of the id, in-bucket
+    * order is (n_tokens desc, id), ties in best-fit resolve to the
+    * lowest bin index — so the output is a pure function of the data,
+    * independent of partitioning (pinned in PackingSpec). */
+  def packBinsBFD(docs: DataFrame, idCol: String, tokens: Column,
+                  capacity: Long, nBuckets: Int = 0): DataFrame = {
+    require(capacity > 0, s"capacity must be positive, got $capacity")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nb =
+      if (nBuckets > 0) nBuckets
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    docs
+      .select(col(idCol).cast("long").as("id"), tokens.cast("long").as("n"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(nb.toLong)).cast("int").as("bucket"))
+      .as[(Long, Long, Int)]
+      .groupByKey(_._3)
+      .flatMapGroups { (bucket, it) =>
+        val members = it.toArray.sortBy { case (id, n, _) => (-n, id) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        members.map { case (id, n, _) =>
+          var best = -1
+          var bestRem = Long.MaxValue
+          var j = 0
+          while (j < fills.length) {
+            val rem = capacity - fills(j)
+            if (rem >= n && rem < bestRem) { best = j; bestRem = rem }
+            j += 1
+          }
+          val bin =
+            if (best >= 0) { fills(best) += n; best }
+            else { fills += n; fills.length - 1 }
+          PackedDoc(id, n, bucket, bin, n > capacity)
+        }.iterator
+      }
+      .toDF()
+      .select(col("id").as(idCol), col("n_tokens"), col("bucket"),
+        col("bin"), col("oversize"))
   }
 }

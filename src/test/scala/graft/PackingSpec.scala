@@ -63,4 +63,43 @@ class PackingSpec extends AnyFunSuite {
     val d = Seq.empty[(Long, Int)].toDF("id", "n_tok")
     assert(Packing.packBlocks(d, "id", col("n_tok"), 64).count() === 0)
   }
+
+  // ---- best-fit-decreasing bin packing ---------------------------------
+
+  test("packBinsBFD: no bin over capacity, no doc split, bins near the lower bound") {
+    val cap = 100L
+    val rows = Packing.packBinsBFD(docs(400), "id", col("n_tok"), cap, nBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getBoolean(4)))
+    assert(rows.length == 400)                     // every doc exactly once — never split
+    assert(rows.forall(!_._5))                     // nothing oversize at this capacity
+    val fills = rows.groupBy(r => (r._3, r._4)).view.mapValues(_.map(_._2).sum)
+    assert(fills.values.forall(_ <= cap), s"overfull bin: ${fills.maxBy(_._2)}")
+    // per bucket: bins used within 2x of the fractional lower bound
+    rows.groupBy(_._3).foreach { case (b, ms) =>
+      val lower = math.ceil(ms.map(_._2).sum.toDouble / cap).toInt
+      val used = ms.map(_._4).distinct.length
+      assert(used >= lower && used <= 2 * lower, s"bucket $b: used=$used lower=$lower")
+    }
+  }
+
+  test("packBinsBFD is partitioning-independent") {
+    val d = docs(300)
+    val a = Packing.packBinsBFD(d, "id", col("n_tok"), 100, nBuckets = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    val b = Packing.packBinsBFD(d.repartition(13), "id", col("n_tok"), 100, nBuckets = 4)
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("packBinsBFD: oversized docs get a bin of their own, flagged") {
+    val d = Seq((1L, 250), (2L, 60), (3L, 50)).toDF("id", "n_tok")
+    val rows = Packing.packBinsBFD(d, "id", col("n_tok"), 100, nBuckets = 1)
+      .collect().map(r => r.getLong(0) -> (r.getInt(3), r.getBoolean(4))).toMap
+    assert(rows(1L)._2)                            // flagged oversize
+    assert(!rows(2L)._2 && !rows(3L)._2)
+    // 60 and 50 do NOT fit together (110 > 100): distinct bins; and the
+    // overfull oversize bin must absorb nothing
+    assert(rows(2L)._1 != rows(3L)._1)
+    assert(rows(1L)._1 != rows(2L)._1 && rows(1L)._1 != rows(3L)._1)
+  }
 }

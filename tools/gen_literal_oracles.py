@@ -27,6 +27,7 @@ QUERIES = {
     "t62_distinct_approx": (["l_returnflag", "approx_orders", "approx_parts"], "l_returnflag"),
     "t65_incremental_minhash": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
     "t72_semdedup": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
+    "t75_bin_packing": (["doc_id", "n_tokens", "bucket", "bin", "oversize"], "doc_id"),
 }
 
 con = duckdb.connect()
