@@ -46,7 +46,42 @@ object ScaleBench {
     out
   }
 
+  /** Scaled embeddings: `factor` copies, each copy's vector circularly
+    * rotated by the copy index — norm-preserving, and rotated copies
+    * decorrelate, so near-dup pair counts grow ~linearly with the
+    * corpus (the realistic shape) instead of quadratically in factor. */
+  def scaledEmbeddings(spark: SparkSession, baseDir: String, workDir: String, factor: Int): String = {
+    val out = s"$workDir/embeddings_x$factor"
+    if (!graft.fs.Fs.exists(s"$out/_SUCCESS")) {
+      val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+      base.crossJoin(copies)
+        .select(
+          (col("vec_id") * factor + col("copy")).as("vec_id"),
+          when(col("copy") === 0, col("embedding")).otherwise(concat(
+            slice(col("embedding"), col("copy") + 1,
+              greatest(size(col("embedding")) - col("copy"), lit(0))),
+            slice(col("embedding"), lit(1), col("copy")))).as("embedding"),
+          col("label"))
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
+  private def embFamily(embs: DataFrame): Seq[(String, () => Long)] = Seq(
+    "t72_semdedup" -> (() =>
+      graft.llm.Dedup.semDedupPairs(embs, "vec_id", "embedding",
+        nClusters = 8, minCos = 0.45).count()),
+    "t74_semantic_decontaminate" -> (() =>
+      graft.llm.Decontaminate.semanticOverlapPairs(embs,
+        embs.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", 0.35).count()))
+
   private def family(docs: DataFrame): Seq[(String, () => Long)] = Seq(
+    "t69_rare_tokens" -> (() =>
+      graft.llm.TextAnalysis.rareTokenStats(docs, "doc_id", "text", maxCount = 2).count()),
+    "t75_bin_packing" -> (() =>
+      graft.llm.Packing.packBinsBFD(docs, "doc_id",
+        graft.functions.TextFunctions.tokenCount(col("text")), capacity = 128).count()),
     "t25_exact_dup_groups" -> (() =>
       graft.llm.Dedup.exactDupGroups(docs, "doc_id", "text").count()),
     "t26_jaccard_pairs" -> (() =>
@@ -70,8 +105,9 @@ object ScaleBench {
     })
 
   private def timeFamily(label: String, docs: DataFrame, nDocs: Long,
-                         onlyPrefix: String = ""): Unit = {
-    val results = family(docs).filter(_._1.startsWith(onlyPrefix)).map { case (name, run) =>
+                         onlyPrefix: String = "", embs: Option[DataFrame] = None): Unit = {
+    val fam = family(docs) ++ embs.toSeq.flatMap(embFamily)
+    val results = fam.filter(_._1.startsWith(onlyPrefix)).map { case (name, run) =>
       val t0 = System.nanoTime()
       val rows = run()
       (name, (System.nanoTime() - t0) / 1e9, rows)
@@ -103,12 +139,14 @@ object ScaleBench {
     val repeat = if (args.length > 4) args(4).toInt else 1
 
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
-    timeFamily("base", base, base.count(), onlyPrefix)
+    val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    timeFamily("base", base, base.count(), onlyPrefix, Some(baseEmb))
 
     val scaledPath = scaledDocs(spark, baseDir, workDir, factor)
     val scaled = spark.read.parquet(scaledPath)
+    val scaledEmb = spark.read.parquet(scaledEmbeddings(spark, baseDir, workDir, factor))
     (1 to repeat).foreach { i =>
-      timeFamily(s"x$factor#$i", scaled, scaled.count(), onlyPrefix)
+      timeFamily(s"x$factor#$i", scaled, scaled.count(), onlyPrefix, Some(scaledEmb))
     }
     spark.stop()
   }

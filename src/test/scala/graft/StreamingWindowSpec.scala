@@ -63,4 +63,31 @@ class StreamingWindowSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 3L)) // 2 seen once despite arriving twice
     spark.sql("DROP TABLE IF EXISTS dedup_out")
   }
+
+  test("streaming exact-dedup by content fingerprint (training-data intake)") {
+    // the streaming form of Dedup.exactDedup: arriving documents dedup
+    // on TextFunctions.fingerprint (md5 of normalized text), so
+    // whitespace/case variants of already-seen docs drop across
+    // micro-batches — the continuous-crawl intake path
+    val dir = Files.createTempDirectory("graft_sf").toString
+    Seq((1L, "The quick   brown fox"), (2L, "other doc"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in1")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    Seq((3L, "the QUICK brown fox"), (4L, "fresh content"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/in2")
+
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint($"text"))
+      .dropDuplicates("fp")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fp_dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val kept = spark.table("fp_dedup_out").select("doc_id").as[Long].collect().sorted
+    // doc 3 is a case/whitespace variant of doc 1 → dropped
+    assert(kept.toSeq == Seq(1L, 2L, 4L))
+    spark.sql("DROP TABLE IF EXISTS fp_dedup_out")
+  }
 }
