@@ -86,6 +86,8 @@ object ScaleBench {
       graft.llm.Dedup.exactDupGroups(docs, "doc_id", "text").count()),
     "t26_jaccard_pairs" -> (() =>
       graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
+    "t76_containment" -> (() =>
+      graft.llm.Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
     "t29_minhash_lsh" -> (() =>
       graft.llm.Dedup.minHashLshPairs(docs, "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.8).count()),

@@ -996,9 +996,26 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), capacity = 128, nBuckets = 8)
       .orderBy(col("doc_id"))
 
+  /** Near-containment ("quote detection"): corpus ∪ half-length copies
+    * of the first 50 docs — each copy is contained in its original
+    * (containment ≈ 1) while Jaccard ≈ 0.5 misses it; symmetric
+    * near-dup pairs surface in both directions since C ≥ J always. */
+  private def t76Containment(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val halves = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val corpus = d.select(col("doc_id"), col("text")).unionByName(halves)
+    Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .select(col("a_id"), col("b_id"),
+        floor(col("containment") * 1e6).cast("long").as("containment_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t76_containment" -> t76Containment _,
     "t75_bin_packing" -> t75BinPacking _,
     "t74_semantic_decontaminate" -> t74SemanticDecontaminate _,
     "t73_semdedup_survivors" -> t73SemDedupSurvivors _,
@@ -1682,6 +1699,21 @@ object SparkEntry {
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
       "t75_bin_packing" -> LiteralOracles.t75,
+      // asymmetric containment over corpus ∪ half-length copies (t26 idiom)
+      "t76_containment" ->
+        s"""WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, substr(text, 1, CAST(n_chars // 2 AS INT)) AS text
+            FROM documents WHERE doc_id < 50),
+          sh AS (SELECT doc_id, $shingles AS s FROM corpus)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+            CAST(floor(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(a.s) AS DOUBLE) * 1000000.0) AS BIGINT) AS containment_ppm
+          FROM sh a, sh b WHERE a.doc_id <> b.doc_id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(a.s) AS DOUBLE) >= 0.8
+          ORDER BY a_id, b_id""",
       // embedding decontamination vs the %50 eval subset (t27 cosine twin)
       "t74_semantic_decontaminate" ->
         s"""SELECT a.vec_id AS doc_id, b.vec_id AS bench_id,

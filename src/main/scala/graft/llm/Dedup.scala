@@ -83,17 +83,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
 
-    // job 1 (small): df head — distributed top-K (per-partition partial
-    // top-K, then merge), collected to bounded driver state. df = 1
-    // shingles sort identically with or without an entry, so only
-    // df >= 2 matter.
-    val dfHead: Map[String, Long] = withSets
-      .select(explode(col("sh")).as("shingle"))
-      .groupBy("shingle").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2)
-      .orderBy(col("df").desc, col("shingle"))
-      .limit(dfHeadSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfHead = dfHeadOf(withSets, dfHeadSize)
 
     val prefix = withSets.select(
       explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
@@ -108,6 +98,64 @@ object Dedup {
       .distinct()
 
     verifyJaccard(candidates, withSets, threshold)
+  }
+
+  /** Document-frequency head for the prefix-filter's global shingle
+    * order — distributed top-K (per-partition partial top-K, then
+    * merge), collected to BOUNDED driver state. df = 1 shingles sort
+    * identically with or without an entry, so only df ≥ 2 matter. */
+  private def dfHeadOf(withSets: DataFrame, dfHeadSize: Int): Map[String, Long] =
+    withSets
+      .select(explode(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(dfHeadSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Near-containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t —
+    * the ASYMMETRIC "A is (near-)quoted inside B" relation that Jaccard
+    * misses entirely (a short quote inside a long document has tiny
+    * Jaccard but containment ≈ 1) — the quote/subset case of C4-style
+    * curation. Same ICDE'06 prefix machinery as [[jaccardNearDupPairs]],
+    * applied to the CONTAINED side only: if C ≥ t, at most
+    * |A| − ⌈t·|A|⌉ of A's shingles miss B, so one of A's
+    * |A| − ⌈t·|A|⌉ + 1 rarest must be shared. The container side
+    * indexes ALL its shingles (asymmetry is why: B's prefix may skip
+    * exactly the shared region). Size prune |B| ≥ t·|A| (B must hold
+    * the intersection). One wide shuffle on shingle; candidates are
+    * verified exactly. Output one row per ordered (contained a_id,
+    * container b_id) pair. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.8,
+                       dfHeadSize: Int = 100000): DataFrame = {
+    import graft.functions.expr.PrefixShingles
+
+    val withSets = docs
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val dfHead = dfHeadOf(withSets, dfHeadSize)
+
+    val a = withSets.select(
+      explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
+      col("id").as("a_id"), col("sz").as("a_sz"))
+    val b = withSets.select(explode(col("sh")).as("shingle"),
+      col("id").as("b_id"), col("sz").as("b_sz"))
+    val candidates = a.join(b, Seq("shingle"))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_sz") >= lit(threshold) * col("a_sz"))
+      .select("a_id", "b_id")
+      .distinct()
+
+    val sa = withSets.select(col("id").as("a_id"), col("sh").as("a_sh"))
+    val sb = withSets.select(col("id").as("b_id"), col("sh").as("b_sh"))
+    candidates
+      .join(sa, "a_id").join(sb, "b_id")
+      .withColumn("containment",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(col("a_sh")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"), col("containment"))
   }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs. */

@@ -92,6 +92,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1) == ((5L, 0L, 0L)))
   }
 
+  // ---- containment --------------------------------------------------------
+
+  test("containmentPairs finds quotes that Jaccard misses, in the right direction") {
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val long = ("many unrelated words " * 20) + quote + (" trailing different content " * 20)
+    val docs = Seq(
+      (1L, quote),                     // contained in 2
+      (2L, long),                      // container
+      (3L, "completely different text about spark query engines and joins")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs") // quote ⊂ long, never the reverse
+    val jac = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(jac.isEmpty, s"Jaccard should miss the quote: $jac")
+  }
+
+  test("containmentPairs equals the naive all-pairs definition on a small corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val sets = docs.select($"doc_id",
+      graft.functions.TextFunctions.shingleSet($"text", 3).as("sh"))
+    val a = sets.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = sets.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    val naive = a.crossJoin(b).filter($"a_id" =!= $"b_id")
+      .withColumn("c", size(array_intersect($"a_sh", $"b_sh")).cast("double") /
+        size($"a_sh").cast("double"))
+      .filter($"c" >= 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+  }
+
   // ---- URL hosts ----------------------------------------------------------
 
   test("urlHosts extracts hosts only, path and bare domains excluded") {
