@@ -1012,9 +1012,21 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Temperature-scaled (τ=½) source mixture over the documents table:
+    * 30% overall keep rate, small sources upweighted ∝ √n. Every
+    * threshold is derived with integer-exact arithmetic, so the DuckDB
+    * twin reproduces membership bit-for-bit. */
+  private def t77TemperatureMix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureMixtureSample(
+        t(s, dir, "documents"), "doc_id", "source", targetPpm = 300000L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("source"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t77_temperature_mix" -> t77TemperatureMix _,
     "t76_containment" -> t76Containment _,
     "t75_bin_packing" -> t75BinPacking _,
     "t74_semantic_decontaminate" -> t74SemanticDecontaminate _,
@@ -1699,6 +1711,23 @@ object SparkEntry {
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
       "t75_bin_packing" -> LiteralOracles.t75,
+      // temperature mixture: identical integer quota derivation, then the
+      // q57 md5-hashUnit membership against the exact double quota/n
+      "t77_temperature_mix" ->
+        """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+          t AS (SELECT CAST(sum(n) AS HUGEINT) * 300000 // 1000000 AS T,
+                  CAST(sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS HUGEINT) AS sumW
+                FROM c),
+          q AS (SELECT source, n,
+                  least(CAST((SELECT T FROM t) * CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                    // (SELECT sumW FROM t) AS BIGINT), n) AS quota
+                FROM c),
+          u AS (SELECT d.source, d.n_chars, q.quota, q.n,
+                  CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 AS hu
+                FROM documents d JOIN q USING (source))
+          SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM u WHERE hu < CAST(quota AS DOUBLE) / CAST(n AS DOUBLE)
+          GROUP BY source ORDER BY source""",
       // asymmetric containment over corpus ∪ half-length copies (t26 idiom)
       "t76_containment" ->
         s"""WITH corpus AS (

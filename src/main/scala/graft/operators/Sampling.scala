@@ -36,6 +36,41 @@ object Sampling {
     df.filter(hashUnit(col(keyCol)) < frac)
   }
 
+  /** Temperature-scaled source mixture (τ = ½, GPT-3-style): sampling
+    * quotas per source ∝ √n_s, so small sources are upweighted relative
+    * to their share — the standard training-mix rebalance. `targetPpm`
+    * is the overall corpus fraction to keep, in ppm.
+    *
+    * Every derived quantity is integer-exact and engine-portable: the
+    * per-source weight is floor(√n·10⁶) (IEEE sqrt is correctly
+    * rounded, so any engine computes the same integer), quotas are
+    * integer division over exact BigInt products, and membership is the
+    * md5 [[hashUnit]] against the exact double ratio quota/n (one
+    * division of two integers — identically rounded everywhere). No
+    * float is ever accumulated, so the sample is reproducible
+    * bit-for-bit across engines, partitionings, and reruns.
+    *
+    * Two passes: a #sources-row count aggregate to the driver, then one
+    * codegen'd CASE-filter scan — the corpus never shuffles. */
+  def temperatureMixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
+                               targetPpm: Long): DataFrame = {
+    require(targetPpm >= 0 && targetPpm <= 1000000L,
+      s"targetPpm must be in [0, 1e6], got $targetPpm")
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    if (counts.isEmpty) return df.filter(lit(false))
+    val w = counts.map { case (s, n) =>
+      s -> BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
+    }.toMap
+    val sumW = w.values.sum
+    val t = counts.map(c => BigInt(c._2)).sum * targetPpm / 1000000
+    val fracs = counts.map { case (s, n) =>
+      val quota = (t * w(s) / sumW).min(BigInt(n))
+      s -> quota.toDouble / n.toDouble
+    }.toMap
+    stratifiedHashSample(df, keyCol, sourceCol, fracs)
+  }
+
   /** Stable train/validation/test split: adds a `split` column from the
     * key hash. Fractions must sum to ≤ 1; the remainder goes to train. */
   def split(df: DataFrame, keyCol: String,

@@ -20,6 +20,27 @@ class SamplingSpec extends AnyFunSuite {
     assert(small.subsetOf(a))
   }
 
+  test("temperatureMixtureSample: small sources upweighted, overall rate honored, deterministic") {
+    // 1800 docs in 'big', 200 in 'small' — τ=½ should keep a HIGHER
+    // fraction of 'small' than of 'big'
+    val docs = (1L to 2000L).map(i => (i, if (i <= 1800) "big" else "small"))
+      .toDF("id", "source")
+    val kept = Sampling.temperatureMixtureSample(docs, "id", "source", targetPpm = 300000L)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val rBig = kept("big") / 1800.0
+    val rSmall = kept("small") / 200.0
+    assert(rSmall > rBig, s"small=$rSmall big=$rBig")
+    // expected quotas: w ∝ √n → big 9× docs but only 3× weight
+    val total = kept.values.sum
+    assert(math.abs(total / 2000.0 - 0.3) < 0.06, s"total=$total")
+    // partitioning-independent membership
+    val a = Sampling.temperatureMixtureSample(docs, "id", "source", 300000L)
+      .select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMixtureSample(docs.repartition(17), "id", "source", 300000L)
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("split: partitions are disjoint, exhaustive, and stable") {
     val s = Sampling.split(ids, "id", testFraction = 0.2, validFraction = 0.1)
       .groupBy("split").count().as[(String, Long)].collect().toMap
