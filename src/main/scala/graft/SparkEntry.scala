@@ -1023,9 +1023,19 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("source"))
 
+  /** Unigram LM quality scoring (CCNet-class perplexity signal, LM =
+    * the corpus's own unigram distribution). Per-token log₂-probs are
+    * ppm-floored BEFORE summation, so the doc score is an exact
+    * integer sum; avg uses trunc-toward-zero division (Spark DIV),
+    * mirrored in the oracle. */
+  private def t78UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLogProbPpm(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t78_unigram_logprob" -> t78UnigramLogprob _,
     "t77_temperature_mix" -> t77TemperatureMix _,
     "t76_containment" -> t76Containment _,
     "t75_bin_packing" -> t75BinPacking _,
@@ -1711,6 +1721,24 @@ object SparkEntry {
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
       "t75_bin_packing" -> LiteralOracles.t75,
+      // unigram LM scoring: per-token ppm-floored log2 probs (31-word
+      // vocab — every floor checked identical across engines), exact
+      // integer doc sums, trunc-division average emulated via CASE
+      "t78_unigram_logprob" ->
+        s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+          g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),
+          v AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM g GROUP BY tok),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM v),
+          sc AS (SELECT tok, c,
+              CAST(floor(log2(CAST(c AS DOUBLE) / CAST((SELECT N FROM tot) AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+            FROM v),
+          d AS (SELECT doc_id, CAST(sum(g.n) AS BIGINT) AS n_tokens,
+              CAST(sum(g.n * sc.lp) AS BIGINT) AS sum_lp
+            FROM g JOIN sc USING (tok) GROUP BY doc_id)
+          SELECT doc_id, n_tokens,
+            CASE WHEN sum_lp >= 0 THEN sum_lp // n_tokens
+                 ELSE -((-sum_lp) // n_tokens) END AS avg_logprob_ppm
+          FROM d ORDER BY doc_id""",
       // temperature mixture: identical integer quota derivation, then the
       // q57 md5-hashUnit membership against the exact double quota/n
       "t77_temperature_mix" ->

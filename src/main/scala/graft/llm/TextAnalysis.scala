@@ -52,6 +52,34 @@ object TextAnalysis {
         expr("n_rare * 1000000L DIV n_tokens").as("rare_frac_ppm"))
   }
 
+  /** Unigram LM scoring (the CCNet-class perplexity quality signal,
+    * arXiv:1911.00359, with the LM reduced to the corpus's own unigram
+    * distribution): per document, the mean token log₂-probability —
+    * low (very negative) means rare-token-heavy / off-distribution
+    * text. Per-TOKEN scores are floored to ppm integers BEFORE the
+    * per-document sum, so document scores are exact integer sums —
+    * independent of partition count and merge order (a double sum
+    * would drift by ulps across topologies). Same two thin map-side-
+    * combined shuffles as [[rareTokenStats]]; the corpus text never
+    * moves. */
+  def unigramLogProbPpm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pairs = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(normalizeText(col(textCol)))).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n"))
+    val vocab = pairs.groupBy(col("tok")).agg(sum(col("n")).as("c"))
+    val total = lit(vocab.agg(sum(col("c"))).collect()(0).getLong(0))
+    val tokPpm = floor(log2(col("c").cast("double") / total.cast("double")) * 1e6)
+      .cast("long").as("lp_ppm")
+    pairs.join(vocab, "tok")
+      .select(col("id"), col("n"), tokPpm)
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_tokens"),
+        sum(col("n") * col("lp_ppm")).as("sum_lp_ppm"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        expr("sum_lp_ppm DIV n_tokens").as("avg_logprob_ppm"))
+  }
+
   /** Gopher-style quality rule bundle (Rae et al., arXiv:2112.11446
     * §A1.1, thresholds adapted to the corpus at hand): ordered rules,
     * FIRST failing rule is the recorded reason, keep = all pass. One

@@ -92,6 +92,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1) == ((5L, 0L, 0L)))
   }
 
+  // ---- unigram LM scoring --------------------------------------------------
+
+  test("unigramLogProbPpm matches a driver-side reference and ranks rare-heavy docs lower") {
+    val docs = Seq(
+      (1L, "common common common common"),
+      (2L, "common rareword"),
+      (3L, "rareword otherrare")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProbPpm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // counts: common 5, rareword 2, otherrare 1, N = 8
+    def lp(c: Long, n: Long = 8) = math.floor(math.log(c.toDouble / n) / math.log(2.0) * 1e6).toLong
+    def avg(sum: Long, n: Long) = sum / n // JVM / truncates toward zero, like Spark DIV
+    assert(got(1L) == ((4L, avg(4 * lp(5), 4))))
+    assert(got(2L) == ((2L, avg(lp(5) + lp(2), 2))))
+    assert(got(3L) == ((2L, avg(lp(2) + lp(1), 2))))
+    // rare-token-heavy docs score lower (more negative)
+    assert(got(3L)._2 < got(2L)._2 && got(2L)._2 < got(1L)._2)
+  }
+
   // ---- containment --------------------------------------------------------
 
   test("containmentPairs finds quotes that Jaccard misses, in the right direction") {
