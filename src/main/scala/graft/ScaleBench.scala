@@ -58,10 +58,17 @@ object ScaleBench {
       base.crossJoin(copies)
         .select(
           (col("vec_id") * factor + col("copy")).as("vec_id"),
-          when(col("copy") === 0, col("embedding")).otherwise(concat(
-            slice(col("embedding"), col("copy") + 1,
-              greatest(size(col("embedding")) - col("copy"), lit(0))),
-            slice(col("embedding"), lit(1), col("copy")))).as("embedding"),
+          // rotate by copy MOD dim: the raw copy index degenerates once
+          // copy >= dim (empty head slice + full tail = exact duplicate
+          // of copy 0 → quadratic pair growth, the opposite of the
+          // stated linear design)
+          when(pmod(col("copy"), size(col("embedding"))) === 0, col("embedding"))
+            .otherwise(concat(
+              slice(col("embedding"),
+                pmod(col("copy"), size(col("embedding"))) + 1,
+                size(col("embedding")) - pmod(col("copy"), size(col("embedding")))),
+              slice(col("embedding"), lit(1),
+                pmod(col("copy"), size(col("embedding")))))).as("embedding"),
           col("label"))
         .write.mode("overwrite").parquet(out)
     }

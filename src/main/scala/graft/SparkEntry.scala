@@ -23,10 +23,13 @@ object SparkEntry {
   /** Per-JVM scratch root for sink round-trip queries (q19/q61/q62):
     * `createTempDirectory` makes it unique per process, so concurrent
     * runs over the same dataset never trample each other's files, and a
-    * shutdown hook removes the whole tree on exit. Each invocation gets
-    * a fresh subdirectory — the written files must outlive the returned
-    * (lazy) DataFrame, so cleanup is deferred to JVM exit rather than
-    * done after the read. */
+    * shutdown hook removes the whole tree on exit. One subdirectory per
+    * (tag, dataset dir), REUSED across invocations with overwrite-mode
+    * writes: repeated runs in a long-lived session (Bench repeat loops,
+    * ScaleBench) keep exactly one copy per dataset on disk instead of
+    * accumulating one per run. Reuse is safe because each invocation
+    * writes the same deterministic content for the same inputs, and the
+    * read materializes before the next run's overwrite starts. */
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -38,9 +41,9 @@ object SparkEntry {
     }))
     p
   }
-  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private def scratch(tag: String): String =
-    s"$scratchRoot/${tag}_${scratchSeq.incrementAndGet()}"
+  private def scratch(tag: String, dir: String): String =
+    s"$scratchRoot/${tag}_${java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)}"
 
   /** Money math: the source doubles have ≤ `scale` decimal digits, so
     * accumulating `round(x·10^scale)` as BIGINT is exact and
@@ -265,7 +268,7 @@ object SparkEntry {
 
   private def q19CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     // S3/S4 CSV scan + schema inference: parquet → csv → inferred read.
-    val out = scratch("csv")
+    val out = scratch("csv", dir)
     // partitioned write + globbed read-back — the distributed shape
     // (each writer task emits its own part file; the reader lists the
     // directory), no single-file coalesce bottleneck
@@ -884,7 +887,7 @@ object SparkEntry {
   /** JSON-lines sink + source round-trip (schema-on-read with the
     * writer's schema), then an aggregate proving value fidelity. */
   private def q61JsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("json")
+    val out = scratch("json", dir)
     val src = t(s, dir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
     src.write.mode("overwrite").json(out)
@@ -898,7 +901,7 @@ object SparkEntry {
   /** Columnar ORC sink + source round-trip (second columnar format
     * besides parquet), aggregate fidelity check. */
   private def q62OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val out = scratch("orc")
+    val out = scratch("orc", dir)
     t(s, dir, "supplier").write.mode("overwrite").orc(out)
     s.read.orc(out)
       .groupBy(col("s_nationkey"))
@@ -972,6 +975,25 @@ object SparkEntry {
       .orderBy(col("vec_id"))
   }
 
+  /** Incremental SemDeDup: the delta (every 5th embedding) dedups
+    * against a persisted k-means index of the rest — delta assigned to
+    * the EXISTING cells, corpus probed within matched cells only, never
+    * re-clustered (t65's incremental contract applied to the embedding
+    * family; equivalence with the fixed-centroid full run is pinned by
+    * DedupSpec). */
+  private def t79SemDedupDelta(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val corpus = e.filter(col("vec_id") % 5 =!= 0)
+    val cIdx = Similarity.kMeansIndex(corpus, "vec_id", "embedding", k = 8, iters = 3)
+    val cells = Dedup.semDedupCellIndex(corpus, "vec_id", "embedding", cIdx)
+    Dedup.semDedupDeltaPairs(delta, corpus, cIdx, cells,
+        "vec_id", "embedding", minCos = 0.35)
+      .select(col("cell"), col("a_id"), col("b_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Semantic (embedding) decontamination against an eval subset — the
     * paraphrase-robust complement of t63's n-gram overlap. Self-pairs
     * (the eval set is a corpus subset here) are excluded in the query,
@@ -1023,6 +1045,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("source"))
 
+  /** Temperature-mix WATERFILL: a 10-doc `a_tiny` source saturates in
+    * round 1 (its √n-share is ~2.3× its size) and keeps all its rows;
+    * the surplus re-divides over the three equal big sources in round 2,
+    * which saturates nothing — at ANY scale factor, since the big
+    * sources stay equal-sized — so the 2-round-unrolled oracle SQL
+    * reproduces the Scala loop's integer derivation exactly. */
+  private def t80MixtureWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").withColumn("mix_src",
+      when(col("doc_id") < 10, lit("a_tiny"))
+        .otherwise(concat(lit("src"), (col("doc_id") % 3).cast("string"))))
+    graft.operators.Sampling.temperatureMixtureSample(d, "doc_id", "mix_src",
+        targetPpm = 600000L)
+      .groupBy(col("mix_src"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("sum_chars"))
+      .orderBy(col("mix_src"))
+  }
+
   /** Unigram LM quality scoring (CCNet-class perplexity signal, LM =
     * the corpus's own unigram distribution). Per-token log₂-probs are
     * ppm-floored BEFORE summation, so the doc score is an exact
@@ -1035,6 +1074,8 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t80_mixture_waterfill" -> t80MixtureWaterfill _,
+    "t79_semdedup_delta" -> t79SemDedupDelta _,
     "t78_unigram_logprob" -> t78UnigramLogprob _,
     "t77_temperature_mix" -> t77TemperatureMix _,
     "t76_containment" -> t76Containment _,
@@ -1132,6 +1173,15 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
     val toks = s"string_split($norm, ' ')"
+    // langId in DuckDB, generated from TextFunctions.LangMarkers so the
+    // two engines can never desync when marker sets change (t24, t32)
+    val langScoreCols = TextFunctions.LangMarkers.map { case (lang, words) =>
+      s"len(list_filter($toks, tk -> list_contains([${words.map(w => s"'$w'").mkString(",")}], tk))) AS c_$lang"
+    }.mkString(",\n            ")
+    val langGreatest = s"greatest(${TextFunctions.LangMarkers.map(m => s"c_${m._1}").mkString(", ")})"
+    val langCases = TextFunctions.LangMarkers.map { case (lang, _) =>
+      s"WHEN c_$lang = $langGreatest AND $langGreatest > 0 THEN '$lang'"
+    }.mkString("\n            ")
     val rawToks = """string_split_regex(trim(text), '\s+')"""
     val nTokens = s"""CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($rawToks) END"""
     val punct = """len(regexp_extract_all(text, '[.,;:!?''"()\[\]{}-]'))"""
@@ -1535,18 +1585,14 @@ object SparkEntry {
             + 0.2 * (1.0 - least((CAST($punct AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)
                 + CAST($digits AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 5.0, 1.0)))), 6) AS quality
           FROM documents ORDER BY doc_id""",
+      // generated from TextFunctions.LangMarkers, so marker-set edits
+      // can never desync the two engines
       "t24_lang_id" ->
         s"""WITH sc AS (SELECT doc_id,
-            len(list_filter($toks, tk -> list_contains(['the','and','of','is','to'], tk))) AS c_en,
-            len(list_filter($toks, tk -> list_contains(['el','la','de','que','los'], tk))) AS c_es,
-            len(list_filter($toks, tk -> list_contains(['le','la','de','et','les'], tk))) AS c_fr,
-            len(list_filter($toks, tk -> list_contains(['der','die','und','das','ist'], tk))) AS c_de
+            $langScoreCols
           FROM documents)
           SELECT doc_id, CASE
-            WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
-            WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
-            WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
-            WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
+            $langCases
             ELSE 'und' END AS lang_pred
           FROM sc ORDER BY doc_id""",
       "t25_exact_dup_groups" ->
@@ -1619,15 +1665,9 @@ object SparkEntry {
         s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
           CAST($nTokens AS BIGINT) AS n_tokens,
           (WITH sc AS (SELECT
-            len(list_filter($toks, tk -> list_contains(['the','and','of','is','to'], tk))) AS c_en,
-            len(list_filter($toks, tk -> list_contains(['el','la','de','que','los'], tk))) AS c_es,
-            len(list_filter($toks, tk -> list_contains(['le','la','de','et','les'], tk))) AS c_fr,
-            len(list_filter($toks, tk -> list_contains(['der','die','und','das','ist'], tk))) AS c_de)
+            $langScoreCols)
            SELECT CASE
-            WHEN c_en = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'en'
-            WHEN c_es = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'es'
-            WHEN c_fr = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'fr'
-            WHEN c_de = greatest(c_en, c_es, c_fr, c_de) AND greatest(c_en, c_es, c_fr, c_de) > 0 THEN 'de'
+            $langCases
             ELSE 'und' END FROM sc) AS lang_pred,
           md5($norm) AS fp
           FROM documents ORDER BY doc_id""",
@@ -1720,17 +1760,19 @@ object SparkEntry {
             CAST(count(*) AS BIGINT) AS n_hits
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
+      "t79_semdedup_delta" -> LiteralOracles.t79,
       "t75_bin_packing" -> LiteralOracles.t75,
-      // unigram LM scoring: per-token ppm-floored log2 probs (31-word
-      // vocab — every floor checked identical across engines), exact
-      // integer doc sums, trunc-division average emulated via CASE
+      // unigram LM scoring: per-token ppm-floored log2 probs with the
+      // shared +1e-4 boundary guard (see TextAnalysis.unigramLogProbPpm:
+      // absorbs cross-engine log2 ulp divergence at any vocab/scale),
+      // exact integer doc sums, trunc-division average emulated via CASE
       "t78_unigram_logprob" ->
         s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),
           v AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM g GROUP BY tok),
           tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM v),
           sc AS (SELECT tok, c,
-              CAST(floor(log2(CAST(c AS DOUBLE) / CAST((SELECT N FROM tot) AS DOUBLE)) * 1000000.0) AS BIGINT) AS lp
+              CAST(floor(log2(CAST(c AS DOUBLE) / CAST((SELECT N FROM tot) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS lp
             FROM v),
           d AS (SELECT doc_id, CAST(sum(g.n) AS BIGINT) AS n_tokens,
               CAST(sum(g.n * sc.lp) AS BIGINT) AS sum_lp
@@ -1756,6 +1798,31 @@ object SparkEntry {
           SELECT source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
           FROM u WHERE hu < CAST(quota AS DOUBLE) / CAST(n AS DOUBLE)
           GROUP BY source ORDER BY source""",
+      // waterfill mixture: same integer derivation, two rounds unrolled —
+      // round 1 saturates a_tiny (CASE q >= n), round 2 re-divides the
+      // remainder over the open sources with the original √n weights;
+      // the Scala loop provably stops after round 2 on this layout
+      "t80_mixture_waterfill" ->
+        """WITH d AS (SELECT doc_id, n_chars,
+            CASE WHEN doc_id < 10 THEN 'a_tiny' ELSE 'src' || CAST(doc_id % 3 AS VARCHAR) END AS mix_src
+          FROM documents),
+          c AS (SELECT mix_src, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY mix_src),
+          w AS (SELECT mix_src, n, CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w FROM c),
+          t0 AS (SELECT CAST(sum(n) AS HUGEINT) * 600000 // 1000000 AS T,
+                   CAST(sum(w) AS HUGEINT) AS sumW FROM w),
+          q1 AS (SELECT mix_src, n, w, (SELECT T FROM t0) * w // (SELECT sumW FROM t0) AS q FROM w),
+          r2 AS (SELECT (SELECT T FROM t0) - CAST(sum(CASE WHEN q >= n THEN n ELSE 0 END) AS HUGEINT) AS T2,
+                   CAST(sum(CASE WHEN q < n THEN w ELSE 0 END) AS HUGEINT) AS sumW2 FROM q1),
+          q2 AS (SELECT mix_src, n,
+                   CASE WHEN q >= n THEN CAST(n AS HUGEINT)
+                        ELSE (SELECT T2 FROM r2) * w // (SELECT sumW2 FROM r2) END AS quota
+                 FROM q1),
+          u AS (SELECT d.mix_src, d.n_chars, q2.quota, q2.n,
+                  CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0 AS hu
+                FROM d JOIN q2 USING (mix_src))
+          SELECT mix_src, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          FROM u WHERE hu < CAST(quota AS DOUBLE) / CAST(n AS DOUBLE)
+          GROUP BY mix_src ORDER BY mix_src""",
       // asymmetric containment over corpus ∪ half-length copies (t26 idiom)
       "t76_containment" ->
         s"""WITH corpus AS (

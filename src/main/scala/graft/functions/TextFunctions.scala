@@ -85,18 +85,32 @@ object TextFunctions {
 
   // ---- language ID ----------------------------------------------------
 
-  /** Marker-word sets per language for the n-gram/stopword heuristic.
-    * (Self-consistent heuristic: the oracle mirrors the same formula.) */
+  /** Marker-word sets per language for the stopword-hit heuristic. The
+    * t24 oracle SQL is GENERATED from this seq (SparkEntry.oracleSql),
+    * so edits here propagate to both engines automatically. ASCII-only
+    * function words; overlaps across Romance languages are expected —
+    * the argmax over full sets still separates, and ties break by seq
+    * order. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
-    "en" -> Seq("the", "and", "of", "is", "to"),
-    "es" -> Seq("el", "la", "de", "que", "los"),
-    "fr" -> Seq("le", "la", "de", "et", "les"),
-    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "en" -> Seq("the", "and", "of", "is", "to", "in", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "dans", "pour", "aux"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "eine", "von"),
+    "it" -> Seq("il", "la", "che", "di", "per", "una", "con", "del", "sono", "non"),
+    "pt" -> Seq("de", "que", "em", "um", "para", "com", "uma", "dos", "mais", "como"),
   )
 
   /** Heuristic language ID: argmax over marker-word hit counts with a
     * deterministic preference order (ties → earlier entry in
-    * `LangMarkers`; zero hits everywhere → "und"). */
+    * `LangMarkers`; zero hits everywhere → "und").
+    *
+    * HONESTY NOTE — this is a marker-WORD heuristic, not a language
+    * model: it covers exactly the `LangMarkers` languages (6), needs
+    * whitespace-tokenizable ASCII-ish text, and returns "und" for
+    * everything else (CJK, Arabic, short strings, code). It exists to
+    * exercise the classify-and-aggregate PLAN SHAPE with an exactly
+    * mirrorable oracle; swap in a real char-n-gram model (fastText
+    * class) behind the same Column signature for production quality. */
   def langId(c: Column): Column = {
     val toks = tokens(normalizeText(c))
     val scores = LangMarkers.map { case (lang, words) =>

@@ -109,6 +109,16 @@ object Decontaminate {
   /** The clean corpus: documents NOT flagged against any benchmark doc
     * (anti-join on the flagged id set — docs pass through untouched,
     * original schema preserved). */
+  def scrub(docs: DataFrame, docIdCol: String, docTextCol: String,
+            bench: DataFrame, benchIdCol: String, benchTextCol: String,
+            n: Int = 8, minShared: Int = 1,
+            gramBroadcastBudget: Long = DefaultGramBroadcastBudget): DataFrame = {
+    val flagged = overlapPairs(docs, docIdCol, docTextCol,
+      bench, benchIdCol, benchTextCol, n, minShared, gramBroadcastBudget)
+      .select(col("doc_id")).distinct()
+    docs.join(flagged, docs(docIdCol) === flagged("doc_id"), "left_anti")
+  }
+
   /** Semantic decontamination: corpus documents whose EMBEDDING is
     * near an evaluation-set embedding (cosine ≥ `minCos`) — catches the
     * paraphrased/translated leakage that n-gram overlap misses (the
@@ -129,15 +139,5 @@ object Decontaminate {
       .withColumn("cos", cosineWithNorms(dot(col("c_v"), col("e_v")), col("c_n"), col("e_n")))
       .filter(col("cos") >= minCos)
       .select(col("doc_id"), col("bench_id"), col("cos").as("cos_sim"))
-  }
-
-  def scrub(docs: DataFrame, docIdCol: String, docTextCol: String,
-            bench: DataFrame, benchIdCol: String, benchTextCol: String,
-            n: Int = 8, minShared: Int = 1,
-            gramBroadcastBudget: Long = DefaultGramBroadcastBudget): DataFrame = {
-    val flagged = overlapPairs(docs, docIdCol, docTextCol,
-      bench, benchIdCol, benchTextCol, n, minShared, gramBroadcastBudget)
-      .select(col("doc_id")).distinct()
-    docs.join(flagged, docs(docIdCol) === flagged("doc_id"), "left_anti")
   }
 }

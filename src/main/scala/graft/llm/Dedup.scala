@@ -355,8 +355,11 @@ object Dedup {
     // aggregate, both expansion joins, both intra-join sides) with
     // different join keys — without it each branch re-tokenizes and
     // re-hashes the whole corpus. 16 bytes/doc; same tradeoff as the
-    // sibling embeddingNearDupLsh's sketched table (no unpersist: the
-    // returned frame is lazy and owns the reference).
+    // sibling embeddingNearDupLsh's sketched table. Storage is bounded:
+    // repeated calls on the same inputs reuse ONE cache-manager entry
+    // (same-plan lookup), and [[releaseSimHashCache]] frees it when the
+    // caller is done with the returned (lazy) frame — pinned by
+    // DedupSpec's persisted-RDD-count test.
     val sigs = simHashes(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sigs.groupBy(col("sig")).agg(count(lit(1)).as("m")).select("sig")
@@ -404,6 +407,16 @@ object Dedup {
     intra.unionByName(inter)
   }
 
+  /** Release the signature cache a prior [[simHashPairs]] call persisted
+    * for these inputs, once the returned frame's results are consumed.
+    * Rebuilding the identical (pure-function) plan lets the cache
+    * manager find the entry by canonicalized-plan equality — the public
+    * `unpersist` path, no private Spark API. Safe to call even if
+    * nothing is cached. */
+  def releaseSimHashCache(docs: DataFrame, idCol: String, textCol: String): Unit = {
+    simHashes(docs, idCol, textCol).unpersist(): Unit
+  }
+
   /** Embedding near-dup: all pairs (a < b) with cosine ≥ threshold.
     * Exact/complete variant — a blocked self-join (O(n²) compares but
     * fully distributed; use [[graft.llm.Similarity]] LSH buckets for the
@@ -433,13 +446,34 @@ object Dedup {
     * Deterministic end-to-end (hash-seeded k-means, decimal means), so
     * the output is partitioning-independent and literal-oracle-able. */
   def semDedupPairs(embs: DataFrame, idCol: String, vecCol: String,
-                    nClusters: Int, minCos: Double, iters: Int = 3): DataFrame = {
-    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
-    val centroids = Similarity.kMeansCentroids(embs, idCol, vecCol, nClusters, iters)
+                    nClusters: Int, minCos: Double, iters: Int = 3): DataFrame =
+    semDedupPairsWithCentroids(embs, idCol, vecCol,
+      Similarity.kMeansCentroids(embs, idCol, vecCol, nClusters, iters), minCos)
+
+  /** [[semDedupPairs]] under a FIXED centroid matrix — the full-run
+    * reference an incremental run must agree with (pinned by DedupSpec
+    * against [[semDedupDeltaPairs]], the t64/t65 equivalence idiom). */
+  private[graft] def semDedupPairsWithCentroids(
+      embs: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[(Int, Array[Double])], minCos: Double): DataFrame =
+    pairsWithinCells(assignWithNorm(embs, idCol, vecCol, centroids), minCos)
+
+  /** Nearest-centroid assignment with the float vector and its norm
+    * hoisted for the pair stage: (id, fv, cell, nrm). One narrow map
+    * over the scan — the centroid matrix rides as literals. */
+  private def assignWithNorm(embs: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[(Int, Array[Double])]): DataFrame = {
+    import graft.functions.VectorFunctions.norm
     val dv = embs.select(col(idCol).as("id"), col(vecCol).as("fv"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val assigned = Similarity.assignCells(dv, centroids)
+    Similarity.assignCells(dv, centroids)
       .select(col("id"), col("fv"), col("cell"), norm(col("fv")).as("nrm"))
+  }
+
+  /** All within-cell pairs (a_id < b_id) with cosine ≥ `minCos` over an
+    * (id, fv, cell, nrm) frame: ONE shuffle on the cell id. */
+  private def pairsWithinCells(assigned: DataFrame, minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot}
     val a = assigned.select(col("cell"), col("id").as("a_id"),
       col("fv").as("a_v"), col("nrm").as("a_n"))
     val b = assigned.select(col("cell"), col("id").as("b_id"),
@@ -449,6 +483,72 @@ object Dedup {
       .withColumn("cos", cosineWithNorms(dot(col("a_v"), col("b_v")), col("a_n"), col("b_n")))
       .filter(col("cos") >= minCos)
       .select(col("cell"), col("a_id"), col("b_id"), col("cos").as("cos_sim"))
+  }
+
+  /** Semantic-dedup cell index over a corpus: (id, cell) under a
+    * persisted [[Similarity.kMeansIndex]] — the embedding analog of
+    * [[minHashBandIndex]]: one int per document, persisted once and
+    * appended to as batches commit. Assignment is a pure deterministic
+    * function of (vector, centroids), so rows indexed yesterday match
+    * what a re-assignment would compute today. */
+  def semDedupCellIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        centroidIndex: DataFrame): DataFrame = {
+    val centroids = Similarity.centroidsOf(centroidIndex)
+    val dv = corpus.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    Similarity.assignCells(dv, centroids).select(col("id"), col("cell"))
+  }
+
+  /** Incremental SemDeDup: every within-cell pair (a_id < b_id) with
+    * cosine ≥ `minCos` involving at least one delta embedding, under the
+    * CORPUS-built centroids — equivalent to
+    * `semDedupPairsWithCentroids(corpus ∪ delta, corpusCentroids)`
+    * restricted to pairs touching the delta (pinned by DedupSpec), at
+    * per-batch cost. The corpus is never re-clustered: the delta is
+    * assigned to the existing cells with one narrow map (broadcast
+    * centroid literals), the persisted (id, cell) index — never the
+    * vectors — filters corpus members down to the delta's matched cells,
+    * and the corpus embedding table is scanned exactly once to fetch
+    * vectors for those members. Within-delta pairs come from the delta's
+    * own (tiny) broadcast self-join. A pair can match in only one cell
+    * (assignment is unique), so no candidate dedup is needed; docs
+    * present on both sides are dropped from the corpus side by a
+    * broadcast anti-join, the [[minHashDeltaPairs]] idiom. */
+  def semDedupDeltaPairs(delta: DataFrame, corpus: DataFrame,
+                         centroidIndex: DataFrame, cellIndex: DataFrame,
+                         idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    val centroids = Similarity.centroidsOf(centroidIndex)
+    val dAssigned = assignWithNorm(delta, idCol, vecCol, centroids)
+    val dk = broadcast(dAssigned)
+
+    val intra = pairsWithinCells(dk, minCos)
+
+    // corpus members of the delta's cells, via the thin persisted index;
+    // ids also in the delta leave through a broadcast anti-join (NOT a
+    // corpus-wide distinct)
+    val deltaCells = dAssigned.select(col("cell")).distinct()
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val matched = cellIndex
+      .join(broadcast(deltaCells), Seq("cell"))
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    // the only corpus touch: one scan to fetch matched members' vectors
+    // (AQE broadcasts the thin matched-id set when it is small)
+    val cVecs = corpus.select(col(idCol).as("id"), col(vecCol).as("fv"))
+      .join(matched, Seq("id"))
+      .select(col("id"), col("fv"), col("cell"), norm(col("fv")).as("nrm"))
+
+    val cross = cVecs
+      .join(dk.select(col("cell"), col("id").as("d_id"),
+        col("fv").as("d_v"), col("nrm").as("d_n")), Seq("cell"))
+      .withColumn("cos", cosineWithNorms(dot(col("fv"), col("d_v")), col("nrm"), col("d_n")))
+      .filter(col("cos") >= minCos)
+      .select(col("cell"),
+        least(col("id"), col("d_id")).as("a_id"),
+        greatest(col("id"), col("d_id")).as("b_id"),
+        col("cos").as("cos_sim"))
+
+    intra.unionByName(cross)
   }
 
   /** Embedding near-dup via cosine LSH — the 100 TB path: sign-sketch
@@ -466,8 +566,10 @@ object Dedup {
     val bands = numBits / bandBits
     val mask = (1L << bandBits) - 1
 
-    val sketched = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-        norm(col(vecCol)).as("nrm"), SignSketch(col(vecCol), numBits, seed).as("sk"))
+    // persisted: three downstream branches (banding + both verification
+    // sides) scan it. Bounded lifecycle as in [[simHashPairs]]: repeated
+    // calls reuse one cache entry; [[releaseEmbeddingLshCache]] frees it.
+    val sketched = signSketched(embs, idCol, vecCol, numBits, seed)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sketched.select(col("id"), col("sk"),
       posexplode(array((0 until bands).map { b =>
@@ -495,6 +597,25 @@ object Dedup {
       .withColumn("cos", cosineWithNorms(dot(col("a_v"), col("b_v")), col("a_n"), col("b_n")))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
+  }
+
+  /** The (id, v, nrm, sk) sketch projection — ONE definition shared by
+    * [[embeddingNearDupLsh]] and its cache release, so the release
+    * rebuilds a canonically identical plan. */
+  private def signSketched(embs: DataFrame, idCol: String, vecCol: String,
+                           numBits: Int, seed: Long): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    import graft.functions.expr.SignSketch
+    embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      norm(col(vecCol)).as("nrm"), SignSketch(col(vecCol), numBits, seed).as("sk"))
+  }
+
+  /** Release the sketch cache a prior [[embeddingNearDupLsh]] call
+    * persisted for these inputs (canonicalized-plan lookup, the
+    * [[releaseSimHashCache]] idiom). Safe when nothing is cached. */
+  def releaseEmbeddingLshCache(embs: DataFrame, idCol: String, vecCol: String,
+                               numBits: Int = 32, seed: Long = 42L): Unit = {
+    signSketched(embs, idCol, vecCol, numBits, seed).unpersist(): Unit
   }
 
   /** Connected components over an undirected pair graph — the group

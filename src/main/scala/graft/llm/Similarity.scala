@@ -83,6 +83,30 @@ object Similarity {
     centroids
   }
 
+  /** Persistable k-means index: one (cell, centroid) row per cluster —
+    * the embedding family's durable control state, playing the same role
+    * as [[Dedup.minHashBandIndex]]'s banded keys for text (and as the
+    * reference's watermark store: tiny state that makes the next batch
+    * incremental, cf. /root/reference/second_lambda_function.py:44-88).
+    * Assignment is a pure function of (vector, centroids), so an index
+    * written yesterday assigns a delta identically today. */
+  def kMeansIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                  k: Int, iters: Int = 5): DataFrame = {
+    import corpus.sparkSession.implicits._
+    kMeansCentroids(corpus, idCol, vecCol, k, iters)
+      .toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "centroid")
+  }
+
+  /** Load a persisted [[kMeansIndex]] back into the driver-side centroid
+    * matrix — k rows of dim doubles, bounded control-plane state (same
+    * class as a BPE merge table). */
+  def centroidsOf(index: DataFrame): Array[(Int, Array[Double])] = {
+    import index.sparkSession.implicits._
+    index.select(col("cell").cast("int"), col("centroid"))
+      .as[(Int, Seq[Double])].collect()
+      .map { case (c, v) => (c, v.toArray) }.sortBy(_._1)
+  }
+
   /** Assign each vector to its nearest centroid by L2 (broadcast the
     * centroid matrix as literal arrays — no side state). Expects a
     * double-array column named `v`; preserves all other columns. */

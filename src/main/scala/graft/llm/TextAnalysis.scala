@@ -69,7 +69,13 @@ object TextAnalysis {
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n"))
     val vocab = pairs.groupBy(col("tok")).agg(sum(col("n")).as("c"))
     val total = lit(vocab.agg(sum(col("c"))).collect()(0).getLong(0))
-    val tokPpm = floor(log2(col("c").cast("double") / total.cast("double")) * 1e6)
+    // +1e-4 ppm guard before the floor, mirrored verbatim in the oracle
+    // SQL: engines' double log2 agree to ~1e-8 ppm at this magnitude, so
+    // the guard keeps both sides of the compare on the same floor when a
+    // score lands within an ulp of an integer boundary, and is far too
+    // small (1e-10 of a token's score) to merge genuinely distinct
+    // scores. The floor convention is the cross-engine CONTRACT.
+    val tokPpm = floor(log2(col("c").cast("double") / total.cast("double")) * 1e6 + 1e-4)
       .cast("long").as("lp_ppm")
     pairs.join(vocab, "tok")
       .select(col("id"), col("n"), tokPpm)

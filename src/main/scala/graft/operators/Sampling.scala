@@ -41,16 +41,23 @@ object Sampling {
     * to their share — the standard training-mix rebalance. `targetPpm`
     * is the overall corpus fraction to keep, in ppm.
     *
+    * A source whose √n-share exceeds its size saturates (keeps all its
+    * rows); the unused surplus WATERFILLS to the remaining sources by
+    * the same √n weights — iteratively, until a round saturates nothing
+    * — so the total quota hits the target whenever the corpus is big
+    * enough (Σ quotas = min(T, Σn)), instead of silently undershooting.
+    *
     * Every derived quantity is integer-exact and engine-portable: the
     * per-source weight is floor(√n·10⁶) (IEEE sqrt is correctly
     * rounded, so any engine computes the same integer), quotas are
-    * integer division over exact BigInt products, and membership is the
-    * md5 [[hashUnit]] against the exact double ratio quota/n (one
-    * division of two integers — identically rounded everywhere). No
-    * float is ever accumulated, so the sample is reproducible
-    * bit-for-bit across engines, partitionings, and reruns.
+    * integer division over exact BigInt products — in every waterfill
+    * round — and membership is the md5 [[hashUnit]] against the exact
+    * double ratio quota/n (one division of two integers — identically
+    * rounded everywhere). No float is ever accumulated, so the sample is
+    * reproducible bit-for-bit across engines, partitionings, and reruns.
     *
-    * Two passes: a #sources-row count aggregate to the driver, then one
+    * Two passes: a #sources-row count aggregate to the driver (the
+    * waterfill loop runs on those few rows driver-side), then one
     * codegen'd CASE-filter scan — the corpus never shuffles. */
   def temperatureMixtureSample(df: DataFrame, keyCol: String, sourceCol: String,
                                targetPpm: Long): DataFrame = {
@@ -59,16 +66,45 @@ object Sampling {
     val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
     if (counts.isEmpty) return df.filter(lit(false))
+    val quotas = temperatureQuotas(counts.toSeq, targetPpm)
+    val fracs = counts.map { case (s, n) =>
+      s -> quotas(s).toDouble / n.toDouble
+    }.toMap
+    stratifiedHashSample(df, keyCol, sourceCol, fracs)
+  }
+
+  /** The integer-exact waterfill quota derivation behind
+    * [[temperatureMixtureSample]], exposed for specs: per round, divide
+    * the remaining target over unsaturated sources ∝ floor(√n·10⁶);
+    * sources whose share reaches their size keep exactly n and leave
+    * the pool. Terminates in ≤ #sources rounds (each round either
+    * saturates someone or is final). Invariant: Σ quotas = min(T, Σn)
+    * up to the final round's per-source floor-division remainders
+    * (< #open sources rows) — the target is hit whenever feasible. */
+  private[graft] def temperatureQuotas(counts: Seq[(String, Long)],
+                                       targetPpm: Long): Map[String, BigInt] = {
     val w = counts.map { case (s, n) =>
       s -> BigInt(math.floor(math.sqrt(n.toDouble) * 1e6).toLong)
     }.toMap
-    val sumW = w.values.sum
-    val t = counts.map(c => BigInt(c._2)).sum * targetPpm / 1000000
-    val fracs = counts.map { case (s, n) =>
-      val quota = (t * w(s) / sumW).min(BigInt(n))
-      s -> quota.toDouble / n.toDouble
-    }.toMap
-    stratifiedHashSample(df, keyCol, sourceCol, fracs)
+    var tRem = counts.map(c => BigInt(c._2)).sum * targetPpm / 1000000
+    var open = counts.toList
+    var assigned = Map.empty[String, BigInt]
+    var done = false
+    while (!done && open.nonEmpty) {
+      val sumW = open.map { case (s, _) => w(s) }.sum
+      val round = open.map { case (s, n) => (s, n, tRem * w(s) / sumW) }
+      val sat = round.filter { case (_, n, q) => q >= n }
+      if (sat.isEmpty) {
+        assigned ++= round.map { case (s, _, q) => s -> q }
+        done = true
+      } else {
+        assigned ++= sat.map { case (s, n, _) => s -> BigInt(n) }
+        tRem -= sat.map { case (_, n, _) => BigInt(n) }.sum
+        val satNames = sat.map(_._1).toSet
+        open = open.filterNot { case (s, _) => satNames(s) }
+      }
+    }
+    counts.map { case (s, _) => s -> assigned.getOrElse(s, BigInt(0)) }.toMap
   }
 
   /** Stable train/validation/test split: adds a `split` column from the

@@ -225,4 +225,93 @@ class DedupSpec extends AnyFunSuite {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("pair-generator storage is bounded: repeated calls reuse one cache entry, release frees it") {
+    // track the exact RDD ids our calls add — immune to the async
+    // ContextCleaner collecting unrelated leftovers mid-test
+    val sc = spark.sparkContext
+    def ids() = sc.getPersistentRDDs.keySet
+    val base = ids()
+
+    Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
+    val fromFirst = ids() -- base
+    Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
+    assert((ids() -- base -- fromFirst).isEmpty,
+      "repeated simHashPairs call grew the persisted-RDD count")
+    Dedup.releaseSimHashCache(corpus, "doc_id", "text")
+    assert((ids() intersect fromFirst).isEmpty,
+      "releaseSimHashCache left blocks behind")
+
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val preLsh = ids()
+    Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count()
+    val fromLsh = ids() -- preLsh
+    Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count()
+    assert((ids() -- preLsh -- fromLsh).isEmpty,
+      "repeated embeddingNearDupLsh call grew the persisted-RDD count")
+    Dedup.releaseEmbeddingLshCache(vecs, "vec_id", "embedding")
+    assert((ids() intersect fromLsh).isEmpty,
+      "releaseEmbeddingLshCache left blocks behind")
+  }
+
+  test("semDedupDeltaPairs equals the fixed-centroid full run restricted to delta-touching pairs") {
+    import graft.llm.Similarity
+    // two clear semantic clusters + one singleton, split corpus/delta so
+    // the delta has near-dups against the corpus, within itself, and a
+    // corpus-internal pair that must NOT surface
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),    // near 0 (corpus-internal pair)
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.05f, 0.99f, 0.0f)),   // near 2
+      (4L, Array(0.0f, 0.0f, 1.0f)),     // singleton
+      (10L, Array(0.98f, 0.05f, 0.0f)),  // delta: near 0/1
+      (11L, Array(0.97f, 0.08f, 0.0f)),  // delta: near 0/1/10 (within-delta pair too)
+      (12L, Array(0.0f, 0.98f, 0.1f))    // delta: near 2/3
+    ).toDF("vec_id", "embedding")
+    val delta = vecs.filter(col("vec_id") >= 10L)
+    val corpus = vecs.filter(col("vec_id") < 10L)
+
+    val cIdx = Similarity.kMeansIndex(corpus, "vec_id", "embedding", k = 3, iters = 3)
+    val cells = Dedup.semDedupCellIndex(corpus, "vec_id", "embedding", cIdx)
+    val incremental = Dedup.semDedupDeltaPairs(delta, corpus, cIdx, cells,
+        "vec_id", "embedding", minCos = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val deltaIds = Set(10L, 11L, 12L)
+    val fullTouchingDelta = Dedup.semDedupPairsWithCentroids(vecs, "vec_id", "embedding",
+        Similarity.centroidsOf(cIdx), minCos = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      .filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+
+    assert(incremental == fullTouchingDelta)
+    assert(incremental.contains((10L, 11L)))            // within-delta
+    assert(incremental.exists(p => p._1 < 10L && p._2 >= 10L)) // delta-vs-corpus
+    // corpus-internal pair (0,1) must NOT be produced by a delta run
+    assert(!incremental.contains((0L, 1L)))
+  }
+
+  test("semDedupDeltaPairs with a doc on both sides emits no self-pair or duplicate") {
+    import graft.llm.Similarity
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.98f, 0.1f)), (2L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    // delta re-delivers doc 1 (the reference's redelivery case) + one new
+    val delta = Seq(
+      (1L, Array(0.98f, 0.1f)), (3L, Array(0.99f, 0.05f))
+    ).toDF("vec_id", "embedding")
+    val cIdx = Similarity.kMeansIndex(corpus, "vec_id", "embedding", k = 2, iters = 2)
+    val cells = Dedup.semDedupCellIndex(corpus, "vec_id", "embedding", cIdx)
+    val rows = Dedup.semDedupDeltaPairs(delta, corpus, cIdx, cells,
+        "vec_id", "embedding", minCos = 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+    assert(rows.forall(p => p._1 < p._2), s"self or misordered pair in $rows")
+    assert(rows.distinct == rows, s"duplicate pair in $rows")
+    // the redelivered doc still pairs with the corpus (via the intra path
+    // against corpus member 0 is cross; 1-vs-0 touches delta id 1)
+    assert(rows.contains((0L, 1L)) && rows.contains((1L, 3L)) && rows.contains((0L, 3L)))
+  }
 }

@@ -41,6 +41,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureQuotas: waterfill hits the target exactly when feasible") {
+    // tiny saturates in round 1 (√n gives it more than its size); its
+    // surplus must re-divide over the big sources, not drop
+    val counts = Seq(("a_tiny", 10L), ("src0", 400L), ("src1", 400L), ("src2", 400L))
+    val q = Sampling.temperatureQuotas(counts, targetPpm = 600000L)
+    val target = BigInt(1210) * 600000 / 1000000 // = 726
+    assert(q("a_tiny") == BigInt(10)) // saturated: keeps everything
+    // unsaturated quotas all under size, and the total hits the target
+    // up to the final round's floor-division remainders (< #open sources)
+    assert(Seq("src0", "src1", "src2").forall(s => q(s) < BigInt(400)))
+    val sum = q.values.sum
+    assert(sum <= target && target - sum < 3, s"sum=$sum target=$target")
+    // equal-sized equal-weight sources get identical quotas
+    assert(q("src0") == q("src1") && q("src1") == q("src2"))
+  }
+
+  test("temperatureQuotas: multi-round cascade saturates in order, keeps everything when target exceeds corpus") {
+    // target > corpus: every source saturates over successive rounds
+    val counts = Seq(("s1", 5L), ("s2", 50L), ("s3", 500L))
+    val all = Sampling.temperatureQuotas(counts, targetPpm = 1000000L)
+    assert(all == Map("s1" -> BigInt(5), "s2" -> BigInt(50), "s3" -> BigInt(500)))
+    // two rounds of saturation: s1 then s2 clip, s3 absorbs the surplus
+    val q = Sampling.temperatureQuotas(counts, targetPpm = 900000L)
+    assert(q("s1") == BigInt(5) && q("s2") == BigInt(50))
+    val target = BigInt(555) * 900000 / 1000000 // = 499
+    assert(q("s3") == target - 55)
+  }
+
   test("split: partitions are disjoint, exhaustive, and stable") {
     val s = Sampling.split(ids, "id", testFraction = 0.2, validFraction = 0.1)
       .groupBy("split").count().as[(String, Long)].collect().toMap

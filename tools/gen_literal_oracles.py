@@ -28,6 +28,7 @@ QUERIES = {
     "t65_incremental_minhash": (["a_id", "b_id", "jac_ppm"], "a_id, b_id"),
     "t72_semdedup": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t75_bin_packing": (["doc_id", "n_tokens", "bucket", "bin", "oversize"], "doc_id"),
+    "t79_semdedup_delta": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
 }
 
 con = duckdb.connect()
