@@ -369,9 +369,12 @@ object SparkEntry {
     // (/root/reference/README.md:8-12): a BETWEEN join with no
     // equi-conjunct would plan as BroadcastNestedLoopJoin (O(|L|·|R|));
     // graft.plans.IntervalJoinRewrite rewrites it to the binned
-    // equi-join automatically — no operator call in user code.
+    // equi-join automatically — no operator call, no configuration: the
+    // conf stays UNSET so the rule's `auto` width probe sizes the bins
+    // from the data (deliberate: this query is the correct-by-default
+    // evidence for the auto path).
     graft.plans.AsOfJoinNative.register(s)
-    s.conf.set(graft.plans.IntervalJoinRewrite.BinWidthKey, "20000")
+    s.conf.unset(graft.plans.IntervalJoinRewrite.BinWidthKey)
     t(s, dir, "orders").createOrReplaceTempView("orders")
     t(s, dir, "part").createOrReplaceTempView("part")
     s.sql("""
@@ -1071,9 +1074,25 @@ object SparkEntry {
     TextAnalysis.unigramLogProbPpm(t(s, dir, "documents"), "doc_id", "text")
       .orderBy(col("doc_id"))
 
+  /** Index-scrub decontamination: the corpus scrubbed against a
+    * PERSISTED benchmark gram index (union semantics, minShared = 2 —
+    * contrast t63's per-(doc, bench) attribution). This is the batch
+    * kernel [[graft.streaming.DecontaminateStream]] applies per
+    * micro-batch on the continuous-intake path. */
+  private def t81IndexScrub(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val idx = graft.llm.Decontaminate.benchGramIndex(
+      d.filter(col("doc_id") % 50 === 0), "text", n = 8)
+    graft.llm.Decontaminate.scrubAgainstGramIndex(d, "doc_id", "text", idx,
+        n = 8, minShared = 2)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t81_index_scrub" -> t81IndexScrub _,
     "t80_mixture_waterfill" -> t80MixtureWaterfill _,
     "t79_semdedup_delta" -> t79SemDedupDelta _,
     "t78_unigram_logprob" -> t78UnigramLogprob _,
@@ -1642,6 +1661,14 @@ object SparkEntry {
           SELECT g.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared_grams
           FROM g JOIN b USING (gram)
           GROUP BY g.doc_id, b.bench_id ORDER BY g.doc_id, b.bench_id""",
+      "t81_index_scrub" ->
+        s"""WITH g AS (SELECT doc_id, unnest($grams8) AS gram FROM documents),
+          b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+          flagged AS (SELECT g.doc_id FROM g JOIN b USING (gram)
+                      GROUP BY g.doc_id HAVING count(*) >= 2)
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+          ORDER BY doc_id""",
       "t64_incremental_exact" ->
         s"""WITH ci AS (SELECT doc_id AS corpus_id, md5($norm) AS fp FROM documents),
           de AS (SELECT doc_id + 100000 AS delta_id, md5($norm) AS fp

@@ -49,6 +49,74 @@ object Decontaminate {
     * the driver AND every executor, so conservative is right. */
   val DefaultGramBroadcastBudget: Long = 256L << 20
 
+  /** The persistable decontamination index: the DISTINCT n-gram set of
+    * a benchmark suite, one `gram` column. Build it once when the suite
+    * changes, `write.parquet` it, and scrub every later corpus batch
+    * (or micro-batch — [[graft.streaming.DecontaminateStream]]) against
+    * the saved table instead of re-shingling the benchmark per run —
+    * the same persisted-index pattern as [[Dedup.fingerprintIndex]] /
+    * [[Dedup.minHashBandIndex]]. */
+  def benchGramIndex(bench: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    bench.select(explode(TextFunctions.shingleSet(col(benchTextCol), n)).as("gram"))
+      .distinct()
+
+  /** Estimated in-memory broadcast footprint of a distinct gram set:
+    * (row count, UTF-16 payload + ~48 B object/entry overhead). One
+    * cheap bench-side aggregate. */
+  private def gramSetFootprint(gramSet: DataFrame): (Long, Long) = {
+    val probe = gramSet
+      .agg(count(lit(1)), coalesce(sum(length(col("gram"))), lit(0L))).head()
+    (probe.getLong(0), probe.getLong(1) * 2L + probe.getLong(0) * 48L)
+  }
+
+  /** Per-document count of distinct n-grams shared with the UNION of a
+    * benchmark gram set — the membership form used for scrubbing, where
+    * WHICH bench doc leaked doesn't matter (contrast [[overlapPairs]],
+    * which attributes per (doc, bench) pair; for `minShared = 1` the
+    * flagged-doc sets coincide). `gramIndex` must be a distinct-gram
+    * table as produced by [[benchGramIndex]] — typically read back from
+    * parquet. Output: (doc_id, n_shared_grams).
+    *
+    * Scale shape: same as [[overlapPairs]] stage 1 — the corpus never
+    * shuffles. Under the broadcast budget the gram set semi-joins
+    * verbatim; over it a broadcast bloom prefilter thins the corpus
+    * grams first and the (tiny) survivor set is then exact-checked with
+    * an unforced semi-join against the gram table, so bloom false
+    * positives never reach the counts at any bench size. */
+  def overlapGramCount(docs: DataFrame, docIdCol: String, docTextCol: String,
+                       gramIndex: DataFrame, n: Int = 8,
+                       gramBroadcastBudget: Long = DefaultGramBroadcastBudget): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val docGrams = docs.select(col(docIdCol).as("doc_id"),
+      explode(TextFunctions.shingleSet(col(docTextCol), n)).as("gram"))
+    val gramSet = gramIndex.select(col("gram"))
+    val (nGrams, estBytes) = gramSetFootprint(gramSet)
+    val matched =
+      if (nGrams == 0L || estBytes <= gramBroadcastBudget)
+        docGrams.join(broadcast(gramSet), Seq("gram"), "left_semi")
+      else {
+        val bf = gramSet.stat.bloomFilter("gram", nGrams, 0.01)
+        val bfBc = docs.sparkSession.sparkContext.broadcast(bf)
+        docGrams.filter(graft.functions.expr.BloomMightContain(col("gram"), bfBc))
+          .join(gramSet, Seq("gram"), "left_semi")
+      }
+    matched.groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** The clean corpus against a prebuilt gram index: documents sharing
+    * fewer than `minShared` distinct n-grams with the benchmark union
+    * (anti-join on the flagged id set; docs pass through untouched).
+    * The batch kernel of [[graft.streaming.DecontaminateStream]]. */
+  def scrubAgainstGramIndex(docs: DataFrame, docIdCol: String, docTextCol: String,
+                            gramIndex: DataFrame, n: Int = 8, minShared: Int = 1,
+                            gramBroadcastBudget: Long = DefaultGramBroadcastBudget): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val flagged = overlapGramCount(docs, docIdCol, docTextCol, gramIndex, n, gramBroadcastBudget)
+      .filter(col("n_shared_grams") >= minShared)
+      .select(col("doc_id"))
+    docs.join(flagged, docs(docIdCol) === flagged("doc_id"), "left_anti")
+  }
+
   /** (doc, bench) pairs sharing at least `minShared` distinct n-grams,
     * with the shared-gram count. Both id columns pass through under
     * their own names (aliased to `doc_id` / `bench_id`).

@@ -1,9 +1,11 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Generate, HintInfo, Join, JoinHint, LogicalPlan, Project, SHUFFLE_HASH}
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, HintInfo, Join, JoinHint, Limit, LogicalPlan, Project, SHUFFLE_HASH}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
 
 /** Auto-rewrite of interval-predicate joins — the optimizer-rule form of
@@ -26,12 +28,23 @@ import org.apache.spark.sql.types.{DoubleType, LongType, NumericType}
   * Complete (an interval covering the point always covers the point's
   * bin); cost O(|L| + |R| · avgBinsPerInterval) shuffled on bin instead
   * of |L|·|R|. The bin width comes from
-  * `spark.graft.rangeJoin.binWidth` (default 1000 domain units; set it
-  * ≈ the typical interval length — too small explodes wide intervals,
-  * too large degrades toward one bucket). Setting it to 0 disables the
-  * rewrite. The rewritten join carries a bin equi-conjunct, so the rule
-  * never re-fires on its own output (the guard that skips any join that
-  * already has an equi-conjunct).
+  * `spark.graft.rangeJoin.binWidth`. The default, `auto`, derives it
+  * from the data at plan time: a bounded probe (first [[ProbeRows]]
+  * interval rows) collects `end - start` lengths and sets
+  * width = max(median, maxSampled/1024) — the median makes the typical
+  * interval span ~2 bins, and the max/1024 floor keeps the widest
+  * sampled interval 16× under the `maxBinsPerInterval` fail-fast valve,
+  * so a plain-SQL BETWEEN join is correct-by-default at any domain unit
+  * (prices, epoch seconds, epoch micros) without configuration. The
+  * probe is a driver-side collect of ≤ ProbeRows doubles (bounded
+  * control plane, not data-sized), runs once per distinct interval
+  * subplan (cached by canonicalized plan), and costs one small scan —
+  * noise next to the join it sizes. An explicit numeric value skips the
+  * probe (set it ≈ the typical interval length — too small explodes
+  * wide intervals, too large degrades toward one bucket). Setting it to
+  * 0 disables the rewrite. The rewritten join carries a bin
+  * equi-conjunct, so the rule never re-fires on its own output (the
+  * guard that skips any join that already has an equi-conjunct).
   *
   * Safety valve: an interval spanning more than
   * `spark.graft.rangeJoin.maxBinsPerInterval` bins (default 16384)
@@ -46,18 +59,68 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   val BinWidthKey = "spark.graft.rangeJoin.binWidth"
   val MaxBinsKey = "spark.graft.rangeJoin.maxBinsPerInterval"
 
+  /** Bounded sample size for the `auto` width probe. */
+  val ProbeRows = 10000
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    val width = conf.getConfString(BinWidthKey, "1000").toLong
-    if (width <= 0) return plan
+    val widthConf = conf.getConfString(BinWidthKey, "auto").trim
+    val auto = widthConf.equalsIgnoreCase("auto")
+    if (!auto && widthConf.toLong <= 0) return plan
     plan.transform {
       case j @ Join(left, right, Inner, Some(cond), hint)
           if j.resolved && !hasEquiConjunct(cond, left, right) =>
         findInterval(splitConjunctivePredicates(cond), left, right) match {
           case Some((point, start, end, pointOnLeft)) =>
+            val intervalPlan = if (pointOnLeft) j.right else j.left
+            val width =
+              if (auto) derivedWidth(intervalPlan, start, end) else widthConf.toLong
             rewrite(j, point, start, end, pointOnLeft, width, hint)
           case None => j
         }
     }
+  }
+
+  // width probe results keyed by the canonicalized interval subplan +
+  // bound expressions, so repeated runs of the same query (Bench's
+  // median-of-3, fixed-point optimizer iterations) probe exactly once;
+  // bounded so long-lived sessions over many distinct plans can't
+  // accumulate plan references
+  private val widthCache =
+    new java.util.LinkedHashMap[(LogicalPlan, Expression, Expression), Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(LogicalPlan, Expression, Expression), Long]): Boolean =
+        size > 64
+    }
+
+  /** `auto` mode: derive the bin width from a bounded sample of actual
+    * interval lengths (see the class doc for the formula and cost
+    * argument). Falls back to 1000 when the sample is empty or
+    * degenerate (all-null bounds), matching the old fixed default. */
+  private def derivedWidth(intervalPlan: LogicalPlan, start: Expression, end: Expression): Long = {
+    val key = (intervalPlan.canonicalized, start.canonicalized, end.canonicalized)
+    widthCache.synchronized {
+      if (widthCache.containsKey(key)) return widthCache.get(key)
+    }
+    val len = Alias(
+      Subtract(Cast(end, DoubleType), Cast(start, DoubleType)), "__graft_len")()
+    val probe = Limit(Literal(ProbeRows), Project(Seq(len), intervalPlan))
+    val sample = ColumnBridge.ofRows(SparkSession.active, probe)
+      .collect()
+      .iterator
+      .filterNot(_.isNullAt(0))
+      .map(_.getDouble(0))
+      .filter(v => !v.isNaN && !v.isInfinite && v >= 0)
+      .toArray
+    val width =
+      if (sample.isEmpty) 1000L
+      else {
+        java.util.Arrays.sort(sample)
+        val med = sample(sample.length / 2)
+        val mx = sample(sample.length - 1)
+        math.max(1L, math.ceil(math.max(med, mx / 1024.0)).toLong)
+      }
+    widthCache.synchronized { widthCache.put(key, width) }
+    width
   }
 
   private def refsOnly(e: Expression, side: LogicalPlan): Boolean =
@@ -141,9 +204,9 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         (LessThan(span, Literal(maxBins)), endBin)),
       Some(new RaiseError(Literal("USER_RAISED_EXCEPTION"),
         CreateMap(Seq(Literal("errorMessage"), Literal(
-          s"graft rangeJoin: interval spans more than $maxBins bins; " +
-            s"raise $BinWidthKey toward the typical interval length " +
-            s"(or raise $MaxBinsKey)"))),
+          s"graft rangeJoin: interval spans more than $maxBins bins " +
+            s"at binWidth=$width; raise $BinWidthKey toward the typical " +
+            s"interval length (or raise $MaxBinsKey)"))),
         LongType)))
     val seq = new Sequence(startBin, guardedEnd, None, Some(conf.sessionLocalTimeZone))
     val intervalBin = AttributeReference("__graft_bin", LongType, nullable = false)()

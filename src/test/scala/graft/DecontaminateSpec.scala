@@ -124,6 +124,56 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(viaBloom == viaBroadcast && viaBloom.nonEmpty)
   }
 
+  test("scrubAgainstGramIndex equals scrub at minShared=1, on both prefilter paths") {
+    val idx = Decontaminate.benchGramIndex(bench, "text", n = 8)
+    val viaScrub = Decontaminate.scrub(docs, "doc_id", "text",
+      bench, "bench_id", "text", n = 8, minShared = 1)
+      .select("doc_id").as[Long].collect().toSet
+    val viaIndex = Decontaminate.scrubAgainstGramIndex(docs, "doc_id", "text",
+      idx, n = 8, minShared = 1)
+    assert(viaIndex.columns.toSeq == docs.columns.toSeq)
+    assert(viaIndex.select("doc_id").as[Long].collect().toSet == viaScrub)
+    // budget 0 forces the bloom path; the exact survivor semi-join must
+    // scrub the bloom's false positives, so results are identical
+    val viaBloom = Decontaminate.scrubAgainstGramIndex(docs, "doc_id", "text",
+      idx, n = 8, minShared = 1, gramBroadcastBudget = 0L)
+    assert(viaBloom.select("doc_id").as[Long].collect().toSet == viaScrub)
+  }
+
+  test("overlapGramCount counts against the gram UNION, not per bench doc") {
+    // with n=3, bench 10's 8 tokens contribute 6 grams, all inside
+    // doc 1 — union semantics must count 6 even though they span one
+    // bench doc; doc 3's single whole-sequence shingle counts 1
+    val idx = Decontaminate.benchGramIndex(bench, "text", n = 3)
+    val got = Decontaminate.overlapGramCount(docs, "doc_id", "text", idx, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 6L && got(3L) == 1L && !got.contains(2L))
+  }
+
+  test("streaming scrub: micro-batches against the persisted index equal the batch scrub") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_dstream").toString
+    // persist the index, read it back — the production shape
+    Decontaminate.benchGramIndex(bench, "text", n = 8).write.parquet(s"$dir/idx")
+    val idx = spark.read.parquet(s"$dir/idx")
+    // two micro-batch files: docs 1+2 then doc 3 (doc 3 is contaminated
+    // only via the whole-sequence shingle — crosses into batch 2)
+    docs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
+    docs.filter($"doc_id" === 3).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.DecontaminateStream.start(
+      stream, "doc_id", "text", idx, s"$dir/ckpt", n = 8, minShared = 1) {
+      (clean, _) => clean.write.mode("append").parquet(s"$dir/out")
+    }
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out").select("doc_id").as[Long].collect().toSet
+    val batch = Decontaminate.scrubAgainstGramIndex(docs, "doc_id", "text", idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch && batch == Set(2L))
+  }
+
   test("two-stage plan matches a single brute-force gram join on a wide bench") {
     import org.apache.spark.sql.functions._
     // a bench big enough that its exploded grams dwarf its doc count:

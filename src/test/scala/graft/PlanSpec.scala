@@ -143,6 +143,30 @@ class PlanSpec extends AnyFunSuite {
     assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
   }
 
+  test("auto binWidth: epoch-micros BETWEEN join is correct with the conf unset") {
+    // 30-day intervals in epoch MICROS: any fixed default in "domain
+    // units" is wrong here (1000 ⇒ 2.6e9 bins/interval ⇒ the fail-fast
+    // valve); the `auto` probe derives width ≈ the median interval
+    // length from the data, so the plain-SQL join just works.
+    import graft.plans.{AsOfJoinNative, IntervalJoinRewrite}
+    AsOfJoinNative.register(spark)
+    import spark.implicits._
+    spark.conf.unset(IntervalJoinRewrite.BinWidthKey)
+    val day = 86400000000L
+    val base = 1700000000000000L
+    val pts = (0 until 200).map(i => (i.toLong, base + i * (day / 4))).toDF("id", "p")
+    val ivs = (0 until 50).map(i => (i.toLong, base + i * day, base + (i + 30) * day))
+      .toDF("iid", "s", "e")
+    pts.createOrReplaceTempView("pts_us")
+    ivs.createOrReplaceTempView("iv_us")
+    val q = spark.sql("SELECT id, iid FROM pts_us JOIN iv_us ON p BETWEEN s AND e")
+    assert(q.queryExecution.optimizedPlan.toString.contains("explode")) // rewritten
+    val naive = pts.join(ivs, $"p".between($"s", $"e"))
+      .select("id", "iid").as[(Long, Long)].collect().toSet
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && naive.nonEmpty)
+  }
+
   test("interval rewrite fails fast with an actionable error past the bin cap") {
     import graft.plans.{AsOfJoinNative, IntervalJoinRewrite}
     AsOfJoinNative.register(spark)
