@@ -24,25 +24,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
+  /** The scaled documents frame (schema-preserving: every base column
+    * passes through; only doc_id is rekeyed and text extended). */
+  def scaledDocsDf(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+    base.crossJoin(copies)
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        when(col("copy") === 0, col("text")).otherwise(concat(
+          col("text"), lit(" "),
+          array_join(transform(
+            sequence(lit(1), greatest(lit(1),
+              ceil(size(split(col("text"), " ")) * 0.35).cast("int"))),
+            i => format_string("z%dc%dw%d", col("doc_id"), col("copy"), i)), " ")))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
   def scaledDocs(spark: SparkSession, baseDir: String, workDir: String, factor: Int): String = {
     val out = s"$workDir/documents_x$factor"
-    if (!graft.fs.Fs.exists(s"$out/_SUCCESS")) {
-      val base = spark.read.parquet(s"$baseDir/documents.parquet")
-      val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
-      base.crossJoin(copies)
-        .select(
-          (col("doc_id") * factor + col("copy")).as("doc_id"),
-          col("lang"),
-          when(col("copy") === 0, col("text")).otherwise(concat(
-            col("text"), lit(" "),
-            array_join(transform(
-              sequence(lit(1), greatest(lit(1),
-                ceil(size(split(col("text"), " ")) * 0.35).cast("int"))),
-              i => format_string("z%dc%dw%d", col("doc_id"), col("copy"), i)), " ")))
-            .as("text"),
-          col("n_chars"))
-        .write.mode("overwrite").parquet(out)
-    }
+    if (!graft.fs.Fs.exists(s"$out/_SUCCESS"))
+      scaledDocsDf(spark, baseDir, factor).write.mode("overwrite").parquet(out)
     out
   }
 
@@ -50,28 +53,31 @@ object ScaleBench {
     * rotated by the copy index — norm-preserving, and rotated copies
     * decorrelate, so near-dup pair counts grow ~linearly with the
     * corpus (the realistic shape) instead of quadratically in factor. */
+  /** The scaled embeddings frame (rotation scheme per the class doc). */
+  def scaledEmbeddingsDf(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+    base.crossJoin(copies)
+      .select(
+        (col("vec_id") * factor + col("copy")).as("vec_id"),
+        // rotate by copy MOD dim: the raw copy index degenerates once
+        // copy >= dim (empty head slice + full tail = exact duplicate
+        // of copy 0 → quadratic pair growth, the opposite of the
+        // stated linear design)
+        when(pmod(col("copy"), size(col("embedding"))) === 0, col("embedding"))
+          .otherwise(concat(
+            slice(col("embedding"),
+              pmod(col("copy"), size(col("embedding"))) + 1,
+              size(col("embedding")) - pmod(col("copy"), size(col("embedding")))),
+            slice(col("embedding"), lit(1),
+              pmod(col("copy"), size(col("embedding")))))).as("embedding"),
+        col("label"))
+  }
+
   def scaledEmbeddings(spark: SparkSession, baseDir: String, workDir: String, factor: Int): String = {
     val out = s"$workDir/embeddings_x$factor"
-    if (!graft.fs.Fs.exists(s"$out/_SUCCESS")) {
-      val base = spark.read.parquet(s"$baseDir/embeddings.parquet")
-      val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
-      base.crossJoin(copies)
-        .select(
-          (col("vec_id") * factor + col("copy")).as("vec_id"),
-          // rotate by copy MOD dim: the raw copy index degenerates once
-          // copy >= dim (empty head slice + full tail = exact duplicate
-          // of copy 0 → quadratic pair growth, the opposite of the
-          // stated linear design)
-          when(pmod(col("copy"), size(col("embedding"))) === 0, col("embedding"))
-            .otherwise(concat(
-              slice(col("embedding"),
-                pmod(col("copy"), size(col("embedding"))) + 1,
-                size(col("embedding")) - pmod(col("copy"), size(col("embedding")))),
-              slice(col("embedding"), lit(1),
-                pmod(col("copy"), size(col("embedding")))))).as("embedding"),
-          col("label"))
-        .write.mode("overwrite").parquet(out)
-    }
+    if (!graft.fs.Fs.exists(s"$out/_SUCCESS"))
+      scaledEmbeddingsDf(spark, baseDir, factor).write.mode("overwrite").parquet(out)
     out
   }
 

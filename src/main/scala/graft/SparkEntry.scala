@@ -1089,9 +1089,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram-LM quality scoring (add-one smoothed, integer-exact) — the
+    * context-aware sibling of t78; same ppm-floor contract. */
+  private def t84BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLogProbPpm(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Product-quantization ANN graded against brute-force L2 (the t49
+    * pattern, L2 because ADC approximates Euclidean distance): per
+    * query, how many of the true top-10 the 8×16 codebook + 4× exact
+    * re-rank recovered. Deterministic — subspace k-means accumulates
+    * in decimal, argmin and rank ties break on code/neighbor id, exact
+    * re-rank distances are pure per-row functions — so the recall
+    * table literal-oracle-checks; the exact-recovery gate (ksub = n ⇒
+    * PQ == brute) lives in SimilaritySpec. */
+  private def t83KnnPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val ann = Similarity.pqTopK(e, q, "vec_id", "embedding",
+      k = 10, m = 8, ksub = 16, iters = 2, refine = 4)
+    val brute = Similarity.bruteTopKL2(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
+  }
+
+  /** Line-level boilerplate dedup (RefinedWeb §3.3): the flat synthetic
+    * docs are re-lined into 8-token lines (same regex both engines),
+    * then lines occurring in ≥ 3 distinct docs are stripped from all of
+    * them. Exact-dup doc groups (t25) guarantee non-trivial frequent
+    * lines at every sf. */
+  private def t82LineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .withColumn("text",
+        regexp_replace(col("text"), "((?:\\S+\\s+){7}\\S+)\\s+", "$1\n"))
+    graft.llm.Dedup.stripBoilerplate(d, "doc_id", "text", minDocs = 3)
+      .select(col("doc_id"), col("n_lines_dropped"),
+        length(col("text")).cast("long").as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t84_bigram_logprob" -> t84BigramLogprob _,
+    "t83_knn_pq" -> t83KnnPq _,
+    "t82_line_dedup" -> t82LineDedup _,
     "t81_index_scrub" -> t81IndexScrub _,
     "t80_mixture_waterfill" -> t80MixtureWaterfill _,
     "t79_semdedup_delta" -> t79SemDedupDelta _,
@@ -1661,6 +1702,21 @@ object SparkEntry {
           SELECT g.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared_grams
           FROM g JOIN b USING (gram)
           GROUP BY g.doc_id, b.bench_id ORDER BY g.doc_id, b.bench_id""",
+      "t82_line_dedup" ->
+        s"""WITH d2 AS (SELECT doc_id,
+            regexp_replace(text, '((?:\\S+\\s+){7}\\S+)\\s+', '\\1' || chr(10), 'g') AS text
+            FROM documents),
+          dl AS (SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line FROM d2),
+          freq AS (SELECT md5(line) AS fp FROM dl GROUP BY 1 HAVING count(*) >= 3),
+          fl AS (SELECT coalesce(list(fp), []) AS fps FROM freq),
+          cleaned AS (SELECT d2.doc_id,
+              len(string_split(d2.text, chr(10))) AS n_lines,
+              list_filter(string_split(d2.text, chr(10)),
+                x -> NOT list_contains(fl.fps, md5(x))) AS kept
+            FROM d2, fl)
+          SELECT doc_id, CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
+            CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len
+          FROM cleaned ORDER BY doc_id""",
       "t81_index_scrub" ->
         s"""WITH g AS (SELECT doc_id, unnest($grams8) AS gram FROM documents),
           b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
@@ -1788,11 +1844,33 @@ object SparkEntry {
           FROM h GROUP BY host ORDER BY host""",
       "t72_semdedup" -> LiteralOracles.t72,
       "t79_semdedup_delta" -> LiteralOracles.t79,
+      "t83_knn_pq" -> LiteralOracles.t83,
       "t75_bin_packing" -> LiteralOracles.t75,
       // unigram LM scoring: per-token ppm-floored log2 probs with the
       // shared +1e-4 boundary guard (see TextAnalysis.unigramLogProbPpm:
       // absorbs cross-engine log2 ulp divergence at any vocab/scale),
       // exact integer doc sums, trunc-division average emulated via CASE
+      "t84_bigram_logprob" ->
+        s"""WITH bt AS (SELECT doc_id, CASE WHEN len($toks) >= 2
+              THEN list_transform(range(1, len($toks)), i -> [$toks[i], $toks[i+1]])
+              ELSE [] END AS bgs FROM documents),
+          bg AS (SELECT doc_id, unnest(bgs) AS b FROM bt),
+          pairs AS (SELECT doc_id, b[1] AS w1, b[2] AS w2,
+              CAST(count(*) AS BIGINT) AS n FROM bg GROUP BY 1, 2, 3),
+          bv AS (SELECT w1, w2, CAST(sum(n) AS BIGINT) AS c12 FROM pairs GROUP BY 1, 2),
+          ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bv GROUP BY 1),
+          vt AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+                 FROM (SELECT unnest($toks) AS tok FROM documents)),
+          sc AS (SELECT p.doc_id, p.n,
+              CAST(floor(log2(CAST(bv.c12 + 1 AS DOUBLE)
+                / CAST(ctx.c1 + (SELECT v FROM vt) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS lp
+            FROM pairs p JOIN bv USING (w1, w2) JOIN ctx USING (w1)),
+          d AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+              CAST(sum(n * lp) AS BIGINT) AS sum_lp FROM sc GROUP BY doc_id)
+          SELECT doc_id, n_bigrams,
+            CASE WHEN sum_lp >= 0 THEN sum_lp // n_bigrams
+                 ELSE -((-sum_lp) // n_bigrams) END AS avg_logprob_ppm
+          FROM d ORDER BY doc_id""",
       "t78_unigram_logprob" ->
         s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),

@@ -40,6 +40,58 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") >= 2)
 
+  /** Corpus-wide frequent ("boilerplate") lines: (line_fp, n_docs) for
+    * every line occurring in ≥ `minDocs` DISTINCT documents — headers,
+    * footers, nav bars, cookie banners: the within-page noise that
+    * document-level dedup cannot see (line-level dedup per RefinedWeb,
+    * arXiv:2306.01116 §3.3, and the CCNet paragraph-hash pass). Lines
+    * are `sep`-separated (a regex for splitting; default newline) and
+    * fingerprinted with md5 of the RAW line, deduplicated per doc first
+    * so a line repeated inside one document counts once. Only the thin
+    * (line_fp) projection shuffles — text never moves. */
+  def boilerplateLines(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 3, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    docs.select(explode(array_distinct(split(col(textCol), sep))).as("line"))
+      .select(md5(col("line")).as("line_fp"))
+      .groupBy(col("line_fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Strip boilerplate lines from every document: each line occurring
+    * in ≥ `minDocs` distinct docs is removed from ALL of them (every
+    * occurrence), the survivors rejoined with `sep` (which must be a
+    * literal both split and join can share — the default newline is).
+    * Output = the input schema with `textCol` rewritten plus
+    * `n_lines_dropped`.
+    *
+    * Scale shape: the frequent-line set comes from the thin-projection
+    * aggregate above; per-doc drop sets are (doc, line_fp) hits against
+    * it — corpus-sized only in the degenerate everything-is-boilerplate
+    * case, typically a vanishing fraction. The final doc ⋈ drop-set
+    * join broadcasts when the hit set is small (the common case — the
+    * corpus then never shuffles); otherwise it is one co-partitioned
+    * join on doc id, the one unavoidable text move. Line removal itself
+    * is a codegen'd per-row array filter, no explode of text. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       minDocs: Int = 3, sep: String = "\n"): DataFrame = {
+    val freq = boilerplateLines(docs, idCol, textCol, minDocs, sep).select(col("line_fp"))
+    val hits = docs
+      .select(col(idCol).as("__did"),
+        explode(array_distinct(split(col(textCol), sep))).as("line"))
+      .select(col("__did"), md5(col("line")).as("line_fp"))
+      .join(freq, Seq("line_fp"))
+      .groupBy(col("__did"))
+      .agg(collect_set(col("line_fp")).as("__drop_fps"))
+    docs.join(hits, docs(idCol) === col("__did"), "left")
+      .withColumn("__lines", split(col(textCol), sep))
+      .withColumn("__kept", when(col("__drop_fps").isNull, col("__lines"))
+        .otherwise(filter(col("__lines"), x => !array_contains(col("__drop_fps"), md5(x)))))
+      .withColumn("n_lines_dropped", (size(col("__lines")) - size(col("__kept"))).cast("long"))
+      .withColumn(textCol, array_join(col("__kept"), sep))
+      .drop("__did", "__drop_fps", "__lines", "__kept")
+  }
+
   /** Complete Jaccard similarity self-join: all pairs (a < b) of docs
     * whose word-`n`-shingle sets have Jaccard ≥ `threshold`.
     *

@@ -183,6 +183,155 @@ object Similarity {
       .drop("__cells")
   }
 
+  /** Exact top-k by EUCLIDEAN distance — the metric twin of
+    * [[bruteTopK]], and the ground truth for [[pqTopK]] (PQ's ADC
+    * approximates L2, so recall must be graded against the L2
+    * ranking). Same plan shape: queries broadcast, one corpus scan. */
+  def bruteTopKL2(corpus: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dist", l2Distance(col("q_v"), col("c_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  // ==== Product quantization (Jégou, Douze, Schmid: "Product
+  // quantization for nearest neighbor search", IEEE TPAMI 2011) ====
+
+  /** Train PQ codebooks: the `dim`-dimensional space splits into `m`
+    * contiguous subspaces of dim/m, and each runs the deterministic
+    * decimal-exact k-means of [[kMeansCentroids]] independently.
+    * Returns [subspace][code][subdim] — m·ksub·(dim/m) doubles of
+    * bounded control-plane state (the BPE-merge-table class).
+    *
+    * Why PQ at 100 TB: an encoded vector is `m` small ints instead of
+    * `dim` floats (64-dim float → 8 codes = 32× less memory), so the
+    * candidate scan works over a corpus that fits where the raw
+    * vectors never would; the codebooks are trained once and persist
+    * via [[pqIndex]] — new batches encode against them without
+    * touching old data (the incremental-gate pattern again). */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+    val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
+    val d = dim / m
+    (0 until m).toArray.map { j =>
+      val sub = corpus.select(col(idCol), slice(col(vecCol), j * d + 1, d).as(vecCol))
+      kMeansCentroids(sub, idCol, vecCol, ksub, iters).map(_._2)
+    }
+  }
+
+  /** Persistable PQ index: one (subspace, code, centroid) row per
+    * codebook entry — write it once, [[codebooksOf3]] it back, encode
+    * every later delta against it. */
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int = 3): DataFrame = {
+    import corpus.sparkSession.implicits._
+    pqCodebooks(corpus, idCol, vecCol, m, ksub, iters).zipWithIndex.toSeq
+      .flatMap { case (cb, j) => cb.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) } }
+      .toDF("subspace", "code", "centroid")
+  }
+
+  /** Load a persisted [[pqIndex]] back into the codebook matrix. */
+  def codebooksOf3(index: DataFrame): Array[Array[Array[Double]]] = {
+    import index.sparkSession.implicits._
+    index.select(col("subspace").cast("int"), col("code").cast("int"), col("centroid"))
+      .as[(Int, Int, Seq[Double])].collect()
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3.toArray))
+  }
+
+  /** Encode vectors to their per-subspace nearest-centroid codes:
+    * (id, codes array<int>) — the compressed corpus representation.
+    * One narrow codegen'd scan, no shuffle; |q_sub|² is dropped from
+    * the argmin (a per-row constant shift cannot change it). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val d = codebooks(0)(0).length
+    val codeCols = codebooks.zipWithIndex.map { case (cb, j) =>
+      val sub = transform(slice(col(vecCol), j * d + 1, d), x => x.cast("double"))
+      val scored = cb.zipWithIndex.map { case (c, code) =>
+        struct((lit(-2.0) * dot(sub, array(c.map(lit): _*)) + lit(c.map(x => x * x).sum)).as("d2"),
+          lit(code).as("code"))
+      }
+      array_min(array(scored: _*)).getField("code")
+    }
+    corpus.select(col(idCol), array(codeCols.toIndexedSeq: _*).as("codes"))
+  }
+
+  /** Top-k by asymmetric-distance computation over an encoded corpus:
+    * approx ‖q−x‖² = Σⱼ ‖q_j − c_{j,code_j}‖², computed from the raw
+    * query subvector against the code's centroid (ADC — the accurate
+    * variant; the query is never quantized). The codebook tables ride
+    * into codegen as literal arrays indexed by the code column; the
+    * corpus side touches only (id, codes). Deterministic: fixed
+    * subspace order, ties on neighbor id. */
+  def pqSearch(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]], k: Int): DataFrame = {
+    val d = codebooks(0)(0).length
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("q_v"))
+    val pairs = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    val approxD2 = codebooks.zipWithIndex.map { case (cb, j) =>
+      val qsub = slice(col("q_v"), j * d + 1, d)
+      val codeJ = element_at(col("codes"), j + 1)
+      val cvec = element_at(array(cb.map(c => array(c.map(lit): _*)): _*), codeJ + 1)
+      val cn2 = element_at(array(cb.map(c => lit(c.map(x => x * x).sum)): _*), codeJ + 1)
+      dot(qsub, qsub) - lit(2.0) * dot(qsub, cvec) + cn2
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("approx_d2"), col("neighbor_id"))
+    pairs.withColumn("approx_d2", approxD2)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("approx_d2"))
+  }
+
+  /** ADC shortlist + exact re-rank — the standard PQ pipeline shape
+    * (TPAMI'11 §V): the COMPRESSED corpus (codes only) is scanned for
+    * the top `k·refine` ADC candidates per query, then just those
+    * shortlisted rows fetch their raw vectors for an exact L2 re-rank
+    * to top-k. Quantization error then only costs recall when a true
+    * neighbor falls outside the shortlist, not on every rank swap
+    * inside it. At 100 TB the second pass touches ~(k·refine/corpus)
+    * of the id+vector columns — a point lookup against a bucketed
+    * table, not a rescan; the full-width scan only ever reads codes. */
+  def pqSearchRefined(encoded: DataFrame, corpus: DataFrame, queries: DataFrame,
+                      idCol: String, vecCol: String,
+                      codebooks: Array[Array[Array[Double]]],
+                      k: Int, refine: Int): DataFrame = {
+    val shortlist = pqSearch(encoded, queries, idCol, vecCol, codebooks, k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    val withVecs = shortlist
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_v"))),
+        Seq("query_id"))
+      .withColumn("dist", l2Distance(col("q_v"), col("c_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dist"), col("neighbor_id"))
+    withVecs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("dist"))
+  }
+
+  /** Train + encode + search in one call (batch form; for the
+    * incremental path persist [[pqIndex]] and call [[pqEncode]] /
+    * [[pqSearch]] yourself). `refine` > 1 re-ranks the `k·refine` ADC
+    * shortlist exactly ([[pqSearchRefined]]); `refine` = 1 returns raw
+    * ADC ranks. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+             k: Int, m: Int = 8, ksub: Int = 16, iters: Int = 3,
+             refine: Int = 1): DataFrame = {
+    val cbs = pqCodebooks(corpus, idCol, vecCol, m, ksub, iters)
+    val enc = pqEncode(corpus, idCol, vecCol, cbs)
+    if (refine <= 1) pqSearch(enc, queries, idCol, vecCol, cbs, k)
+    else pqSearchRefined(enc, corpus, queries, idCol, vecCol, cbs, k, refine)
+  }
+
   /** Deterministic IVF index: centroids = the `nCells` lowest-id vectors
     * (a fixed, seedless choice — swap in k-means for quality; the plan
     * shape is what matters), corpus assigned to nearest centroid. */

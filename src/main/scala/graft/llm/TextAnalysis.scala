@@ -86,6 +86,48 @@ object TextAnalysis {
         expr("sum_lp_ppm DIV n_tokens").as("avg_logprob_ppm"))
   }
 
+  /** Bigram LM scoring with add-one smoothing — the context-aware step
+    * up from [[unigramLogProbPpm]] (closer to the CCNet perplexity
+    * signal's intent: a doc of common-but-incoherently-ordered tokens
+    * scores well under a unigram LM and badly here): per document, the
+    * mean log₂ P(w₂|w₁) over its token bigrams, with
+    * P(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁·)+V) — Laplace smoothing over the
+    * corpus's own bigram counts, V = unigram vocabulary size. All
+    * counts integer; per-bigram scores ppm-floored (same +1e-4 guard
+    * contract as the unigram form) before the exact integer sums, so
+    * output is partition-independent. Docs with < 2 tokens emit no row
+    * (they have no bigram evidence).
+    *
+    * Scale shape: thin (id, w₁, w₂, n) projections shuffle; text never
+    * moves. The bigram vocabulary is larger than the unigram one but
+    * still Heaps-law-sublinear in the corpus; its join against the
+    * aggregated per-doc counts is Catalyst's choice (broadcast when it
+    * fits). One extra row of driver state: V. */
+  def bigramLogProbPpm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def toks = tokens(normalizeText(col(textCol)))
+    val nBg = greatest(size(toks) - 1, lit(0))
+    val pairs = docs
+      .select(col(idCol).as("id"),
+        explode(zip_with(slice(toks, lit(1), nBg), slice(toks, lit(2), nBg),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("id"), col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+    val bgVocab = pairs.groupBy(col("w1"), col("w2")).agg(sum(col("n")).as("c12"))
+    val ctx = bgVocab.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = lit(docs.select(explode(toks).as("tok"))
+      .agg(count_distinct(col("tok"))).head().getLong(0))
+    val lpPpm = floor(log2((col("c12") + lit(1L)).cast("double")
+        / (col("c1") + v).cast("double")) * 1e6 + 1e-4)
+      .cast("long").as("lp_ppm")
+    pairs.join(bgVocab, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .select(col("id"), col("n"), lpPpm)
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("n") * col("lp_ppm")).as("sum_lp_ppm"))
+      .select(col("id").as(idCol), col("n_bigrams"),
+        expr("sum_lp_ppm DIV n_bigrams").as("avg_logprob_ppm"))
+  }
+
   /** Gopher-style quality rule bundle (Rae et al., arXiv:2112.11446
     * §A1.1, thresholds adapted to the corpus at hand): ordered rules,
     * FIRST failing rule is the recorded reason, keep = all pass. One

@@ -314,4 +314,37 @@ class DedupSpec extends AnyFunSuite {
     // against corpus member 0 is cross; 1-vs-0 touches delta id 1)
     assert(rows.contains((0L, 1L)) && rows.contains((1L, 3L)) && rows.contains((0L, 3L)))
   }
+
+  test("stripBoilerplate removes corpus-frequent lines, keeps unique ones") {
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\ncookie banner\nfooter text"),
+      (2L, "cookie banner\nreal content two\nfooter text"),
+      (3L, "cookie banner\nunique stuff"),
+      (4L, "totally original document")
+    ).toDF("doc_id", "text")
+    // "cookie banner" in 3 docs, "footer text" in 2 → at minDocs=3 only
+    // the banner is boilerplate; BOTH its occurrences in doc 1 drop
+    val freq = Dedup.boilerplateLines(docs, "doc_id", "text", minDocs = 3)
+      .select("n_docs").as[Long].collect().toSeq
+    assert(freq == Seq(3L))
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 3)
+      .select("doc_id", "text", "n_lines_dropped")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "real content one\nfooter text", 2L),
+      (2L, "real content two\nfooter text", 1L),
+      (3L, "unique stuff", 1L),
+      (4L, "totally original document", 0L)))
+    // schema: original columns + the drop counter, textCol rewritten
+    assert(Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 3).columns.toSeq
+      == Seq("doc_id", "text", "n_lines_dropped"))
+  }
+
+  test("stripBoilerplate at minDocs above every count is the identity") {
+    val docs = Seq((1L, "a\nb"), (2L, "a\nc")).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", minDocs = 5)
+      .select("doc_id", "text", "n_lines_dropped")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "a\nb", 0L), (2L, "a\nc", 0L)))
+  }
 }

@@ -112,6 +112,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(3L)._2 < got(2L)._2 && got(2L)._2 < got(1L)._2)
   }
 
+  test("bigramLogProbPpm: add-one smoothed counts, docs without bigrams drop") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    // corpus bigrams: (a,b)×3 [2 in doc 1, 1 in doc 2], (b,a)×1; ctx:
+    // a→3, b→1; V = 3 (a, b, x — the 1-token doc still feeds the vocab)
+    def lp(c12: Long, c1: Long) =
+      math.floor(math.log((c12 + 1.0) / (c1 + 3.0)) / math.log(2.0) * 1e6 + 1e-4).toLong
+    val pAB = lp(3, 3) // log2(4/6)
+    val pBA = lp(1, 1) // log2(2/4) = exactly -1e6
+    assert(pBA == -1000000L)
+    val got = TextAnalysis.bigramLogProbPpm(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(3L)) // no bigram evidence → no row
+    assert(got(1L) == ((3L, (2 * pAB + pBA) / 3)))
+    assert(got(2L) == ((1L, pAB)))
+  }
+
   // ---- containment --------------------------------------------------------
 
   test("containmentPairs finds quotes that Jaccard misses, in the right direction") {

@@ -59,4 +59,43 @@ class SimilaritySpec extends AnyFunSuite {
       k = 2, nCells = 3, nprobe = 3).collect()
     assert(a.length <= full.length)
   }
+
+  test("PQ with one code per point recovers the exact L2 ranking") {
+    // ksub = n: every vector becomes its own centroid, codes are exact,
+    // so ADC distance == true distance and pqTopK == bruteTopKL2 — the
+    // k=1-equals-exact style semantic gate (SemDeDup precedent)
+    val brute = Similarity.bruteTopKL2(vecs, vecs, "vec_id", "embedding", k = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val pq = Similarity.pqTopK(vecs, vecs, "vec_id", "embedding",
+        k = 3, m = 1, ksub = 5, iters = 3)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(pq == brute)
+  }
+
+  test("PQ quality improves with codebook size; persisted index round-trips") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopKL2(embs, queries, "vec_id", "embedding", k = 10)
+    def meanRecallPpm(m: Int, ksub: Int, refine: Int): Double = {
+      val ann = Similarity.pqTopK(embs, queries, "vec_id", "embedding",
+        k = 10, m = m, ksub = ksub, iters = 2, refine = refine)
+      Similarity.recallAtK(ann, brute).agg(org.apache.spark.sql.functions.avg("recall_ppm"))
+        .head().getDouble(0)
+    }
+    val raw = meanRecallPpm(m = 8, ksub = 16, refine = 1)
+    val refined = meanRecallPpm(m = 8, ksub = 16, refine = 4)
+    info(s"raw ADC recall@10 ppm: $raw, refined(4x): $refined")
+    // exact re-rank of the ADC shortlist can only help: every true
+    // neighbor inside the shortlist lands in the top-k afterward
+    assert(refined >= raw, s"re-rank must not lose recall: $refined < $raw")
+    assert(refined >= 500000.0, s"refined PQ recall@10 below 0.5: $refined")
+
+    // persisted index → loader → search equals the direct batch path
+    val cbs = Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+    val loaded = Similarity.codebooksOf3(
+      Similarity.pqIndex(embs, "vec_id", "embedding", m = 8, ksub = 16, iters = 2))
+    assert(loaded.length == cbs.length)
+    assert(loaded.zip(cbs).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) => x.sameElements(y) } })
+  }
 }
