@@ -217,13 +217,59 @@ object Similarity {
     * touching old data (the incremental-gate pattern again). */
   def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
                   m: Int, ksub: Int, iters: Int = 3): Array[Array[Array[Double]]] = {
+    import corpus.sparkSession.implicits._
     val dim = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim must be divisible by m=$m subspaces")
     val d = dim / m
-    (0 until m).toArray.map { j =>
-      val sub = corpus.select(col(idCol), slice(col(vecCol), j * d + 1, d).as(vecCol))
-      kMeansCentroids(sub, idCol, vecCol, ksub, iters).map(_._2)
+    // All m subspaces train JOINTLY — the math is identical to m
+    // independent [[kMeansCentroids]] runs over the sliced subvectors
+    // (same xxhash64-seed ids, same decimal-exact means, same
+    // vanish-when-empty cell behavior), but each round is ONE Spark job
+    // over the exploded (id, j, v_sub) frame instead of one per
+    // subspace: m× fewer driver round-trips, same result.
+    val seeds = corpus
+      .select(col(idCol).as("id"), transform(col(vecCol), x => x.cast("double")).as("v"))
+      .withColumn("h", xxhash64(col("id")))
+      .orderBy(col("h"), col("id")).limit(ksub)
+      .select("v").as[Seq[Double]].collect()
+    // state: per subspace, the PRESENT cells (a cell with no members
+    // vanishes for later rounds, mirroring kMeansCentroids)
+    var books: Array[Array[(Int, Array[Double])]] = Array.tabulate(m) { j =>
+      seeds.zipWithIndex.map { case (v, i) => (i, v.slice(j * d, j * d + d).toArray) }
     }
+    val subs = corpus.select(col(idCol).as("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        jj => slice(transform(col(vecCol), x => x.cast("double")), jj * lit(d) + 1, lit(d))))
+        .as(Seq("j", "v")))
+    for (_ <- 0 until iters) {
+      val v2 = dot(col("v"), col("v"))
+      val cands = books.zipWithIndex.flatMap { case (cb, j) =>
+        cb.map { case (cell, c) =>
+          val d2 = v2 - lit(2.0) * dot(col("v"), array(c.map(lit): _*)) + lit(c.map(x => x * x).sum)
+          struct(when(col("j") === j, d2).otherwise(lit(Double.MaxValue)).as("d2"),
+            lit(cell).as("cell"))
+        }
+      }
+      val means = subs
+        .withColumn("cell", array_min(array(cands.toIndexedSeq: _*)).getField("cell"))
+        .select(col("j"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("j"), col("cell"), col("dim"))
+        .agg((sum(col("x").cast("decimal(38,20)")).cast("double") / count(lit(1))).as("mean"))
+        .as[(Int, Int, Int, Double)].collect()
+      val byJ = means.groupBy(_._1)
+      books = books.zipWithIndex.map { case (prev, j) =>
+        byJ.get(j) match {
+          case None => prev
+          case Some(xs) =>
+            xs.groupBy(_._2).map { case (cell, ys) =>
+              val arr = new Array[Double](d)
+              ys.foreach { case (_, _, dd, mm) => arr(dd) = mm }
+              (cell, arr)
+            }.toArray.sortBy(_._1)
+        }
+      }
+    }
+    books.map(_.map(_._2))
   }
 
   /** Persistable PQ index: one (subspace, code, centroid) row per

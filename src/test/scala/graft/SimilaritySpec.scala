@@ -90,6 +90,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(refined >= raw, s"re-rank must not lose recall: $refined < $raw")
     assert(refined >= 500000.0, s"refined PQ recall@10 below 0.5: $refined")
 
+    // joint (one-pass) training must equal m independent per-subspace
+    // k-means runs bit-for-bit — same seeds, decimal means, and
+    // vanishing-cell behavior — or the literal oracle drifts
+    val joint = Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 4, ksub = 8, iters = 2)
+    val perSub = (0 until 4).map { j =>
+      val sub = embs.select($"vec_id",
+        org.apache.spark.sql.functions.slice($"embedding", j * 16 + 1, 16).as("embedding"))
+      Similarity.kMeansCentroids(sub, "vec_id", "embedding", k = 8, iters = 2).map(_._2)
+    }
+    assert(joint.length == 4)
+    joint.zip(perSub).foreach { case (a, b) =>
+      assert(a.length == b.length)
+      a.zip(b).foreach { case (x, y) => assert(x.sameElements(y)) }
+    }
+
     // persisted index → loader → search equals the direct batch path
     val cbs = Similarity.pqCodebooks(embs, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
     val loaded = Similarity.codebooksOf3(
