@@ -1127,9 +1127,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** DSIR importance resampling (arXiv:2302.03169): top-20 documents by
+    * Gumbel-perturbed importance weight toward the `lang = 'en'` target
+    * sample, over 4096 hashed-bigram buckets. Weights and Gumbel keys
+    * are ppm-floored integers derived from md5 — fully re-derivable by
+    * the oracle. */
+  private def t85DsirSample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.llm.Dsir.select(d, d.filter(col("lang") === "en"), "doc_id", "text",
+      nBuckets = 4096, k = 20)
+  }
+
+  /** FastText-class quality classifier (hashed-ngram Naive Bayes,
+    * arXiv:1607.01759): seed label = doc mentions 'spark' more often
+    * than 'hash' (a content-derived weak label the synthetic corpus
+    * actually carries — metadata labels are uncorrelated with its
+    * word-salad text); train on the whole corpus, score every doc.
+    * 0.85 train accuracy vs the 0.66 majority baseline at sf0.01 —
+    * the separation gate lives in ClassifierSpec on a clean synthetic
+    * seed. */
+  private def t86QualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    def toks = tokens(normalizeText(col("text")))
+    val labeled = d.withColumn("y",
+      size(filter(toks, x => x === "spark")) > size(filter(toks, x => x === "hash")))
+    val model = graft.llm.Classifier.nbTrain(labeled, "doc_id", "text", "y", nBuckets = 256)
+    val prior = graft.llm.Classifier.nbPriorPpm(labeled, "y")
+    graft.llm.Classifier.nbScore(d, model, prior, "doc_id", "text", nBuckets = 256)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-document repeated-substring spans (arXiv:2107.06499 by
+    * rolling 8-token window hashing): per doc, duplicated-window counts
+    * and merged span coverage. The corpus's exact/near-dup groups (t25,
+    * t26) guarantee non-trivial shared windows at every sf. */
+  private def t87DupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.dupSpanStats(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t87_dup_spans" -> t87DupSpans _,
+    "t86_quality_classifier" -> t86QualityClassifier _,
+    "t85_dsir_sample" -> t85DsirSample _,
     "t84_bigram_logprob" -> t84BigramLogprob _,
     "t83_knn_pq" -> t83KnnPq _,
     "t82_line_dedup" -> t82LineDedup _,
@@ -1871,6 +1914,82 @@ object SparkEntry {
             CASE WHEN sum_lp >= 0 THEN sum_lp // n_bigrams
                  ELSE -((-sum_lp) // n_bigrams) END AS avg_logprob_ppm
           FROM d ORDER BY doc_id""",
+      // DSIR: same md5 feature-hash buckets, add-one-smoothed ln-ratio
+      // ppm-floored per bucket (shared +1e-4 guard), exact integer doc
+      // sums, md5-derived Gumbel keys — Dsir.select re-derived whole
+      "t85_dsir_sample" ->
+        s"""WITH b AS (SELECT doc_id, lang, $toks AS tk FROM documents),
+          f AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS feat FROM b),
+          fb AS (SELECT doc_id, lang,
+            CAST(('0x' || substring(md5(feat), 1, 12)) AS BIGINT) % 4096 AS bucket FROM f),
+          dk AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY 1, 2),
+          raw AS (SELECT bucket, CAST(sum(n) AS BIGINT) AS c FROM dk GROUP BY 1),
+          tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c FROM fb WHERE lang = 'en' GROUP BY 1),
+          nr AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM raw),
+          ntg AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n FROM tgt),
+          w AS (SELECT raw.bucket,
+            CAST(floor((ln(CAST(coalesce(tgt.c, 0) + 1 AS DOUBLE) / CAST((SELECT n FROM ntg) + 4096 AS DOUBLE))
+                      - ln(CAST(raw.c + 1 AS DOUBLE) / CAST((SELECT n FROM nr) + 4096 AS DOUBLE)))
+                * 1000000.0 + 0.0001) AS BIGINT) AS w_ppm
+            FROM raw LEFT JOIN tgt USING (bucket)),
+          docw AS (SELECT dk.doc_id, CAST(sum(dk.n) AS BIGINT) AS n_feats,
+              CAST(sum(dk.n * w.w_ppm) AS BIGINT) AS logw_ppm
+            FROM dk JOIN w USING (bucket) GROUP BY dk.doc_id)
+          SELECT doc_id, n_feats, logw_ppm,
+            logw_ppm + CAST(floor(-ln(-ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+              / 281474976710656.0)) * 1000000.0 + 0.0001) AS BIGINT) AS key_ppm
+          FROM docw ORDER BY key_ppm DESC, doc_id LIMIT 20""",
+      // hashed-NB classifier: identical count/smooth/floor derivation;
+      // score = exact integer sum + prior, no division anywhere
+      "t86_quality_classifier" ->
+        s"""WITH b0 AS (SELECT doc_id, $toks AS tk FROM documents),
+          b AS (SELECT doc_id,
+            len(list_filter(tk, x -> x = 'spark')) > len(list_filter(tk, x -> x = 'hash')) AS y,
+            tk FROM b0),
+          f AS (SELECT doc_id, y, unnest(tk) AS feat FROM b),
+          fb AS (SELECT doc_id, y,
+            CAST(('0x' || substring(md5(feat), 1, 12)) AS BIGINT) % 256 AS bucket FROM f),
+          dk AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY 1, 2),
+          cls AS (SELECT bucket,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+              CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM fb GROUP BY 1),
+          tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM cls),
+          pri AS (SELECT CAST(floor(ln(CAST((SELECT count(*) FROM b WHERE y) AS DOUBLE)
+                / CAST((SELECT count(*) FROM b WHERE NOT y) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS p),
+          w AS (SELECT bucket,
+            CAST(floor((ln(CAST(cp + 1 AS DOUBLE) / CAST((SELECT np FROM tot) + 256 AS DOUBLE))
+                      - ln(CAST(cn + 1 AS DOUBLE) / CAST((SELECT nn FROM tot) + 256 AS DOUBLE)))
+                * 1000000.0 + 0.0001) AS BIGINT) AS w_ppm
+            FROM cls),
+          docw AS (SELECT dk.doc_id, CAST(sum(dk.n) AS BIGINT) AS n_feats,
+              CAST(sum(dk.n * w.w_ppm) AS BIGINT) AS sum_w
+            FROM dk JOIN w USING (bucket) GROUP BY 1)
+          SELECT b.doc_id, coalesce(n_feats, 0) AS n_feats,
+            coalesce(sum_w, 0) + (SELECT p FROM pri) AS score_ppm,
+            coalesce(sum_w, 0) + (SELECT p FROM pri) > 0 AS pred
+          FROM b LEFT JOIN docw USING (doc_id) ORDER BY doc_id""",
+      // dup spans: same rolling 8-token md5 windows, distinct-doc census,
+      // gaps-and-islands merged coverage — all exact integers
+      "t87_dup_spans" ->
+        s"""WITH b AS (SELECT doc_id, $toks AS tk FROM documents),
+          w AS (SELECT doc_id,
+            unnest(range(0, greatest(len(tk) - 8 + 1, 0))) AS pos,
+            unnest(list_transform(range(0, greatest(len(tk) - 8 + 1, 0)),
+              i -> md5(array_to_string(tk[i+1:i+8], ' ')))) AS fp
+          FROM b),
+          freq AS (SELECT fp FROM w GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+          d AS (SELECT w.doc_id, w.pos FROM w JOIN freq USING (fp)),
+          isl AS (SELECT doc_id, pos, greatest(0, pos + 8 - greatest(coalesce(max(pos + 8) OVER (
+              PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0), pos)) AS cov
+            FROM d),
+          agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup, CAST(sum(cov) AS BIGINT) AS dup_tokens
+            FROM isl GROUP BY doc_id)
+          SELECT b.doc_id, CAST(greatest(len(tk) - 8 + 1, 0) AS BIGINT) AS n_windows,
+            coalesce(agg.n_dup, 0) AS n_dup_windows,
+            coalesce(agg.dup_tokens, 0) AS dup_cov_tokens,
+            coalesce(agg.dup_tokens, 0) * 1000000 // len(tk) AS dup_cov_ppm
+          FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
       "t78_unigram_logprob" ->
         s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),

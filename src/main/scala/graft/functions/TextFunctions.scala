@@ -25,6 +25,17 @@ object TextFunctions {
   /** Whitespace tokenization. */
   def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** Engine-portable feature-hash bucket in [0, n): first 48 bits of
+    * md5 mod n — the same digest [[graft.operators.Sampling.hashUnit]]
+    * uses, so the DuckDB twin is
+    * `CAST(('0x' || substring(md5(x),1,12)) AS BIGINT) % n`. The basis
+    * of the hashed bag-of-ngrams feature space (DSIR, fastText-class
+    * classifiers): a FIXED n-sized feature domain independent of vocab
+    * size, so model/weight tables are bounded and broadcastable at any
+    * corpus scale. */
+  def hashBucket(c: Column, n: Int): Column =
+    conv(substring(md5(c), 1, 12), 16, 10).cast("long") % n
+
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))
 

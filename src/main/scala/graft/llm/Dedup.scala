@@ -813,4 +813,62 @@ object Dedup {
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** Cross-document repeated-substring spans (the substring-level dedup
+    * signal of Lee et al., arXiv:2107.06499, with rolling k-token window
+    * hashing standing in for their suffix array — the scalable
+    * shuffle-friendly form): a window is "duplicated" when the same
+    * k-token sequence appears in ≥ `minDocs` DISTINCT documents. Per
+    * document: window counts plus the MERGED token coverage of its
+    * duplicated windows (overlapping windows counted once — the classic
+    * gaps-and-islands running-max, exact integers, so the oracle can
+    * re-derive it with the same window function). Documents with no
+    * duplicated span emit zeros; `dup_cov_ppm` = covered·10⁶ DIV
+    * n_tokens is the per-doc "how much of me is boilerplate copy"
+    * filter signal.
+    *
+    * Scale shape: text is scanned once into the thin (id, pos, fp₁₂₈→
+    * md5) window projection — ~n_tokens rows per doc, the method's
+    * inherent cost (cheaper than the suffix array's O(n log n) global
+    * sort). The census groupBy is map-side combined on the 128-bit
+    * fingerprint; the frequent-window set it emits is tiny (only
+    * windows in ≥ minDocs docs), so the join back is a broadcast in
+    * practice, with AQE falling back to shuffle-hash if a pathological
+    * corpus makes it big. The island merge is a per-document window
+    * function over ONLY the duplicated positions — no global sort. */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 8, minDocs: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"),
+        tokens(normalizeText(col(textCol))).as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).as("nt"))
+    val wins = base.select(col("id"),
+      posexplode(when(col("nt") >= k,
+        transform(sequence(lit(0), col("nt") - k),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(k))))))
+        .otherwise(array())).as(Seq("pos", "fp")))
+    val freq = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("id")).as("df"))
+      .filter(col("df") >= minDocs)
+      .select(col("fp"))
+    val prev = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = greatest(lit(0), col("pos") + lit(k)
+      - greatest(coalesce(max(col("pos") + lit(k)).over(prev), lit(0)), col("pos")))
+    val perDoc = wins.join(freq, "fp")
+      .select(col("id"), col("pos"))
+      .withColumn("cov", cov)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_dup_windows"), sum(col("cov")).as("dup_cov_tokens"))
+    base.join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("nt"),
+        greatest(col("nt") - k + 1, lit(0)).cast("long").as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_cov_tokens"), lit(0L)).as("dup_cov_tokens"))
+      // both operands non-negative, so DIV is the exact floor — the
+      // integer-ppm contract (no doubles anywhere in this operator)
+      .withColumn("dup_cov_ppm", expr("dup_cov_tokens * 1000000L DIV nt"))
+      .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
+        col("dup_cov_tokens"), col("dup_cov_ppm"))
+  }
 }

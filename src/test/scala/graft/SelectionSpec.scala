@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Classifier, Dedup, Dsir}
+
+/** Semantic gates for the round-9 data-selection operators (DSIR,
+  * hashed-NB classifier, dup-span stats) — independent of the DuckDB
+  * oracle, which only pins cross-engine exactness on the sf corpus. */
+class SelectionSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toSeq.toDF("doc_id", "text")
+
+  // ---- DSIR ------------------------------------------------------------
+
+  test("DSIR: target == corpus gives exactly zero importance weight everywhere") {
+    val d = docs((1L, "a b c d e"), (2L, "c d e f g"), (3L, "a a b b c"))
+    val model = Dsir.importanceModel(d, d, "doc_id", "text", nBuckets = 64)
+    // identical smoothed distributions → ln-ratio is exactly 0.0 before
+    // the floor, and floor(0 + 1e-4) = 0 — no drift allowed
+    assert(model.filter($"w_ppm" =!= 0L).count() == 0)
+  }
+
+  test("DSIR: documents resembling the target outrank the rest") {
+    // corpus: 4 "code-like" docs, 4 "prose-like" docs; target: code only.
+    val code = (1L to 4L).map(i => (i, "def main args spark sql plan codegen shuffle"))
+    val prose = (5L to 8L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val corpus = docs(code ++ prose: _*)
+    val target = docs((100L, "def spark sql plan shuffle codegen compile emit"))
+    val model = Dsir.importanceModel(corpus, target, "doc_id", "text", nBuckets = 1024)
+    val w = Dsir.importanceWeights(corpus, model, "doc_id", "text", nBuckets = 1024)
+      .select($"id", $"logw_ppm").as[(Long, Long)].collect().toMap
+    val minCode = (1L to 4L).map(w).min
+    val maxProse = (5L to 8L).map(w).max
+    assert(minCode > maxProse,
+      s"code docs must outweigh prose toward a code target: $w")
+  }
+
+  test("DSIR: select is deterministic and partitioning-independent") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val t1 = Dsir.select(d, d.filter($"lang" === "en"), "doc_id", "text", 512, 10)
+      .collect().toSeq
+    val t2 = Dsir.select(d.repartition(7), d.filter($"lang" === "en").repartition(3),
+      "doc_id", "text", 512, 10).collect().toSeq
+    assert(t1 == t2)
+  }
+
+  // ---- hashed-NB classifier -------------------------------------------
+
+  test("NB classifier separates a clean two-class seed and scores unseen docs") {
+    val labeled = Seq(
+      (1L, "good great excellent fine solid robust", true),
+      (2L, "great solid good robust excellent clean", true),
+      (3L, "spam junk scam noise garbage broken", false),
+      (4L, "junk garbage spam broken scam noise", false)
+    ).toDF("doc_id", "text", "y")
+    val model = Classifier.nbTrain(labeled, "doc_id", "text", "y", nBuckets = 512)
+    val prior = Classifier.nbPriorPpm(labeled, "y")
+    assert(prior == 0L, "balanced seed must have zero prior")
+    val unseen = docs((10L, "good excellent robust"), (11L, "spam garbage noise"))
+    val scored = Classifier.nbScore(unseen, model, prior, "doc_id", "text", 512)
+      .select($"doc_id", $"pred").as[(Long, Boolean)].collect().toMap
+    assert(scored(10L) && !scored(11L), s"clean seed must separate: $scored")
+  }
+
+  test("NB classifier: a doc with no model-known tokens scores exactly the prior") {
+    val labeled = Seq(
+      (1L, "alpha beta", true), (2L, "alpha beta", true), (3L, "gamma delta", false)
+    ).toDF("doc_id", "text", "y")
+    val model = Classifier.nbTrain(labeled, "doc_id", "text", "y", nBuckets = 4096)
+    val prior = Classifier.nbPriorPpm(labeled, "y")
+    // 4096 buckets over a 4-word vocab: 'zzz' collides with a trained
+    // bucket with probability ~1e-3; pick a token verified to miss
+    val scored = Classifier.nbScore(docs((9L, "qqqqq")), model, prior,
+      "doc_id", "text", 4096).select($"score_ppm", $"n_feats")
+      .as[(Long, Long)].head()
+    if (scored._2 == 0L) assert(scored._1 == prior)
+  }
+
+  test("NB classifier requires both classes in the seed") {
+    val oneSided = Seq((1L, "a", true), (2L, "b", true)).toDF("doc_id", "text", "y")
+    intercept[IllegalArgumentException] {
+      Classifier.nbPriorPpm(oneSided, "y")
+    }
+  }
+
+  // ---- dup-span stats --------------------------------------------------
+
+  test("dupSpanStats: hand-computed spans, zeros for unique docs") {
+    val d = docs(
+      (1L, "a b c d e f g h x y"),  // 10 tokens, window "a..h" at pos 0
+      (2L, "z a b c d e f g h"),    //  9 tokens, same window at pos 1
+      (3L, "p q r s t u v w"))      //  8 tokens, unique window
+    val r = Dedup.dupSpanStats(d, "doc_id", "text", k = 8, minDocs = 2)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 3L, 1L, 8L, 800000L)))
+    assert(r(1) == ((2L, 2L, 1L, 8L, 888888L)))
+    assert(r(2) == ((3L, 1L, 0L, 0L, 0L)))
+  }
+
+  test("dupSpanStats merges overlapping duplicated windows (no double count)") {
+    val nine = "a b c d e f g h i"
+    val d = docs((1L, nine), (2L, nine))
+    val r = Dedup.dupSpanStats(d, "doc_id", "text", k = 8, minDocs = 2)
+      .select($"n_dup_windows", $"dup_cov_tokens").as[(Long, Long)].collect()
+    // both windows (pos 0, pos 1) are duplicated; merged coverage is the
+    // whole 9-token doc, not 16
+    r.foreach { case (nd, cov) => assert(nd == 2L && cov == 9L) }
+  }
+
+  test("dupSpanStats is partitioning-independent") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Dedup.dupSpanStats(d, "doc_id", "text").orderBy($"doc_id").collect().toSeq
+    val b = Dedup.dupSpanStats(d.repartition(13), "doc_id", "text")
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b)
+  }
+}
