@@ -1167,9 +1167,29 @@ object SparkEntry {
         k = 8, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
+    * scores, ties on the term string — the corpus-exploration signal. */
+  private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  /** Quality-aware dedup survivors: same near-dup clusters as t59, but
+    * keep the LONGEST member per cluster (ties → min id) — the
+    * curation-grade representative policy. Survivor COUNT equals t59's
+    * (one per cluster); membership differs, which the hash sees. */
+  private def t89SurvivorsKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    Dedup.dedupByPairsKeepBest(docs, "doc_id", "n_chars", pairs, "a_id", "b_id")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t89_survivors_keep_best" -> t89SurvivorsKeepBest _,
+    "t88_tfidf_terms" -> t88TfidfTerms _,
     "t87_dup_spans" -> t87DupSpans _,
     "t86_quality_classifier" -> t86QualityClassifier _,
     "t85_dsir_sample" -> t85DsirSample _,
@@ -1914,6 +1934,42 @@ object SparkEntry {
             CASE WHEN sum_lp >= 0 THEN sum_lp // n_bigrams
                  ELSE -((-sum_lp) // n_bigrams) END AS avg_logprob_ppm
           FROM d ORDER BY doc_id""",
+      // TF-IDF: same ntn weighting, ppm floor + guard, row_number ties
+      // on the binary-collated ASCII term
+      "t88_tfidf_terms" ->
+        s"""WITH p AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+          g AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2),
+          dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+          nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+          sc AS (SELECT g.doc_id, g.term,
+              CAST(floor(g.n * ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(dfq.df AS DOUBLE))
+                * 1000000.0 + 0.0001) AS BIGINT) AS tfidf_ppm
+            FROM g JOIN dfq USING (term)),
+          r AS (SELECT doc_id, term, tfidf_ppm,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_ppm DESC, term) AS BIGINT) AS "rank"
+            FROM sc)
+          SELECT doc_id, term, tfidf_ppm, "rank" FROM r WHERE "rank" <= 3
+          ORDER BY doc_id, tfidf_ppm DESC, term""",
+      // keep-best survivors: t59's recursive-CTE clusters + per-cluster
+      // argmax on (n_chars, -id) instead of min id
+      "t89_survivors_keep_best" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(id, reach) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+          comp AS (SELECT id, min(reach) AS rep FROM walk GROUP BY id),
+          m AS (SELECT c.id, c.rep, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.id),
+          losers AS (SELECT id FROM (SELECT id, row_number() OVER (
+              PARTITION BY rep ORDER BY n_chars DESC, id) AS rn FROM m) WHERE rn > 1)
+          SELECT doc_id, n_chars FROM documents
+          WHERE doc_id NOT IN (SELECT id FROM losers) ORDER BY doc_id""",
       // DSIR: same md5 feature-hash buckets, add-one-smoothed ln-ratio
       // ppm-floored per bucket (shared +1e-4 guard), exact integer doc
       // sums, md5-derived Gumbel keys — Dsir.select re-derived whole

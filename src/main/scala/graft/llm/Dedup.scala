@@ -795,6 +795,29 @@ object Dedup {
     docs.join(losers, docs(idCol) === losers("id"), "left_anti")
   }
 
+  /** Quality-aware survivor selection: like [[dedupByPairs]], but keep
+    * the cluster member with the HIGHEST `scoreCol` (ties → smallest
+    * id) instead of the smallest id — the curation-grade policy (among
+    * near-identical crawls, keep the longest / highest-quality capture,
+    * arXiv:2112.11446 §A1.2 keeps one "best" representative the same
+    * way). Scale shape: clustering cost is [[connectedComponents]]
+    * unchanged; the winner pick adds one thin (id, rep, score) shuffle
+    * and a per-CLUSTER window (cluster sizes are near-dup group sizes —
+    * bounded small in practice, and a pathological mega-cluster is a
+    * data bug the CC checksum already surfaces), then an anti-join. The
+    * document payload moves only in the final anti-join projection. */
+  def dedupByPairsKeepBest(docs: DataFrame, idCol: String, scoreCol: String,
+                           pairs: DataFrame, aCol: String, bCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val members = connectedComponents(pairs, aCol, bCol)
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+    val rn = row_number().over(
+      Window.partitionBy(col("rep")).orderBy(col("score").desc, col("id")))
+    val losers = members.withColumn("rn", rn)
+      .filter(col("rn") > 1).select(col("id"))
+    docs.join(losers, docs(idCol) === losers("id"), "left_anti")
+  }
+
   /** Winnowing near-copy pairs: docs sharing ≥ `minShared` winnowing
     * fingerprints (shared substrings of length ≥ w + k − 1). Inverted
     * index on fingerprints — same join shape as the shingle path, but

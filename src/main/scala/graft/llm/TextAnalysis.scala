@@ -128,6 +128,38 @@ object TextAnalysis {
         expr("sum_lp_ppm DIV n_bigrams").as("avg_logprob_ppm"))
   }
 
+  /** TF-IDF keyword extraction: the top `k` terms per document by
+    * tf·idf (raw term count × ln(N/df), the classic SMART "ntn"
+    * weighting), the standard corpus-exploration / domain-tagging
+    * signal. Scores are ppm-floored per (doc, term) — the shared +1e-4
+    * boundary-guard contract — and never summed, so output is
+    * partition-independent; rank ties break on the term string.
+    *
+    * Scale shape: the same two thin map-side-combined shuffles as
+    * [[rareTokenStats]] (per-doc term counts, then document
+    * frequencies), a join against the Heaps-law-small df table, and a
+    * per-DOCUMENT window for the top-k — partitioned by doc id, sizes
+    * bounded by per-doc vocabulary, never a global sort. N is one
+    * driver-side long. */
+  def tfIdfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(normalizeText(col(textCol)))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("n"))
+    val df = pairs.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = lit(docs.select(col(idCol)).distinct().count())
+    val scored = pairs.join(df, "term")
+      .select(col("id"), col("term"),
+        floor(col("n") * log(nDocs.cast("double") / col("df").cast("double"))
+          * lit(1e6) + lit(1e-4)).cast("long").as("tfidf_ppm"))
+    val rn = row_number().over(
+      Window.partitionBy(col("id")).orderBy(col("tfidf_ppm").desc, col("term")))
+    scored.withColumn("rank", rn.cast("long")).filter(col("rank") <= k)
+      .select(col("id").as(idCol), col("term"), col("tfidf_ppm"), col("rank"))
+  }
+
   /** Gopher-style quality rule bundle (Rae et al., arXiv:2112.11446
     * §A1.1, thresholds adapted to the corpus at hand): ordered rules,
     * FIRST failing rule is the recorded reason, keep = all pass. One

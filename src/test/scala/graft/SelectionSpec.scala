@@ -113,6 +113,46 @@ class SelectionSpec extends AnyFunSuite {
     r.foreach { case (nd, cov) => assert(nd == 2L && cov == 9L) }
   }
 
+  // ---- TF-IDF ----------------------------------------------------------
+
+  test("tfIdfTopTerms: corpus-wide terms get zero weight, rare terms rank first") {
+    val d = docs(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common"))
+    val r = graft.llm.TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", k = 2)
+      .select($"doc_id", $"term", $"tfidf_ppm", $"rank")
+      .as[(Long, String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4)).toMap
+    // 'common' has df = 3 = N → ln(1) = 0; each doc's unique term wins
+    assert(r(1L).head._2 == "alpha" && r(1L).head._3 == math.floor(math.log(3.0) * 1e6 + 1e-4).toLong)
+    assert(r(2L).head._2 == "beta")
+    assert(r(1L)(1)._2 == "common" && r(1L)(1)._3 == 0L)
+    assert(r.values.forall(_.size <= 2))
+  }
+
+  test("tfIdfTopTerms is partitioning-independent") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = graft.llm.TextAnalysis.tfIdfTopTerms(d, "doc_id", "text", 3)
+      .orderBy($"doc_id", $"rank").collect().toSeq
+    val b = graft.llm.TextAnalysis.tfIdfTopTerms(d.repartition(11), "doc_id", "text", 3)
+      .orderBy($"doc_id", $"rank").collect().toSeq
+    assert(a == b)
+  }
+
+  // ---- keep-best survivors ---------------------------------------------
+
+  test("dedupByPairsKeepBest keeps the highest score per cluster, min id on ties") {
+    val d = Seq((1L, "x", 5L), (2L, "x", 9L), (3L, "x", 9L), (4L, "y", 1L))
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val kept = Dedup.dedupByPairsKeepBest(d, "doc_id", "score", pairs, "a_id", "b_id")
+      .select($"doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: best score 9 held by 2 and 3 → min id 2 wins;
+    // 4 is a singleton (not in any pair) and always survives
+    assert(kept == Set(2L, 4L))
+  }
+
   test("dupSpanStats is partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val a = Dedup.dupSpanStats(d, "doc_id", "text").orderBy($"doc_id").collect().toSeq
