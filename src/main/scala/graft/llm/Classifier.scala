@@ -47,22 +47,25 @@ object Classifier {
     * table stays sparse — the standard hashed-NB treatment. */
   def nbTrain(labeled: DataFrame, idCol: String, textCol: String,
               labelCol: String, nBuckets: Int): DataFrame = {
+    val spark = labeled.sparkSession
+    import spark.implicits._
     val perDoc = labeled.select(col(idCol).as("id"), col(labelCol).as("y"),
         explode(tokens(normalizeText(col(textCol)))).as("feat"))
       .select(col("y"), hashBucket(col("feat"), nBuckets).as("bucket"))
+    // ONE counting job collects the ≤ B-row class-count table; totals
+    // and the ppm floors are driver arithmetic (same java.lang.Math.log
+    // as Spark's log codegen; the +1e-4 guard is the cross-engine
+    // contract) — one labeled-corpus scan instead of two.
     val cls = perDoc.groupBy(col("bucket"))
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
-    val (nPos, nNeg) = {
-      val r = cls.agg(sum(col("c_pos")), sum(col("c_neg"))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    cls.select(col("bucket"),
-      floor((log((col("c_pos") + lit(1L)).cast("double")
-            / lit((nPos + nBuckets).toDouble))
-        - log((col("c_neg") + lit(1L)).cast("double")
-            / lit((nNeg + nBuckets).toDouble))) * lit(1e6) + lit(1e-4))
-        .cast("long").as("w_ppm"))
+      .as[(Long, Long, Long)].collect()
+    val nPos = cls.map(_._2).sum
+    val nNeg = cls.map(_._3).sum
+    cls.toSeq.map { case (b, cp, cn) =>
+      (b, math.floor((math.log((cp + 1).toDouble / (nPos + nBuckets).toDouble)
+        - math.log((cn + 1).toDouble / (nNeg + nBuckets).toDouble)) * 1e6 + 1e-4).toLong)
+    }.toDF("bucket", "w_ppm")
   }
 
   /** The class prior term, ppm-floored: ⌊ln(nPosDocs/nNegDocs)·10⁶⌋.

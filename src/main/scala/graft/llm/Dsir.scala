@@ -54,20 +54,27 @@ object Dsir {
     * (the incremental-index pattern of [[Dedup.minHashBandIndex]]). */
   def importanceModel(corpus: DataFrame, target: DataFrame,
                       idCol: String, textCol: String, nBuckets: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val raw = bucketCounts(corpus, idCol, textCol, nBuckets)
       .groupBy(col("bucket")).agg(sum(col("n")).as("c_raw"))
     val tgt = bucketCounts(target, idCol, textCol, nBuckets)
       .groupBy(col("bucket")).agg(sum(col("n")).as("c_tgt"))
-    // two scalar totals (bounded driver state, like unigramLogProbPpm's N)
-    val nRaw = lit(raw.agg(sum(col("c_raw"))).head().getLong(0))
-    val nTgt = lit(tgt.agg(coalesce(sum(col("c_tgt")), lit(0L))).head().getLong(0))
-    raw.join(tgt, Seq("bucket"), "left")
-      .select(col("bucket"),
-        floor((log((coalesce(col("c_tgt"), lit(0L)) + lit(1L)).cast("double")
-              / (nTgt + lit(nBuckets.toLong)).cast("double"))
-          - log((col("c_raw") + lit(1L)).cast("double")
-              / (nRaw + lit(nBuckets.toLong)).cast("double"))) * lit(1e6) + lit(1e-4))
-          .cast("long").as("w_ppm"))
+    // ONE job collects the ≤ B-row joined bucket table; the totals and
+    // ppm floors are then driver arithmetic (bounded by construction —
+    // the point of feature hashing), instead of two extra corpus-scan
+    // jobs for the scalar totals. math.log here and Spark's log codegen
+    // are the same java.lang.Math.log; the shared +1e-4 guard absorbs
+    // any cross-ENGINE ulp vs the oracle either way.
+    val buckets = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"), col("c_raw"), coalesce(col("c_tgt"), lit(0L)).as("c_tgt"))
+      .as[(Long, Long, Long)].collect()
+    val nRaw = buckets.map(_._2).sum
+    val nTgt = buckets.map(_._3).sum
+    buckets.toSeq.map { case (b, cr, ct) =>
+      (b, math.floor((math.log((ct + 1).toDouble / (nTgt + nBuckets).toDouble)
+        - math.log((cr + 1).toDouble / (nRaw + nBuckets).toDouble)) * 1e6 + 1e-4).toLong)
+    }.toDF("bucket", "w_ppm")
   }
 
   /** Per-document integer importance weights against a trained model:
