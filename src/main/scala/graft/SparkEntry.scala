@@ -1048,6 +1048,36 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).cast("long").as("sum_chars"))
       .orderBy(col("source"))
 
+  /** C4-style line-oriented cleaning. The sf corpus has no punctuation
+    * or newlines, so (t71 device) the query synthesizes them
+    * deterministically: even docs get 8-word sentence-lines, odd docs
+    * 3-word lines (failing the ≥5-words line rule), and modular marker
+    * lines inject lorem-ipsum / javascript / policy / curly-brace hits
+    * — every page and line rule fires somewhere in the corpus. One
+    * codegen'd scan — the line rules are higher-order array functions,
+    * no explode, no shuffle. */
+  private def t90C4Filter(s: SparkSession, dir: String): DataFrame = {
+    val lineified = when(col("doc_id") % 2 === 0,
+        regexp_replace(col("text"), "((?:\\S+\\s+){7}\\S+)\\s+", "$1.\n"))
+      .otherwise(
+        regexp_replace(col("text"), "((?:\\S+\\s+){2}\\S+)\\s+", "$1.\n"))
+    val marked = concat(lineified,
+      when(col("doc_id") % 97 === 0,
+        lit("\nthis page contains lorem ipsum text.")).otherwise(lit("")),
+      when(col("doc_id") % 89 === 0,
+        lit("\njavascript is required here really today.")).otherwise(lit("")),
+      when(col("doc_id") % 83 === 0,
+        lit("\nsee our privacy policy for details.")).otherwise(lit("")),
+      when(col("doc_id") % 79 === 0,
+        lit("\nconfig { x } dump.")).otherwise(lit("")))
+    val d = t(s, dir, "documents").withColumn("text", marked)
+    TextAnalysis.c4Filter(d, "doc_id", "text")
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("reason"), col("keep"),
+        length(col("text")).cast("long").as("clean_len"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-mix WATERFILL: a 10-doc `a_tiny` source saturates in
     * round 1 (its √n-share is ~2.3× its size) and keeps all its rows;
     * the surplus re-divides over the three equal big sources in round 2,
@@ -1188,6 +1218,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t90_c4_filter" -> t90C4Filter _,
     "t89_survivors_keep_best" -> t89SurvivorsKeepBest _,
     "t88_tfidf_terms" -> t88TfidfTerms _,
     "t87_dup_spans" -> t87DupSpans _,
@@ -1780,6 +1811,43 @@ object SparkEntry {
           SELECT doc_id, CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
             CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len
           FROM cleaned ORDER BY doc_id""",
+      // C4 line/page rules; policy phrases generated from
+      // TextAnalysis.C4PolicyPhrases so rule edits can never desync
+      // the engines. Same synthesized-lines device as t82.
+      "t90_c4_filter" -> {
+        val policy = graft.llm.TextAnalysis.C4PolicyPhrases
+          .map(p => s"contains(lt, '$p')").mkString(" OR ")
+        s"""WITH d2 AS (SELECT doc_id,
+            (CASE WHEN doc_id % 2 = 0
+              THEN regexp_replace(text, '((?:\\S+\\s+){7}\\S+)\\s+', '\\1.' || chr(10), 'g')
+              ELSE regexp_replace(text, '((?:\\S+\\s+){2}\\S+)\\s+', '\\1.' || chr(10), 'g') END)
+            || (CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'this page contains lorem ipsum text.' ELSE '' END)
+            || (CASE WHEN doc_id % 89 = 0 THEN chr(10) || 'javascript is required here really today.' ELSE '' END)
+            || (CASE WHEN doc_id % 83 = 0 THEN chr(10) || 'see our privacy policy for details.' ELSE '' END)
+            || (CASE WHEN doc_id % 79 = 0 THEN chr(10) || 'config { x } dump.' ELSE '' END) AS text
+            FROM documents),
+          b AS (SELECT doc_id, text, lower(text) AS lt,
+            string_split(text, chr(10)) AS lines FROM d2),
+          k AS (SELECT doc_id, lt, len(lines) AS n_lines,
+            CAST(length(text) - length(regexp_replace(text, '[.!?]', '', 'g')) AS BIGINT) AS n_sentences,
+            list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$$')
+              AND len(string_split_regex(trim(x), '\\s+')) >= 5
+              AND NOT contains(lower(x), 'javascript')) AS kept
+            FROM b),
+          r AS (SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+            CAST(len(kept) AS BIGINT) AS n_lines_kept, n_sentences,
+            CASE WHEN contains(lt, 'lorem ipsum') THEN 'lorem_ipsum'
+                 WHEN contains(lt, '{') THEN 'curly_brace'
+                 WHEN $policy THEN 'policy'
+                 WHEN n_sentences < 3 THEN 'too_few_sentences'
+                 WHEN len(kept) = 0 THEN 'no_lines'
+                 ELSE 'ok' END AS reason,
+            CAST(length(coalesce(array_to_string(kept, chr(10)), '')) AS BIGINT) AS clean_len
+            FROM k)
+          SELECT doc_id, n_lines, n_lines_kept, n_sentences, reason,
+            reason = 'ok' AS keep, clean_len
+          FROM r ORDER BY doc_id"""
+      },
       "t81_index_scrub" ->
         s"""WITH g AS (SELECT doc_id, unnest($grams8) AS gram FROM documents),
           b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),

@@ -187,4 +187,60 @@ object TextAnalysis {
     base.withColumn("reason", reason)
       .withColumn("keep", col("reason") === "ok")
   }
+
+  /** Phrases whose presence marks a page as boilerplate policy text
+    * (the C4 cookie/policy rule). Shared with the oracle SQL generator
+    * so rule edits can never desync the two engines. */
+  val C4PolicyPhrases: Seq[String] =
+    Seq("terms of use", "privacy policy", "cookie policy", "uses cookies")
+
+  /** C4-style heuristic cleaning (Raffel et al., arXiv:1910.10683
+    * §2.2) — the LINE-oriented sibling of the document-level
+    * [[gopherFilter]]. Line rules (a line survives only if it passes
+    * all three): ends in terminal punctuation (`. ! ? "`), has at
+    * least `minLineWords` words, does not mention "javascript".
+    * Page rules (ordered; FIRST failing rule is the recorded reason):
+    * contains "lorem ipsum"; contains a curly brace; contains a
+    * cookie/policy phrase ([[C4PolicyPhrases]]); fewer than
+    * `minSentences` sentence delimiters (`. ! ?` occurrences in the
+    * raw text); no surviving lines. `keep = reason == "ok"`; `text` in
+    * the output is the surviving lines re-joined.
+    *
+    * Scale shape: one narrow codegen'd scan — the line split, the
+    * per-line predicate, and the re-join are all higher-order ARRAY
+    * functions on the text column (no explode, so no row blow-up and
+    * no shuffle), and every page rule is a scalar predicate. At 100 TB
+    * this is a pure map stage that fuses into whatever scan feeds it. */
+  def c4Filter(docs: DataFrame, idCol: String, textCol: String,
+               minLineWords: Int = 5, minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val lt = lower(t)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      trim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !contains(lower(l), lit("javascript")))
+    val nSentences =
+      (length(t) - length(regexp_replace(t, "[.!?]", ""))).cast("long")
+    val policyHit = C4PolicyPhrases.map(p => contains(lt, lit(p))).reduce(_ || _)
+    val base = docs.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_lines_kept"),
+      nSentences.as("n_sentences"),
+      contains(lt, lit("lorem ipsum")).as("_lorem"),
+      contains(lt, lit("{")).as("_brace"),
+      policyHit.as("_policy"),
+      array_join(kept, "\n").as(textCol))
+    val reason = when(col("_lorem"), "lorem_ipsum")
+      .when(col("_brace"), "curly_brace")
+      .when(col("_policy"), "policy")
+      .when(col("n_sentences") < minSentences, "too_few_sentences")
+      .when(col("n_lines_kept") === 0, "no_lines")
+      .otherwise("ok")
+    base.withColumn("reason", reason)
+      .withColumn("keep", col("reason") === "ok")
+      .drop("_lorem", "_brace", "_policy")
+      .select(col(idCol), col("n_lines"), col("n_lines_kept"),
+        col("n_sentences"), col("reason"), col("keep"), col(textCol))
+  }
 }

@@ -180,4 +180,43 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(1) == Seq())
     assert(got(2) == Seq("end.io"))
   }
+
+  // ---- C4 filter ----------------------------------------------------------
+
+  test("c4Filter: every page rule fires in declaration order; line rules drop lines") {
+    val good = "this is a perfectly ordinary sentence of prose." // 8 words, terminal .
+    val docs = Seq(
+      (1L, s"$good\n$good\n$good"),                         // ok, all lines kept
+      (2L, s"$good\nhas lorem ipsum inside it today.\n$good"), // lorem_ipsum
+      (3L, s"$good\ncode { block } here it comes now.\n$good"), // curly_brace
+      (4L, s"$good\nplease read our privacy policy first ok.\n$good"), // policy
+      (5L, "too few. sentences?"),                          // too_few_sentences (2 < 3)
+      (6L, "no terminal punctuation on this line at all\nshort one.\nanother line that! never? ends..." // 3 sentences but...
+        + "\nuses javascript for the menu rendering."),     // ...line rules drop all but one
+      (7L, s"$good\nthis javascript line gets dropped fine.\ntiny line.\n$good")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4Filter(docs, "doc_id", "text")
+      .select($"doc_id", $"reason", $"keep", $"n_lines", $"n_lines_kept")
+      .as[(Long, String, Boolean, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(1L) == (("ok", true, 3L, 3L)))
+    assert(got(2L)._1 == "lorem_ipsum" && !got(2L)._2)
+    assert(got(3L)._1 == "curly_brace")
+    assert(got(4L)._1 == "policy")
+    assert(got(5L)._1 == "too_few_sentences")
+    // doc 6: line 1 no terminal punct, line 2 only 3 words ("short one." is 2),
+    // line 4 mentions javascript → only line 3 survives; page has >= 3 sentence
+    // delimiters so it keeps with 1/4 lines
+    assert(got(6L) == (("ok", true, 4L, 1L)))
+    assert(got(7L) == (("ok", true, 4L, 2L)))
+  }
+
+  test("c4Filter: no_lines fires when every line is dropped but sentences abound") {
+    val docs = Seq((1L, "word! word! word! word!\nalso too short here.")).toDF("doc_id", "text")
+    // both lines < 5 words → kept = 0; 5 sentence delimiters → page passes
+    // the sentence rule, so the no_lines rule is the one that records
+    val got = TextAnalysis.c4Filter(docs, "doc_id", "text")
+      .select($"reason", $"keep", $"text").as[(String, Boolean, String)].head()
+    assert(got == (("no_lines", false, "")))
+  }
 }
