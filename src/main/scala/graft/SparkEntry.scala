@@ -1078,6 +1078,13 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic reshard: shard + dense in-shard position as pure
+    * md5 functions of the key — same layout at any partitioning. */
+  private def t91ShardAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.assignShards(t(s, dir, "documents"), "doc_id", 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
   /** Temperature-mix WATERFILL: a 10-doc `a_tiny` source saturates in
     * round 1 (its √n-share is ~2.3× its size) and keeps all its rows;
     * the surplus re-divides over the three equal big sources in round 2,
@@ -1218,6 +1225,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t91_shard_assign" -> t91ShardAssign _,
     "t90_c4_filter" -> t90C4Filter _,
     "t89_survivors_keep_best" -> t89SurvivorsKeepBest _,
     "t88_tfidf_terms" -> t88TfidfTerms _,
@@ -1811,6 +1819,17 @@ object SparkEntry {
           SELECT doc_id, CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
             CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len
           FROM cleaned ORDER BY doc_id""",
+      // shard = first 48 md5 bits mod 8 (the hashBucket convention),
+      // in-shard order = (md5 hex, key) — both engines derive the
+      // identical layout from the identical digests
+      "t91_shard_assign" ->
+        s"""WITH h AS (SELECT doc_id,
+            substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS hx FROM documents),
+          s AS (SELECT doc_id, hx,
+            CAST(('0x' || hx) AS BIGINT) % 8 AS shard FROM h)
+          SELECT doc_id, shard,
+            CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) - 1 AS BIGINT) AS pos
+          FROM s ORDER BY doc_id""",
       // C4 line/page rules; policy phrases generated from
       // TextAnalysis.C4PolicyPhrases so rule edits can never desync
       // the engines. Same synthesized-lines device as t82.

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** BM25 full-text retrieval over a distributed inverted index — the
+  * corpus-exploration / seed-expansion primitive of a training-data
+  * pipeline (find documents like these eval prompts, pull documents
+  * for a domain query set).
+  *
+  * Engine-portability contract: per-(query, term, doc) BM25
+  * contributions are ppm-floored (with the shared +1e-4 boundary
+  * guard that absorbs cross-engine `ln` ulp divergence — the
+  * unigramLogProbPpm convention) BEFORE the per-(query, doc) sum, so
+  * document scores are exact integer sums, independent of partition
+  * count and merge order. The float constants derived from (k1, b)
+  * are propagated into the oracle SQL via `Double.toString` (shortest
+  * round-trip form), so both engines evaluate the identical doubles.
+  */
+object Retrieval {
+
+  /** The (doc_id, term, tf) postings list — the inverted index in its
+    * set-oriented form. Thin: text explodes into tokens but is
+    * immediately aggregated per (doc, term) with map-side combine. */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        explode(tokens(normalizeText(col(textCol)))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k: for each query, the `k` best documents by
+    * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the
+    * Lucene non-negative idf ln((N − df + 0.5)/(df + 0.5) + 1); ties
+    * break on doc id. Scores are summed as ppm integers (see object
+    * doc); `rank` is dense per query.
+    *
+    * Scale shape: the corpus text is read once into the thin postings
+    * projection; `df`/`dl` are Heaps-law-small / one-row-per-doc side
+    * tables joined back at Catalyst's discretion (broadcast when they
+    * fit); the distinct query-term table is tiny and broadcasts. The
+    * only wide shuffle is the per-(query, doc) score aggregation,
+    * whose size is bounded by matched postings — never |Q|·|corpus|.
+    * The top-k is a per-QUERY window, no global sort. N and the token
+    * total are the two driver-side longs. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, qIdCol: String, qTextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val post = postings(docs, idCol, textCol)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val (nDocs, totalTokens) = {
+      val r = dl.agg(count(lit(1)), sum(col("dl"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val qTerms = queries.select(col(qIdCol).as("query_id"),
+        explode(tokens(normalizeText(col(qTextCol)))).as("term"))
+      .distinct()
+    val idf = log(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val termPpm = floor(
+      idf * (col("tf").cast("double") * lit(k1 + 1))
+        / (col("tf").cast("double") + lit(k1 * (1 - b))
+          + lit(k1 * b) * col("dl").cast("double")
+            * lit(nDocs.toDouble) / lit(totalTokens.toDouble))
+        * lit(1e6) + lit(1e-4)).cast("long").as("term_ppm")
+    val scored = qTerms.join(post, "term").join(dfT, "term").join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), termPpm)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("term_ppm")).as("score_ppm"))
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("score_ppm").desc, col("doc_id")))
+    scored.withColumn("rank", rn.cast("long")).filter(col("rank") <= k)
+  }
+}

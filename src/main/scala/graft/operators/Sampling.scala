@@ -117,4 +117,43 @@ object Sampling {
         .when(u < testFraction + validFraction, "valid")
         .otherwise("train"))
   }
+
+  /** Deterministic global shuffle + fixed-shard assignment — the
+    * reshard step before sequence packing / training-order
+    * serialization: every row gets a `shard` in [0, nShards) and a
+    * dense 0-based `pos` within its shard, both pure functions of the
+    * key's md5 (shard = first 48 md5 bits mod nShards — the
+    * [[graft.functions.TextFunctions.hashBucket]] convention; in-shard
+    * order = (md5 hex, key)). The layout is therefore identical across
+    * reruns, partitionings, and engines, and a training job can address
+    * any (shard, pos) reproducibly — the md5 sort key IS the shuffle.
+    *
+    * Scale shape: one hash exchange on `shard` plus a PER-SHARD sort
+    * (window partitioned by shard — no global ordering, no
+    * single-reducer bottleneck). nShards is the parallelism/size knob:
+    * pick it so one shard's rows fit a single task comfortably
+    * (e.g. 100 TB / 256 MB ≈ 400 k shards). */
+  def assignShards(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val hx = substring(md5(col(keyCol).cast("string")), 1, 12)
+    val shard = conv(hx, 16, 10).cast("long") % nShards
+    df.withColumn("shard", shard)
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(hx.asc, col(keyCol).asc))
+          - 1).cast("long"))
+  }
+
+  /** Physically materialize an [[assignShards]] layout: one output
+    * directory per shard (`shard=<k>/`), rows inside each file in
+    * ascending `pos` — i.e. a reproducible serialized training order.
+    * `repartition` on shard co-locates each shard in one task;
+    * `sortWithinPartitions` orders it; `partitionBy` names the dirs. */
+  def writeShards(df: DataFrame, keyCol: String, nShards: Int,
+                  path: String): Unit =
+    assignShards(df, keyCol, nShards)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

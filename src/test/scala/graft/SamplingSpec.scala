@@ -77,4 +77,44 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(s("test") / 2000.0 - 0.2) < 0.05)
     assert(math.abs(s("valid") / 2000.0 - 0.1) < 0.04)
   }
+
+  test("assignShards: dense 0-based positions per shard, partitioning-independent, balanced-ish") {
+    import org.apache.spark.sql.functions._
+    val a = Sampling.assignShards(ids, "id", 8)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    val byShard = a.groupBy(_._2)
+    assert(byShard.keySet == (0L until 8L).toSet)
+    byShard.foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        "positions must be dense 0..n-1 within each shard")
+    }
+    // md5 spreads 2000 ids over 8 shards within a loose tolerance
+    assert(byShard.values.map(_.length).min > 150)
+    val b = Sampling.assignShards(ids.repartition(13), "id", 8)
+      .select($"id", $"shard", $"pos").as[(Long, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq,
+      "layout must not depend on input partitioning")
+  }
+
+  test("writeShards: one dir per shard, rows inside a shard ascend by pos") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
+    try {
+      Sampling.writeShards(ids, "id", 4, dir)
+      val back = spark.read.parquet(dir)
+      assert(back.count() == 2000L)
+      assert(back.select("shard").distinct().count() == 4L)
+      // within each shard-dir file, rows are stored in pos order
+      (0 until 4).foreach { k =>
+        val pos = spark.read.parquet(s"$dir/shard=$k")
+          .select("pos").as[Long].collect()
+        assert(pos.toSeq == pos.sorted.toSeq, s"shard $k not stored in pos order")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
 }
