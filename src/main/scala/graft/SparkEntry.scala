@@ -1085,6 +1085,23 @@ object SparkEntry {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy(col("doc_id"))
 
+  /** BM25 seed retrieval (Robertson–Zaragoza ranking, Lucene
+    * non-negative idf): top-5 docs per query, query set derived from
+    * the corpus itself (every 100th doc's first 5 normalized tokens —
+    * short keyword queries that scale with sf). Per-(query, term, doc)
+    * contributions are ppm-floored BEFORE the per-doc sum, so scores
+    * are exact integer sums independent of partition count
+    * ([[graft.llm.Retrieval]]'s engine-portability contract). */
+  private def t92Bm25TopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+    graft.llm.Retrieval.bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Temperature-mix WATERFILL: a 10-doc `a_tiny` source saturates in
     * round 1 (its √n-share is ~2.3× its size) and keeps all its rows;
     * the surplus re-divides over the three equal big sources in round 2,
@@ -1225,6 +1242,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t92_bm25_topk" -> t92Bm25TopK _,
     "t91_shard_assign" -> t91ShardAssign _,
     "t90_c4_filter" -> t90C4Filter _,
     "t89_survivors_keep_best" -> t89SurvivorsKeepBest _,
@@ -1819,6 +1837,41 @@ object SparkEntry {
           SELECT doc_id, CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
             CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS clean_len
           FROM cleaned ORDER BY doc_id""",
+      // BM25 with the ppm-floor contract: the (k1, b)-derived float
+      // constants are interpolated via Double.toString (shortest
+      // round-trip), so both engines evaluate the identical doubles;
+      // ln-ulp divergence is absorbed by the +0.0001 floor guard
+      "t92_bm25_topk" -> {
+        val bmK1 = 1.2; val bmB = 0.75
+        val c1 = (bmK1 + 1).toString
+        val c2 = (bmK1 * (1 - bmB)).toString
+        val c3 = (bmK1 * bmB).toString
+        s"""WITH dk AS (SELECT doc_id, $toks AS tk FROM documents),
+          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+          qt AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
+          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+          sc AS (SELECT qt.query_id, p.doc_id,
+              CAST(floor(
+                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
+                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(p.tf AS DOUBLE) * $c1)
+                / (CAST(p.tf AS DOUBLE) + $c2
+                   + $c3 * CAST(dl.dl AS DOUBLE)
+                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
+                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
+            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
+          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+            FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+            FROM ag)
+          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
+          ORDER BY query_id, rank"""
+      },
       // shard = first 48 md5 bits mod 8 (the hashBucket convention),
       // in-shard order = (md5 hex, key) — both engines derive the
       // identical layout from the identical digests

@@ -33,7 +33,8 @@ object Retrieval {
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the
     * Lucene non-negative idf ln((N − df + 0.5)/(df + 0.5) + 1); ties
     * break on doc id. Scores are summed as ppm integers (see object
-    * doc); `rank` is dense per query.
+    * doc); `rank` is a per-query row_number (1..k, gap-free — the
+    * doc-id tie-break makes it deterministic).
     *
     * Scale shape: the corpus text is read once into the thin postings
     * projection; `df`/`dl` are Heaps-law-small / one-row-per-doc side
@@ -51,9 +52,13 @@ object Retrieval {
     val post = postings(docs, idCol, textCol)
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // coalesce: sum(dl) is NULL on an empty corpus. With nDocs = 0 the
+    // postings side is empty, so the joins below produce the correct
+    // empty result — the max(1) divisor guard only keeps the literal
+    // constants finite on that path.
     val (nDocs, totalTokens) = {
-      val r = dl.agg(count(lit(1)), sum(col("dl"))).head()
-      (r.getLong(0), r.getLong(1))
+      val r = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+      (r.getLong(0), math.max(r.getLong(1), 1L))
     }
     val qTerms = queries.select(col(qIdCol).as("query_id"),
         explode(tokens(normalizeText(col(qTextCol)))).as("term"))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.Retrieval
+
+/** BM25 retrieval gates: postings shape, hand-computed tf/df/idf scores
+  * on a 3-doc corpus, tie-break determinism, the empty-corpus guard,
+  * and partitioning independence of the ppm contract. */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  // d1 dl=3, d2 dl=2, d3 dl=4; N=3, totalTokens=9, avgdl=3
+  private def corpus = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry date date cherry")).toDF("doc_id", "text")
+
+  test("postings: per-(doc, term) tf over normalized whitespace tokens") {
+    val p = Retrieval.postings(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(p == Set(
+      (1L, "apple", 2L), (1L, "banana", 1L),
+      (2L, "banana", 1L), (2L, "cherry", 1L),
+      (3L, "cherry", 2L), (3L, "date", 2L)))
+  }
+
+  test("bm25TopK: hand-computed scores and ranks on the 3-doc corpus") {
+    // query "apple cherry"; k1=1.2, b=0.75 so c1=2.2, c2=0.3, c3=0.9.
+    // idf(apple) = ln((3-1+0.5)/1.5 + 1) = ln(8/3); idf(cherry) = ln(1.6).
+    // term_ppm = floor(idf * tf*2.2 / (tf + 0.3 + 0.9*dl*3/9) * 1e6 + 1e-4):
+    //   d1/apple  (tf=2, dl=3): 1348640
+    //   d3/cherry (tf=2, dl=4): 590861
+    //   d2/cherry (tf=1, dl=2): 544214
+    val q = Seq((10L, "apple cherry")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext", k = 5)
+      .orderBy($"rank")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (10L, 1L, 1348640L, 1L),
+      (10L, 3L, 590861L, 2L),
+      (10L, 2L, 544214L, 3L)))
+  }
+
+  test("bm25TopK: k truncates, equal-score ties break on ascending doc id") {
+    // two identical docs -> identical ppm scores; tie must go to doc 4
+    val d = Seq((4L, "pear plum"), (5L, "pear plum"), (6L, "kiwi kiwi"))
+      .toDF("doc_id", "text")
+    val q = Seq((1L, "pear")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 1)
+      .select($"doc_id", $"rank").as[(Long, Long)].collect().toSeq
+    assert(r == Seq((4L, 1L)))
+  }
+
+  test("bm25TopK: empty corpus returns an empty result (no NPE)") {
+    val d = corpus.filter($"doc_id" < 0)
+    val q = Seq((1L, "apple")).toDF("qid", "qtext")
+    val r = Retrieval.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 3)
+    assert(r.columns.toSeq == Seq("query_id", "doc_id", "score_ppm", "rank"))
+    assert(r.count() == 0)
+  }
+
+  test("bm25TopK: scores are partitioning-independent (ppm contract)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = d.filter($"doc_id" % 20 === 0)
+      .select($"doc_id".as("qid"), substring($"text", 1, 40).as("qtext"))
+    def run(nPart: Int) =
+      Retrieval.bm25TopK(d.repartition(nPart), "doc_id", "text",
+          q.repartition(3), "qid", "qtext", k = 5)
+        .orderBy($"query_id", $"rank")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    val a = run(2)
+    val b = run(7)
+    assert(a.nonEmpty && a == b)
+  }
+}
