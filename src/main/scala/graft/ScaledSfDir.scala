@@ -87,8 +87,17 @@ object ScaledSfDir {
         } catch {
           case e: Throwable =>
             failed += 1
-            println(s"""{"metric":"sf_smoke","query":"$name","error":"${
-              Option(e.getMessage).getOrElse(e.getClass.getName).replaceAll("[\"\n]", " ").take(200)}"}""")
+            // full JSON string escape (backslash, quote, control chars)
+            // — a \r, tab, or backslash in an exception message would
+            // otherwise emit an invalid JSON line and break parsing
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .take(200).flatMap {
+                case '"'  => "\\\""
+                case '\\' => "\\\\"
+                case c if c < ' ' => f"\\u${c.toInt}%04x"
+                case c => c.toString
+              }
+            println(s"""{"metric":"sf_smoke","query":"$name","error":"$msg"}""")
         }
       }
       println(s"""{"metric":"sf_smoke_done","failed":$failed}""")

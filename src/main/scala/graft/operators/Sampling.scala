@@ -149,11 +149,20 @@ object Sampling {
     * directory per shard (`shard=<k>/`), rows inside each file in
     * ascending `pos` — i.e. a reproducible serialized training order.
     * `repartition` on shard co-locates each shard in one task;
-    * `sortWithinPartitions` orders it; `partitionBy` names the dirs. */
+    * `sortWithinPartitions` orders it; `partitionBy` names the dirs.
+    *
+    * The sort is on (shard, pos), not pos alone: the V1 write path
+    * requires its input ordered by the partition columns and inserts
+    * its own sort when it isn't. That inserted sort only orders by
+    * `shard`, and rows with equal keys are NOT contractually stable
+    * under spill merges — a pos-only pre-sort could silently interleave
+    * within a shard at scale. Sorting (shard, pos) here satisfies the
+    * writer's required ordering outright, so no extra sort is inserted
+    * and the intra-shard pos order reaches the files intact. */
   def writeShards(df: DataFrame, keyCol: String, nShards: Int,
                   path: String): Unit =
     assignShards(df, keyCol, nShards)
       .repartition(col("shard"))
-      .sortWithinPartitions(col("pos"))
+      .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -92,11 +92,29 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         size > 64
     }
 
+  /** The session owning the plan under optimization: prefer the one
+    * whose `sessionState.conf` is the very SQLConf this rule was handed
+    * (in multi-session apps `SparkSession.active` can be a DIFFERENT
+    * session than the one optimizing), else active, else default. */
+  private def owningSession: Option[SparkSession] =
+    (SparkSession.getActiveSession.toSeq ++ SparkSession.getDefaultSession.toSeq)
+      .find(_.sessionState.conf eq conf)
+      .orElse(SparkSession.getActiveSession)
+      .orElse(SparkSession.getDefaultSession)
+
   /** `auto` mode: derive the bin width from a bounded sample of actual
     * interval lengths (see the class doc for the formula and cost
-    * argument). Falls back to 1000 when the sample is empty or
-    * degenerate (all-null bounds), matching the old fixed default. */
+    * argument). Falls back to 1000 — the old fixed default — when the
+    * sample is empty or degenerate (all-null bounds), when the interval
+    * side is a STREAMING source (a batch collect over it would throw at
+    * plan time; the fixed width keeps streaming BETWEEN joins working
+    * as before `auto` existed), when no session can be resolved, or
+    * when the probe itself throws. NOTE the cache below is keyed by the
+    * canonicalized plan, so a width derived once is reused even after
+    * the underlying files change — stale widths are a perf wobble, not
+    * a correctness issue (the exact predicates are always re-checked). */
   private def derivedWidth(intervalPlan: LogicalPlan, start: Expression, end: Expression): Long = {
+    if (intervalPlan.isStreaming) return 1000L
     val key = (intervalPlan.canonicalized, start.canonicalized, end.canonicalized)
     widthCache.synchronized {
       if (widthCache.containsKey(key)) return widthCache.get(key)
@@ -104,13 +122,20 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val len = Alias(
       Subtract(Cast(end, DoubleType), Cast(start, DoubleType)), "__graft_len")()
     val probe = Limit(Literal(ProbeRows), Project(Seq(len), intervalPlan))
-    val sample = ColumnBridge.ofRows(SparkSession.active, probe)
-      .collect()
-      .iterator
-      .filterNot(_.isNullAt(0))
-      .map(_.getDouble(0))
-      .filter(v => !v.isNaN && !v.isInfinite && v >= 0)
-      .toArray
+    val sample =
+      try {
+        owningSession match {
+          case None => return 1000L
+          case Some(s) =>
+            ColumnBridge.ofRows(s, probe)
+              .collect()
+              .iterator
+              .filterNot(_.isNullAt(0))
+              .map(_.getDouble(0))
+              .filter(v => !v.isNaN && !v.isInfinite && v >= 0)
+              .toArray
+        }
+      } catch { case scala.util.control.NonFatal(_) => return 1000L }
     val width =
       if (sample.isEmpty) 1000L
       else {

@@ -167,6 +167,31 @@ class PlanSpec extends AnyFunSuite {
     assert(got == naive && naive.nonEmpty)
   }
 
+  test("auto binWidth: streaming interval side skips the probe, join still works") {
+    // the width probe is a batch collect — on a streaming interval side
+    // it must fall back to the fixed default instead of throwing at
+    // plan time (streaming BETWEEN joins worked before `auto` existed)
+    import graft.plans.{AsOfJoinNative, IntervalJoinRewrite}
+    AsOfJoinNative.register(spark)
+    import spark.implicits._
+    spark.conf.unset(IntervalJoinRewrite.BinWidthKey)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivstream").toString
+    Seq((10L, 0L, 100L), (20L, 500L, 600L)).toDF("iid", "s", "e")
+      .write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val ivs = spark.readStream.schema(schema).parquet(s"$dir/in")
+    val pts = Seq((1L, 50L), (2L, 550L), (3L, 9999L)).toDF("id", "p")
+    val q = pts.join(ivs, $"p".between($"s", $"e"))
+      .select($"id", $"iid")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("iv_stream_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("iv_stream_out").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (2L, 20L)))
+    spark.sql("DROP TABLE IF EXISTS iv_stream_out")
+  }
+
   test("interval rewrite fails fast with an actionable error past the bin cap") {
     import graft.plans.{AsOfJoinNative, IntervalJoinRewrite}
     AsOfJoinNative.register(spark)
