@@ -31,7 +31,13 @@ object Bench {
     // cannot be produced by one stall, so phantom spikes stop
     // masquerading as regressions. Per-run times stay in the JSON.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev loop: SPARK_GRAFT_ONLY=t76_containment,... times a subset solo
+    // (the driver never sets it, so the contract run is unchanged).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -45,7 +51,17 @@ object Bench {
       "\"" + k + "\":" + runs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's stdout capture keeps only the tail of long lines, so
+    // per-query medians for the early (q-family) queries were unreadable
+    // across rounds. Persist the full JSON beside the build so every
+    // median survives verbatim (committed per round as BENCH_full_r{N}).
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")),
+      line + "\n")
     spark.stop()
   }
 }
