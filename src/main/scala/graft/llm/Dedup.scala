@@ -428,13 +428,30 @@ object Dedup {
         .as(Seq("combo", "ckey")))
     val l = banded.select(col("combo"), col("ckey"), col("sig").as("a_sig"))
     val r = banded.select(col("combo"), col("ckey"), col("sig").as("b_sig"))
+    // "first agreeing combo" as a 256-entry lookup instead of a
+    // least(when...) over every combination: the expanded form (56
+    // combos × w chunk-compares at maxHamming = 3) overflowed janino's
+    // 64 KB method limit and silently dropped the whole join stage to
+    // interpreted execution. Chunk c of a_sig agrees with b_sig iff
+    // byte c of (a_sig XOR b_sig) is zero, so an 8-bit zero-byte mask
+    // determines agreement of EVERY combo at once; the minimal agreeing
+    // combo index is then a pure function of that mask, precomputed
+    // here into a 256-int literal array. 8 small terms + one
+    // element_at — codegens comfortably at any maxHamming.
     val firstAgreeingCombo =
       if (combos.size == 1) lit(0) // exact-match banding: single combo, nothing to dedup
-      else least(combos.zipWithIndex.map { case (combo, idx) =>
-        when(combo.map(c => chunkOf(col("a_sig"), c) === chunkOf(col("b_sig"), c))
-          .reduce(_ && _), lit(idx))
-          .otherwise(lit(combos.size))
-      }: _*)
+      else {
+        val xorSig = col("a_sig").bitwiseXOR(col("b_sig"))
+        val zeroByteMask = (0 until 8).map { c =>
+          when(chunkOf(xorSig, c) === 0L, lit(1 << c)).otherwise(lit(0))
+        }.reduce(_ + _)
+        val comboMasks = combos.map(_.map(1 << _).sum)
+        val firstByMask = (0 until 256).map { zm =>
+          val i = comboMasks.indexWhere(m => (zm & m) == m)
+          if (i < 0) combos.size else i
+        }
+        element_at(typedLit(firstByMask), zeroByteMask.cast("int") + 1)
+      }
     val sigPairs = l.join(r, Seq("combo", "ckey"))
       .filter(col("a_sig") < col("b_sig"))
       .filter(col("combo") === firstAgreeingCombo)
