@@ -1102,6 +1102,31 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25-seeded selection loop — the glue a real curation pipeline
+    * runs between retrieval and the quality classifier: t92's BM25
+    * top-5 per query becomes the POSITIVE seed, every non-retrieved doc
+    * the negative, a hashed-NB classifier trains on that weak labeling
+    * (one counting pass, ≤256-row model) and scores the whole corpus —
+    * seed-expansion from a handful of domain queries to corpus-wide
+    * integer scores. Both stages keep their ppm contracts, so the
+    * composition is oracle-exact end to end. */
+  private def t93Bm25SeedSelect(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+    val seed = graft.llm.Retrieval
+      .bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 5)
+      .select(col("doc_id")).distinct().withColumn("y", lit(true))
+    val labeled = d.join(seed, Seq("doc_id"), "left")
+      .withColumn("y", coalesce(col("y"), lit(false)))
+    val model = graft.llm.Classifier.nbTrain(labeled, "doc_id", "text", "y", nBuckets = 256)
+    val prior = graft.llm.Classifier.nbPriorPpm(labeled, "y")
+    graft.llm.Classifier.nbScore(d, model, prior, "doc_id", "text", nBuckets = 256)
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature-mix WATERFILL: a 10-doc `a_tiny` source saturates in
     * round 1 (its √n-share is ~2.3× its size) and keeps all its rows;
     * the surplus re-divides over the three equal big sources in round 2,
@@ -1242,6 +1267,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t93_bm25_seed_select" -> t93Bm25SeedSelect _,
     "t92_bm25_topk" -> t92Bm25TopK _,
     "t91_shard_assign" -> t91ShardAssign _,
     "t90_c4_filter" -> t90C4Filter _,
@@ -1871,6 +1897,62 @@ object SparkEntry {
             FROM ag)
           SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
           ORDER BY query_id, rank"""
+      },
+      // BM25-seeded selection: t92's retrieval chain feeds the seed set,
+      // then the t86 hashed-NB chain trains on (retrieved = positive)
+      // and scores every doc — two ppm contracts composed end to end
+      "t93_bm25_seed_select" -> {
+        val bmK1 = 1.2; val bmB = 0.75
+        val c1 = (bmK1 + 1).toString
+        val c2 = (bmK1 * (1 - bmB)).toString
+        val c3 = (bmK1 * bmB).toString
+        s"""WITH dk AS (SELECT doc_id, $toks AS tk FROM documents),
+          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+          qt AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
+          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+          sc AS (SELECT qt.query_id, p.doc_id,
+              CAST(floor(
+                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
+                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(p.tf AS DOUBLE) * $c1)
+                / (CAST(p.tf AS DOUBLE) + $c2
+                   + $c3 * CAST(dl.dl AS DOUBLE)
+                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
+                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
+            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
+          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+            FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+            FROM ag),
+          seed AS (SELECT DISTINCT doc_id FROM rk WHERE rank <= 5),
+          b AS (SELECT doc_id, doc_id IN (SELECT doc_id FROM seed) AS y, tk FROM dk),
+          f AS (SELECT doc_id, y, unnest(tk) AS feat FROM b),
+          fb AS (SELECT doc_id, y,
+            CAST(('0x' || substring(md5(feat), 1, 12)) AS BIGINT) % 256 AS bucket FROM f),
+          db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY 1, 2),
+          cls AS (SELECT bucket,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+              CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM fb GROUP BY 1),
+          tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM cls),
+          pri AS (SELECT CAST(floor(ln(CAST((SELECT count(*) FROM b WHERE y) AS DOUBLE)
+                / CAST((SELECT count(*) FROM b WHERE NOT y) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS p),
+          w AS (SELECT bucket,
+            CAST(floor((ln(CAST(cp + 1 AS DOUBLE) / CAST((SELECT np FROM tot) + 256 AS DOUBLE))
+                      - ln(CAST(cn + 1 AS DOUBLE) / CAST((SELECT nn FROM tot) + 256 AS DOUBLE)))
+                * 1000000.0 + 0.0001) AS BIGINT) AS w_ppm
+            FROM cls),
+          docw AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_feats,
+              CAST(sum(db.n * w.w_ppm) AS BIGINT) AS sum_w
+            FROM db JOIN w USING (bucket) GROUP BY 1)
+          SELECT b.doc_id, coalesce(n_feats, 0) AS n_feats,
+            coalesce(sum_w, 0) + (SELECT p FROM pri) AS score_ppm,
+            coalesce(sum_w, 0) + (SELECT p FROM pri) > 0 AS pred
+          FROM b LEFT JOIN docw USING (doc_id) ORDER BY doc_id"""
       },
       // shard = first 48 md5 bits mod 8 (the hashBucket convention),
       // in-shard order = (md5 hex, key) — both engines derive the

@@ -62,6 +62,34 @@ class RetrievalSpec extends AnyFunSuite {
     assert(r.count() == 0)
   }
 
+  test("bm25 seed-expansion: classifier trained on retrieved docs generalizes") {
+    // two-topic corpus; a "quantum physics" query retrieves topic-A
+    // seeds; the NB classifier trained on (retrieved = positive) must
+    // score the UNRETRIEVED topic-A doc above every topic-B doc —
+    // the point of the retrieval → classifier selection loop
+    import graft.llm.{Classifier, Retrieval}
+    val d = Seq(
+      (1L, "quantum physics energy quantum states"),
+      (2L, "quantum field physics theory lecture"),
+      (3L, "football soccer goal match referee"),
+      (4L, "banana market price fruit vendor"),
+      (5L, "physics quantum experiment lab bench")).toDF("doc_id", "text")
+    val q = Seq((1L, "quantum physics")).toDF("qid", "qtext")
+    val seed = Retrieval.bm25TopK(d, "doc_id", "text", q, "qid", "qtext", k = 2)
+      .select($"doc_id").distinct().withColumn("y", lit(true))
+    val labeled = d.join(seed, Seq("doc_id"), "left")
+      .withColumn("y", coalesce($"y", lit(false)))
+    val model = Classifier.nbTrain(labeled, "doc_id", "text", "y", nBuckets = 64)
+    val prior = Classifier.nbPriorPpm(labeled, "y")
+    val scores = Classifier.nbScore(d, model, prior, "doc_id", "text", nBuckets = 64)
+      .select($"doc_id", $"score_ppm").as[(Long, Long)].collect().toMap
+    val seedIds = seed.select($"doc_id").as[Long].collect().toSet
+    assert(seedIds.subsetOf(Set(1L, 2L, 5L)) && seedIds.size == 2)
+    val unretrievedA = (Set(1L, 2L, 5L) -- seedIds).head
+    assert(scores(unretrievedA) > scores(3L) && scores(unretrievedA) > scores(4L),
+      s"topic-A doc $unretrievedA should outscore topic-B docs: $scores")
+  }
+
   test("bm25TopK: scores are partitioning-independent (ppm contract)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = d.filter($"doc_id" % 20 === 0)
