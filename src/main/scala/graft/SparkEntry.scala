@@ -1237,6 +1237,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Trainable char-trigram NB language ID ([[graft.llm.LangIdNb]]):
+    * train on the documents table's own lang labels, classify every
+    * doc. The synthetic corpus's text is label-uncorrelated word salad,
+    * so predictions land near the prior — the REAL separation evidence
+    * lives in LangIdSpec's multilingual fixture; this query pins the
+    * end-to-end train→classify plan shape and the exact integer ppm
+    * contract against the oracle. */
+  private def t94LangIdNb(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val model = graft.llm.LangIdNb.train(d, "text", "lang", n = 3, nBuckets = 1024)
+    graft.llm.LangIdNb.classify(d, model, "doc_id", "text", n = 3, nBuckets = 1024)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("pred_lang"), col("score_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Cross-document repeated-substring spans (arXiv:2107.06499 by
     * rolling 8-token window hashing): per doc, duplicated-window counts
     * and merged span coverage. The corpus's exact/near-dup groups (t25,
@@ -1267,6 +1283,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t94_langid_nb" -> t94LangIdNb _,
     "t93_bm25_seed_select" -> t93Bm25SeedSelect _,
     "t92_bm25_topk" -> t92Bm25TopK _,
     "t91_shard_assign" -> t91ShardAssign _,
@@ -1954,6 +1971,40 @@ object SparkEntry {
             coalesce(sum_w, 0) + (SELECT p FROM pri) > 0 AS pred
           FROM b LEFT JOIN docw USING (doc_id) ORDER BY doc_id"""
       },
+      // char-trigram NB langid: seen-bucket weight ln(c+1) (the add-one
+      // smoothing base cancels against the unseen term), per-lang base
+      // -ln(T+B) applied n_grams times, doc-count prior; argmax with
+      // lexicographic tie-break — all ppm-floored integer sums
+      "t94_langid_nb" ->
+        s"""WITH d AS (SELECT doc_id, lang, $norm AS txt FROM documents),
+          g AS (SELECT doc_id, lang,
+            unnest(list_transform(range(1, greatest(length(txt) - 1, 1)),
+              i -> substring(txt, i, 3))) AS gram FROM d),
+          fb AS (SELECT doc_id, lang,
+            CAST(('0x' || substring(md5(gram), 1, 12)) AS BIGINT) % 1024 AS bucket FROM g),
+          cls AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY 1, 2),
+          tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS t FROM cls GROUP BY 1),
+          w AS (SELECT lang, bucket,
+            CAST(floor(ln(CAST(c + 1 AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS w_ppm
+            FROM cls),
+          bs AS (SELECT lang,
+            CAST(floor(-ln(CAST(t + 1024 AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS base_ppm
+            FROM tot),
+          pri AS (SELECT lang, CAST(floor(ln(CAST(count(*) AS DOUBLE)
+                / CAST((SELECT count(*) FROM d) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS prior_ppm
+            FROM d GROUP BY lang),
+          db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY 1, 2),
+          ng AS (SELECT doc_id, CAST(greatest(length(txt) - 2, 0) AS BIGINT) AS n_grams FROM d),
+          sw AS (SELECT db.doc_id, w.lang, CAST(sum(db.n * w.w_ppm) AS BIGINT) AS sw
+            FROM db JOIN w USING (bucket) GROUP BY 1, 2),
+          sc AS (SELECT ng.doc_id, bs.lang,
+              pri.prior_ppm + ng.n_grams * bs.base_ppm + coalesce(sw.sw, 0) AS score_ppm
+            FROM ng CROSS JOIN bs JOIN pri USING (lang)
+            LEFT JOIN sw ON sw.doc_id = ng.doc_id AND sw.lang = bs.lang),
+          rk AS (SELECT doc_id, lang, score_ppm,
+            row_number() OVER (PARTITION BY doc_id ORDER BY score_ppm DESC, lang) AS r FROM sc)
+          SELECT d.doc_id, d.lang, rk.lang AS pred_lang, CAST(rk.score_ppm AS BIGINT) AS score_ppm
+          FROM d JOIN rk USING (doc_id) WHERE r = 1 ORDER BY doc_id""",
       // shard = first 48 md5 bits mod 8 (the hashBucket convention),
       // in-shard order = (md5 hex, key) — both engines derive the
       // identical layout from the identical digests
