@@ -1262,6 +1262,14 @@ object SparkEntry {
         k = 8, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** Exact-substring span removal (the transform t87 only reports on):
+    * duplicated 8-token windows keep their text in the min-id canonical
+    * doc and are scrubbed everywhere else. */
+  private def t95ScrubDupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Dedup.scrubDupSpans(t(s, dir, "documents"), "doc_id", "text",
+        k = 8, minDocs = 2)
+      .orderBy(col("doc_id"))
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -1283,6 +1291,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
     "t93_bm25_seed_select" -> t93Bm25SeedSelect _,
     "t92_bm25_topk" -> t92Bm25TopK _,
@@ -2319,6 +2328,30 @@ object SparkEntry {
             coalesce(agg.dup_tokens, 0) AS dup_cov_tokens,
             coalesce(agg.dup_tokens, 0) * 1000000 // len(tk) AS dup_cov_ppm
           FROM b LEFT JOIN agg USING (doc_id) ORDER BY doc_id""",
+      // span removal: same windows/census as t87 plus min-id canonical;
+      // kept tokens rebuilt by 0-based index filter (DuckDB's list
+      // lambda index is 1-based, hence i - 1)
+      "t95_scrub_dup_spans" ->
+        s"""WITH b AS (SELECT doc_id, $toks AS tk FROM documents),
+          w AS (SELECT doc_id,
+            unnest(range(0, greatest(len(tk) - 8 + 1, 0))) AS pos,
+            unnest(list_transform(range(0, greatest(len(tk) - 8 + 1, 0)),
+              i -> md5(array_to_string(tk[i+1:i+8], ' ')))) AS fp
+          FROM b),
+          freq AS (SELECT fp, min(doc_id) AS canon FROM w
+            GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+          rem AS (SELECT w.doc_id, w.pos FROM w JOIN freq USING (fp)
+            WHERE w.doc_id <> freq.canon),
+          covp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM rem),
+          cov AS (SELECT doc_id, list_sort(list(p)) AS cv FROM covp GROUP BY doc_id),
+          o AS (SELECT b.doc_id, len(tk) AS nt,
+            CASE WHEN cv IS NULL THEN tk
+                 ELSE list_filter(tk, (x, i) -> NOT list_contains(cv, i - 1)) END AS kept
+            FROM b LEFT JOIN cov USING (doc_id))
+          SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+            CAST(nt - len(kept) AS BIGINT) AS n_removed,
+            coalesce(array_to_string(kept, ' '), '') AS clean_text
+          FROM o ORDER BY doc_id""",
       "t78_unigram_logprob" ->
         s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),

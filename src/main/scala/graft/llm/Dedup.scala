@@ -911,4 +911,55 @@ object Dedup {
       .select(col("id").as(idCol), col("n_windows"), col("n_dup_windows"),
         col("dup_cov_tokens"), col("dup_cov_ppm"))
   }
+
+  /** Exact-substring span REMOVAL (the transform behind
+    * [[dupSpanStats]]'s report — arXiv:2107.06499's ExactSubstr dedup
+    * in the same rolling-window form): every k-token window appearing
+    * in ≥ `minDocs` distinct documents keeps its text only in the
+    * CANONICAL document (min id holding that window); every other
+    * document drops all tokens its occurrences cover. Returns
+    * (id, n_tokens, n_removed, clean_text) over the NORMALIZED token
+    * stream — one row per input document, docs without duplicated
+    * spans pass through verbatim. Document-granular canonical-keep is
+    * deterministic and engine-mirrorable; the paper's suffix-array
+    * variant instead keeps one occurrence per global span cluster.
+    *
+    * Scale shape: [[dupSpanStats]]'s thin (id, pos, fp) projection and
+    * tiny frequent-window census (now carrying min-id), joined back
+    * broadcast-style; the removable position set is per-document
+    * (bounded by doc length), merged with one collect_set aggregation
+    * keyed by id — no global sort, text moves once into the final
+    * index-filtered rebuild (codegen'd higher-order array functions,
+    * no explode of token text). */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8, minDocs: Int = 2): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+        tokens(normalizeText(col(textCol))).as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).as("nt"))
+    val wins = base.select(col("id"),
+      posexplode(when(col("nt") >= k,
+        transform(sequence(lit(0), col("nt") - k),
+          i => md5(concat_ws(" ", slice(col("tk"), i + 1, lit(k))))))
+        .otherwise(array())).as(Seq("pos", "fp")))
+    val freq = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("id")).as("df"), min(col("id")).as("canon"))
+      .filter(col("df") >= minDocs)
+      .select(col("fp"), col("canon"))
+    val covered = wins.join(freq, "fp")
+      .filter(col("id") =!= col("canon"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id"), col("nt"),
+        when(col("cov").isNull, col("tk"))
+          // Spark's array-filter index lambda is 0-based, matching the
+          // posexplode window positions in `cov`
+          .otherwise(filter(col("tk"), (t, i) => !array_contains(col("cov"), i)))
+          .as("kept"))
+      .select(col("id").as(idCol), col("nt").cast("long").as("n_tokens"),
+        (col("nt") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
 }

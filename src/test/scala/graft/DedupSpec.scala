@@ -347,4 +347,42 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, "a\nb", 0L), (2L, "a\nc", 0L)))
   }
+
+  test("scrubDupSpans: canonical doc keeps the span, later docs lose it") {
+    // docs 1 and 2 share the 4-token window "p q r s"; doc 1 (min id)
+    // is canonical and unchanged, doc 2 loses exactly those 4 tokens
+    val docs = Seq(
+      (1L, "p q r s alpha beta"),
+      (2L, "gamma p q r s delta"),
+      (3L, "totally unrelated text here")).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 6L, 0L, "p q r s alpha beta"),
+      (2L, 6L, 4L, "gamma delta"),
+      (3L, 4L, 0L, "totally unrelated text here")))
+  }
+
+  test("scrubDupSpans: overlapping duplicated windows remove their union once") {
+    // docs share the 5-token run "a b c d e" → two overlapping 4-token
+    // windows in doc 2; their union (5 tokens) is removed, not 8
+    val docs = Seq(
+      (1L, "a b c d e tail1"),
+      (2L, "head a b c d e")).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 6L, 0L, "a b c d e tail1"),
+      (2L, 6L, 5L, "head")))
+  }
+
+  test("scrubDupSpans: docs shorter than k and singleton windows pass through") {
+    val docs = Seq(
+      (1L, "x y"),
+      (2L, "only in this doc once ever written down")).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(docs, "doc_id", "text", k = 4, minDocs = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._3).forall(_ == 0L))
+    assert(out.map(_._4) == Seq("x y", "only in this doc once ever written down"))
+  }
 }
