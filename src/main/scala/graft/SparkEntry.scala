@@ -1270,6 +1270,29 @@ object SparkEntry {
         k = 8, minDocs = 2)
       .orderBy(col("doc_id"))
 
+  /** End-to-end curation pipeline — the staged keep/drop decision a
+    * real pretraining corpus goes through, with first-fail reasons
+    * (the t90 convention): (1) length gate, (2) repetition gate (any
+    * duplicated 3-gram), (3) exact dedup keeping the min-id canonical
+    * among stage-1/2 SURVIVORS, (4) 8-gram benchmark decontamination
+    * of the remaining docs (every-50th-doc eval stand-in, the t63
+    * set). Later stages only see earlier survivors — the staging
+    * matters (a filtered-out doc must not claim a dedup canonical
+    * slot), and the oracle replicates it stage for stage.
+    *
+    * Scale shape: stages 1–3 are one thin (id, n_tokens, rep_ppm, fp)
+    * projection, a fingerprint groupBy, and a fp-join back; stage 4 is
+    * [[graft.llm.Decontaminate.overlapGramCount]]'s broadcast-membership
+    * scan. Text is scanned, never shuffled; every verdict is a
+    * deterministic integer/flag. */
+  private def t96CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.llm.Curation.stagedVerdicts(d, "doc_id", "text",
+        bench = d.filter(col("doc_id") % 50 === 0), benchTextCol = "text",
+        minTokens = 20, maxRepPpm = 0L, n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -1291,6 +1314,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
     "t93_bm25_seed_select" -> t93Bm25SeedSelect _,
@@ -2352,6 +2376,28 @@ object SparkEntry {
             CAST(nt - len(kept) AS BIGINT) AS n_removed,
             coalesce(array_to_string(kept, ' '), '') AS clean_text
           FROM o ORDER BY doc_id""",
+      // staged pipeline: each stage's census runs over the PREVIOUS
+      // stage's survivors, mirroring the Spark staging exactly
+      "t96_curation_pipeline" ->
+        s"""WITH st AS (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens,
+            ${dupFracPpm(3)} AS rep_ppm, md5($norm) AS fp FROM documents),
+          p2 AS (SELECT * FROM st WHERE n_tokens >= 20 AND rep_ppm = 0),
+          canon AS (SELECT fp, min(doc_id) AS canon_id FROM p2 GROUP BY fp),
+          p3 AS (SELECT p2.doc_id FROM p2 JOIN canon USING (fp)
+            WHERE p2.doc_id = canon.canon_id),
+          bg AS (SELECT DISTINCT unnest($grams8) AS gram FROM documents
+            WHERE doc_id % 50 = 0),
+          dg AS (SELECT doc_id, unnest($grams8) AS gram FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM p3)),
+          ct AS (SELECT DISTINCT doc_id FROM dg
+            WHERE gram IN (SELECT gram FROM bg))
+          SELECT st.doc_id, st.n_tokens,
+            CASE WHEN st.n_tokens < 20 THEN 'too_short'
+                 WHEN st.rep_ppm > 0 THEN 'repetitive'
+                 WHEN st.doc_id NOT IN (SELECT canon_id FROM canon) THEN 'exact_dup'
+                 WHEN st.doc_id IN (SELECT doc_id FROM ct) THEN 'contaminated'
+                 ELSE 'kept' END AS verdict
+          FROM st ORDER BY doc_id""",
       "t78_unigram_logprob" ->
         s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),
