@@ -1102,6 +1102,26 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** BM25 over a PERSISTED postings index: build the (doc_id, term, tf)
+    * index once, write it to parquet, read it back, and answer t92's
+    * exact query set from the index alone — the offline-index /
+    * online-query split that avoids re-tokenizing the corpus per query
+    * set (and per side-aggregation) at scale. Output — and oracle —
+    * identical to t92 by construction. */
+  private def t97Bm25IndexRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    val out = scratch("bm25idx", dir)
+    graft.llm.Retrieval.postings(d, "doc_id", "text")
+      .write.mode("overwrite").parquet(out)
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+    graft.llm.Retrieval.bm25TopKFromIndex(s.read.parquet(out),
+        q, "query_id", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BM25-seeded selection loop — the glue a real curation pipeline
     * runs between retrieval and the quality classifier: t92's BM25
     * top-5 per query becomes the POSITIVE seed, every non-retrieved doc
@@ -1314,6 +1334,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
@@ -1918,6 +1939,39 @@ object SparkEntry {
       // round-trip), so both engines evaluate the identical doubles;
       // ln-ulp divergence is absorbed by the +0.0001 floor guard
       "t92_bm25_topk" -> {
+        val bmK1 = 1.2; val bmB = 0.75
+        val c1 = (bmK1 + 1).toString
+        val c2 = (bmK1 * (1 - bmB)).toString
+        val c3 = (bmK1 * bmB).toString
+        s"""WITH dk AS (SELECT doc_id, $toks AS tk FROM documents),
+          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+          qt AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
+          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+          sc AS (SELECT qt.query_id, p.doc_id,
+              CAST(floor(
+                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
+                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(p.tf AS DOUBLE) * $c1)
+                / (CAST(p.tf AS DOUBLE) + $c2
+                   + $c3 * CAST(dl.dl AS DOUBLE)
+                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
+                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
+            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
+          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+            FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+            FROM ag)
+          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
+          ORDER BY query_id, rank"""
+      },
+      // index-roundtrip twin: the persisted-postings path must land on
+      // the EXACT t92 result, so it checks against the identical SQL
+      "t97_bm25_index_roundtrip" -> {
         val bmK1 = 1.2; val bmB = 0.75
         val c1 = (bmK1 + 1).toString
         val c2 = (bmK1 * (1 - bmB)).toString

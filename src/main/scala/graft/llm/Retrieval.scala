@@ -46,10 +46,29 @@ object Retrieval {
     * total are the two driver-side longs. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: DataFrame, qIdCol: String, qTextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25TopKFromIndex(postings(docs, idCol, textCol),
+      queries, qIdCol, qTextCol, k, k1, b)
+
+  /** [[bm25TopK]] over a PREBUILT postings index (as produced by
+    * [[postings]] — typically written to parquet once per corpus
+    * version and read back, the [[Dedup.fingerprintIndex]] /
+    * [[Decontaminate.benchGramIndex]] persisted-index pattern).
+    *
+    * Why this split matters at 100 TB: the inline form derives
+    * postings, document lengths, AND document frequencies from the
+    * same raw-text plan, so Spark tokenizes and shuffles the corpus
+    * THREE times (no common-subplan reuse across different aggregation
+    * keys). With a parquet-resident index the tokenize+explode runs
+    * once at build time; every later query set (and there are many per
+    * corpus version) re-reads only the compact columnar (doc_id, term,
+    * tf) table — and the df/dl side aggregations scan that instead of
+    * raw text. */
+  def bm25TopKFromIndex(post: DataFrame,
+                        queries: DataFrame, qIdCol: String, qTextCol: String,
+                        k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val post = postings(docs, idCol, textCol)
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // coalesce: sum(dl) is NULL on an empty corpus. With nDocs = 0 the

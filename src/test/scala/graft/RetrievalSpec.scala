@@ -90,6 +90,18 @@ class RetrievalSpec extends AnyFunSuite {
       s"topic-A doc $unretrievedA should outscore topic-B docs: $scores")
   }
 
+  test("bm25TopKFromIndex over a parquet-roundtripped index equals the inline path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
+    Retrieval.postings(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)
+    val q = Seq((10L, "apple cherry"), (11L, "date")).toDF("qid", "qtext")
+    val inline = Retrieval.bm25TopK(corpus, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .orderBy($"query_id", $"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val indexed = Retrieval.bm25TopKFromIndex(spark.read.parquet(dir),
+        q, "qid", "qtext", k = 3)
+      .orderBy($"query_id", $"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(inline.nonEmpty && inline == indexed)
+  }
+
   test("bm25TopK: scores are partitioning-independent (ppm contract)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = d.filter($"doc_id" % 20 === 0)
