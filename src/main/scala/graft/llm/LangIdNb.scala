@@ -96,7 +96,14 @@ object LangIdNb {
     * lexicographically smallest language; documents with no char-grams
     * score every language at its prior, so they predict the majority
     * training language (document if that matters — or filter short
-    * docs upstream). */
+    * docs upstream).
+    *
+    * Plan note: the per-language constant fan-out (every doc row ×
+    * every lang's base/prior) plans as a BroadcastNestedLoopJoin whose
+    * build side is the ≤ nLangs-row constant table — bounded
+    * control-plane state, the intended mechanism for an all-langs
+    * fan-out (this is NOT an unbounded cartesian; the corpus side
+    * streams through once). */
   def classify(docs: DataFrame, model: DataFrame, idCol: String,
                textCol: String, n: Int, nBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

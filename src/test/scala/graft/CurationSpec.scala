@@ -61,4 +61,20 @@ class CurationSpec extends AnyFunSuite {
         minTokens = 5).select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
     assert(out == Map(1L -> "too_short", 2L -> "kept", 3L -> "exact_dup"))
   }
+
+  test("verdicts and span scrub are partitioning-independent") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = d.filter($"doc_id" % 50 === 0)
+    def verdicts(nPart: Int) =
+      Curation.stagedVerdicts(d.repartition(nPart), "doc_id", "text", bench, "text",
+          minTokens = 20)
+        .orderBy($"doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(verdicts(2) == verdicts(7))
+    def scrub(nPart: Int) =
+      graft.llm.Dedup.scrubDupSpans(d.repartition(nPart), "doc_id", "text",
+          k = 8, minDocs = 2)
+        .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    val a = scrub(2)
+    assert(a == scrub(7) && a.nonEmpty)
+  }
 }
