@@ -41,4 +41,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.map(_._1).toSeq == Seq(1L, 3L, 4L))
     assert(rows.collect { case (4L, _, ts) => ts }.headOption.contains(20250101000002L))
   }
+
+  test("ClassifierStream scores micro-batches identically to the batch kernel") {
+    import spark.implicits._
+    import graft.llm.Classifier
+    val dir = Files.createTempDirectory("graft_clfstream").toString
+    // labeled seed: 'good'-bearing docs positive
+    val seed = Seq(
+      (1L, "good clean prose text here", true),
+      (2L, "good solid writing sample always", true),
+      (3L, "spam junk noise garbage keyboard", false),
+      (4L, "junk noise spam mash output", false)).toDF("doc_id", "text", "y")
+    val model = Classifier.nbTrain(seed, "doc_id", "text", "y", nBuckets = 64)
+    val prior = Classifier.nbPriorPpm(seed, "y")
+    // model round-trips through parquet like a real deployment
+    model.write.parquet(s"$dir/model")
+    val persisted = spark.read.parquet(s"$dir/model")
+
+    val docs = Seq(
+      (10L, "good clean prose again"),
+      (11L, "noise spam garbage junk"),
+      (12L, "completely unrelated words")).toDF("doc_id", "text")
+    docs.filter($"doc_id" <= 10).write.parquet(s"$dir/in1")
+    docs.filter($"doc_id" > 10).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.ClassifierStream.start(
+      stream, "doc_id", "text", persisted, prior, nBuckets = 64,
+      checkpoint = s"$dir/ckpt") { (scored, _) =>
+      scored.write.mode("append").parquet(s"$dir/out")
+    }
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    val batch = Classifier.nbScore(docs, persisted, prior, "doc_id", "text", 64)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    assert(streamed == batch && streamed.size == 3)
+    // the seeded separation survives the stream path
+    val byId = streamed.map(r => r._1 -> r._4).toMap
+    assert(byId(10L) && !byId(11L))
+  }
 }
