@@ -1102,6 +1102,18 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Perplexity-bucket curriculum bins (CCNet-style): every document
+    * binned into deciles of the unigram-LM score CDF — exact integer
+    * binning over the bounded score histogram, no global corpus sort
+    * ([[graft.operators.Sampling.cdfBins]]). */
+  private def t98CurriculumBins(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.unigramLogProbPpm(t(s, dir, "documents"),
+      "doc_id", "text")
+    graft.operators.Sampling.cdfBins(scored, "doc_id", "avg_logprob_ppm",
+        nBins = 10)
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 over a PERSISTED postings index: build the (doc_id, term, tf)
     * index once, write it to parquet, read it back, and answer t92's
     * exact query set from the index alone — the offline-index /
@@ -1334,6 +1346,7 @@ object SparkEntry {
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t98_curriculum_bins" -> t98CurriculumBins _,
     "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
@@ -2467,6 +2480,30 @@ object SparkEntry {
             CASE WHEN sum_lp >= 0 THEN sum_lp // n_tokens
                  ELSE -((-sum_lp) // n_tokens) END AS avg_logprob_ppm
           FROM d ORDER BY doc_id""",
+      // curriculum bins: t78's score chain + exact CDF binning over the
+      // bounded score histogram — bin = (10*cum + tot - 1) // tot, all
+      // positive integers so // is the same floor both engines
+      "t98_curriculum_bins" ->
+        s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+          g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),
+          v AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM g GROUP BY tok),
+          tot0 AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM v),
+          sc AS (SELECT tok, c,
+              CAST(floor(log2(CAST(c AS DOUBLE) / CAST((SELECT N FROM tot0) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS lp
+            FROM v),
+          d AS (SELECT doc_id, CAST(sum(g.n) AS BIGINT) AS n_tokens,
+              CAST(sum(g.n * sc.lp) AS BIGINT) AS sum_lp
+            FROM g JOIN sc USING (tok) GROUP BY doc_id),
+          a AS (SELECT doc_id,
+            CASE WHEN sum_lp >= 0 THEN sum_lp // n_tokens
+                 ELSE -((-sum_lp) // n_tokens) END AS avg_logprob_ppm FROM d),
+          h AS (SELECT avg_logprob_ppm AS s, CAST(count(*) AS BIGINT) AS cnt FROM a GROUP BY 1),
+          hh AS (SELECT s,
+              sum(cnt) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+              sum(cnt) OVER () AS tot FROM h)
+          SELECT a.doc_id, a.avg_logprob_ppm,
+            CAST((10 * hh.cum + hh.tot - 1) // hh.tot AS BIGINT) AS bin
+          FROM a JOIN hh ON a.avg_logprob_ppm = hh.s ORDER BY a.doc_id""",
       // temperature mixture: identical integer quota derivation, then the
       // q57 md5-hashUnit membership against the exact double quota/n
       "t77_temperature_mix" ->

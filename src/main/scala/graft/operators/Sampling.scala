@@ -118,6 +118,38 @@ object Sampling {
         .otherwise("train"))
   }
 
+  /** Exact CDF bin assignment WITHOUT a global corpus sort — the
+    * curriculum / perplexity-bucket step (CCNet-style: bin documents by
+    * an LM quality score, then sample or order training by bin). The
+    * naive `ntile() OVER (ORDER BY score)` is a single-reducer global
+    * sort — a scale-killer; this instead builds the exact score
+    * HISTOGRAM (bounded by the score DOMAIN — ppm-integer scores have
+    * ≤ ~10⁶ distinct values regardless of corpus rows), runs the
+    * cumulative window over that bounded table (one small task —
+    * control-plane, not corpus), and joins the per-score bin back
+    * (broadcast-sized in practice). Every doc with the same score gets
+    * the same bin — `bin = ⌈nBins · CDF(score)⌉` in pure integer math
+    * (`(nBins·cum + tot − 1) DIV tot`), deterministic and
+    * partition-independent by construction. Bins are 1..nBins and can
+    * be unevenly sized exactly when scores tie across a boundary — the
+    * price of determinism, and what any tie-coherent binning does. */
+  def cdfBins(scores: DataFrame, idCol: String, scoreCol: String,
+              nBins: Int): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.orderBy(col(scoreCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val binMap = scores.groupBy(col(scoreCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("tot", sum(col("cnt")).over(totW))
+      .select(col(scoreCol),
+        expr(s"(${nBins}L * cum + tot - 1) DIV tot").as("bin"))
+    scores.select(col(idCol), col(scoreCol))
+      .join(binMap, scoreCol)
+  }
+
   /** Deterministic global shuffle + fixed-shard assignment — the
     * reshard step before sequence packing / training-order
     * serialization: every row gets a `shard` in [0, nShards) and a

@@ -96,6 +96,24 @@ class SamplingSpec extends AnyFunSuite {
       "layout must not depend on input partitioning")
   }
 
+  test("cdfBins: exact tie-coherent bins, no global sort of the input") {
+    // 10 rows, scores 1..10 → with nBins=5 each score pair shares a bin
+    val s1 = (1 to 10).map(i => (i.toLong, (i + 1) / 2 * 10L)).toDF("id", "score")
+    val out = Sampling.cdfBins(s1, "id", "score", nBins = 5)
+      .select($"id", $"bin").as[(Long, Long)].collect().toMap
+    assert(out == (1 to 10).map(i => i.toLong -> ((i + 1) / 2).toLong).toMap)
+    // all-ties: every row lands in the top bin (CDF = 1)
+    val s2 = (1 to 6).map(i => (i.toLong, 42L)).toDF("id", "score")
+    val ties = Sampling.cdfBins(s2, "id", "score", nBins = 4)
+      .select($"bin").as[Long].collect().toSet
+    assert(ties == Set(4L))
+    // partitioning independence
+    def run(nPart: Int) =
+      Sampling.cdfBins(s1.repartition(nPart), "id", "score", nBins = 3)
+        .orderBy($"id").as[(Long, Long, Long)].collect().toSeq
+    assert(run(1) == run(7))
+  }
+
   test("writeShards: one dir per shard, rows inside a shard ascend by pos") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
