@@ -131,6 +131,24 @@ class SparkPropertySpec extends Properties("graft.spark") {
         bag(Sampling.hashSample(df.coalesce(1), "k", frac))
     }
 
+  // cdfBins: monotone in score, in [1, nBins], tie-coherent (equal
+  // scores share a bin), and the top score always lands in bin nBins.
+  property("cdfBins is monotone, ranged, and tie-coherent") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-1000L, 1000L)), Gen.choose(1, 12)) {
+      (scores, nBins) =>
+        import spark.implicits._
+        val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+          .toDF("id", "score")
+        val out = Sampling.cdfBins(df, "id", "score", nBins)
+          .select($"score", $"bin").as[(Long, Long)].collect().toSeq
+        val byScore = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val sortedPairs = out.distinct.sortBy(_._1)
+        byScore.values.forall(_.size == 1) &&
+          out.forall { case (_, b) => b >= 1 && b <= nBins } &&
+          sortedPairs.zip(sortedPairs.drop(1)).forall { case ((_, b1), (_, b2)) => b1 <= b2 } &&
+          sortedPairs.last._2 == nBins
+    }
+
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(8)
 }
