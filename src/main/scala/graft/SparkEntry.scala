@@ -1343,9 +1343,56 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping token-window chunking (RAG/context-window split):
+    * 32-token chunks, stride 24 (8-token overlap). Pure map stage —
+    * see [[graft.llm.Chunking.chunkWindows]]. */
+  private def t99ChunkWindows(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Chunking.chunkWindows(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** COMPLETE fuzzy-key near-dup pairs: Hamming ≤ 3 on the 64-char
+    * normalized head key via the pigeonhole segment filter
+    * ([[graft.llm.Dedup.fuzzyKeyPairs]]) — unconditional recall,
+    * unlike MinHash banding. */
+  private def t100FuzzyKeyPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyKeyPairs(t(s, dir, "documents"), "doc_id", "text",
+        keyLen = 64, maxDist = 3)
+      .orderBy(col("a_id"), col("b_id"))
+
+  /** Intra-document repeated-line collapse (keep first occurrence).
+    * Text is lineified into 3-token lines; every 5th doc gets its first
+    * line re-appended so the dup path exercises deterministically on
+    * the word-salad fixture (same synthesis trick as t90). */
+  private def t101IntradocLineDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.normalizeText
+    val lineified = regexp_replace(normalizeText(col("text")),
+      "((?:\\S+ ){2}\\S+) ", "$1\n")
+    val d = t(s, dir, "documents")
+      .withColumn("__t", lineified)
+      .withColumn("text",
+        when(col("doc_id") % 5 === 0,
+          concat(col("__t"), lit("\n"), element_at(split(col("__t"), "\n"), 1)))
+          .otherwise(col("__t")))
+    Dedup.intraDocLineDedup(d, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Cross-source 8-gram contamination matrix
+    * ([[graft.llm.Decontaminate.crossSourceOverlap]]): which corpus
+    * slices duplicate each other, before mixture weights are chosen. */
+  private def t102SourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Decontaminate.crossSourceOverlap(t(s, dir, "documents"),
+        "source", "text", n = 8)
+      .orderBy(col("src_a"), col("src_b"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t102_source_overlap" -> t102SourceOverlap _,
+    "t101_intradoc_line_dedup" -> t101IntradocLineDedup _,
+    "t100_fuzzy_key_pairs" -> t100FuzzyKeyPairs _,
+    "t99_chunk_windows" -> t99ChunkWindows _,
     "t98_curriculum_bins" -> t98CurriculumBins _,
     "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
@@ -2504,6 +2551,53 @@ object SparkEntry {
           SELECT a.doc_id, a.avg_logprob_ppm,
             CAST((10 * hh.cum + hh.tot - 1) // hh.tot AS BIGINT) AS bin
           FROM a JOIN hh ON a.avg_logprob_ppm = hh.s ORDER BY a.doc_id""",
+      // token-window chunking: same chunk-count formula (1 for n<=C,
+      // else ceil((n-C)/S)+1 via positive int arithmetic), slice is
+      // end-truncating in both engines
+      "t99_chunk_windows" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE length($norm) > 0),
+          s AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+          c AS (SELECT doc_id, tk, n,
+            unnest(range(0, (CASE WHEN n <= 32 THEN 0
+              ELSE CAST(floor((n - 32 + 23.0) / 24.0) AS BIGINT) END) + 1)) AS chunk_id FROM s)
+          SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_chunk_tokens,
+            array_to_string(tk[chunk_id * 24 + 1 : chunk_id * 24 + 32], ' ') AS chunk_text
+          FROM c ORDER BY doc_id, chunk_id""",
+      // pigeonhole segment filter (Pass-Join fixed-length case): 4
+      // segments of 16 over the '#'-padded 64-char normalized head key;
+      // hamming <= 3 forces >= 1 exactly-equal segment, so the candidate
+      // equi-join is COMPLETE; verify with exact hamming
+      "t100_fuzzy_key_pairs" ->
+        s"""WITH k AS (SELECT doc_id, rpad(substring($norm, 1, 64), 64, '#') AS key FROM documents),
+          seg AS (SELECT doc_id, key, i, substring(key, CAST(i * 16 + 1 AS INT), 16) AS s
+                  FROM k, generate_series(0, 3) g(i)),
+          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.key AS ak, b.key AS bk
+                   FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id)
+          SELECT a_id, b_id, CAST(hamming(ak, bk) AS BIGINT) AS dist
+          FROM cand WHERE hamming(ak, bk) <= 3 ORDER BY a_id, b_id""",
+      // intra-doc line dedup: 3-token lineification, every 5th doc gets
+      // its first line re-appended, then keep-first-occurrence per doc
+      "t101_intradoc_line_dedup" ->
+        s"""WITH l0 AS (SELECT doc_id,
+            regexp_replace($norm, '((?:\\S+ ){2}\\S+) ', '\\1' || chr(10), 'g') AS t0 FROM documents),
+          d2 AS (SELECT doc_id, t0 || (CASE WHEN doc_id % 5 = 0
+            THEN chr(10) || string_split(t0, chr(10))[1] ELSE '' END) AS text FROM l0),
+          l AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+            generate_subscripts(string_split(text, chr(10)), 1) AS i FROM d2),
+          m AS (SELECT doc_id, line, i, min(i) OVER (PARTITION BY doc_id, line) AS fi FROM l),
+          k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+            CAST(count(*) FILTER (i > fi) AS BIGINT) AS n_dropped,
+            coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (i = fi), '') AS clean_text
+            FROM m GROUP BY doc_id)
+          SELECT doc_id, n_lines, n_dropped, clean_text FROM k ORDER BY doc_id""",
+      // cross-source 8-gram overlap census: distinct (source, gram),
+      // self-join, count shared grams per source pair
+      "t102_source_overlap" ->
+        s"""WITH g AS (SELECT DISTINCT source, unnest($grams8) AS gram FROM documents)
+          SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+          FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+          GROUP BY 1, 2 ORDER BY 1, 2""",
       // temperature mixture: identical integer quota derivation, then the
       // q57 md5-hashUnit membership against the exact double quota/n
       "t77_temperature_mix" ->

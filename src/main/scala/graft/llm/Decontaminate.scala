@@ -208,4 +208,38 @@ object Decontaminate {
       .filter(col("cos") >= minCos)
       .select(col("doc_id"), col("bench_id"), col("cos").as("cos_sim"))
   }
+
+  /** Cross-source contamination matrix: for every pair of sources, the
+    * number of DISTINCT word `n`-grams they share — the audit that
+    * finds which corpus slices duplicate each other (mirror sites,
+    * scraped re-posts, a benchmark leaked into a crawl slice) before
+    * mixture weights are chosen. Full-document fingerprints miss this
+    * (near-identical docs hash differently); shared long n-grams are
+    * the standard overlap signal at partial-duplication granularity.
+    *
+    * Scale shape: the corpus collapses to the DISTINCT (source,
+    * gram-md5) census — a thin wide shuffle, text itself never moves —
+    * then a self-equi-join on the gram hash. Spark does not reuse the
+    * census subplan across the two join sides, so the corpus is scanned
+    * and aggregated twice; for repeated audits write the census to
+    * parquet once per corpus version and self-join that (the same
+    * offline-index pattern as [[graft.llm.Retrieval.postings]]).
+    * Per-gram fan-out is
+    * C(k, 2) for a gram present in k sources, bounded by the SOURCE
+    * count (a mixture has tens of sources, not millions); the output is
+    * at most C(nSources, 2) rows. No cross join, no driver state.
+    */
+  def crossSourceOverlap(docs: DataFrame, srcCol: String, textCol: String,
+                         n: Int = 8): DataFrame = {
+    val census = docs
+      .select(col(srcCol).as("__src"),
+        explode(TextFunctions.shingleSet(col(textCol), n)).as("__gram"))
+      .select(col("__src"), md5(col("__gram")).as("__gfp"))
+      .distinct()
+    census.as("a").join(census.as("b"),
+        col("a.__gfp") === col("b.__gfp") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src"), col("b.__src"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("a.__src").as("src_a"), col("b.__src").as("src_b"), col("n_shared"))
+  }
 }

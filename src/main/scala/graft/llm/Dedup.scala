@@ -962,4 +962,81 @@ object Dedup {
         (col("nt") - size(col("kept"))).cast("long").as("n_removed"),
         array_join(col("kept"), " ").as("clean_text"))
   }
+
+  /** Character-wise Hamming distance of two equal-length strings —
+    * codegen-friendly fold over the positions (no UDF). Engine twin:
+    * DuckDB `hamming(a, b)`. */
+  def hammingFixed(a: Column, b: Column, len: Int): Column =
+    aggregate(sequence(lit(1), lit(len)), lit(0L),
+      (acc, i) => acc + when(a.substr(i, lit(1)) === b.substr(i, lit(1)), 0L).otherwise(1L))
+
+  /** COMPLETE fuzzy-key self-join: all pairs (a < b) of documents whose
+    * fixed-length comparison keys differ in at most `maxDist` character
+    * positions (Hamming). The key is the first `keyLen` characters of
+    * the normalized text, '#'-padded — the "head fingerprint" blocking
+    * key record-linkage pipelines compare (titles, URLs, lead
+    * sentences).
+    *
+    * Candidate generation is the pigeonhole segment filter (the
+    * fixed-length special case of Pass-Join, PVLDB 5(3) 2011): the key
+    * splits into `maxDist + 1` equal segments, and any pair within
+    * Hamming distance `maxDist` must agree EXACTLY on at least one
+    * segment — so an equi-join on (segment index, segment text) finds
+    * every qualifying pair (completeness is unconditional, unlike
+    * MinHash banding), and exact verification prunes false positives.
+    *
+    * Scale shape: one thin (id, key, segment) shuffle + one equi-join;
+    * per-segment fan-out is quadratic only in the count of documents
+    * sharing that exact segment value — the heads of that distribution
+    * are near-duplicates themselves, which is the signal being mined.
+    * A segment hot enough to matter is exactly the AQE skew-join case;
+    * no cross join, no driver state. Verification is a 64-char fold on
+    * candidates only.
+    */
+  def fuzzyKeyPairs(docs: DataFrame, idCol: String, textCol: String,
+                    keyLen: Int = 64, maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(keyLen % (maxDist + 1) == 0,
+      s"keyLen ($keyLen) must be divisible by maxDist+1 (${maxDist + 1})")
+    val segLen = keyLen / (maxDist + 1)
+    val key = rpad(substring(normalizeText(col(textCol)), 1, keyLen), keyLen, "#")
+    val keyed = docs.select(col(idCol).as("__id"), key.as("__key"))
+    val segs = keyed.select(col("__id"), col("__key"),
+      posexplode(transform(sequence(lit(0), lit(maxDist)),
+        i => col("__key").substr(i * segLen + 1, lit(segLen)))).as(Seq("seg_i", "seg")))
+    segs.as("a").join(segs.as("b"),
+        col("a.seg_i") === col("b.seg_i") && col("a.seg") === col("b.seg") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__key").as("__ak"), col("b.__key").as("__bk"))
+      .distinct()
+      .withColumn("dist", hammingFixed(col("__ak"), col("__bk"), keyLen))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
+  /** Collapse repeated lines WITHIN each document, keeping the first
+    * occurrence in original order (the intra-page half of line-level
+    * dedup — RefinedWeb arXiv:2306.01116 §3.3 removes the cross-doc
+    * boilerplate with [[stripBoilerplate]]; this removes the within-doc
+    * repetition that inflates n-gram counts and wastes training
+    * tokens).
+    *
+    * Pure map stage: no shuffle, no explode — the keep-first filter is
+    * a per-row array scan (`array_position(lines, x) == index + 1`,
+    * quadratic in the per-doc LINE count, which is page-bounded).
+    * Output = (idCol, n_lines, n_dropped, clean_text). `sep` is used
+    * as both split regex and join literal, so it must be a string both
+    * can share (the default newline is — same contract as
+    * [[stripBoilerplate]]).
+    */
+  def intraDocLineDedup(docs: DataFrame, idCol: String, textCol: String,
+                        sep: String = "\n"): DataFrame =
+    docs
+      .withColumn("__lines", split(col(textCol), sep))
+      .withColumn("__kept",
+        filter(col("__lines"), (x, i) => array_position(col("__lines"), x) === i + 1))
+      .select(col(idCol), size(col("__lines")).cast("long").as("n_lines"),
+        (size(col("__lines")) - size(col("__kept"))).cast("long").as("n_dropped"),
+        array_join(col("__kept"), sep).as("clean_text"))
 }

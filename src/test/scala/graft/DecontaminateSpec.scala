@@ -198,4 +198,20 @@ class DecontaminateSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).as[(Long, Long, Long)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("crossSourceOverlap counts distinct shared grams per source pair") {
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota kappa" // 10 toks → 3 8-grams
+    val docs = Seq(
+      ("srcA", s"$run lambda mu"),
+      ("srcA", s"prefix words $run"),   // same grams again: distinct per source
+      ("srcB", run),                    // shares all 3 run-grams with A
+      ("srcB", "unrelated text that is entirely its own eight gram run here"),
+      ("srcC", "nothing in common with anything else at all in this corpus row")
+    ).toDF("source", "text")
+    val out = Decontaminate.crossSourceOverlap(docs, "source", "text", n = 8)
+      .as[(String, String, Long)].collect().toSet
+    // the 12-token srcA docs contain the run's 3 8-grams plus shifted
+    // ones; srcB's bare run has exactly 3 — all 3 shared, C untouched
+    assert(out == Set(("srcA", "srcB", 3L)))
+  }
 }

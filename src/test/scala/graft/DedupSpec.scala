@@ -385,4 +385,60 @@ class DedupSpec extends AnyFunSuite {
     assert(out.map(_._3).forall(_ == 0L))
     assert(out.map(_._4) == Seq("x y", "only in this doc once ever written down"))
   }
+
+  // ---- fuzzyKeyPairs -------------------------------------------------
+
+  private val fuzzyDocs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river today"),
+    (1L, "the quick brown fox jumps over the hazy dog near the river today"), // 1 char off 0
+    (2L, "the quick brown fox jumps over the lazy dot near the rivet today"), // 2 chars off 0
+    (3L, "a totally different document about catalyst optimizer internals"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river today"), // exact dup of 0
+    (5L, "short"), // '#'-padded key
+    (6L, "shore")  // hamming 2 from 5 after padding
+  ).toDF("doc_id", "text")
+
+  test("fuzzyKeyPairs pigeonhole banding equals brute-force hamming at several maxDist") {
+    import graft.functions.TextFunctions.normalizeText
+    import org.apache.spark.sql.functions.{rpad, substring}
+    for (maxDist <- Seq(1, 3, 7)) {
+      val keyed = fuzzyDocs.select(col("doc_id"),
+        rpad(substring(normalizeText(col("text")), 1, 64), 64, "#").as("key"))
+      val brute = keyed.as("a").join(keyed.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          Dedup.hammingFixed(col("a.key"), col("b.key"), 64).as("dist"))
+        .filter(col("dist") <= maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      val banded = Dedup.fuzzyKeyPairs(fuzzyDocs, "doc_id", "text", 64, maxDist)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded == brute, s"maxDist=$maxDist: $banded vs brute $brute")
+      assert(banded.nonEmpty)
+    }
+  }
+
+  test("fuzzyKeyPairs: exact dup is dist 0, one-char edit dist 1, padding compares") {
+    val out = Dedup.fuzzyKeyPairs(fuzzyDocs, "doc_id", "text", 64, 3)
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(out((0L, 4L)) == 0L)
+    assert(out((0L, 1L)) == 1L)
+    assert(out((1L, 4L)) == 1L)
+    assert(out((0L, 2L)) == 2L)
+    assert(out((5L, 6L)) == 1L) // 'short'/'shore': only pos 5 differs after '#'-padding
+    assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  // ---- intraDocLineDedup ---------------------------------------------
+
+  test("intraDocLineDedup keeps first occurrence in order, counts drops") {
+    val docs = Seq(
+      (1L, "header\nbody one\nheader\nbody two\nheader"),
+      (2L, "a\nb\nc"),
+      (3L, "same\nsame\nsame")).toDF("doc_id", "text")
+    val out = Dedup.intraDocLineDedup(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, 5L, 2L, "header\nbody one\nbody two"),
+      (2L, 3L, 0L, "a\nb\nc"),
+      (3L, 3L, 2L, "same")))
+  }
 }
