@@ -40,13 +40,12 @@ object LangIdNb {
   val PriorBucket: Long = -2L
 
   /** Character n-grams of the normalized text as an array column
-    * (empty when the text is shorter than n). */
-  def charGrams(c: Column, n: Int): Column = {
-    val t = normalizeText(c)
-    when(length(t) >= n,
-      transform(sequence(lit(1), length(t) - lit(n - 1)), i => t.substr(i, lit(n))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * (empty when the text is shorter than n). Native expression
+    * ([[graft.functions.expr.CharNGrams]]) — the composed
+    * transform/substr form re-evaluated the normalization regex once
+    * PER GRAM (22 s of the original 34 s t94 wall at sf0.1). */
+  def charGrams(c: Column, n: Int): Column =
+    graft.functions.expr.CharNGrams(normalizeText(c), n)
 
   private def bucketOf(gram: Column, nBuckets: Int): Column =
     conv(substring(md5(gram), 1, 12), 16, 10).cast("long") % nBuckets

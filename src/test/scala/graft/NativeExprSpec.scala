@@ -60,6 +60,17 @@ class NativeExprSpec extends AnyFunSuite {
     assert(sigs(1) == sigs(2))
   }
 
+  test("CharNGrams equals composed transform/substr form; multi-byte safe") {
+    val df = Seq("abcdef", "ab", "", "héllo wörld", "日本語のテキスト").toDF("t")
+    val composed = when(length($"t") >= 3,
+      transform(sequence(lit(1), length($"t") - lit(2)), i => $"t".substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    val rows = df.select(
+      graft.functions.expr.CharNGrams($"t", 3).as("fast"), composed.as("slow"))
+      .as[(Seq[String], Seq[String])].collect()
+    rows.foreach { case (f, s) => assert(f == s, s"$f vs $s") }
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no interpreter fallback)") {
     // CODEGEN_ONLY makes any Janino failure throw instead of silently
     // dropping the projection to InterpretedUnsafeProjection — this is
@@ -77,6 +88,7 @@ class NativeExprSpec extends AnyFunSuite {
       SimHash64(toks).as("simh"),
       graft.functions.expr.SignSketch($"v", 16).as("sk"),
       graft.functions.expr.Winnowing($"t", 4, 5).as("fp"),
+      graft.functions.expr.CharNGrams($"t", 3).as("cg"),
       FloatVecDot($"v", $"v").as("d"))
     val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
     try {
