@@ -78,7 +78,13 @@ object ScaledSfDir {
 
     if (!skipSmoke) {
       var failed = 0
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      // Dev loop: SPARK_GRAFT_ONLY=t94_...,t99_... smokes a subset
+      // (same contract as Bench/Verify; the driver never sets it).
+      val only = sys.env.get("SPARK_GRAFT_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      SparkEntry.queries.toSeq
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .sortBy(_._1).foreach { case (name, fn) =>
         val t0 = System.nanoTime()
         try {
           val rows = fn(spark, dir).count()

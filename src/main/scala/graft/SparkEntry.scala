@@ -1386,9 +1386,51 @@ object SparkEntry {
         "source", "text", n = 8)
       .orderBy(col("src_a"), col("src_b"))
 
+  /** Chunk → pack composition: the RAG/long-context prep pipeline —
+    * overlapping 32-token chunks, then GPT-style concat-and-chunk
+    * packing of the chunk stream into 64-token context blocks via the
+    * distributed prefix sum (no global-sort window; chunk order is the
+    * dense (doc_id, chunk_id) key). */
+  private def t103ChunkPack(s: SparkSession, dir: String): DataFrame = {
+    val chunks = graft.llm.Chunking.chunkWindows(t(s, dir, "documents"),
+      "doc_id", "text", chunkSize = 32, stride = 24)
+    // unique, order-preserving pack key; chunk_id < 4096 at any doc
+    // length the corpus can hold (chunks ≈ tokens/24)
+    val keyed = chunks.select(
+      (col("doc_id") * 4096 + col("chunk_id")).as("pack_key"),
+      col("n_chunk_tokens"))
+    Packing.packBlocks(keyed, "pack_key", col("n_chunk_tokens"), blockTokens = 64)
+      .select((col("pack_key") / 4096).cast("long").as("doc_id"),
+        pmod(col("pack_key"), lit(4096)).as("chunk_id"),
+        col("n_tokens"), col("start_tok"), col("start_block"), col("end_block"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Per-source corpus report card: the "data card" aggregate a
+    * curation run publishes — doc/token counts, exact-dup rate, token
+    * length profile. One thin groupBy over per-doc scalars; all
+    * integer-exact (ppm floors, integer division). */
+  private def t104CorpusReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokenCount}
+    t(s, dir, "documents")
+      .select(col("source"), fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        count_distinct(col("fp")).as("n_distinct"), max(col("nt")).as("max_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        expr("(n_docs - n_distinct) * 1000000 div n_docs").as("dup_ppm"),
+        expr("n_tokens * 1000000 div n_docs").as("mean_tokens_ppm"),
+        col("max_tokens"))
+      .orderBy(col("source"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t104_corpus_report" -> t104CorpusReport _,
+    "t103_chunk_pack" -> t103ChunkPack _,
     "t102_source_overlap" -> t102SourceOverlap _,
     "t101_intradoc_line_dedup" -> t101IntradocLineDedup _,
     "t100_fuzzy_key_pairs" -> t100FuzzyKeyPairs _,
@@ -2591,6 +2633,38 @@ object SparkEntry {
             coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (i = fi), '') AS clean_text
             FROM m GROUP BY doc_id)
           SELECT doc_id, n_lines, n_dropped, clean_text FROM k ORDER BY doc_id""",
+      // chunking CTE (t99) + the t68 prefix-sum packing over the
+      // (doc_id, chunk_id)-ordered chunk stream, blockTokens = 64
+      "t103_chunk_pack" ->
+        s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents WHERE length($norm) > 0),
+          s AS (SELECT doc_id, tk, len(tk) AS n FROM t),
+          c AS (SELECT doc_id, n,
+            unnest(range(0, (CASE WHEN n <= 32 THEN 0
+              ELSE CAST(floor((n - 32 + 23.0) / 24.0) AS BIGINT) END) + 1)) AS chunk_id FROM s),
+          ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+            CAST(least(32, n - chunk_id * 24) AS BIGINT) AS n_tokens FROM c),
+          o AS (SELECT doc_id, chunk_id, n_tokens,
+            CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+          FROM ch)
+          SELECT doc_id, chunk_id, n_tokens, start_tok,
+            (start_tok // 64) AS start_block,
+            ((start_tok + greatest(n_tokens, 1) - 1) // 64) AS end_block
+          FROM o ORDER BY doc_id, chunk_id""",
+      // per-source data card: exact integer ppm via // (both engines
+      // floor on positives)
+      "t104_corpus_report" ->
+        s"""WITH d AS (SELECT source, md5($norm) AS fp, CAST($nTokens AS BIGINT) AS nt FROM documents),
+          g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(nt) AS BIGINT) AS n_tokens,
+            CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+            CAST(max(nt) AS BIGINT) AS max_tokens FROM d GROUP BY source)
+          SELECT source, n_docs, n_tokens,
+            (n_docs - n_distinct) AS n_dup_docs,
+            ((n_docs - n_distinct) * 1000000 // n_docs) AS dup_ppm,
+            (n_tokens * 1000000 // n_docs) AS mean_tokens_ppm,
+            max_tokens
+          FROM g ORDER BY source""",
       // cross-source 8-gram overlap census: distinct (source, gram),
       // self-join, count shared grams per source pair
       "t102_source_overlap" ->
