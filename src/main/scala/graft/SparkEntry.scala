@@ -1426,9 +1426,21 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Fuzzy-key dedup end to end: pigeonhole Hamming pairs → distributed
+    * connected components → min-id survivors (the removal a user
+    * actually runs; t100 reports the pairs). */
+  private def t105FuzzySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val pairs = Dedup.fuzzyKeyPairs(docs, "doc_id", "text", keyLen = 64, maxDist = 3)
+    Dedup.dedupByPairs(docs, "doc_id", pairs, "a_id", "b_id")
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t105_fuzzy_survivors" -> t105FuzzySurvivors _,
     "t104_corpus_report" -> t104CorpusReport _,
     "t103_chunk_pack" -> t103ChunkPack _,
     "t102_source_overlap" -> t102SourceOverlap _,
@@ -2633,6 +2645,24 @@ object SparkEntry {
             coalesce(string_agg(line, chr(10) ORDER BY i) FILTER (i = fi), '') AS clean_text
             FROM m GROUP BY doc_id)
           SELECT doc_id, n_lines, n_dropped, clean_text FROM k ORDER BY doc_id""",
+      // t100's pigeonhole candidate filter + the t58 recursive-CTE
+      // connected components + min-id survivor selection
+      "t105_fuzzy_survivors" ->
+        s"""WITH RECURSIVE k AS (SELECT doc_id, rpad(substring($norm, 1, 64), 64, '#') AS key FROM documents),
+          seg AS (SELECT doc_id, key, i, substring(key, CAST(i * 16 + 1 AS INT), 16) AS s
+                  FROM k, generate_series(0, 3) g(i)),
+          cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, a.key AS ak, b.key AS bk
+                   FROM seg a JOIN seg b ON a.i = b.i AND a.s = b.s AND a.doc_id < b.doc_id),
+          pairs AS (SELECT a_id, b_id FROM cand WHERE hamming(ak, bk) <= 3),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(id, reach) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+          losers AS (SELECT id FROM walk GROUP BY id HAVING id <> min(reach))
+          SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT id FROM losers)
+          ORDER BY doc_id""",
       // chunking CTE (t99) + the t68 prefix-sum packing over the
       // (doc_id, chunk_id)-ordered chunk stream, blockTokens = 64
       "t103_chunk_pack" ->

@@ -61,4 +61,24 @@ class ChunkingSpec extends AnyFunSuite {
       .select(col("doc_id")).as[Long].collect().toSeq
     assert(out == Seq(3L))
   }
+
+  test("streaming chunking equals the batch transform across micro-batches") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_cstream").toString
+    val docs = Seq((1L, doc(10)), (2L, doc(3)), (3L, doc(25)), (4L, doc(7)))
+      .toDF("doc_id", "text")
+    docs.filter(col("doc_id") <= 2).write.parquet(s"$dir/in1")
+    docs.filter(col("doc_id") > 2).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.ChunkStream.start(stream, "doc_id", "text",
+      chunkSize = 8, stride = 6, outPath = s"$dir/out", checkpoint = s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = Chunking.chunkWindows(docs, "doc_id", "text", 8, 6)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
