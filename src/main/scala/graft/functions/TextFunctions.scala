@@ -34,7 +34,7 @@ object TextFunctions {
     * size, so model/weight tables are bounded and broadcastable at any
     * corpus scale. */
   def hashBucket(c: Column, n: Int): Column =
-    conv(substring(md5(c), 1, 12), 16, 10).cast("long") % n
+    graft.functions.expr.Md5Bucket(c, n)
 
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0)).otherwise(size(tokens(c)))

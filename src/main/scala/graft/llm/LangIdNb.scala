@@ -48,7 +48,7 @@ object LangIdNb {
     graft.functions.expr.CharNGrams(normalizeText(c), n)
 
   private def bucketOf(gram: Column, nBuckets: Int): Column =
-    conv(substring(md5(gram), 1, 12), 16, 10).cast("long") % nBuckets
+    graft.functions.expr.Md5Bucket(gram, nBuckets)
 
   /** Per-document hashed char-n-gram bucket counts: (id, bucket, n). */
   def charGramBuckets(docs: DataFrame, idCol: String, textCol: String,

@@ -71,6 +71,18 @@ class NativeExprSpec extends AnyFunSuite {
     rows.foreach { case (f, s) => assert(f == s, s"$f vs $s") }
   }
 
+  test("Md5Bucket equals the composed conv(substring(md5)) form bit-for-bit") {
+    val df = (Seq("", "a", "the quick brown fox", "héllo wörld", "日本語")
+      ++ (0 until 500).map(i => s"tok$i")).toDF("t")
+    for (n <- Seq(1, 2, 256, 1024, 65536)) {
+      val rows = df.select(
+        graft.functions.expr.Md5Bucket($"t", n).as("fast"),
+        (conv(substring(md5($"t"), 1, 12), 16, 10).cast("long") % n).as("slow"))
+        .as[(Long, Long)].collect()
+      rows.foreach { case (f, s) => assert(f == s, s"n=$n: $f vs $s") }
+    }
+  }
+
   test("all native expressions compile under CODEGEN_ONLY (no interpreter fallback)") {
     // CODEGEN_ONLY makes any Janino failure throw instead of silently
     // dropping the projection to InterpretedUnsafeProjection — this is
@@ -89,6 +101,7 @@ class NativeExprSpec extends AnyFunSuite {
       graft.functions.expr.SignSketch($"v", 16).as("sk"),
       graft.functions.expr.Winnowing($"t", 4, 5).as("fp"),
       graft.functions.expr.CharNGrams($"t", 3).as("cg"),
+      graft.functions.expr.Md5Bucket($"t", 1024).as("mb"),
       FloatVecDot($"v", $"v").as("d"))
     val prevFactory = spark.conf.get("spark.sql.codegen.factoryMode")
     try {
