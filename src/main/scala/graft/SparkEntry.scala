@@ -60,12 +60,22 @@ object SparkEntry {
     sum(round(c * f).cast("long")).cast("double") / lit(f) / count(lit(1))
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark refuses by
-    * default; read it as raw nanos (long) and derive micros with integer
-    * division — the same floor-truncation DuckDB applies casting ns→µs. */
-  private def events(s: SparkSession, dir: String): DataFrame = {
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations — TIMESTAMP(NANOS) (which Spark only reads as a raw
+    * nanos long under `legacy.parquet.nanosAsLong`) vs TIMESTAMP(MICROS)
+    * (read as TIMESTAMP_NTZ). Adapt on the read type and derive one
+    * canonical `ts_us` epoch-micros column: nanos long → `div 1000`
+    * (the same floor-truncation DuckDB applies casting ns→µs); NTZ/TZ
+    * timestamp → `unix_micros` (exact under the UTC session timezone
+    * every entry point pins), matching the oracle's `epoch_us(ts)`. */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+    val df = t(s, dir, "events")
+    val tsUs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    df.withColumn("ts_us", tsUs)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -1437,9 +1447,50 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus snapshot diff ([[graft.llm.Dedup.corpusDiff]]): churn audit
+    * between two simulated corpus versions — v_old drops every 7th doc,
+    * v_new drops every 5th and revises every 11th. */
+  private def t106CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val vOld = docs.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val vNew = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("text", when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    Dedup.corpusDiff(vOld, vNew, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Serial near-duplication audit
+    * ([[graft.llm.TextAnalysis.consecutiveOverlapF1]]): 3-gram set F1
+    * between each doc and its successor within a source. */
+  private def t107OverlapF1(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.consecutiveOverlapF1(t(s, dir, "documents"),
+        "doc_id", "text", "source", n = 3)
+      .orderBy(col("source"), col("a_id"))
+
+  /** Soft dedup by downsampling ([[graft.llm.Dedup.dedupDownsample]]):
+    * hash-uniform 1/|group| survival instead of hard min-id removal. */
+  private def t108DedupDownsample(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupDownsample(t(s, dir, "documents"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Label-centroid separation report
+    * ([[graft.llm.Similarity.labelCentroidCosines]]): pairwise cosine
+    * between per-label embedding centroids, integer-ppm exact. */
+  private def t109LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroidCosines(t(s, dir, "embeddings"),
+        "label", "embedding")
+      .select(col("label_a").cast("long").as("label_a"),
+        col("label_b").cast("long").as("label_b"), col("cos_ppm"))
+      .orderBy(col("label_a"), col("label_b"))
+
   // ====================================================================
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t106_corpus_diff" -> t106CorpusDiff _,
+    "t107_overlap_f1" -> t107OverlapF1 _,
+    "t108_dedup_downsample" -> t108DedupDownsample _,
+    "t109_label_centroids" -> t109LabelCentroids _,
     "t105_fuzzy_survivors" -> t105FuzzySurvivors _,
     "t104_corpus_report" -> t104CorpusReport _,
     "t103_chunk_pack" -> t103ChunkPack _,
@@ -2647,6 +2698,69 @@ object SparkEntry {
           SELECT doc_id, n_lines, n_dropped, clean_text FROM k ORDER BY doc_id""",
       // t100's pigeonhole candidate filter + the t58 recursive-CTE
       // connected components + min-id survivor selection
+      // corpus snapshot diff: md5-fingerprint full-outer join of the two
+      // simulated versions, churn rows only
+      "t106_corpus_diff" ->
+        s"""WITH o AS (SELECT doc_id, md5($norm) AS fp FROM documents WHERE doc_id % 7 <> 0),
+          nn AS (SELECT doc_id,
+              md5(trim(regexp_replace(lower(text || CASE WHEN doc_id % 11 = 0 THEN ' rev2' ELSE '' END), '\s+', ' ', 'g'))) AS fp
+            FROM documents WHERE doc_id % 5 <> 0),
+          d AS (SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id,
+              CASE WHEN o.doc_id IS NULL THEN 'added'
+                   WHEN nn.doc_id IS NULL THEN 'removed'
+                   WHEN o.fp <> nn.fp THEN 'changed'
+                   ELSE 'unchanged' END AS status
+            FROM o FULL OUTER JOIN nn ON o.doc_id = nn.doc_id)
+          SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+          ORDER BY doc_id""",
+      // consecutive-doc 3-gram set F1 per source: lead window + distinct
+      // shingle intersection; all-ppm integer arithmetic (// = Spark div
+      // on the non-negative operands here)
+      "t107_overlap_f1" ->
+        s"""WITH s AS (SELECT source, doc_id, $shingles AS sa FROM documents),
+          w AS (SELECT source, doc_id AS a_id,
+              lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id) AS b_id,
+              sa, lead(sa) OVER (PARTITION BY source ORDER BY doc_id) AS sb
+            FROM s),
+          m AS (SELECT source, a_id, b_id,
+              CAST(len(list_filter(sa, g -> list_contains(sb, g))) AS BIGINT) AS n_shared,
+              CAST(len(sa) AS BIGINT) AS na, CAST(len(sb) AS BIGINT) AS nb
+            FROM w WHERE b_id IS NOT NULL),
+          p AS (SELECT source, a_id, b_id, n_shared,
+              n_shared * 1000000 // na AS p_ppm,
+              n_shared * 1000000 // nb AS r_ppm FROM m)
+          SELECT source, a_id, b_id, n_shared, p_ppm, r_ppm,
+            CASE WHEN p_ppm + r_ppm = 0 THEN CAST(0 AS BIGINT)
+                 ELSE (2 * p_ppm * r_ppm) // (p_ppm + r_ppm) END AS f1_ppm
+          FROM p ORDER BY source, a_id""",
+      // soft dedup: keep iff md5_bucket('dw:'||id, 1e6) * |group| < 1e6
+      "t108_dedup_downsample" ->
+        s"""WITH fp AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+          g AS (SELECT fp, CAST(count(*) AS BIGINT) AS group_n FROM fp GROUP BY fp)
+          SELECT doc_id, group_n FROM fp JOIN g USING (fp)
+          WHERE (CAST(('0x' || substring(md5('dw:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 1000000) * group_n < 1000000
+          ORDER BY doc_id""",
+      // label-centroid cosines: ppm-floored components, exact integer
+      // sums and trunc-mean, IEEE sqrt/div only at the very end
+      "t109_label_centroids" ->
+        """WITH c0 AS (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+              unnest(embedding) AS v FROM embeddings),
+          cp AS (SELECT label, pos,
+              CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.0001) AS BIGINT) AS v_ppm FROM c0),
+          ag AS (SELECT label, pos, CAST(sum(v_ppm) AS BIGINT) AS s,
+              CAST(count(*) AS BIGINT) AS n FROM cp GROUP BY 1, 2),
+          ce AS (SELECT label, pos,
+              CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS c FROM ag),
+          pr AS (SELECT a.label AS label_a, b.label AS label_b,
+              CAST(sum(a.c * b.c) AS BIGINT) AS dot,
+              CAST(sum(a.c * a.c) AS BIGINT) AS na,
+              CAST(sum(b.c * b.c) AS BIGINT) AS nb
+            FROM ce a JOIN ce b ON a.pos = b.pos AND a.label < b.label
+            GROUP BY 1, 2)
+          SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+            CASE WHEN na = 0 OR nb = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE)) / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) END AS cos_ppm
+          FROM pr ORDER BY label_a, label_b""",
       "t105_fuzzy_survivors" ->
         s"""WITH RECURSIVE k AS (SELECT doc_id, rpad(substring($norm, 1, 64), 64, '#') AS key FROM documents),
           seg AS (SELECT doc_id, key, i, substring(key, CAST(i * 16 + 1 AS INT), 16) AS s

@@ -40,6 +40,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
       .filter(col("group_size") >= 2)
 
+  /** Soft dedup by downsampling: instead of hard-removing duplicates,
+    * keep each document with probability 1/|its exact-dup group|, so
+    * every group survives with ONE expected copy but the surviving copy
+    * is hash-uniform across the group, not always the min id — the
+    * "fuzzy deduplication by downweighting" alternative some pretraining
+    * recipes prefer (survivorship diversity; cf. the duplication-aware
+    * sampling discussion in arXiv:2107.06499 §5). Membership is a pure
+    * function of (id, group size) via the house md5 feature hash, so
+    * the sample is identical across partitionings, reruns, and engines.
+    *
+    * Scale shape: the same thin (fp → count) census as
+    * [[exactDupGroups]] plus one fp-keyed join of 16-byte rows; the
+    * keep decision is a codegen'd scalar filter. Text never shuffles.
+    *
+    * @return kept rows (idCol, group_n), ascending keep-hash semantics:
+    *         keep iff md5_bucket("dw:" + id, 1e6) * group_n < 1e6.
+    */
+  def dedupDownsample(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fps = docs.select(col(idCol), fingerprint(col(textCol)).as("__fp"))
+    val census = fps.groupBy(col("__fp")).agg(count(lit(1)).as("group_n"))
+    fps.join(census, Seq("__fp"))
+      .filter(hashBucket(concat(lit("dw:"), col(idCol).cast("string")), 1000000)
+        * col("group_n") < lit(1000000L))
+      .select(col(idCol), col("group_n"))
+  }
+
   /** Corpus-wide frequent ("boilerplate") lines: (line_fp, n_docs) for
     * every line occurring in ≥ `minDocs` DISTINCT documents — headers,
     * footers, nav bars, cookie banners: the within-page noise that
@@ -290,6 +316,34 @@ object Dedup {
     * state that makes the next load incremental). */
   def fingerprintIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("id"), fingerprint(col(textCol)).as("fp"))
+
+  /** Corpus snapshot diff: which documents were added, removed, or
+    * changed between two corpus versions — the audit a data-versioned
+    * curation store runs before promoting a new snapshot (and the
+    * input to incremental re-embedding / re-indexing: only `added` and
+    * `changed` rows need recompute). Content comparison is by normalized
+    * md5 fingerprint, so rows are (id, 16-byte fp) on both sides and
+    * the full-outer join shuffles thin control state, never text.
+    * Unchanged documents — the overwhelming majority of a real
+    * snapshot pair — are filtered out, so output is bounded by churn.
+    *
+    * @return (idCol, status) with status ∈ added | removed | changed,
+    *         one row per churned document.
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    val o = fingerprintIndex(oldDocs, idCol, textCol)
+      .select(col("id").as(idCol), col("fp").as("__old_fp"))
+    val n = fingerprintIndex(newDocs, idCol, textCol)
+      .select(col("id").as(idCol), col("fp").as("__new_fp"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__old_fp").isNull, lit("added"))
+          .when(col("__new_fp").isNull, lit("removed"))
+          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
 
   /** Exact incremental dedup: delta documents whose normalized text
     * already exists in the corpus → (delta_id, corpus_id) per match.

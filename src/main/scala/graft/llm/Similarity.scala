@@ -392,6 +392,55 @@ object Similarity {
       .select(col(idCol), col(vecCol), col("cell_id"))
   }
 
+  /** Per-label centroid geometry report: the class-separation audit an
+    * embedding-labeled corpus gets before the labels are trusted for
+    * curation (are "label clusters" actually distinct directions, or is
+    * the classifier noise?). Returns the cosine between every centroid
+    * pair as integer ppm.
+    *
+    * Engine-portable exactness: each float component is first floored
+    * to integer ppm (`floor(v·1e6 + 1e-4)`, the house boundary guard),
+    * so per-label component sums and the truncating mean are EXACT
+    * 64-bit integer arithmetic — partition-order-independent where a
+    * naive double mean is not. Dot products and squared norms of the
+    * integer centroids are again exact; only the final
+    * `dot / (√na·√nb)` runs in doubles (IEEE sqrt/div are correctly
+    * rounded, so both engines agree bit-for-bit).
+    *
+    * Scale shape: posexplode → one thin (label, pos) aggregation — the
+    * shuffle carries ≤ |labels|·dim accumulator rows regardless of
+    * corpus size; the pairwise stage is a broadcast self-join of the
+    * ≤ |labels|·dim centroid table. No corpus-sized join anywhere.
+    *
+    * @return (label_a, label_b, cos_ppm), label_a < label_b.
+    */
+  def labelCentroidCosines(embs: DataFrame, labelCol: String,
+                           vecCol: String): DataFrame = {
+    val comps = embs.select(col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("label"), col("pos"),
+        floor(col("v").cast("double") * 1e6 + 1e-4).cast("long").as("v_ppm"))
+    val cents = comps.groupBy(col("label"), col("pos"))
+      .agg(sum(col("v_ppm")).as("s"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), expr(
+        "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END").as("c"))
+    val a = cents.select(col("label").as("label_a"), col("pos"),
+      col("c").as("ca"))
+    val b = cents.select(col("label").as("label_b"), col("pos"),
+      col("c").as("cb"))
+    a.join(broadcast(b), Seq("pos"))
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("ca") * col("cb")).as("dot"),
+        sum(col("ca") * col("ca")).as("na"),
+        sum(col("cb") * col("cb")).as("nb"))
+      .select(col("label_a"), col("label_b"),
+        when(col("na") === 0 || col("nb") === 0, lit(0L))
+          .otherwise(floor(col("dot").cast("double")
+            / sqrt(col("na").cast("double")) / sqrt(col("nb").cast("double"))
+            * 1e6 + 1e-4).cast("long")).as("cos_ppm"))
+  }
+
   /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
     * within the probed subset. Approximate (recall < 1 when a true
     * neighbor lives in an unprobed cell) but deterministic. */

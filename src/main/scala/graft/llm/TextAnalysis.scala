@@ -25,6 +25,49 @@ object TextAnalysis {
       fingerprint(t).as("fp"))
   }
 
+  /** Pairwise n-gram overlap F1 between each document and its successor
+    * within a source — the sliding self-similarity audit that surfaces
+    * serial near-duplication a crawl ordering produces (mirror runs,
+    * paginated articles), and the same set-F1 the decontamination
+    * literature reports for eval overlap. Pairing is the LEAD window
+    * over ascending id per source, so the metric is a deterministic
+    * total function of the data with exactly one row per non-last doc.
+    *
+    * Set semantics over distinct word `n`-grams (the [[shingleSet]]
+    * contract, short docs collapse to their whole token sequence);
+    * precision = |A∩B|/|A|, recall = |A∩B|/|B| as integer ppm floors,
+    * F1 = (2·P·R) div (P+R) on those ppm integers — all engine-portable
+    * integer arithmetic, no doubles anywhere.
+    *
+    * Scale shape: ONE window shuffle on (source, id) moving the thin
+    * distinct-shingle arrays; the intersect/size/F1 chain is a
+    * codegen'd map stage. No join, no explode. At 100 TB the cost is
+    * the same as any per-source sort — and the window key is the
+    * natural write order of a crawl, so AQE-era sort elision applies
+    * when the table is bucketed by source.
+    */
+  def consecutiveOverlapF1(docs: DataFrame, idCol: String, textCol: String,
+                           sourceCol: String, n: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol)).orderBy(col(idCol))
+    val withSets = docs.select(col(sourceCol), col(idCol),
+      shingleSet(col(textCol), n).as("__sa"))
+      .withColumn("__b_id", lead(col(idCol), 1).over(w))
+      .withColumn("__sb", lead(col("__sa"), 1).over(w))
+      .filter(col("__b_id").isNotNull)
+    val inter = size(array_intersect(col("__sa"), col("__sb")))
+    withSets.select(
+      col(sourceCol), col(idCol).as("a_id"), col("__b_id").as("b_id"),
+      inter.cast("long").as("n_shared"),
+      size(col("__sa")).cast("long").as("__na"),
+      size(col("__sb")).cast("long").as("__nb"))
+      .withColumn("p_ppm", expr("n_shared * 1000000 div __na"))
+      .withColumn("r_ppm", expr("n_shared * 1000000 div __nb"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN p_ppm + r_ppm = 0 THEN 0L ELSE (2 * p_ppm * r_ppm) div (p_ppm + r_ppm) END"))
+      .drop("__na", "__nb")
+  }
+
   /** Corpus-frequency rarity (the OOV / rare-token quality signal): per
     * document, how many token OCCURRENCES have corpus frequency ≤
     * `maxCount`, plus the integer-exact fraction in ppm

@@ -65,10 +65,7 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("native as-of join equals composed form on real events data") {
     import org.apache.spark.sql.functions._
-    val spark2 = spark
-    spark2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val e = spark2.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts_us", expr("ts div 1000"))
+    val e = SparkEntry.events(spark, "/root/testdata/sf0.001")
     val purchases = e.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id"), col("ts_us"))
     val clicks = Relational.latestPerKey(

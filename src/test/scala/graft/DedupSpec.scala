@@ -427,6 +427,42 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  // ---- corpusDiff ----------------------------------------------------
+
+  test("corpusDiff classifies added/removed/changed and drops unchanged") {
+    val vOld = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val vNew = Seq((2L, "beta"), (3L, "GAMMA  revised"), (4L, "delta")).toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(vOld, vNew, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, "removed"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("corpusDiff: normalization-equal text is unchanged (not churn)") {
+    val vOld = Seq((1L, "Same   Doc")).toDF("doc_id", "text")
+    val vNew = Seq((1L, "same doc")).toDF("doc_id", "text")
+    assert(Dedup.corpusDiff(vOld, vNew, "doc_id", "text").count() == 0)
+  }
+
+  // ---- dedupDownsample -----------------------------------------------
+
+  test("dedupDownsample: singletons always survive; survivors carry group size") {
+    val out = Dedup.dedupDownsample(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // docs 1, 2, 4 are singleton groups → keep-hash * 1 < 1e6 always
+    assert(out.contains(1L) && out.contains(2L) && out.contains(4L))
+    assert(out(1L) == 1L && out(2L) == 1L && out(4L) == 1L)
+    // the {0, 3} exact-dup pair reports group size 2 for any survivor
+    assert(out.filterKeys(Set(0L, 3L)).values.forall(_ == 2L))
+  }
+
+  test("dedupDownsample is a pure function of (id, group size): rerun identical") {
+    val a = Dedup.dedupDownsample(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val b = Dedup.dedupDownsample(corpus.repartition(7), "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
   // ---- intraDocLineDedup ---------------------------------------------
 
   test("intraDocLineDedup keeps first occurrence in order, counts drops") {

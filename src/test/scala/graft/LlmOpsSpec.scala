@@ -211,6 +211,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got(7L) == (("ok", true, 4L, 2L)))
   }
 
+  test("consecutiveOverlapF1: hand-computed F1 on a planted serial near-dup") {
+    val docs = Seq(
+      // src a: docs 1→2 share most 3-grams; 2→3 share none
+      (1L, "one two three four five", "a"),
+      (2L, "one two three four six", "a"),
+      (3L, "totally different words here now", "a"),
+      // src b: single doc → no pair
+      (9L, "lonely document in its own source", "b")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.consecutiveOverlapF1(docs, "doc_id", "text", "source", n = 3)
+      .select($"a_id", $"b_id", $"n_shared", $"p_ppm", $"r_ppm", $"f1_ppm")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc1 grams {one two three, two three four, three four five},
+    // doc2 grams {one two three, two three four, three four six} → 2 shared
+    assert(got(1L) == ((1L, 2L, 2L, 666666L, 666666L, 666666L)))
+    assert(got(2L)._3 == 0L && got(2L)._6 == 0L)
+    assert(!got.contains(3L) && !got.contains(9L)) // last-in-source has no pair
+  }
+
+  test("consecutiveOverlapF1 is partitioning-independent") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = TextAnalysis.consecutiveOverlapF1(docs, "doc_id", "text", "source")
+      .collect().toSet
+    val b = TextAnalysis.consecutiveOverlapF1(docs.repartition(13), "doc_id", "text", "source")
+      .collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("c4Filter: no_lines fires when every line is dropped but sentences abound") {
     val docs = Seq((1L, "word! word! word! word!\nalso too short here.")).toDF("doc_id", "text")
     // both lines < 5 words → kept = 0; 5 sentence delimiters → page passes
