@@ -1144,6 +1144,36 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Incremental BM25 postings maintenance: v1 of the corpus
+    * (doc_id % 5 ≠ 0, original text) is indexed and persisted; a delta
+    * batch then lands carrying NEW documents (doc_id % 5 = 0) and
+    * RE-UPLOADED revisions (doc_id % 7 = 0, text + " rev2"). The delta
+    * tokenizes once, [[graft.llm.Retrieval.mergePostings]] upserts it
+    * into the persisted index (broadcast anti-join on doc_id — the
+    * corpus never re-tokenizes), and the merged index answers the t92
+    * query set. Oracle: the from-scratch t92 SQL over the effective
+    * post-delta corpus — incremental must equal rebuild exactly. */
+  private def t110Bm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    val rev2 = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" rev2"))).otherwise(col("text"))
+    val v1 = d.filter(col("doc_id") % 5 =!= 0)
+    val idxPath = scratch("bm25idx_v1", dir)
+    graft.llm.Retrieval.postings(v1, "doc_id", "text")
+      .write.mode("overwrite").parquet(idxPath)
+    val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .withColumn("text", rev2)
+    val merged = graft.llm.Retrieval.mergePostings(
+      s.read.parquet(idxPath),
+      graft.llm.Retrieval.postings(delta, "doc_id", "text"))
+    val q = d.withColumn("text", rev2).filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+    graft.llm.Retrieval.bm25TopKFromIndex(merged, q, "query_id", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BM25-seeded selection loop — the glue a real curation pipeline
     * runs between retrieval and the quality classifier: t92's BM25
     * top-5 per query becomes the POSITIVE seed, every non-retrieved doc
@@ -1500,6 +1530,7 @@ object SparkEntry {
     "t99_chunk_windows" -> t99ChunkWindows _,
     "t98_curriculum_bins" -> t98CurriculumBins _,
     "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
+    "t110_bm25_incremental" -> t110Bm25Incremental _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
@@ -2167,6 +2198,43 @@ object SparkEntry {
           SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
           ORDER BY query_id, rank"""
       },
+      // incremental-index twin: merge(v1 index, delta postings) must
+      // land on the from-scratch t92 SQL over the effective post-delta
+      // corpus (new docs %5==0 added, revisions %7==0 replaced)
+      "t110_bm25_incremental" -> {
+        val bmK1 = 1.2; val bmB = 0.75
+        val c1 = (bmK1 + 1).toString
+        val c2 = (bmK1 * (1 - bmB)).toString
+        val c3 = (bmK1 * bmB).toString
+        val etext = "CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END"
+        val enorm = s"trim(regexp_replace(lower($etext), '\\s+', ' ', 'g'))"
+        val etoks = s"string_split($enorm, ' ')"
+        s"""WITH dk AS (SELECT doc_id, $etoks AS tk FROM documents),
+          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+          qt AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
+          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+          sc AS (SELECT qt.query_id, p.doc_id,
+              CAST(floor(
+                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
+                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(p.tf AS DOUBLE) * $c1)
+                / (CAST(p.tf AS DOUBLE) + $c2
+                   + $c3 * CAST(dl.dl AS DOUBLE)
+                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
+                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
+            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
+          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+            FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+            FROM ag)
+          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
+          ORDER BY query_id, rank"""
+      },
       // BM25-seeded selection: t92's retrieval chain feeds the seed set,
       // then the t86 hashed-NB chain trains on (retrieved = positive)
       // and scores every doc — two ppm contracts composed end to end
@@ -2703,7 +2771,7 @@ object SparkEntry {
       "t106_corpus_diff" ->
         s"""WITH o AS (SELECT doc_id, md5($norm) AS fp FROM documents WHERE doc_id % 7 <> 0),
           nn AS (SELECT doc_id,
-              md5(trim(regexp_replace(lower(text || CASE WHEN doc_id % 11 = 0 THEN ' rev2' ELSE '' END), '\s+', ' ', 'g'))) AS fp
+              md5(trim(regexp_replace(lower(text || CASE WHEN doc_id % 11 = 0 THEN ' rev2' ELSE '' END), '\\s+', ' ', 'g'))) AS fp
             FROM documents WHERE doc_id % 5 <> 0),
           d AS (SELECT coalesce(o.doc_id, nn.doc_id) AS doc_id,
               CASE WHEN o.doc_id IS NULL THEN 'added'

@@ -332,15 +332,19 @@ object Dedup {
     */
   def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
+    // Presence is carried as an explicit per-side marker, NOT inferred
+    // from fingerprint nullity: a document with NULL text has a NULL
+    // fingerprint but is still *present* in its snapshot, and must
+    // classify as changed/unchanged (null-safe <=>), never added/removed.
     val o = fingerprintIndex(oldDocs, idCol, textCol)
-      .select(col("id").as(idCol), col("fp").as("__old_fp"))
+      .select(col("id").as(idCol), col("fp").as("__old_fp"), lit(true).as("__in_old"))
     val n = fingerprintIndex(newDocs, idCol, textCol)
-      .select(col("id").as(idCol), col("fp").as("__new_fp"))
+      .select(col("id").as(idCol), col("fp").as("__new_fp"), lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__old_fp").isNull, lit("added"))
-          .when(col("__new_fp").isNull, lit("removed"))
-          .when(col("__old_fp") =!= col("__new_fp"), lit("changed"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(!(col("__old_fp") <=> col("__new_fp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
       .filter(col("status") =!= "unchanged")
   }

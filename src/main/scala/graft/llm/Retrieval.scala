@@ -29,6 +29,27 @@ object Retrieval {
         explode(tokens(normalizeText(col(textCol)))).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
 
+  /** Incremental index maintenance: doc-level upsert of a delta batch's
+    * postings (as produced by [[postings]] over the delta docs alone)
+    * into a persisted corpus index. Documents re-uploaded in the delta
+    * replace their old postings wholesale (anti-join on doc_id); new
+    * documents append. Equal by construction to rebuilding [[postings]]
+    * over the updated corpus (pinned by RetrievalSpec and t110).
+    *
+    * Scale shape: the delta's doc-id set is batch-sized, so it
+    * broadcasts and the corpus index is NEVER re-tokenized or
+    * re-shuffled — one streaming anti-join scan plus a union. The
+    * df/dl side tables need no separate maintenance: [[bm25TopKFromIndex]]
+    * re-aggregates both from the thin merged index, never from text.
+    * This is the reference's incremental-load contract
+    * (`second_lambda_function.py:64-66` — process only what the
+    * watermark says is new) applied to the inverted index. */
+  def mergePostings(index: DataFrame, deltaPost: DataFrame): DataFrame = {
+    val deltaIds = deltaPost.select(col("doc_id")).distinct()
+    index.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
+      .unionByName(deltaPost)
+  }
+
   /** BM25 top-k: for each query, the `k` best documents by
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the
     * Lucene non-negative idf ln((N − df + 0.5)/(df + 0.5) + 1); ties

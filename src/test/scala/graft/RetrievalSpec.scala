@@ -102,6 +102,46 @@ class RetrievalSpec extends AnyFunSuite {
     assert(inline.nonEmpty && inline == indexed)
   }
 
+  test("mergePostings: doc-level upsert equals a from-scratch rebuild") {
+    // v1 corpus = docs 1,2; delta re-uploads doc 2 (revised) and adds
+    // doc 3 — merge must drop ALL of doc 2's old postings, keep doc 1
+    // untouched, and append the new rows; i.e. equal postings(v2).
+    val v1 = corpus.filter($"doc_id" <= 2)
+    val delta = Seq((2L, "banana banana fig"), (3L, "cherry date date cherry"))
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana banana fig"),
+      (3L, "cherry date date cherry")).toDF("doc_id", "text")
+    val merged = Retrieval.mergePostings(
+        Retrieval.postings(v1, "doc_id", "text"),
+        Retrieval.postings(delta, "doc_id", "text"))
+      .as[(Long, String, Long)].collect().toSet
+    val rebuilt = Retrieval.postings(v2, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(merged == rebuilt && merged.contains((2L, "banana", 2L))
+      && !merged.exists(r => r._1 == 2L && r._2 == "cherry"))
+  }
+
+  test("mergePostings: query answers from the merged index equal the rebuilt index") {
+    val v1 = corpus.filter($"doc_id" <= 2)
+    val delta = Seq((2L, "banana banana fig"), (3L, "cherry date date cherry"))
+      .toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana banana fig"),
+      (3L, "cherry date date cherry")).toDF("doc_id", "text")
+    val q = Seq((10L, "banana cherry"), (11L, "fig date")).toDF("qid", "qtext")
+    val merged = Retrieval.mergePostings(
+      Retrieval.postings(v1, "doc_id", "text"),
+      Retrieval.postings(delta, "doc_id", "text"))
+    val a = Retrieval.bm25TopKFromIndex(merged, q, "qid", "qtext", k = 3)
+      .orderBy($"query_id", $"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Retrieval.bm25TopK(v2, "doc_id", "text", q, "qid", "qtext", k = 3)
+      .orderBy($"query_id", $"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("bm25TopK: scores are partitioning-independent (ppm contract)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = d.filter($"doc_id" % 20 === 0)
