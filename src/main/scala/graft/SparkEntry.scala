@@ -1466,6 +1466,20 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Data-card length distribution: exact nearest-rank p50/p90/p99
+    * token length per source via the bounded histogram-CDF
+    * ([[graft.operators.Sampling.exactQuantilesPpm]] — no global sort;
+    * the t98 curriculum-bins idiom applied to quantile statistics). */
+  private def t111ReportQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val d = t(s, dir, "documents")
+      .select(col("source"), tokenCount(col("text")).cast("long").as("nt"))
+    graft.operators.Sampling.exactQuantilesPpm(d, "source", "nt",
+        Seq("p50_tokens" -> 500000L, "p90_tokens" -> 900000L,
+          "p99_tokens" -> 990000L))
+      .orderBy(col("source"))
+  }
+
   /** Fuzzy-key dedup end to end: pigeonhole Hamming pairs → distributed
     * connected components → min-id survivors (the removal a user
     * actually runs; t100 reports the pairs). */
@@ -1531,6 +1545,7 @@ object SparkEntry {
     "t98_curriculum_bins" -> t98CurriculumBins _,
     "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
     "t110_bm25_incremental" -> t110Bm25Incremental _,
+    "t111_report_quantiles" -> t111ReportQuantiles _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
@@ -2877,6 +2892,20 @@ object SparkEntry {
             (n_tokens * 1000000 // n_docs) AS mean_tokens_ppm,
             max_tokens
           FROM g ORDER BY source""",
+      // data-card quantiles: nearest-rank min{v : cum >= ceil(q*n)}
+      // over the bounded (source, nt) histogram — integer-exact rank
+      // via (tot*q_ppm + 999999) // 1000000 in both engines
+      "t111_report_quantiles" ->
+        s"""WITH d AS (SELECT source, CAST($nTokens AS BIGINT) AS nt FROM documents),
+          h AS (SELECT source, nt, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
+          c AS (SELECT source, nt,
+              CAST(sum(cnt) OVER (PARTITION BY source ORDER BY nt) AS BIGINT) AS cum,
+              CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS tot FROM h)
+          SELECT source,
+            min(CASE WHEN cum >= (tot * 500000 + 999999) // 1000000 THEN nt END) AS p50_tokens,
+            min(CASE WHEN cum >= (tot * 900000 + 999999) // 1000000 THEN nt END) AS p90_tokens,
+            min(CASE WHEN cum >= (tot * 990000 + 999999) // 1000000 THEN nt END) AS p99_tokens
+          FROM c GROUP BY source ORDER BY source""",
       // cross-source 8-gram overlap census: distinct (source, gram),
       // self-join, count shared grams per source pair
       "t102_source_overlap" ->

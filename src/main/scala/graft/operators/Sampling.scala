@@ -150,6 +150,44 @@ object Sampling {
       .join(binMap, scoreCol)
   }
 
+  /** Exact per-group quantiles WITHOUT a global sort — the length-
+    * distribution columns of a data card (p50/p90/p99 token length per
+    * source). Same histogram-CDF shape as [[cdfBins]]: the value domain
+    * of an integer metric (token counts, ppm scores) is bounded, so the
+    * per-(group, value) histogram is control-plane-sized regardless of
+    * corpus rows; the cumulative window runs per group over that
+    * bounded table, and quantile q is the NEAREST-RANK statistic
+    * min{ v : cum(v) ≥ ⌈q·n⌉ } in pure integer math
+    * (`rank = (tot·qPpm + 999999) DIV 1000000`) — deterministic,
+    * partition-independent, and engine-exact (no interpolation, no
+    * doubles). One shuffle on (group, value), one on group; nothing
+    * proportional to row count ever sorts.
+    *
+    * @param quantiles (outputColumn, qPpm) pairs, qPpm in (0, 1e6];
+    *                  e.g. ("p50_tokens", 500000L).
+    * @return one row per group: (groupCol, outputColumn...).
+    */
+  def exactQuantilesPpm(df: DataFrame, groupCol: String, valueCol: String,
+                        quantiles: Seq[(String, Long)]): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, q) => q > 0 && q <= 1000000L },
+      s"qPpm must be in (0, 1000000], got $quantiles")
+    import org.apache.spark.sql.expressions.Window
+    val cumW = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(cumW))
+      .withColumn("tot", sum(col("cnt")).over(totW))
+    val aggs = quantiles.map { case (name, qPpm) =>
+      min(when(col("cum") >= expr(s"(tot * ${qPpm}L + 999999L) DIV 1000000L"),
+        col(valueCol))).as(name)
+    }
+    hist.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Deterministic global shuffle + fixed-shard assignment — the
     * reshard step before sequence packing / training-order
     * serialization: every row gets a `shard` in [0, nShards) and a

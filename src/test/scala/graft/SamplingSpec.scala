@@ -114,6 +114,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(run(1) == run(7))
   }
 
+  test("exactQuantilesPpm: hand-computed nearest-rank quantiles per group") {
+    import org.apache.spark.sql.functions._
+    // group a: values 1..10 -> p50 = ceil(0.5*10)=rank 5 -> 5,
+    //          p90 = rank 9 -> 9, p99 = rank 10 -> 10.
+    // group b: values [2,2,2,7] -> p50 = rank 2 -> 2, p90/p99 = rank 4 -> 7.
+    val df = ((1L to 10L).map(("a", _)) ++ Seq(("b", 2L), ("b", 2L), ("b", 2L), ("b", 7L)))
+      .toDF("g", "v")
+    val r = Sampling.exactQuantilesPpm(df, "g", "v",
+        Seq("p50" -> 500000L, "p90" -> 900000L, "p99" -> 990000L))
+      .orderBy($"g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 5L, 9L, 10L), ("b", 2L, 7L, 7L)))
+  }
+
+  test("exactQuantilesPpm: partitioning-independent; p100 is the max; single row group") {
+    import org.apache.spark.sql.functions._
+    val df = ((1L to 10L).map(("a", _)) ++ Seq(("c", 42L))).toDF("g", "v")
+    def run(nPart: Int) =
+      Sampling.exactQuantilesPpm(df.repartition(nPart), "g", "v",
+          Seq("p50" -> 500000L, "p100" -> 1000000L))
+        .orderBy($"g").as[(String, Long, Long)].collect().toSeq
+    val a = run(1)
+    assert(a == run(7))
+    assert(a == Seq(("a", 5L, 10L), ("c", 42L, 42L)))
+  }
+
   test("writeShards: one dir per shard, rows inside a shard ascend by pos") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
