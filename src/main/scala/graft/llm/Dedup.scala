@@ -1053,24 +1053,80 @@ object Dedup {
     */
   def fuzzyKeyPairs(docs: DataFrame, idCol: String, textCol: String,
                     keyLen: Int = 64, maxDist: Int = 3): DataFrame = {
+    val segs = fuzzyKeySegs(docs, idCol, textCol, keyLen, maxDist)
+    val cand = segs.as("a").join(segs.as("b"),
+        col("a.seg_i") === col("b.seg_i") && col("a.seg") === col("b.seg") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__key").as("__ak"), col("b.__key").as("__bk"))
+    verifyFuzzyCandidates(cand, keyLen, maxDist)
+  }
+
+  /** The (id, key, seg_i, seg) rows of the pigeonhole filter — shared by
+    * the batch self-join, the persisted index, and the delta probe. */
+  private def fuzzyKeySegs(docs: DataFrame, idCol: String, textCol: String,
+                           keyLen: Int, maxDist: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(keyLen % (maxDist + 1) == 0,
       s"keyLen ($keyLen) must be divisible by maxDist+1 (${maxDist + 1})")
     val segLen = keyLen / (maxDist + 1)
     val key = rpad(substring(normalizeText(col(textCol)), 1, keyLen), keyLen, "#")
-    val keyed = docs.select(col(idCol).as("__id"), key.as("__key"))
-    val segs = keyed.select(col("__id"), col("__key"),
-      posexplode(transform(sequence(lit(0), lit(maxDist)),
-        i => col("__key").substr(i * segLen + 1, lit(segLen)))).as(Seq("seg_i", "seg")))
-    segs.as("a").join(segs.as("b"),
+    docs.select(col(idCol).as("__id"), key.as("__key"))
+      .select(col("__id"), col("__key"),
+        posexplode(transform(sequence(lit(0), lit(maxDist)),
+          i => col("__key").substr(i * segLen + 1, lit(segLen)))).as(Seq("seg_i", "seg")))
+  }
+
+  /** distinct + exact Hamming verification over candidate rows carrying
+    * both keys — the back half of every fuzzy-key variant. */
+  private def verifyFuzzyCandidates(cand: DataFrame, keyLen: Int,
+                                    maxDist: Int): DataFrame =
+    cand.distinct()
+      .withColumn("dist", hammingFixed(col("__ak"), col("__bk"), keyLen))
+      .filter(col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+
+  /** Persisted segment index for INCREMENTAL fuzzy-key dedup:
+    * (id, key, seg_i, seg) — `maxDist + 1` thin rows per document,
+    * written once per batch and appended to as batches commit (the
+    * [[fingerprintIndex]] / [[minHashBandIndex]] persisted-index
+    * pattern applied to the pigeonhole filter). The full 64-char key
+    * rides in the index so delta-vs-corpus verification never touches
+    * corpus text. */
+  def fuzzyKeyIndex(docs: DataFrame, idCol: String, textCol: String,
+                    keyLen: Int = 64, maxDist: Int = 3): DataFrame =
+    fuzzyKeySegs(docs, idCol, textCol, keyLen, maxDist)
+      .select(col("__id").as("id"), col("__key").as("key"),
+        col("seg_i"), col("seg"))
+
+  /** Incremental fuzzy-key pairs: every pair (a_id < b_id) within
+    * Hamming distance `maxDist` involving at least one delta document —
+    * delta-vs-corpus candidates from a broadcast probe of the delta's
+    * segments against the persisted [[fuzzyKeyIndex]], within-delta
+    * candidates from the delta's own (tiny) self-join. Restricted to
+    * pairs touching the delta, this equals `fuzzyKeyPairs(corpus ∪
+    * delta)` (pinned by DedupSpec); per-batch cost is ∝ |delta| +
+    * matched segments — the corpus index is probed, never self-joined,
+    * and corpus text is never read (keys live in the index). */
+  def fuzzyKeyDeltaPairs(delta: DataFrame, idCol: String, textCol: String,
+                         segIndex: DataFrame,
+                         keyLen: Int = 64, maxDist: Int = 3): DataFrame = {
+    val dSegs = broadcast(fuzzyKeySegs(delta, idCol, textCol, keyLen, maxDist))
+    val cross = dSegs
+      .select(col("seg_i"), col("seg"), col("__id").as("d_id"), col("__key").as("d_key"))
+      .join(segIndex.select(col("seg_i"), col("seg"),
+        col("id").as("c_id"), col("key").as("c_key")), Seq("seg_i", "seg"))
+      .filter(col("d_id") =!= col("c_id"))
+      .select(least(col("d_id"), col("c_id")).as("a_id"),
+        greatest(col("d_id"), col("c_id")).as("b_id"),
+        when(col("d_id") < col("c_id"), col("d_key")).otherwise(col("c_key")).as("__ak"),
+        when(col("d_id") < col("c_id"), col("c_key")).otherwise(col("d_key")).as("__bk"))
+    val within = dSegs.as("a").join(dSegs.as("b"),
         col("a.seg_i") === col("b.seg_i") && col("a.seg") === col("b.seg") &&
           col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
         col("a.__key").as("__ak"), col("b.__key").as("__bk"))
-      .distinct()
-      .withColumn("dist", hammingFixed(col("__ak"), col("__bk"), keyLen))
-      .filter(col("dist") <= maxDist)
-      .select(col("a_id"), col("b_id"), col("dist"))
+    verifyFuzzyCandidates(cross.unionAll(within), keyLen, maxDist)
   }
 
   /** Collapse repeated lines WITHIN each document, keeping the first

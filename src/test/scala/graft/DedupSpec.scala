@@ -427,7 +427,64 @@ class DedupSpec extends AnyFunSuite {
     assert(!out.keySet.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("fuzzyKeyDeltaPairs equals the full self-join restricted to delta-touching pairs") {
+    val corpus = fuzzyDocs.filter($"doc_id" <= 3)
+    val delta = fuzzyDocs.filter($"doc_id" >= 4)
+    val idx = Dedup.fuzzyKeyIndex(corpus, "doc_id", "text", 64, 3)
+    val got = Dedup.fuzzyKeyDeltaPairs(delta, "doc_id", "text", idx, 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val deltaIds = Set(4L, 5L, 6L)
+    val want = Dedup.fuzzyKeyPairs(fuzzyDocs, "doc_id", "text", 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+    assert(got == want && got.nonEmpty)
+    // cross pairs (0,4) dist 0 and within-delta (5,6) dist 1 both present
+    assert(got.contains((0L, 4L, 0L)) && got.contains((5L, 6L, 1L)))
+  }
+
+  test("streaming fuzzy-key dedup: accumulated micro-batch pairs equal the batch run") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_fstream").toString
+    // batch 1: docs 0-2; batch 2: docs 3-6 — the (0,4) exact-dup pair
+    // and (1,4)/(2,4) crosses span the batch boundary; (5,6) is
+    // within-batch. Index starts empty (created on first batch).
+    fuzzyDocs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
+    fuzzyDocs.filter($"doc_id" >= 3).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.FuzzyDedupStream.start(
+      stream, "doc_id", "text", s"$dir/idx", s"$dir/ckpt", 64, 3) {
+      (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
+    }
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Dedup.fuzzyKeyPairs(fuzzyDocs, "doc_id", "text", 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // and the grown index now answers a fresh delta exactly
+    val d7 = Seq((7L, "the quick brown fox jumps over the lazy dog near the river today"))
+      .toDF("doc_id", "text")
+    val next = Dedup.fuzzyKeyDeltaPairs(d7, "doc_id", "text",
+        spark.read.parquet(s"$dir/idx"), 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(next.contains((0L, 7L, 0L)) && next.contains((4L, 7L, 0L)))
+  }
+
   // ---- corpusDiff ----------------------------------------------------
+
+  test("corpusDiff: a NULL-text doc present in both versions is not churn") {
+    val vOld = Seq((1L, null: String), (2L, "beta"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val vNew = Seq((1L, null: String), (2L, null: String), (4L, null: String))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(vOld, vNew, "doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    // 1: null -> null is UNCHANGED (dropped); 2: text -> null is changed;
+    // 3: present-with-null -> absent is removed; 4: absent -> null is added
+    assert(out == Seq((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
 
   test("corpusDiff classifies added/removed/changed and drops unchanged") {
     val vOld = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
