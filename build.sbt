@@ -10,6 +10,10 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites run concurrently inside the one forked JVM, sharing
+// GraftSpark's SparkContext (suites that mutate session state use
+// GraftSpark.isolated — see its doc). Cuts `sbt test` wall time ~2.5x.
+Test / testForkedParallel := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -81,6 +81,61 @@ object ScaleBench {
     out
   }
 
+  /** Key-decorrelated scaled docs for the fuzzy-KEY family. The shared
+    * scaled corpus appends its junk at the END of the text, so every
+    * copy of a doc keeps an IDENTICAL 64-char prefix key — under the
+    * all-pairs contract that is output-quadratic in factor by
+    * definition (factor² cross-copy pairs per base doc), which measures
+    * the contract, not the plan. Here each copy is instead passed
+    * through a copy-unique ALPHABET ROTATION (`translate`, letters and
+    * digits rotated by the copy index; copy 0 is the identity): within
+    * a copy the key-diversity structure — segment values, hot-segment
+    * skew, pair structure — is preserved bijectively, across copies
+    * every alphanumeric key char differs, so Hamming distance between
+    * copies ≈ key length ≫ maxDist and pair counts grow EXACTLY
+    * linearly with the corpus (factor × base pairs), the real-crawl
+    * shape. (A first cut prepended an 8-hex md5 copy marker instead;
+    * that ate 9 of segment 0's 16 chars, collapsed its diversity, and
+    * inflated the base itself 6.7× through hot-segment fan-out —
+    * measuring the harness, not the operator.) */
+  def scaledFuzzyDocsDf(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val digits = "0123456789"
+    def rot(s: String, k: Int): String = {
+      val m = k % s.length; s.drop(m) + s.take(m)
+    }
+    val src = lower + lower.toUpperCase + digits
+    def dst(c: Int): String =
+      rot(lower, c) + rot(lower.toUpperCase, c) + rot(digits, c)
+    val tx = (1 until factor)
+      .foldLeft(when(col("copy") === 0, col("text"))) { (acc, c) =>
+        acc.when(col("copy") === c, translate(col("text"), src, dst(c)))
+      }
+      .otherwise(col("text"))
+    base.crossJoin(copies)
+      .select(
+        (col("doc_id") * factor + col("copy")).as("doc_id"),
+        tx.as("text"),
+        col("lang"), col("source"), col("n_chars"))
+  }
+
+  def scaledFuzzyDocs(spark: SparkSession, baseDir: String, workDir: String, factor: Int): String = {
+    val out = s"$workDir/documents_fuzzy_x$factor"
+    if (!graft.fs.Fs.exists(s"$out/_SUCCESS"))
+      scaledFuzzyDocsDf(spark, baseDir, factor).write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** Fuzzy-key family: timed on the prefix-decorrelated frames (base =
+    * factor 1 of the same generator, so both scales pay the identical
+    * per-doc prefix work). */
+  private def fuzzyFamily(docs: DataFrame): Seq[(String, () => Long)] = Seq(
+    "t100_fuzzy_key_pairs" -> (() =>
+      graft.llm.Dedup.fuzzyKeyPairs(docs, "doc_id", "text",
+        keyLen = 64, maxDist = 3).count()))
+
   private def embFamily(embs: DataFrame): Seq[(String, () => Long)] = Seq(
     "t72_semdedup" -> (() =>
       graft.llm.Dedup.semDedupPairs(embs, "vec_id", "embedding",
@@ -117,11 +172,22 @@ object ScaleBench {
     "t50_bpe_tokens" -> { () =>
       val merges = graft.llm.Bpe.train(docs, "text", numMerges = 24)
       graft.llm.Bpe.tokenCounts(docs, "doc_id", "text", merges).count()
+    },
+    "t103_chunk_pack" -> { () =>
+      val chunks = graft.llm.Chunking.chunkWindows(docs, "doc_id", "text",
+        chunkSize = 32, stride = 24)
+      val keyed = chunks.select(
+        (col("doc_id") * 4096 + col("chunk_id")).as("pack_key"),
+        col("n_chunk_tokens"))
+      graft.llm.Packing.packBlocks(keyed, "pack_key",
+        col("n_chunk_tokens"), blockTokens = 64).count()
     })
 
   private def timeFamily(label: String, docs: DataFrame, nDocs: Long,
-                         onlyPrefix: String = "", embs: Option[DataFrame] = None): Unit = {
-    val fam = family(docs) ++ embs.toSeq.flatMap(embFamily)
+                         onlyPrefix: String = "", embs: Option[DataFrame] = None,
+                         fuzzy: Option[DataFrame] = None): Unit = {
+    val fam = family(docs) ++ embs.toSeq.flatMap(embFamily) ++
+      fuzzy.toSeq.flatMap(fuzzyFamily)
     val results = fam.filter(_._1.startsWith(onlyPrefix)).map { case (name, run) =>
       val t0 = System.nanoTime()
       val rows = run()
@@ -155,13 +221,16 @@ object ScaleBench {
 
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     val baseEmb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    timeFamily("base", base, base.count(), onlyPrefix, Some(baseEmb))
+    val baseFuzzy = spark.read.parquet(scaledFuzzyDocs(spark, baseDir, workDir, 1))
+    timeFamily("base", base, base.count(), onlyPrefix, Some(baseEmb), Some(baseFuzzy))
 
     val scaledPath = scaledDocs(spark, baseDir, workDir, factor)
     val scaled = spark.read.parquet(scaledPath)
     val scaledEmb = spark.read.parquet(scaledEmbeddings(spark, baseDir, workDir, factor))
+    val scaledFuzzy = spark.read.parquet(scaledFuzzyDocs(spark, baseDir, workDir, factor))
     (1 to repeat).foreach { i =>
-      timeFamily(s"x$factor#$i", scaled, scaled.count(), onlyPrefix, Some(scaledEmb))
+      timeFamily(s"x$factor#$i", scaled, scaled.count(), onlyPrefix,
+        Some(scaledEmb), Some(scaledFuzzy))
     }
     spark.stop()
   }

@@ -731,6 +731,38 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
   }
 
+  /** Incremental IVF ANN maintenance — the t97/t110 offline-index story
+    * for the embedding family: centroids train once on corpus v1
+    * (vec_id % 5 ≠ 0) and persist ([[graft.llm.Similarity.kMeansIndex]]);
+    * v1's cell assignment persists as the ANN "postings"; the delta
+    * batch (vec_id % 5 = 0) assigns against the SAME persisted
+    * centroids (assignment is a pure function of (vector, centroids))
+    * and group-merges in — the corpus is never re-scanned or
+    * re-clustered per batch. Search from the merged assignment is
+    * graded as recall vs brute over the FULL corpus, so the literal
+    * oracle hash-checks the maintained index's quality (deterministic:
+    * decimal centroid accumulation, id tie-breaks — the t49 contract). */
+  private def t112KnnIvfIncremental(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val root = scratch("ivfinc", dir)
+    Similarity.kMeansIndex(v1, "vec_id", "embedding", k = 16, iters = 2)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    val cents = Similarity.centroidsOf(s.read.parquet(s"$root/centroids"))
+    Similarity.ivfAssignedIndex(v1, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$root/assigned")
+    val merged = graft.operators.Relational.mergeReplaceGroups(
+      s.read.parquet(s"$root/assigned"),
+      Similarity.ivfAssignedIndex(delta, "vec_id", "embedding", cents),
+      Seq("vec_id"))
+    val q = e.filter(col("vec_id") < 20)
+    val ann = Similarity.ivfSearchAssigned(merged, cents, q,
+      "vec_id", "embedding", k = 10, nprobe = 6)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
+  }
+
   /** Per-doc BPE token counts under the learned merge table (which is
     * itself hash-checked as t61). Deterministic — training ties break
     * lexicographically, encoding is a pure function of (text, merges) —
@@ -1546,6 +1578,7 @@ object SparkEntry {
     "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
     "t110_bm25_incremental" -> t110Bm25Incremental _,
     "t111_report_quantiles" -> t111ReportQuantiles _,
+    "t112_knn_ivf_incremental" -> t112KnnIvfIncremental _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
@@ -2044,6 +2077,7 @@ object SparkEntry {
       "t46_winnowing" -> LiteralOracles.t46,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
+      "t112_knn_ivf_incremental" -> LiteralOracles.t112,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,
       "t65_incremental_minhash" -> LiteralOracles.t65,

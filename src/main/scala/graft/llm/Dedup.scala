@@ -729,8 +729,8 @@ object Dedup {
   /** The (id, v, nrm, sk) sketch projection — ONE definition shared by
     * [[embeddingNearDupLsh]] and its cache release, so the release
     * rebuilds a canonically identical plan. */
-  private def signSketched(embs: DataFrame, idCol: String, vecCol: String,
-                           numBits: Int, seed: Long): DataFrame = {
+  private[graft] def signSketched(embs: DataFrame, idCol: String, vecCol: String,
+                                  numBits: Int, seed: Long): DataFrame = {
     import graft.functions.VectorFunctions.norm
     import graft.functions.expr.SignSketch
     embs.select(col(idCol).as("id"), col(vecCol).as("v"),

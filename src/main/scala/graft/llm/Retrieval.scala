@@ -44,11 +44,8 @@ object Retrieval {
     * This is the reference's incremental-load contract
     * (`second_lambda_function.py:64-66` — process only what the
     * watermark says is new) applied to the inverted index. */
-  def mergePostings(index: DataFrame, deltaPost: DataFrame): DataFrame = {
-    val deltaIds = deltaPost.select(col("doc_id")).distinct()
-    index.join(broadcast(deltaIds), Seq("doc_id"), "left_anti")
-      .unionByName(deltaPost)
-  }
+  def mergePostings(index: DataFrame, deltaPost: DataFrame): DataFrame =
+    graft.operators.Relational.mergeReplaceGroups(index, deltaPost, Seq("doc_id"))
 
   /** BM25 top-k: for each query, the `k` best documents by
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the

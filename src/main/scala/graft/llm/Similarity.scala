@@ -124,28 +124,52 @@ object Similarity {
       .drop("__best")
   }
 
-  /** IVF search over a k-means index: corpus pre-assigned to its
-    * nearest centroid; each query probes the `nprobe` nearest cells and
-    * ranks exactly within them. */
-  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
-    val centroids = kMeansCentroids(corpus, idCol, vecCol, nCells, iters)
-    val dvC = corpus.select(col(idCol), col(vecCol),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
-    val assigned = assignCells(dvC, centroids)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"), col("cell"))
+  /** Persisted IVF assignment index: one (idCol, vecCol, cell) row per
+    * vector — the embedding family's "postings list" (cell plays the
+    * role BM25's term plays in [[graft.llm.Retrieval.postings]]).
+    * Assignment is a pure function of (vector, centroids), so a delta
+    * batch assigned against yesterday's persisted [[kMeansIndex]]
+    * lands in exactly the cells a full re-assignment would give it —
+    * the index grows by group-merge on the id
+    * ([[graft.operators.Relational.mergeReplaceGroups]]), and the
+    * corpus is never re-scanned (t112, SimilaritySpec). */
+  def ivfAssignedIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                       centroids: Array[(Int, Array[Double])]): DataFrame =
+    assignCells(corpus.select(col(idCol), col(vecCol),
+        transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
+      .select(col(idCol), col(vecCol), col("cell"))
+
+  /** IVF search over a persisted [[ivfAssignedIndex]]: each query
+    * probes its `nprobe` nearest cells (centroid matrix is driver-side
+    * control state, folded into literal expressions) and ranks exactly
+    * within them; the probe set broadcasts, so the assignment index is
+    * range-pruned by the cell equi-join, never fully shuffled. */
+  def ivfSearchAssigned(assigned: DataFrame, centroids: Array[(Int, Array[Double])],
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int = 4): DataFrame = {
+    val a = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_v"), col("cell"))
     val dvQ = queries.select(col(idCol), col(vecCol),
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val probes = probeCells(dvQ, centroids, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("cell"))
-
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+    val scored = a.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_v"), col("c_v")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
+  }
+
+  /** IVF search over a k-means index: corpus pre-assigned to its
+    * nearest centroid; each query probes the `nprobe` nearest cells and
+    * ranks exactly within them. */
+  def ivfKmeansTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nCells: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    val centroids = kMeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    ivfSearchAssigned(ivfAssignedIndex(corpus, idCol, vecCol, centroids),
+      centroids, queries, idCol, vecCol, k, nprobe)
   }
 
   /** Recall of an ANN result against the exact brute-force answer over

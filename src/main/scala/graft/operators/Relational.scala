@@ -131,6 +131,28 @@ object Relational {
     merged.select(picked: _*)
   }
 
+  /** MERGE with GROUP-replace semantics: incoming rows replace ALL
+    * existing rows sharing their group key(s) — the contract of
+    * multi-row-per-key index tables (BM25 postings per doc_id, LSH band
+    * keys, fuzzy-key segments), where a re-uploaded document's new rows
+    * must displace its old rows wholesale and a row-keyed
+    * [[mergeUpsert]] would leave stale orphans (old terms the revision
+    * no longer contains). Schemas must match exactly.
+    *
+    * Scale shape: the incoming batch's key set is batch-sized, so it
+    * broadcasts — one streaming anti-join scan of the existing table
+    * plus a union; the existing side never shuffles. */
+  def mergeReplaceGroups(existing: DataFrame, incoming: DataFrame,
+                         groupKeys: Seq[String]): DataFrame = {
+    require(groupKeys.nonEmpty, "mergeReplaceGroups needs explicit group keys")
+    require(incoming.columns.sorted.sameElements(existing.columns.sorted),
+      s"schema mismatch: existing=${existing.columns.sorted.mkString(",")} " +
+        s"incoming=${incoming.columns.sorted.mkString(",")}")
+    val keys = incoming.select(groupKeys.map(col): _*).distinct()
+    existing.join(broadcast(keys), groupKeys, "left_anti")
+      .unionByName(incoming)
+  }
+
   /** Top-k per group with a deterministic total order. */
   def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column], k: Int,
                    rankCol: String = "rank"): DataFrame = {

@@ -106,12 +106,35 @@ object ParquetMergeSink {
         case Some(existing) => Relational.mergeUpsert(existing, incoming, keys, policy)
         case None           => incoming
       }
-      val dir = s"v$version"
-      val target = Fs.child(Fs.child(warehouse, table), dir)
-      merged.write.mode(SaveMode.Overwrite).parquet(target)
-      Fs.writeStringAtomic(Fs.child(Fs.child(warehouse, table), "_CURRENT"), dir)
-      spark.read.parquet(target).count()
+      writeVersion(spark, warehouse, table, merged, version)
     }
+
+  /** MERGE with group-replace semantics
+    * ([[graft.operators.Relational.mergeReplaceGroups]]) into the same
+    * versioned store: incoming rows displace ALL current rows sharing
+    * their group key(s). The maintenance write of multi-row-per-key
+    * index tables — BM25 postings, LSH band keys, fuzzy-key segments —
+    * where a row-keyed [[merge]] would leave stale orphan rows from a
+    * re-uploaded document's previous revision. Same versioning, pointer
+    * swap, time travel, vacuum, and per-table locking as [[merge]]. */
+  def mergeGroups(spark: SparkSession, warehouse: String, table: String,
+                  incoming: DataFrame, groupKeys: Seq[String], version: Long): Long =
+    withTableLock(warehouse, table) {
+      val merged = readCurrent(spark, warehouse, table) match {
+        case Some(existing) => Relational.mergeReplaceGroups(existing, incoming, groupKeys)
+        case None           => incoming
+      }
+      writeVersion(spark, warehouse, table, merged, version)
+    }
+
+  private def writeVersion(spark: SparkSession, warehouse: String, table: String,
+                           merged: DataFrame, version: Long): Long = {
+    val dir = s"v$version"
+    val target = Fs.child(Fs.child(warehouse, table), dir)
+    merged.write.mode(SaveMode.Overwrite).parquet(target)
+    Fs.writeStringAtomic(Fs.child(Fs.child(warehouse, table), "_CURRENT"), dir)
+    spark.read.parquet(target).count()
+  }
 }
 
 object JdbcUpsertSink {

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.Decontaminate
 
 class DecontaminateSpec extends AnyFunSuite {
-  lazy val spark = GraftSpark.spark
+  lazy val spark = GraftSpark.isolated // mutates session state (conf/listeners)
   import spark.implicits._
 
   // bench doc 10 is a verbatim slice of doc 1; doc 2 shares nothing

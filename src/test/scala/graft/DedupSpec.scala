@@ -134,13 +134,22 @@ class DedupSpec extends AnyFunSuite {
     // input (already converged after round 1). The per-round exceptAll
     // + two counts this design replaced added their own shuffle stages
     // EVERY round — reintroducing them blows past the bound on round 1.
+    // Suites share one SparkContext and run concurrently, so count only
+    // jobs carrying THIS test's job group (local properties propagate
+    // from the submitting thread into every job of the measured run,
+    // including AQE's materialization jobs) — a raw job census would
+    // pick up other suites' work.
+    val group = s"cc-jobcount-${java.util.UUID.randomUUID()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id"))
+          jobs.incrementAndGet(): Unit
     }
     val sc = spark.sparkContext
     sc.addSparkListener(listener)
+    sc.setJobGroup(group, "cc job-count gate")
     try {
       val star = (1L to 50L).map(i => (i, 0L)).toDF("a_id", "b_id")
       val cc = Dedup.connectedComponents(star, "a_id", "b_id")
@@ -148,8 +157,12 @@ class DedupSpec extends AnyFunSuite {
       // listener events are async; actions above have all completed, so
       // a short settle is enough for the job-start events to land
       Thread.sleep(500)
+      assert(jobs.get() > 0, "job-group filter matched no jobs — harness broken")
       assert(jobs.get() <= 20, s"expected <=20 jobs for a 1-round graph, got ${jobs.get()}")
-    } finally sc.removeSparkListener(listener)
+    } finally {
+      sc.clearJobGroup()
+      sc.removeSparkListener(listener)
+    }
   }
 
   test("connectedComponents: superseded rounds release their checkpoint blocks") {
@@ -227,34 +240,37 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("pair-generator storage is bounded: repeated calls reuse one cache entry, release frees it") {
-    // track the exact RDD ids our calls add — immune to the async
-    // ContextCleaner collecting unrelated leftovers mid-test
-    val sc = spark.sparkContext
-    def ids() = sc.getPersistentRDDs.keySet
-    val base = ids()
-
+    // Assert through Dataset.storageLevel (a canonicalized-plan lookup
+    // in the session's cache manager) rather than a global
+    // getPersistentRDDs census: suites run concurrently in this JVM, so
+    // a global RDD-id diff picks up other suites' blocks. Plan-equality
+    // lookup also IS the "one entry" guarantee: the second call's
+    // persist resolves to the same cache entry, and release unpersists
+    // it for every handle.
+    import org.apache.spark.storage.StorageLevel
+    def simLvl() = Dedup.simHashes(corpus, "doc_id", "text").storageLevel
+    Dedup.releaseSimHashCache(corpus, "doc_id", "text") // earlier tests may have cached
+    assert(simLvl() == StorageLevel.NONE)
     Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
-    val fromFirst = ids() -- base
+    assert(simLvl() != StorageLevel.NONE, "first call must cache the signature table")
     Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
-    assert((ids() -- base -- fromFirst).isEmpty,
-      "repeated simHashPairs call grew the persisted-RDD count")
+    assert(simLvl() != StorageLevel.NONE)
     Dedup.releaseSimHashCache(corpus, "doc_id", "text")
-    assert((ids() intersect fromFirst).isEmpty,
-      "releaseSimHashCache left blocks behind")
+    assert(simLvl() == StorageLevel.NONE, "releaseSimHashCache left the entry cached")
 
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.99f, 0.1f, 0.0f)),
       (2L, Array(0.0f, 1.0f, 0.0f))
     ).toDF("vec_id", "embedding")
-    val preLsh = ids()
+    def lshLvl() = Dedup.signSketched(vecs, "vec_id", "embedding",
+      numBits = 32, seed = 42L).storageLevel
+    assert(lshLvl() == StorageLevel.NONE)
     Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count()
-    val fromLsh = ids() -- preLsh
+    assert(lshLvl() != StorageLevel.NONE, "first call must cache the sketch table")
     Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count()
-    assert((ids() -- preLsh -- fromLsh).isEmpty,
-      "repeated embeddingNearDupLsh call grew the persisted-RDD count")
+    assert(lshLvl() != StorageLevel.NONE)
     Dedup.releaseEmbeddingLshCache(vecs, "vec_id", "embedding")
-    assert((ids() intersect fromLsh).isEmpty,
-      "releaseEmbeddingLshCache left blocks behind")
+    assert(lshLvl() == StorageLevel.NONE, "releaseEmbeddingLshCache left the entry cached")
   }
 
   test("semDedupDeltaPairs equals the fixed-centroid full run restricted to delta-touching pairs") {

@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.sinks.MetricsListener
 
 class ListenerSpec extends AnyFunSuite {
-  lazy val spark = GraftSpark.spark
+  lazy val spark = GraftSpark.isolated // mutates session state (conf/listeners)
 
   test("metrics listener records completed actions (K4 analog)") {
     val l = MetricsListener.attach(spark)

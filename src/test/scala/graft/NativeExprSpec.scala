@@ -9,7 +9,7 @@ import graft.functions.TextFunctions
 /** Edge cases for the native expressions: empty inputs, nulls, short
   * docs, and value equivalence with the composed built-in forms. */
 class NativeExprSpec extends AnyFunSuite {
-  lazy val spark = GraftSpark.spark
+  lazy val spark = GraftSpark.isolated // mutates session state (conf/listeners)
   import spark.implicits._
 
   test("FloatVecDot equals composed aggregate(zip_with) bit-for-bit") {

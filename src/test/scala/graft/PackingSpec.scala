@@ -51,12 +51,16 @@ class PackingSpec extends AnyFunSuite {
   }
 
   test("repeated calls leak no persisted RDDs (NOTES_r3 discipline)") {
+    // Suites share one SparkContext and run concurrently, so a global
+    // block-count diff would pick up other suites' caches. packBlocks
+    // must persist NOTHING (bucket is a pure function of the id — see
+    // its scaladoc), so census exactly the blocks created from Packing
+    // code: an RDD's toString carries its creation site.
     val d = docs(200)
-    Packing.packBlocks(d, "id", col("n_tok"), 64).count() // warm
-    val before = spark.sparkContext.getPersistentRDDs.size
+    def packingPersisted() = spark.sparkContext.getPersistentRDDs.values
+      .count(_.toString.contains("Packing.scala"))
     (1 to 3).foreach(_ => Packing.packBlocks(d, "id", col("n_tok"), 64).count())
-    val after = spark.sparkContext.getPersistentRDDs.size
-    assert(after == before, s"leaked persisted RDDs: $before -> $after")
+    assert(packingPersisted() == 0, "packBlocks left persisted RDDs behind")
   }
 
   test("empty input returns empty output") {

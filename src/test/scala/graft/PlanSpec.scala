@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * WholeStageCodegen. Regressions here are performance bugs even when
   * results stay correct. */
 class PlanSpec extends AnyFunSuite {
-  lazy val spark = GraftSpark.spark
+  lazy val spark = GraftSpark.isolated // mutates session state (conf/listeners)
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(name: String): String =

@@ -96,6 +96,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeReplaceGroups: incoming groups displace wholesale, others survive") {
+    // multi-row-per-key index table: key 2's revision has FEWER rows —
+    // a row-keyed upsert would orphan (2, "y"); group-replace must not
+    val existing = Seq((1L, "a"), (2L, "x"), (2L, "y"), (3L, "c"))
+      .toDF("id", "term")
+    val incoming = Seq((2L, "z"), (4L, "d")).toDF("id", "term")
+    val out = Relational.mergeReplaceGroups(existing, incoming, Seq("id"))
+      .as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "a"), (2L, "z"), (3L, "c"), (4L, "d")))
+    val e = intercept[IllegalArgumentException] {
+      Relational.mergeReplaceGroups(existing,
+        incoming.withColumnRenamed("term", "word"), Seq("id"))
+    }
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("topKPerGroup deterministic ranks") {
     val df = Seq((1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 5.0, 102L), (2L, 1.0, 103L))
       .toDF("g", "score", "id")

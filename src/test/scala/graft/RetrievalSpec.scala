@@ -142,6 +142,50 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("PostingsStream: maintained index equals a from-scratch rebuild; versions time-travel") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_pstream").toString
+    // batch 1: docs 1,2 (original); batch 2: doc 2 revised + doc 3 new —
+    // the group-upsert must drop doc 2's old postings across batches.
+    // coalesce(1): with maxFilesPerTrigger=1 a batch is ONE FILE, and
+    // the v1 time-travel assertion below needs batch 1 == exactly in1
+    corpus.filter($"doc_id" <= 2).coalesce(1).write.parquet(s"$dir/in1")
+    Seq((2L, "banana banana fig"), (3L, "cherry date date cherry"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.PostingsStream.start(
+      stream, "doc_id", "text", s"$dir/wh", "postings", s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val v2docs = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana banana fig"),
+      (3L, "cherry date date cherry")).toDF("doc_id", "text")
+    val maintained = graft.sinks.ParquetMergeSink
+      .readCurrent(spark, s"$dir/wh", "postings").get
+      .as[(Long, String, Long)].collect().toSet
+    val rebuilt = Retrieval.postings(v2docs, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(maintained == rebuilt && maintained.nonEmpty)
+    // time travel: version 1 is the batch-1 index (doc 2 unrevised)
+    val v1 = graft.sinks.ParquetMergeSink
+      .readVersion(spark, s"$dir/wh", "postings", 1L).get
+      .as[(Long, String, Long)].collect().toSet
+    val b1 = Retrieval.postings(corpus.filter($"doc_id" <= 2), "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(v1 == b1 && v1.exists(r => r._1 == 2L && r._2 == "cherry"))
+    // and online queries against the maintained index answer as rebuilt
+    val qs = Seq((10L, "banana fig")).toDF("qid", "qtext")
+    val a = Retrieval.bm25TopKFromIndex(
+        graft.sinks.ParquetMergeSink.readCurrent(spark, s"$dir/wh", "postings").get,
+        qs, "qid", "qtext", k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Retrieval.bm25TopK(v2docs, "doc_id", "text", qs, "qid", "qtext", k = 3)
+      .orderBy($"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
   test("bm25TopK: scores are partitioning-independent (ppm contract)") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val q = d.filter($"doc_id" % 20 === 0)

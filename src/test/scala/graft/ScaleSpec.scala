@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.Scale
 
 class ScaleSpec extends AnyFunSuite {
-  lazy val spark = GraftSpark.spark
+  lazy val spark = GraftSpark.isolated // mutates session state (conf/listeners)
   import spark.implicits._
 
   test("saltedSum equals plain groupBy sum") {

@@ -48,6 +48,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c1 == c2)
   }
 
+  test("ivfAssignedIndex: incremental group-merge equals full re-assignment; search agrees") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v1 = embs.filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    // centroids train on v1 only and are REUSED for the delta
+    val cents = Similarity.kMeansCentroids(v1, "vec_id", "embedding", 8, 2)
+    val merged = graft.operators.Relational.mergeReplaceGroups(
+      Similarity.ivfAssignedIndex(v1, "vec_id", "embedding", cents),
+      Similarity.ivfAssignedIndex(delta, "vec_id", "embedding", cents),
+      Seq("vec_id"))
+    val rebuilt = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+    val mA = merged.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val rA = rebuilt.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(mA == rA && mA.nonEmpty)
+    // and search over the merged index equals search over the rebuilt one
+    val q = embs.filter($"vec_id" < 5)
+    def run(idx: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSearchAssigned(idx, cents, q, "vec_id", "embedding", k = 5, nprobe = 3)
+        .select($"query_id", $"rank", $"neighbor_id").as[(Long, Int, Long)]
+        .collect().toSet
+    assert(run(merged) == run(rebuilt) && run(merged).nonEmpty)
+  }
+
   test("ivfTopK with partial probing returns deterministic rows") {
     val a = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
       k = 2, nCells = 3, nprobe = 2).collect().map(_.toSeq)

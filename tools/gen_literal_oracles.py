@@ -30,6 +30,7 @@ QUERIES = {
     "t75_bin_packing": (["doc_id", "n_tokens", "bucket", "bin", "oversize"], "doc_id"),
     "t79_semdedup_delta": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t83_knn_pq": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
+    "t112_knn_ivf_incremental": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
 }
 
 con = duckdb.connect()
