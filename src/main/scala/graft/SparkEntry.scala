@@ -1512,6 +1512,42 @@ object SparkEntry {
       .orderBy(col("source"))
   }
 
+  /** Quality-threshold selectivity sweep
+    * ([[graft.operators.Sampling.thresholdSweep]]) over the t78
+    * unigram-LM score: documents and tokens kept at each candidate
+    * cutoff — the tuning table behind a filter decision. One histogram
+    * pass over the corpus; candidate thresholds are control-plane. */
+  private def t113ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val scored = TextAnalysis.unigramLogProbPpm(t(s, dir, "documents"),
+      "doc_id", "text")
+    graft.operators.Sampling.thresholdSweep(scored, "avg_logprob_ppm",
+        col("n_tokens"),
+        Seq(-5000000L, -4930000L, -4920000L, -4910000L,
+          -4905000L, -4900000L, -4890000L))
+      .orderBy(col("threshold"))
+  }
+
+  /** Cross-source preference dedup (the Dolma/RefinedWeb "keep the
+    * curated copy" rule): among exact-duplicate documents, the survivor
+    * comes from the highest-priority source (here: lower src-index =
+    * more curated; ties break on doc id). Exact-dup cliques from the
+    * thin fingerprint self-join feed
+    * [[graft.llm.Dedup.dedupByPairsKeepBest]] with the source priority
+    * as the score — the t89 keep-best machinery composed with a
+    * source-rank scorer instead of a quality model. */
+  private def t114SourcePrefSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.fingerprint
+    val docs = t(s, dir, "documents")
+      .withColumn("src_prio", -substring(col("source"), 4, 10).cast("int"))
+    val fps = docs.select(col("doc_id").as("id"), fingerprint(col("text")).as("fp"))
+    val pairs = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    Dedup.dedupByPairsKeepBest(docs, "doc_id", "src_prio", pairs, "a_id", "b_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fuzzy-key dedup end to end: pigeonhole Hamming pairs → distributed
     * connected components → min-id survivors (the removal a user
     * actually runs; t100 reports the pairs). */
@@ -1579,6 +1615,8 @@ object SparkEntry {
     "t110_bm25_incremental" -> t110Bm25Incremental _,
     "t111_report_quantiles" -> t111ReportQuantiles _,
     "t112_knn_ivf_incremental" -> t112KnnIvfIncremental _,
+    "t113_threshold_sweep" -> t113ThresholdSweep _,
+    "t114_source_pref_survivors" -> t114SourcePrefSurvivors _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
     "t94_langid_nb" -> t94LangIdNb _,
@@ -2752,6 +2790,46 @@ object SparkEntry {
       // curriculum bins: t78's score chain + exact CDF binning over the
       // bounded score histogram — bin = (10*cum + tot - 1) // tot, all
       // positive integers so // is the same floor both engines
+      // t78 chain + threshold sweep: count/sum FILTER per candidate
+      // cutoff over the cross-joined threshold list; integer // ppm
+      "t113_threshold_sweep" ->
+        s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+          g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),
+          v AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM g GROUP BY tok),
+          tot0 AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM v),
+          sc AS (SELECT tok, c,
+              CAST(floor(log2(CAST(c AS DOUBLE) / CAST((SELECT N FROM tot0) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS lp
+            FROM v),
+          d AS (SELECT doc_id, CAST(sum(g.n) AS BIGINT) AS n_tokens,
+              CAST(sum(g.n * sc.lp) AS BIGINT) AS sum_lp
+            FROM g JOIN sc USING (tok) GROUP BY doc_id),
+          s2 AS (SELECT n_tokens,
+              CASE WHEN sum_lp >= 0 THEN sum_lp // n_tokens
+                   ELSE -((-sum_lp) // n_tokens) END AS score FROM d),
+          thr AS (SELECT unnest([-5000000, -4930000, -4920000, -4910000,
+              -4905000, -4900000, -4890000]) AS threshold),
+          sw AS (SELECT thr.threshold,
+              CAST(count(*) FILTER (s2.score >= thr.threshold) AS BIGINT) AS n_kept,
+              CAST(count(*) AS BIGINT) AS n_total,
+              CAST(coalesce(sum(s2.n_tokens) FILTER (s2.score >= thr.threshold), 0) AS BIGINT) AS w_kept,
+              CAST(sum(s2.n_tokens) AS BIGINT) AS w_total
+            FROM s2 CROSS JOIN thr GROUP BY thr.threshold)
+          SELECT CAST(threshold AS BIGINT) AS threshold, n_kept, n_total,
+            (n_kept * 1000000 // n_total) AS kept_ppm, w_kept, w_total
+          FROM sw ORDER BY threshold""",
+      // exact-dup cliques = fingerprint groups, so keep-best reduces to
+      // a per-fp window: winner by (priority DESC, doc_id); NULL-text
+      // docs have NULL fps and survive untouched (no self-grouping)
+      "t114_source_pref_survivors" ->
+        s"""WITH d AS (SELECT doc_id, source, md5($norm) AS fp,
+              -CAST(substring(source, 4) AS INT) AS prio FROM documents),
+          w AS (SELECT doc_id, source, fp,
+              row_number() OVER (PARTITION BY fp ORDER BY prio DESC, doc_id) AS rn
+            FROM d WHERE fp IS NOT NULL)
+          SELECT doc_id, source FROM w WHERE rn = 1
+          UNION ALL
+          SELECT doc_id, source FROM d WHERE fp IS NULL
+          ORDER BY doc_id""",
       "t98_curriculum_bins" ->
         s"""WITH p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
           g AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),

@@ -188,6 +188,37 @@ object Sampling {
     hist.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Filter-selectivity sweep — the tuning table behind every quality
+    * threshold decision: for each candidate cutoff, how many documents
+    * and how much weight (tokens) survive `score >= threshold`. Same
+    * bounded-histogram shape as [[cdfBins]]/[[exactQuantilesPpm]]: the
+    * corpus aggregates ONCE into the (score, count, weight) histogram,
+    * the candidate thresholds explode over that control-plane-sized
+    * table (a literal array — no join), and the sweep is one thin
+    * groupBy. All integer math; adding thresholds costs nothing
+    * corpus-sized.
+    *
+    * @return one row per threshold: (threshold, n_kept, n_total,
+    *         kept_ppm, w_kept, w_total), kept_ppm = ⌊n_kept·10⁶/n_total⌋.
+    */
+  def thresholdSweep(df: DataFrame, scoreCol: String, weight: Column,
+                     thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val hist = df.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"), sum(weight.cast("long")).as("w"))
+    hist.select(col("s"), col("n"), col("w"),
+        explode(typedlit(thresholds)).as("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold"), col("n")).otherwise(lit(0L))).as("n_kept"),
+        sum(col("n")).as("n_total"),
+        sum(when(col("s") >= col("threshold"), col("w")).otherwise(lit(0L))).as("w_kept"),
+        sum(col("w")).as("w_total"))
+      .select(col("threshold"), col("n_kept"), col("n_total"),
+        expr("n_kept * 1000000L DIV n_total").as("kept_ppm"),
+        col("w_kept"), col("w_total"))
+  }
+
   /** Deterministic global shuffle + fixed-shard assignment — the
     * reshard step before sequence packing / training-order
     * serialization: every row gets a `shard` in [0, nShards) and a

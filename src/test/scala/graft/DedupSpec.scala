@@ -488,6 +488,26 @@ class DedupSpec extends AnyFunSuite {
     assert(next.contains((0L, 7L, 0L)) && next.contains((4L, 7L, 0L)))
   }
 
+  test("source-preference dedup: exact dups keep the highest-priority source's copy") {
+    // docs 1/2/3 share text across src2/src0/src1 — src0's copy (doc 2)
+    // must survive; 4/5 share text within one source — min id wins;
+    // 6 is unique and survives untouched
+    val docs = Seq(
+      (1L, "same text", "src2"), (2L, "same text", "src0"), (3L, "same text", "src1"),
+      (4L, "other text", "src3"), (5L, "other text", "src3"),
+      (6L, "unique", "src9")).toDF("doc_id", "text", "source")
+      .withColumn("src_prio",
+        -org.apache.spark.sql.functions.substring(col("source"), 4, 10).cast("int"))
+    import graft.functions.TextFunctions.fingerprint
+    val fps = docs.select(col("doc_id").as("id"), fingerprint(col("text")).as("fp"))
+    val pairs = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
+    val kept = Dedup.dedupByPairsKeepBest(docs, "doc_id", "src_prio", pairs, "a_id", "b_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   // ---- corpusDiff ----------------------------------------------------
 
   test("corpusDiff: a NULL-text doc present in both versions is not churn") {

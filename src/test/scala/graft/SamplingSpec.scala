@@ -139,6 +139,25 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == Seq(("a", 5L, 10L), ("c", 42L, 42L)))
   }
 
+  test("thresholdSweep: hand-computed keep counts/weights per cutoff") {
+    import org.apache.spark.sql.functions._
+    // scores 10,10,20,30 with weights 1,2,3,4
+    val df = Seq((10L, 1L), (10L, 2L), (20L, 3L), (30L, 4L)).toDF("s", "w")
+    val r = Sampling.thresholdSweep(df, "s", col("w"), Seq(5L, 15L, 25L, 35L))
+      .orderBy($"threshold")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (5L, 4L, 4L, 1000000L, 10L, 10L),
+      (15L, 2L, 4L, 500000L, 7L, 10L),
+      (25L, 1L, 4L, 250000L, 4L, 10L),
+      (35L, 0L, 4L, 0L, 0L, 10L)))
+    // partitioning-independent
+    val r7 = Sampling.thresholdSweep(df.repartition(7), "s", col("w"),
+        Seq(5L, 15L, 25L, 35L))
+      .orderBy($"threshold").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r7 == r)
+  }
+
   test("writeShards: one dir per shard, rows inside a shard ascend by pos") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft_shards_").toString
