@@ -65,6 +65,25 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("t110: incremental postings merge anti-joins with a broadcast delta key set") {
+    val p = plan("t110_bm25_incremental")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t112: incremental IVF merge anti-joins broadcast; search probe broadcasts") {
+    val p = plan("t112_knn_ivf_incremental")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t113/t114: sweep and source-pref plans have no cartesian product") {
+    assert(!plan("t113_threshold_sweep").contains("CartesianProduct"))
+    assert(!plan("t114_source_pref_survivors").contains("CartesianProduct"))
+  }
+
   test("q36: as-of join is one shuffle + window, not a join explosion") {
     val p = plan("q36_asof_join")
     assert(p.contains("Window"), p.take(2000))
