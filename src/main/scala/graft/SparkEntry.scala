@@ -763,6 +763,35 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
   }
 
+  /** IVF assignment drift monitor
+    * ([[graft.llm.Similarity.ivfCellStats]]): per-cell integer mean
+    * squared distance of the v1 corpus vs the delta batch, both under
+    * v1's centroids — the index-health signal that schedules a
+    * re-cluster in the t112 incremental deployment (drift_ppm =
+    * mean_delta·10⁶ DIV mean_v1). Deterministic (decimal centroids,
+    * per-vector ppm floors, integer means) → literal oracle. */
+  private def t115IvfDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val cents = Similarity.kMeansCentroids(v1, "vec_id", "embedding", 16, 2)
+    val base = Similarity.ivfCellStats(v1, "vec_id", "embedding", cents)
+      .select(col("cell"), col("n").as("n_v1"),
+        col("mean_d2_ppm").as("mean_d2_v1"))
+    val dlt = Similarity.ivfCellStats(delta, "vec_id", "embedding", cents)
+      .select(col("cell"), col("n").as("n_delta"),
+        col("mean_d2_ppm").as("mean_d2_delta"))
+    base.join(dlt, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("mean_d2_v1"), lit(0L)).as("mean_d2_v1"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        coalesce(col("mean_d2_delta"), lit(0L)).as("mean_d2_delta"))
+      .withColumn("drift_ppm",
+        expr("mean_d2_delta * 1000000L DIV greatest(mean_d2_v1, 1L)"))
+      .orderBy(col("cell"))
+  }
+
   /** Per-doc BPE token counts under the learned merge table (which is
     * itself hash-checked as t61). Deterministic — training ties break
     * lexicographically, encoding is a pure function of (text, merges) —
@@ -1616,6 +1645,7 @@ object SparkEntry {
     "t111_report_quantiles" -> t111ReportQuantiles _,
     "t112_knn_ivf_incremental" -> t112KnnIvfIncremental _,
     "t113_threshold_sweep" -> t113ThresholdSweep _,
+    "t115_ivf_drift" -> t115IvfDrift _,
     "t114_source_pref_survivors" -> t114SourcePrefSurvivors _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
@@ -2116,6 +2146,7 @@ object SparkEntry {
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
       "t112_knn_ivf_incremental" -> LiteralOracles.t112,
+      "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,
       "t65_incremental_minhash" -> LiteralOracles.t65,

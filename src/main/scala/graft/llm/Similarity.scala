@@ -121,6 +121,7 @@ object Similarity {
     }
     dv.withColumn("__best", array_min(array(scored: _*)))
       .withColumn("cell", col("__best.cell"))
+      .withColumn("__d2", col("__best.d2"))
       .drop("__best")
   }
 
@@ -138,6 +139,31 @@ object Similarity {
     assignCells(corpus.select(col(idCol), col(vecCol),
         transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
       .select(col(idCol), col(vecCol), col("cell"))
+
+  /** Per-cell assignment-quality statistics under a FIXED centroid set:
+    * (cell, n, mean_d2_ppm) with each vector's squared L2 distance to
+    * its assigned centroid ppm-floored BEFORE the integer mean
+    * (sum DIV n) — deterministic and partition-independent, the house
+    * contract. This is the drift monitor an incremental ANN deployment
+    * needs: when a delta batch's per-cell mean distance degrades
+    * against the corpus baseline, the centroids no longer describe the
+    * incoming distribution and a re-cluster is due — the index-health
+    * analog of the reference's post-load row-count check
+    * (/root/reference/delta_load.py:267-286: verify, then notify). */
+  def ivfCellStats(corpus: DataFrame, idCol: String, vecCol: String,
+                   centroids: Array[(Int, Array[Double])]): DataFrame =
+    assignCells(corpus.select(col(idCol),
+        transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
+      .select(col("cell"),
+        // clamp: the a²−2ab+b² expansion can go epsilon-negative when
+        // v ≈ centroid, and a −1 ppm floor would break the non-negative
+        // DIV contract of the mean
+        floor(greatest(col("__d2"), lit(0.0)) * lit(1e6) + lit(1e-4))
+          .cast("long").as("d2_ppm"))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("d2_ppm")).as("sum_d2_ppm"))
+      .select(col("cell"), col("n"),
+        expr("sum_d2_ppm DIV n").as("mean_d2_ppm"))
 
   /** IVF search over a persisted [[ivfAssignedIndex]]: each query
     * probes its `nprobe` nearest cells (centroid matrix is driver-side

@@ -149,6 +149,54 @@ class SparkPropertySpec extends Properties("graft.spark") {
           sortedPairs.last._2 == nBins
     }
 
+  // exactQuantilesPpm: each quantile is an element of its group, the
+  // quantile values are monotone in q, p100 is the max, and the
+  // nearest-rank definition matches a driver-side sort.
+  property("exactQuantilesPpm matches driver-side nearest-rank and is monotone in q") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(-50L, 50L)))) {
+      rows =>
+        import spark.implicits._
+        val df = rows.toDF("g", "v")
+        val qs = Seq("p25" -> 250000L, "p50" -> 500000L, "p75" -> 750000L, "p100" -> 1000000L)
+        val out = Sampling.exactQuantilesPpm(df, "g", "v", qs)
+          .as[(String, Long, Long, Long, Long)].collect()
+          .map(r => r._1 -> Seq(r._2, r._3, r._4, r._5)).toMap
+        rows.groupBy(_._1).forall { case (g, grp) =>
+          val sorted = grp.map(_._2).sorted
+          val expect = Seq(250000L, 500000L, 750000L, 1000000L).map { q =>
+            val rank = ((sorted.size * q + 999999L) / 1000000L).toInt
+            sorted(rank - 1)
+          }
+          out(g) == expect &&
+            out(g).zip(out(g).drop(1)).forall { case (a, b) => a <= b } &&
+            out(g).last == sorted.last
+        }
+    }
+
+  // thresholdSweep: n_kept/w_kept are non-increasing in the threshold,
+  // totals are constant, and each row matches a driver-side count.
+  property("thresholdSweep matches driver-side counts and is monotone in the cutoff") =
+    forAll(Gen.nonEmptyListOf(Gen.zip(Gen.choose(-30L, 30L), Gen.choose(1L, 9L)))) {
+      rows =>
+        import org.apache.spark.sql.functions.col
+        import spark.implicits._
+        val df = rows.toDF("s", "w")
+        val thrs = Seq(-40L, -10L, 0L, 10L, 40L)
+        val out = Sampling.thresholdSweep(df, "s", col("w"), thrs)
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+          .sortBy(_._1).toSeq
+        val ok = out.forall { case (t, nk, nt, kp, wk, wt) =>
+          nk == rows.count(_._1 >= t) &&
+            wk == rows.filter(_._1 >= t).map(_._2).sum &&
+            nt == rows.size && wt == rows.map(_._2).sum &&
+            kp == nk * 1000000L / nt
+        }
+        val mono = out.zip(out.drop(1)).forall { case ((_, nk1, _, _, wk1, _), (_, nk2, _, _, wk2, _)) =>
+          nk1 >= nk2 && wk1 >= wk2
+        }
+        ok && mono
+    }
+
   override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
     p.withMinSuccessfulTests(8)
 }

@@ -71,6 +71,48 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(merged) == run(rebuilt) && run(merged).nonEmpty)
   }
 
+  test("ivfCellStats: hand-computed per-cell integer mean distances") {
+    // centroids (1,0) and (0,1); vectors split 2/1 with known d²:
+    //   (1,0) -> cell 0, d² = 0; (0.6,0.8) -> cell 1 (d²=0.4 vs 1.0... )
+    //   (0.6,0.8): d² to (1,0) = 0.16+0.64 = 0.8; to (0,1) = 0.36+0.04 = 0.4 -> cell 1
+    //   (0,1)     -> cell 1, d² = 0
+    val cents = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+    val vs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.6f, 0.8f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfCellStats(vs, "vec_id", "embedding", cents)
+      .orderBy($"cell").as[(Int, Long, Long)].collect().toSeq
+    // cell 0: n=1 mean=0; cell 1: n=2, d² ppm = {400000, 0} -> mean 200000
+    assert(r == Seq((0, 1L, 0L), (1, 2L, 200000L)))
+  }
+
+  test("IvfStream: streamed assignment equals batch; drift stats read off the current version") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_ivfstream").toString
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v1 = embs.filter($"vec_id" % 5 =!= 0)
+    // centroids persist once, trained on v1
+    Similarity.kMeansIndex(v1, "vec_id", "embedding", 8, 2)
+      .write.parquet(s"$dir/centroids")
+    val cents = Similarity.centroidsOf(spark.read.parquet(s"$dir/centroids"))
+    // two micro-batches: v1 then the delta
+    v1.write.parquet(s"$dir/in1")
+    embs.filter($"vec_id" % 5 === 0).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.IvfStream.start(stream, "vec_id", "embedding",
+      s"$dir/centroids", s"$dir/wh", "ivf", s"$dir/ckpt")
+    q.awaitTermination(60000)
+    val maintained = graft.sinks.ParquetMergeSink
+      .readCurrent(spark, s"$dir/wh", "ivf").get
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    val rebuilt = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(maintained == rebuilt && maintained.nonEmpty)
+  }
+
   test("ivfTopK with partial probing returns deterministic rows") {
     val a = Similarity.ivfTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
       k = 2, nCells = 3, nprobe = 2).collect().map(_.toSeq)
