@@ -1301,6 +1301,19 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Span-level decontamination
+    * ([[graft.llm.Decontaminate.scrubContaminatedSpans]]): the t81
+    * bench's leaked 8-gram windows are REMOVED from each document
+    * instead of dropping the whole doc — the data-preserving transform
+    * (bench docs themselves scrub to empty: total self-overlap). */
+  private def t116DecontaminateSpans(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val idx = graft.llm.Decontaminate.benchGramIndex(
+      d.filter(col("doc_id") % 50 === 0), "text", n = 8)
+    graft.llm.Decontaminate.scrubContaminatedSpans(d, "doc_id", "text", idx, n = 8)
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM quality scoring (add-one smoothed, integer-exact) — the
     * context-aware sibling of t78; same ppm-floor contract. */
   private def t84BigramLogprob(s: SparkSession, dir: String): DataFrame =
@@ -1646,6 +1659,7 @@ object SparkEntry {
     "t112_knn_ivf_incremental" -> t112KnnIvfIncremental _,
     "t113_threshold_sweep" -> t113ThresholdSweep _,
     "t115_ivf_drift" -> t115IvfDrift _,
+    "t116_decontaminate_spans" -> t116DecontaminateSpans _,
     "t114_source_pref_survivors" -> t114SourcePrefSurvivors _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
@@ -2772,6 +2786,31 @@ object SparkEntry {
           rem AS (SELECT w.doc_id, w.pos FROM w JOIN freq USING (fp)
             WHERE w.doc_id <> freq.canon),
           covp AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS p FROM rem),
+          cov AS (SELECT doc_id, list_sort(list(p)) AS cv FROM covp GROUP BY doc_id),
+          o AS (SELECT b.doc_id, len(tk) AS nt,
+            CASE WHEN cv IS NULL THEN tk
+                 ELSE list_filter(tk, (x, i) -> NOT list_contains(cv, i - 1)) END AS kept
+            FROM b LEFT JOIN cov USING (doc_id))
+          SELECT doc_id, CAST(nt AS BIGINT) AS n_tokens,
+            CAST(nt - len(kept) AS BIGINT) AS n_removed,
+            coalesce(array_to_string(kept, ' '), '') AS clean_text
+          FROM o ORDER BY doc_id""",
+      // t95's window/rebuild idiom pointed at the t81 bench gram set:
+      // matched windows' covered positions drop, short docs contribute
+      // their whole-text shingle (shingleSet parity on both sides)
+      "t116_decontaminate_spans" ->
+        s"""WITH b AS (SELECT doc_id, $toks AS tk FROM documents),
+          bg AS (SELECT DISTINCT unnest($grams8) AS gram FROM documents
+            WHERE doc_id % 50 = 0),
+          w AS (SELECT doc_id, len(tk) AS nt,
+            unnest(CASE WHEN len(tk) >= 8 THEN range(0, len(tk) - 7)
+                        WHEN len(tk) > 0 THEN [0] ELSE [] END) AS pos,
+            unnest(CASE WHEN len(tk) >= 8 THEN list_transform(range(0, len(tk) - 7),
+                  i -> array_to_string(tk[i+1:i+8], ' '))
+                WHEN len(tk) > 0 THEN [array_to_string(tk, ' ')] ELSE [] END) AS gram
+          FROM b),
+          rem AS (SELECT w.doc_id, w.pos, w.nt FROM w JOIN bg USING (gram)),
+          covp AS (SELECT DISTINCT doc_id, unnest(range(pos, least(pos + 8, nt))) AS p FROM rem),
           cov AS (SELECT doc_id, list_sort(list(p)) AS cv FROM covp GROUP BY doc_id),
           o AS (SELECT b.doc_id, len(tk) AS nt,
             CASE WHEN cv IS NULL THEN tk

@@ -103,6 +103,54 @@ object Decontaminate {
     matched.groupBy("doc_id").agg(count(lit(1)).as("n_shared_grams"))
   }
 
+  /** Span-level decontamination: remove ONLY the n-token windows that
+    * appear in the benchmark gram index, keeping the rest of the
+    * document — the data-preserving alternative to
+    * [[scrubAgainstGramIndex]]'s whole-doc drop (at 100 TB most
+    * contaminated docs carry one leaked paragraph; dropping the doc
+    * wastes the rest). Documents shorter than `n` tokens contribute
+    * their whole-text shingle (the
+    * [[graft.functions.TextFunctions.shingleSet]] short-text contract,
+    * so doc and bench sides agree) and scrub to empty when matched.
+    * Output (docIdCol, n_tokens, n_removed, clean_text) over the
+    * normalized token stream, one row per input doc; clean documents
+    * pass through verbatim.
+    *
+    * Scale shape: the thin (id, pos, gram) window projection LEFT-SEMI
+    * joins the gram index, so only matched windows move on; the
+    * covered-position union is per-document (bounded by doc length,
+    * one collect_set aggregation keyed by id); text is rebuilt once by
+    * a codegen'd index filter — [[graft.llm.Dedup.scrubDupSpans]]'s
+    * machinery pointed at benchmark contamination instead of
+    * duplication. */
+  def scrubContaminatedSpans(docs: DataFrame, docIdCol: String, docTextCol: String,
+                             gramIndex: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = docs.select(col(docIdCol).as("id"),
+        TextFunctions.tokens(TextFunctions.normalizeText(col(docTextCol))).as("tk"))
+      .select(col("id"), col("tk"), size(col("tk")).as("nt"))
+    val wins = base.select(col("id"), col("nt"),
+      posexplode(when(col("nt") >= n,
+        transform(sequence(lit(0), col("nt") - n),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(n)))))
+        .otherwise(when(col("nt") > 0, array(concat_ws(" ", col("tk"))))
+          .otherwise(array()))).as(Seq("pos", "gram")))
+    val covered = wins.join(gramIndex.select(col("gram")), Seq("gram"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("pos"),
+          least(col("pos") + lit(n - 1), col("nt") - 1))).as("p"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_set(col("p"))).as("cov"))
+    base.join(covered, Seq("id"), "left")
+      .select(col("id"), col("nt"),
+        when(col("cov").isNull, col("tk"))
+          .otherwise(filter(col("tk"), (t, i) => !array_contains(col("cov"), i)))
+          .as("kept"))
+      .select(col("id").as(docIdCol), col("nt").cast("long").as("n_tokens"),
+        (col("nt") - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("clean_text"))
+  }
+
   /** The clean corpus against a prebuilt gram index: documents sharing
     * fewer than `minShared` distinct n-grams with the benchmark union
     * (anti-join on the flagged id set; docs pass through untouched).

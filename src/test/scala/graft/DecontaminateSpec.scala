@@ -28,6 +28,19 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 10L, 1L), (3L, 12L, 1L)))
   }
 
+  test("scrubContaminatedSpans removes only the leaked windows; short docs scrub whole") {
+    val idx = Decontaminate.benchGramIndex(bench, "text", n = 8)
+    val out = Decontaminate.scrubContaminatedSpans(docs, "doc_id", "text", idx, n = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // doc 1: bench 10's 8-gram covers tokens 1..8 ("beta".."iota") —
+    // exactly those drop; "alpha" and "kappa" survive
+    assert(out(1L) == ((1L, 10L, 8L, "alpha kappa")))
+    // doc 2: untouched
+    assert(out(2L) == ((2L, 10L, 0L, "one two three four five six seven eight nine ten")))
+    // doc 3: whole-text shingle matches bench 12 — scrubs to empty
+    assert(out(3L) == ((3L, 2L, 2L, "")))
+  }
+
   test("minShared thresholds out weak overlaps") {
     val strict = Decontaminate.overlapPairs(docs, "doc_id", "text",
         bench, "bench_id", "text", n = 8, minShared = 2)
