@@ -25,4 +25,17 @@ class EntrySpec extends AnyFunSuite {
       assert(n >= 0, name)
     }
   }
+
+  test("no query plans a CartesianProduct (blanket structural gate)") {
+    // PlanSpec asserts targeted shapes; this is the suite-wide backstop
+    // for the scale contract "no cartesian in a query path". Non-equi
+    // pair joins plan as BroadcastNestedLoopJoin (bounded side
+    // broadcast), never CartesianProduct.
+    val offenders = SparkEntry.queries.flatMap { case (name, fn) =>
+      val p = fn(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
 }
