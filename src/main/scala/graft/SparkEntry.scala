@@ -1314,6 +1314,32 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Semi-structured VARIANT columns (Spark 4 `parse_json` /
+    * `variant_get`): ingest schemaless JSON (the shape crawl metadata
+    * and API sidecars arrive in), extract typed fields, nested paths,
+    * array elements, and a missing path (NULL, via `try_variant_get`).
+    * Variant's binary encoding beats schema-on-read string JSON at
+    * scale — parse once, extract many — and the path extraction stays
+    * in codegen. Oracle: DuckDB JSON-path twin over identically
+    * constructed JSON (cross-engine path semantics, not a tautology). */
+  private def t117VariantExtract(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val j = d.select(col("doc_id"),
+      to_json(struct(col("source"), col("lang"),
+        col("n_chars").cast("long").as("n_chars"),
+        struct(col("doc_id").as("id"), (col("doc_id") % 7).as("bucket")).as("meta"),
+        array(col("n_chars").cast("long"),
+          (col("n_chars") * 2).cast("long")).as("arr"))).as("js"))
+    j.select(col("doc_id"), parse_json(col("js")).as("v"))
+      .select(col("doc_id"),
+        variant_get(col("v"), "$.source", "string").as("source"),
+        variant_get(col("v"), "$.n_chars", "long").as("n_chars"),
+        variant_get(col("v"), "$.meta.bucket", "long").as("bucket"),
+        variant_get(col("v"), "$.arr[1]", "long").as("arr1"),
+        try_variant_get(col("v"), "$.missing", "string").as("missing"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Bigram-LM quality scoring (add-one smoothed, integer-exact) — the
     * context-aware sibling of t78; same ppm-floor contract. */
   private def t84BigramLogprob(s: SparkSession, dir: String): DataFrame =
@@ -1660,6 +1686,7 @@ object SparkEntry {
     "t113_threshold_sweep" -> t113ThresholdSweep _,
     "t115_ivf_drift" -> t115IvfDrift _,
     "t116_decontaminate_spans" -> t116DecontaminateSpans _,
+    "t117_variant_extract" -> t117VariantExtract _,
     "t114_source_pref_survivors" -> t114SourcePrefSurvivors _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
@@ -2795,6 +2822,22 @@ object SparkEntry {
             CAST(nt - len(kept) AS BIGINT) AS n_removed,
             coalesce(array_to_string(kept, ' '), '') AS clean_text
           FROM o ORDER BY doc_id""",
+      // variant twin: DuckDB builds the SAME json (key order irrelevant
+      // — both engines extract by path) and walks the same paths
+      "t117_variant_extract" ->
+        s"""WITH j AS (SELECT doc_id, to_json(struct_pack(
+            source := source, lang := lang,
+            n_chars := CAST(n_chars AS BIGINT),
+            meta := struct_pack(id := doc_id, bucket := doc_id % 7),
+            arr := [CAST(n_chars AS BIGINT), CAST(n_chars * 2 AS BIGINT)])) AS js
+          FROM documents)
+          SELECT doc_id,
+            json_extract_string(js, '$$.source') AS source,
+            CAST(json_extract(js, '$$.n_chars') AS BIGINT) AS n_chars,
+            CAST(json_extract(js, '$$.meta.bucket') AS BIGINT) AS bucket,
+            CAST(json_extract(js, '$$.arr[1]') AS BIGINT) AS arr1,
+            json_extract_string(js, '$$.missing') AS missing
+          FROM j ORDER BY doc_id""",
       // t95's window/rebuild idiom pointed at the t81 bench gram set:
       // matched windows' covered positions drop, short docs contribute
       // their whole-text shingle (shingleSet parity on both sides)
