@@ -29,7 +29,13 @@ object SparkEntry {
     * ScaleBench) keep exactly one copy per dataset on disk instead of
     * accumulating one per run. Reuse is safe because each invocation
     * writes the same deterministic content for the same inputs, and the
-    * read materializes before the next run's overwrite starts. */
+    * read materializes before the next run's overwrite starts — ON ONE
+    * THREAD. Test suites run CONCURRENTLY in one JVM
+    * (`Test / testForkedParallel`), and two suites invoking the same
+    * query would otherwise race one's Overwrite against the other's
+    * read of the same path — so the path also keys on the calling
+    * thread (driver-side only; Verify/Bench run queries on a single
+    * thread and keep full reuse). */
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft_roundtrip_")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
@@ -43,7 +49,8 @@ object SparkEntry {
   }
   private def scratch(tag: String, dir: String): String =
     s"$scratchRoot/${tag}_${java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)}"
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)}_t${
+      Thread.currentThread().getId}"
 
   /** Money math: the source doubles have ≤ `scale` decimal digits, so
     * accumulating `round(x·10^scale)` as BIGINT is exact and
@@ -1225,9 +1232,8 @@ object SparkEntry {
       .write.mode("overwrite").parquet(idxPath)
     val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
       .withColumn("text", rev2)
-    val merged = graft.llm.Retrieval.mergePostings(
-      s.read.parquet(idxPath),
-      graft.llm.Retrieval.postings(delta, "doc_id", "text"))
+    val merged = graft.llm.Retrieval.mergePostingsForDelta(
+      s.read.parquet(idxPath), delta, "doc_id", "text")
     val q = d.withColumn("text", rev2).filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"),
         array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
@@ -1803,6 +1809,42 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val norm = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
     val toks = s"string_split($norm, ' ')"
+    // ONE copy of the BM25 ranking CTE chain — t92/t97/t110 embed it
+    // whole and t93 extends it; a scoring-math fix (idf clamp, ppm
+    // epsilon, tie-break) must not need four synchronized edits.
+    def bm25RankCtes(tk: String): String = {
+      val bmK1 = 1.2; val bmB = 0.75
+      val c1 = (bmK1 + 1).toString
+      val c2 = (bmK1 * (1 - bmB)).toString
+      val c3 = (bmK1 * bmB).toString
+      s"""WITH dk AS (SELECT doc_id, $tk AS tk FROM documents),
+          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
+          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
+          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
+          qt AS (SELECT DISTINCT query_id, term FROM (
+            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
+          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
+          sc AS (SELECT qt.query_id, p.doc_id,
+              CAST(floor(
+                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
+                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
+                * (CAST(p.tf AS DOUBLE) * $c1)
+                / (CAST(p.tf AS DOUBLE) + $c2
+                   + $c3 * CAST(dl.dl AS DOUBLE)
+                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
+                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
+            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
+          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
+            FROM sc GROUP BY query_id, doc_id),
+          rk AS (SELECT query_id, doc_id, score_ppm,
+            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
+            FROM ag)"""
+    }
+    val bm25TopK5 =
+      """
+          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
+          ORDER BY query_id, rank"""
     // langId in DuckDB, generated from TextFunctions.LangMarkers so the
     // two engines can never desync when marker sets change (t24, t32)
     val langScoreCols = TextFunctions.LangMarkers.map { case (lang, words) =>
@@ -2293,138 +2335,24 @@ object SparkEntry {
       // constants are interpolated via Double.toString (shortest
       // round-trip), so both engines evaluate the identical doubles;
       // ln-ulp divergence is absorbed by the +0.0001 floor guard
-      "t92_bm25_topk" -> {
-        val bmK1 = 1.2; val bmB = 0.75
-        val c1 = (bmK1 + 1).toString
-        val c2 = (bmK1 * (1 - bmB)).toString
-        val c3 = (bmK1 * bmB).toString
-        s"""WITH dk AS (SELECT doc_id, $toks AS tk FROM documents),
-          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
-          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
-          qt AS (SELECT DISTINCT query_id, term FROM (
-            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
-          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
-          sc AS (SELECT qt.query_id, p.doc_id,
-              CAST(floor(
-                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
-                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
-                * (CAST(p.tf AS DOUBLE) * $c1)
-                / (CAST(p.tf AS DOUBLE) + $c2
-                   + $c3 * CAST(dl.dl AS DOUBLE)
-                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
-                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
-            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
-          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
-            FROM sc GROUP BY query_id, doc_id),
-          rk AS (SELECT query_id, doc_id, score_ppm,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
-            FROM ag)
-          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
-          ORDER BY query_id, rank"""
-      },
+      "t92_bm25_topk" -> (bm25RankCtes(toks) + bm25TopK5),
       // index-roundtrip twin: the persisted-postings path must land on
       // the EXACT t92 result, so it checks against the identical SQL
-      "t97_bm25_index_roundtrip" -> {
-        val bmK1 = 1.2; val bmB = 0.75
-        val c1 = (bmK1 + 1).toString
-        val c2 = (bmK1 * (1 - bmB)).toString
-        val c3 = (bmK1 * bmB).toString
-        s"""WITH dk AS (SELECT doc_id, $toks AS tk FROM documents),
-          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
-          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
-          qt AS (SELECT DISTINCT query_id, term FROM (
-            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
-          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
-          sc AS (SELECT qt.query_id, p.doc_id,
-              CAST(floor(
-                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
-                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
-                * (CAST(p.tf AS DOUBLE) * $c1)
-                / (CAST(p.tf AS DOUBLE) + $c2
-                   + $c3 * CAST(dl.dl AS DOUBLE)
-                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
-                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
-            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
-          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
-            FROM sc GROUP BY query_id, doc_id),
-          rk AS (SELECT query_id, doc_id, score_ppm,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
-            FROM ag)
-          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
-          ORDER BY query_id, rank"""
-      },
+      "t97_bm25_index_roundtrip" -> (bm25RankCtes(toks) + bm25TopK5),
       // incremental-index twin: merge(v1 index, delta postings) must
       // land on the from-scratch t92 SQL over the effective post-delta
       // corpus (new docs %5==0 added, revisions %7==0 replaced)
       "t110_bm25_incremental" -> {
-        val bmK1 = 1.2; val bmB = 0.75
-        val c1 = (bmK1 + 1).toString
-        val c2 = (bmK1 * (1 - bmB)).toString
-        val c3 = (bmK1 * bmB).toString
         val etext = "CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END"
         val enorm = s"trim(regexp_replace(lower($etext), '\\s+', ' ', 'g'))"
         val etoks = s"string_split($enorm, ' ')"
-        s"""WITH dk AS (SELECT doc_id, $etoks AS tk FROM documents),
-          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
-          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
-          qt AS (SELECT DISTINCT query_id, term FROM (
-            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
-          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
-          sc AS (SELECT qt.query_id, p.doc_id,
-              CAST(floor(
-                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
-                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
-                * (CAST(p.tf AS DOUBLE) * $c1)
-                / (CAST(p.tf AS DOUBLE) + $c2
-                   + $c3 * CAST(dl.dl AS DOUBLE)
-                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
-                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
-            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
-          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
-            FROM sc GROUP BY query_id, doc_id),
-          rk AS (SELECT query_id, doc_id, score_ppm,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
-            FROM ag)
-          SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
-          ORDER BY query_id, rank"""
+        bm25RankCtes(etoks) + bm25TopK5
       },
       // BM25-seeded selection: t92's retrieval chain feeds the seed set,
       // then the t86 hashed-NB chain trains on (retrieved = positive)
       // and scores every doc — two ppm contracts composed end to end
       "t93_bm25_seed_select" -> {
-        val bmK1 = 1.2; val bmB = 0.75
-        val c1 = (bmK1 + 1).toString
-        val c2 = (bmK1 * (1 - bmB)).toString
-        val c3 = (bmK1 * bmB).toString
-        s"""WITH dk AS (SELECT doc_id, $toks AS tk FROM documents),
-          p AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(tk) AS term FROM dk) GROUP BY doc_id, term),
-          dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM p GROUP BY doc_id),
-          st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS total FROM dl),
-          qt AS (SELECT DISTINCT query_id, term FROM (
-            SELECT doc_id AS query_id, unnest(tk[1:5]) AS term FROM dk WHERE doc_id % 100 = 0)),
-          dfT AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY term),
-          sc AS (SELECT qt.query_id, p.doc_id,
-              CAST(floor(
-                ln((CAST((SELECT n FROM st) - dfT.df AS DOUBLE) + 0.5)
-                    / (CAST(dfT.df AS DOUBLE) + 0.5) + 1.0)
-                * (CAST(p.tf AS DOUBLE) * $c1)
-                / (CAST(p.tf AS DOUBLE) + $c2
-                   + $c3 * CAST(dl.dl AS DOUBLE)
-                     * CAST((SELECT n FROM st) AS DOUBLE) / CAST((SELECT total FROM st) AS DOUBLE))
-                * 1000000.0 + 0.0001) AS BIGINT) AS term_ppm
-            FROM qt JOIN p USING (term) JOIN dfT USING (term) JOIN dl ON p.doc_id = dl.doc_id),
-          ag AS (SELECT query_id, doc_id, CAST(sum(term_ppm) AS BIGINT) AS score_ppm
-            FROM sc GROUP BY query_id, doc_id),
-          rk AS (SELECT query_id, doc_id, score_ppm,
-            CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_ppm DESC, doc_id) AS BIGINT) AS rank
-            FROM ag),
+        bm25RankCtes(toks) + s""",
           seed AS (SELECT DISTINCT doc_id FROM rk WHERE rank <= 5),
           b AS (SELECT doc_id, doc_id IN (SELECT doc_id FROM seed) AS y, tk FROM dk),
           f AS (SELECT doc_id, y, unnest(tk) AS feat FROM b),
@@ -3121,7 +3049,8 @@ object SparkEntry {
       // over the bounded (source, nt) histogram — integer-exact rank
       // via (tot*q_ppm + 999999) // 1000000 in both engines
       "t111_report_quantiles" ->
-        s"""WITH d AS (SELECT source, CAST($nTokens AS BIGINT) AS nt FROM documents),
+        s"""WITH d AS (SELECT source, CAST($nTokens AS BIGINT) AS nt FROM documents
+            WHERE $nTokens IS NOT NULL),
           h AS (SELECT source, nt, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2),
           c AS (SELECT source, nt,
               CAST(sum(cnt) OVER (PARTITION BY source ORDER BY nt) AS BIGINT) AS cum,

@@ -47,6 +47,20 @@ object Retrieval {
   def mergePostings(index: DataFrame, deltaPost: DataFrame): DataFrame =
     graft.operators.Relational.mergeReplaceGroups(index, deltaPost, Seq("doc_id"))
 
+  /** [[mergePostings]] from the delta DOCUMENTS rather than their
+    * postings: the displaced doc-id set is the delta's full id set, so
+    * a re-upload that tokenizes to ZERO terms (empty/NULL text) still
+    * deletes its old postings — [[mergePostings]] alone cannot express
+    * that (a zero-term doc contributes no rows, hence no key, and its
+    * ghost postings would survive every merge). This form upholds the
+    * merge == rebuild contract unconditionally (RetrievalSpec pins the
+    * empty-re-upload case). */
+  def mergePostingsForDelta(index: DataFrame, delta: DataFrame,
+                            idCol: String, textCol: String): DataFrame =
+    graft.operators.Relational.mergeReplaceGroups(
+      index, postings(delta, idCol, textCol), Seq("doc_id"),
+      Some(delta.select(col(idCol).as("doc_id"))))
+
   /** BM25 top-k: for each query, the `k` best documents by
     * Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) with the
     * Lucene non-negative idf ln((N − df + 0.5)/(df + 0.5) + 1); ties

@@ -142,13 +142,24 @@ object Relational {
     * Scale shape: the incoming batch's key set is batch-sized, so it
     * broadcasts — one streaming anti-join scan of the existing table
     * plus a union; the existing side never shuffles. */
+  /** `replaceKeys` (optional): the explicit group-key rows to displace
+    * when they can be WIDER than `incoming`'s own key set — a group
+    * whose re-upload produces zero incoming rows (a document that now
+    * tokenizes to nothing) must still have its old rows deleted, and
+    * deriving the key set from `incoming` alone cannot express that.
+    * Must contain exactly the `groupKeys` columns. */
   def mergeReplaceGroups(existing: DataFrame, incoming: DataFrame,
-                         groupKeys: Seq[String]): DataFrame = {
+                         groupKeys: Seq[String],
+                         replaceKeys: Option[DataFrame] = None): DataFrame = {
     require(groupKeys.nonEmpty, "mergeReplaceGroups needs explicit group keys")
     require(incoming.columns.sorted.sameElements(existing.columns.sorted),
       s"schema mismatch: existing=${existing.columns.sorted.mkString(",")} " +
         s"incoming=${incoming.columns.sorted.mkString(",")}")
-    val keys = incoming.select(groupKeys.map(col): _*).distinct()
+    replaceKeys.foreach { k =>
+      require(k.columns.sorted.sameElements(groupKeys.sorted),
+        s"replaceKeys must carry exactly the group keys $groupKeys, got ${k.columns.mkString(",")}")
+    }
+    val keys = replaceKeys.getOrElse(incoming.select(groupKeys.map(col): _*)).distinct()
     existing.join(broadcast(keys), groupKeys, "left_anti")
       .unionByName(incoming)
   }

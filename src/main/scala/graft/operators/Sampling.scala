@@ -172,12 +172,18 @@ object Sampling {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(quantiles.forall { case (_, q) => q > 0 && q <= 1000000L },
       s"qPpm must be in (0, 1000000], got $quantiles")
+    // NULL values are EXCLUDED (standard quantile semantics): counted
+    // in, they would inflate every rank denominator, and Spark's
+    // nulls-first window order would additionally shift every
+    // cumulative count — both biasing quantiles low (and diverging
+    // from SQL engines that sort nulls last).
+    val nonNull = df.filter(col(valueCol).isNotNull)
     import org.apache.spark.sql.expressions.Window
     val cumW = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col(groupCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val hist = df.groupBy(col(groupCol), col(valueCol))
+    val hist = nonNull.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("cnt"))
       .withColumn("cum", sum(col("cnt")).over(cumW))
       .withColumn("tot", sum(col("cnt")).over(totW))

@@ -102,11 +102,13 @@ object ParquetMergeSink {
             incoming: DataFrame, keys: Seq[String], version: Long,
             policy: Relational.SchemaPolicy = Relational.SchemaPolicy.Strict): Long =
     withTableLock(warehouse, table) {
-      val merged = readCurrent(spark, warehouse, table) match {
-        case Some(existing) => Relational.mergeUpsert(existing, incoming, keys, policy)
-        case None           => incoming
+      alreadyApplied(spark, warehouse, table, version).getOrElse {
+        val merged = readCurrent(spark, warehouse, table) match {
+          case Some(existing) => Relational.mergeUpsert(existing, incoming, keys, policy)
+          case None           => incoming
+        }
+        writeVersion(spark, warehouse, table, merged, version)
       }
-      writeVersion(spark, warehouse, table, merged, version)
     }
 
   /** MERGE with group-replace semantics
@@ -116,16 +118,39 @@ object ParquetMergeSink {
     * index tables — BM25 postings, LSH band keys, fuzzy-key segments —
     * where a row-keyed [[merge]] would leave stale orphan rows from a
     * re-uploaded document's previous revision. Same versioning, pointer
-    * swap, time travel, vacuum, and per-table locking as [[merge]]. */
+    * swap, time travel, vacuum, and per-table locking as [[merge]].
+    *
+    * `replaceKeySet` (optional): the EXPLICIT group-key rows to
+    * displace, when it can be wider than `incoming`'s own keys — e.g.
+    * a re-uploaded document that now tokenizes to ZERO postings rows
+    * must still delete its old rows, but contributes nothing to
+    * `incoming` (see [[graft.llm.Retrieval.mergePostingsForDelta]]). */
   def mergeGroups(spark: SparkSession, warehouse: String, table: String,
-                  incoming: DataFrame, groupKeys: Seq[String], version: Long): Long =
+                  incoming: DataFrame, groupKeys: Seq[String], version: Long,
+                  replaceKeySet: Option[DataFrame] = None): Long =
     withTableLock(warehouse, table) {
-      val merged = readCurrent(spark, warehouse, table) match {
-        case Some(existing) => Relational.mergeReplaceGroups(existing, incoming, groupKeys)
-        case None           => incoming
+      alreadyApplied(spark, warehouse, table, version).getOrElse {
+        val merged = readCurrent(spark, warehouse, table) match {
+          case Some(existing) =>
+            Relational.mergeReplaceGroups(existing, incoming, groupKeys, replaceKeySet)
+          case None => incoming
+        }
+        writeVersion(spark, warehouse, table, merged, version)
       }
-      writeVersion(spark, warehouse, table, merged, version)
     }
+
+  /** Idempotent-replay guard: a streaming foreachBatch retry after a
+    * crash re-runs the SAME (batch, version) after the pointer already
+    * swapped — re-merging would read `_CURRENT` = v`version` while
+    * overwriting that very dir (Spark refuses: "Cannot overwrite a path
+    * that is also being read from"), wedging the stream permanently.
+    * If the current pointer already names this version, the merge was
+    * applied; return its count and do nothing. */
+  private def alreadyApplied(spark: SparkSession, warehouse: String,
+                             table: String, version: Long): Option[Long] =
+    currentPath(warehouse, table)
+      .filter(p => new org.apache.hadoop.fs.Path(p).getName == s"v$version")
+      .map(p => spark.read.parquet(p).count())
 
   private def writeVersion(spark: SparkSession, warehouse: String, table: String,
                            merged: DataFrame, version: Long): Long = {

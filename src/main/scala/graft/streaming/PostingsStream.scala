@@ -39,8 +39,12 @@ object PostingsStream {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // replaceKeySet = the batch's FULL id set: a re-upload that
+        // tokenizes to zero terms must still delete its old postings
         ParquetMergeSink.mergeGroups(batch.sparkSession, warehouse, table,
-          Retrieval.postings(batch, idCol, textCol), Seq("doc_id"), id + 1): Unit
+          Retrieval.postings(batch, idCol, textCol), Seq("doc_id"), id + 1,
+          replaceKeySet = Some(batch.select(
+            org.apache.spark.sql.functions.col(idCol).as("doc_id")))): Unit
       }
       .start()
 }

@@ -470,7 +470,7 @@ class DedupSpec extends AnyFunSuite {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
     val q = graft.streaming.FuzzyDedupStream.start(
-      stream, "doc_id", "text", s"$dir/idx", s"$dir/ckpt", 64, 3) {
+      stream, "doc_id", "text", s"$dir/wh", "fuzzy_idx", s"$dir/ckpt", 64, 3) {
       (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
     }
     q.awaitTermination(60000)
@@ -479,13 +479,39 @@ class DedupSpec extends AnyFunSuite {
     val batch = Dedup.fuzzyKeyPairs(fuzzyDocs, "doc_id", "text", 64, 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(streamed == batch && batch.nonEmpty)
-    // and the grown index now answers a fresh delta exactly
+    // the maintained index equals a from-scratch fuzzyKeyIndex ...
+    val cur = graft.sinks.ParquetMergeSink.readCurrent(spark, s"$dir/wh", "fuzzy_idx").get
+    val rebuilt = Dedup.fuzzyKeyIndex(fuzzyDocs, "doc_id", "text", 64, 3)
+    assert(cur.as[(Long, String, Int, String)].collect().toSet ==
+      rebuilt.as[(Long, String, Int, String)].collect().toSet)
+    // ... and answers a fresh delta exactly
     val d7 = Seq((7L, "the quick brown fox jumps over the lazy dog near the river today"))
       .toDF("doc_id", "text")
-    val next = Dedup.fuzzyKeyDeltaPairs(d7, "doc_id", "text",
-        spark.read.parquet(s"$dir/idx"), 64, 3)
+    val next = Dedup.fuzzyKeyDeltaPairs(d7, "doc_id", "text", cur, 64, 3)
       .as[(Long, Long, Long)].collect().toSet
     assert(next.contains((0L, 7L, 0L)) && next.contains((4L, 7L, 0L)))
+  }
+
+  test("fuzzy index group-upsert: a re-uploaded doc's stale segments are displaced") {
+    // doc 4's revision no longer matches doc 0; merging its new
+    // segments must DELETE the old ones, or later probes would keep
+    // pairing doc 4's dead revision
+    val idx0 = Dedup.fuzzyKeyIndex(fuzzyDocs, "doc_id", "text", 64, 3)
+    val rev = Seq((4L, "a completely rewritten document with nothing in common anymore"))
+      .toDF("doc_id", "text")
+    val merged = graft.operators.Relational.mergeReplaceGroups(
+      idx0, Dedup.fuzzyKeyIndex(rev, "doc_id", "text", 64, 3), Seq("id"),
+      Some(rev.select($"doc_id".as("id"))))
+    val rebuilt = Dedup.fuzzyKeyIndex(
+      fuzzyDocs.filter($"doc_id" =!= 4L).unionByName(rev), "doc_id", "text", 64, 3)
+    assert(merged.as[(Long, String, Int, String)].collect().toSet ==
+      rebuilt.as[(Long, String, Int, String)].collect().toSet)
+    // probing with doc 0's text must no longer pair against doc 4
+    val d8 = Seq((8L, "the quick brown fox jumps over the lazy dog near the river today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.fuzzyKeyDeltaPairs(d8, "doc_id", "text", merged, 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 8L, 0L)) && !pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
   test("source-preference dedup: exact dups keep the highest-priority source's copy") {

@@ -56,9 +56,13 @@ class PackingSpec extends AnyFunSuite {
     // must persist NOTHING (bucket is a pure function of the id — see
     // its scaladoc), so census exactly the blocks created from Packing
     // code: an RDD's toString carries its creation site.
+    // "Packing" (no .scala suffix) matches BOTH creation-site spellings
+    // a leak can take: an internal persist materializes at
+    // Packing.scala, but a leaked cache on the RETURNED frame
+    // materializes at the caller's action — PackingSpec.scala.
     val d = docs(200)
     def packingPersisted() = spark.sparkContext.getPersistentRDDs.values
-      .count(_.toString.contains("Packing.scala"))
+      .count(_.toString.contains("Packing"))
     (1 to 3).foreach(_ => Packing.packBlocks(d, "id", col("n_tok"), 64).count())
     assert(packingPersisted() == 0, "packBlocks left persisted RDDs behind")
   }

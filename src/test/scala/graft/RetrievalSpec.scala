@@ -142,6 +142,45 @@ class RetrievalSpec extends AnyFunSuite {
     assert(a.nonEmpty && a == b)
   }
 
+  test("mergePostingsForDelta: a re-upload that tokenizes to zero terms deletes its ghost postings") {
+    val v1 = corpus // docs 1,2,3
+    // doc 2's revision has NULL text -> tokenizes to ZERO postings rows
+    // (whitespace-only text still yields one empty-string term, in both
+    // engines); mergePostings alone would keep doc 2's old rows forever
+    val delta = Seq((2L, null: String), (4L, "fig tree")).toDF("doc_id", "text")
+    val merged = Retrieval.mergePostingsForDelta(
+        Retrieval.postings(v1, "doc_id", "text"), delta, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    val rebuilt = Retrieval.postings(
+        v1.filter($"doc_id" =!= 2L).unionByName(delta), "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(merged == rebuilt && !merged.exists(_._1 == 2L)
+      && merged.contains((4L, "fig", 1L)))
+  }
+
+  test("mergeGroups is idempotent under batch replay (same version re-applied)") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_replay").toString
+    val p1 = Retrieval.postings(corpus.filter($"doc_id" <= 2), "doc_id", "text")
+    val n1 = graft.sinks.ParquetMergeSink.mergeGroups(spark, dir, "idx", p1,
+      Seq("doc_id"), version = 1L)
+    // a crashed foreachBatch replays the SAME (batch, version) after
+    // the pointer already swapped — must be a no-op, not a
+    // read-while-overwriting failure
+    val n1again = graft.sinks.ParquetMergeSink.mergeGroups(spark, dir, "idx", p1,
+      Seq("doc_id"), version = 1L)
+    assert(n1 == n1again)
+    val p2 = Retrieval.postings(corpus.filter($"doc_id" === 3), "doc_id", "text")
+    val n2 = graft.sinks.ParquetMergeSink.mergeGroups(spark, dir, "idx", p2,
+      Seq("doc_id"), version = 2L)
+    assert(n2 > n1)
+    val cur = graft.sinks.ParquetMergeSink.readCurrent(spark, dir, "idx").get
+      .as[(Long, String, Long)].collect().toSet
+    val all = Retrieval.postings(corpus, "doc_id", "text")
+      .as[(Long, String, Long)].collect().toSet
+    assert(cur == all)
+  }
+
   test("PostingsStream: maintained index equals a from-scratch rebuild; versions time-travel") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_pstream").toString

@@ -139,6 +139,19 @@ class SamplingSpec extends AnyFunSuite {
     assert(a == Seq(("a", 5L, 10L), ("c", 42L, 42L)))
   }
 
+  test("exactQuantilesPpm: NULL values are excluded from ranks and counts") {
+    import org.apache.spark.sql.functions._
+    // two NULLs must neither inflate the denominator nor (nulls-first)
+    // shift the cumulative counts: quantiles over [1..8] ignore them
+    val df = ((1L to 8L).map(v => ("a", Some(v))) ++
+        Seq(("a", None: Option[Long]), ("a", None: Option[Long])))
+      .toDF("g", "v")
+    val r = Sampling.exactQuantilesPpm(df, "g", "v",
+        Seq("p50" -> 500000L, "p100" -> 1000000L))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 4L, 8L)))
+  }
+
   test("thresholdSweep: hand-computed keep counts/weights per cutoff") {
     import org.apache.spark.sql.functions._
     // scores 10,10,20,30 with weights 1,2,3,4
