@@ -99,6 +99,14 @@ object ScaleBench {
     * inflated the base itself 6.7× through hot-segment fan-out —
     * measuring the harness, not the operator.) */
   def scaledFuzzyDocsDf(spark: SparkSession, baseDir: String, factor: Int): DataFrame = {
+    // The rotation is the identity whenever the copy index is a multiple
+    // of lcm(26, 10) = 130 (and any two copies 130 apart share keys), so
+    // past that the exactly-linear pair-growth claim silently breaks
+    // back into cross-copy quadratic pairs. Bound the factor rather than
+    // let the harness lie.
+    require(factor >= 1 && factor <= 130,
+      s"scaledFuzzyDocsDf factor must be in [1, 130] (alphabet rotation " +
+        s"cycles at lcm(26,10)=130, collapsing cross-copy key distance); got $factor")
     val base = spark.read.parquet(s"$baseDir/documents.parquet")
     val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
     val lower = "abcdefghijklmnopqrstuvwxyz"

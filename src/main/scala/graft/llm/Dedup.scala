@@ -1107,14 +1107,23 @@ object Dedup {
     * pairs touching the delta, this equals `fuzzyKeyPairs(corpus ∪
     * delta)` (pinned by DedupSpec); per-batch cost is ∝ |delta| +
     * matched segments — the corpus index is probed, never self-joined,
-    * and corpus text is never read (keys live in the index). */
+    * and corpus text is never read (keys live in the index).
+    *
+    * Index rows whose `id` appears in the delta are EXCLUDED from the
+    * probe (broadcast anti-join): a batch that re-uploads a changed
+    * document would otherwise pair other delta docs against the
+    * superseded index key, emitting stale or conflicting-dist pairs
+    * that `distinct()` cannot collapse. The within-delta self-join
+    * already covers those ids with their current keys. */
   def fuzzyKeyDeltaPairs(delta: DataFrame, idCol: String, textCol: String,
                          segIndex: DataFrame,
                          keyLen: Int = 64, maxDist: Int = 3): DataFrame = {
     val dSegs = broadcast(fuzzyKeySegs(delta, idCol, textCol, keyLen, maxDist))
+    val deltaIds = broadcast(dSegs.select(col("__id").as("id")).distinct())
+    val liveIndex = segIndex.join(deltaIds, Seq("id"), "left_anti")
     val cross = dSegs
       .select(col("seg_i"), col("seg"), col("__id").as("d_id"), col("__key").as("d_key"))
-      .join(segIndex.select(col("seg_i"), col("seg"),
+      .join(liveIndex.select(col("seg_i"), col("seg"),
         col("id").as("c_id"), col("key").as("c_key")), Seq("seg_i", "seg"))
       .filter(col("d_id") =!= col("c_id"))
       .select(least(col("d_id"), col("c_id")).as("a_id"),

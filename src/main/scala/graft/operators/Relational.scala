@@ -160,7 +160,15 @@ object Relational {
         s"replaceKeys must carry exactly the group keys $groupKeys, got ${k.columns.mkString(",")}")
     }
     val keys = replaceKeys.getOrElse(incoming.select(groupKeys.map(col): _*)).distinct()
-    existing.join(broadcast(keys), groupKeys, "left_anti")
+    // Null-safe displacement: a plain `left_anti` on column names uses
+    // `=`, under which NULL never matches — existing NULL-key groups
+    // would survive every merge and duplicate beside each incoming
+    // NULL-key batch. All current index producers emit non-null keys,
+    // but the contract here is "incoming group displaces existing
+    // group", including the NULL group, so join with `<=>`.
+    val renamed = keys.toDF(groupKeys.map("__rk_" + _): _*)
+    val cond = groupKeys.map(k => col(k) <=> col("__rk_" + k)).reduce(_ && _)
+    existing.join(broadcast(renamed), cond, "left_anti")
       .unionByName(incoming)
   }
 

@@ -102,14 +102,33 @@ object ParquetMergeSink {
             incoming: DataFrame, keys: Seq[String], version: Long,
             policy: Relational.SchemaPolicy = Relational.SchemaPolicy.Strict): Long =
     withTableLock(warehouse, table) {
-      alreadyApplied(spark, warehouse, table, version).getOrElse {
-        val merged = readCurrent(spark, warehouse, table) match {
-          case Some(existing) => Relational.mergeUpsert(existing, incoming, keys, policy)
-          case None           => incoming
-        }
-        writeVersion(spark, warehouse, table, merged, version)
-      }
+      alreadyApplied(spark, warehouse, table, version).getOrElse(
+        applyMerge(spark, warehouse, table, incoming, keys, version, policy))
     }
+
+  /** [[merge]] with a SINK-allocated version: `current max version + 1`,
+    * chosen under the table lock. The writer-side contract when the
+    * caller has no external version authority (ad-hoc concurrent
+    * writers rather than the FIFO intake chain, whose versions are
+    * assigned upstream and must use [[merge]] for replay idempotence).
+    * Returns (allocated version, merged row count). */
+  def mergeNext(spark: SparkSession, warehouse: String, table: String,
+                incoming: DataFrame, keys: Seq[String],
+                policy: Relational.SchemaPolicy = Relational.SchemaPolicy.Strict): (Long, Long) =
+    withTableLock(warehouse, table) {
+      val v = versions(warehouse, table).lastOption.getOrElse(0L) + 1
+      (v, applyMerge(spark, warehouse, table, incoming, keys, v, policy))
+    }
+
+  private def applyMerge(spark: SparkSession, warehouse: String, table: String,
+                         incoming: DataFrame, keys: Seq[String], version: Long,
+                         policy: Relational.SchemaPolicy): Long = {
+    val merged = readCurrent(spark, warehouse, table) match {
+      case Some(existing) => Relational.mergeUpsert(existing, incoming, keys, policy)
+      case None           => incoming
+    }
+    writeVersion(spark, warehouse, table, merged, version)
+  }
 
   /** MERGE with group-replace semantics
     * ([[graft.operators.Relational.mergeReplaceGroups]]) into the same
@@ -144,12 +163,21 @@ object ParquetMergeSink {
     * swapped — re-merging would read `_CURRENT` = v`version` while
     * overwriting that very dir (Spark refuses: "Cannot overwrite a path
     * that is also being read from"), wedging the stream permanently.
-    * If the current pointer already names this version, the merge was
-    * applied; return its count and do nothing. */
+    * If the current pointer already names this version — or any LATER
+    * one — the merge was applied; return the current count and do
+    * nothing. The `<` case matters for misordered replays: re-merging
+    * an old batch against a newer snapshot and then swapping `_CURRENT`
+    * backwards would silently reapply stale data on top of newer data
+    * and orphan the newer version from the pointer. Versions are
+    * monotonically assigned by the intake chain, so `current >=
+    * version` always means "this batch's effect is already in". */
   private def alreadyApplied(spark: SparkSession, warehouse: String,
                              table: String, version: Long): Option[Long] =
     currentPath(warehouse, table)
-      .filter(p => new org.apache.hadoop.fs.Path(p).getName == s"v$version")
+      .filter { p =>
+        val name = new org.apache.hadoop.fs.Path(p).getName
+        name.startsWith("v") && name.drop(1).toLongOption.exists(_ >= version)
+      }
       .map(p => spark.read.parquet(p).count())
 
   private def writeVersion(spark: SparkSession, warehouse: String, table: String,

@@ -458,6 +458,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((0L, 4L, 0L)) && got.contains((5L, 6L, 1L)))
   }
 
+  test("fuzzyKeyDeltaPairs ignores stale index keys of docs re-uploaded in the delta") {
+    // The delta both REVISES doc 4 (which the index still holds under
+    // its old key, an exact dup of doc 0) and adds doc 9 whose text
+    // matches that old key. Probing the index without excluding delta
+    // ids would pair 9 against 4's superseded revision (spurious
+    // (4,9,0) with the stale key) alongside the within-delta 9-vs-new-4
+    // non-pair — conflicting rows distinct() can't collapse.
+    val idx = Dedup.fuzzyKeyIndex(fuzzyDocs, "doc_id", "text", 64, 3)
+    val delta = Seq(
+      (4L, "a completely rewritten document with nothing in common anymore"),
+      (9L, "the quick brown fox jumps over the lazy dog near the river today")
+    ).toDF("doc_id", "text")
+    val got = Dedup.fuzzyKeyDeltaPairs(delta, "doc_id", "text", idx, 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val deltaIds = Set(4L, 9L)
+    val want = Dedup.fuzzyKeyPairs(
+        fuzzyDocs.filter($"doc_id" =!= 4L).unionByName(delta), "doc_id", "text", 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+      .filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2))
+    assert(got == want)
+    assert(got.contains((0L, 9L, 0L)))
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L),
+      s"stale revision of doc 4 leaked into pairs: $got")
+  }
+
   test("streaming fuzzy-key dedup: accumulated micro-batch pairs equal the batch run") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_fstream").toString

@@ -112,6 +112,23 @@ class RelationalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema mismatch"))
   }
 
+  test("mergeReplaceGroups displaces NULL-key groups (null-safe join)") {
+    // With a plain `=` anti-join NULL keys never match: the existing
+    // NULL group would survive every merge and accumulate a duplicate
+    // per batch instead of being replaced.
+    val existing = Seq((Some(1L), "a"), (None, "x"), (None, "y"))
+      .toDF("id", "term")
+    val incoming = Seq((Option.empty[Long], "z")).toDF("id", "term")
+    val out = Relational.mergeReplaceGroups(existing, incoming, Seq("id"))
+      .as[(Option[Long], String)].collect().toSet
+    assert(out == Set((Some(1L), "a"), (None, "z")))
+    // repeated merges stay stable (no NULL-group accumulation)
+    val again = Relational.mergeReplaceGroups(
+      Relational.mergeReplaceGroups(existing, incoming, Seq("id")),
+      incoming, Seq("id")).as[(Option[Long], String)].collect().toSet
+    assert(again == Set((Some(1L), "a"), (None, "z")))
+  }
+
   test("topKPerGroup deterministic ranks") {
     val df = Seq((1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 5.0, 102L), (2L, 1.0, 103L))
       .toDF("g", "score", "id")

@@ -35,13 +35,38 @@ class SinksSpec extends AnyFunSuite {
     val writers = (0 until 4).map { w =>
       Future {
         val df = Seq.tabulate(5)(i => (w * 100L + i, s"w$w")).toDF("id", "s")
-        ParquetMergeSink.merge(spark, wh, "t", df, Seq("id"), 100L + w)
+        // version allocated by the sink under the table lock — racing
+        // writers with caller-chosen versions would trip the
+        // monotonic-replay guard in whichever order they lose the race
+        ParquetMergeSink.mergeNext(spark, wh, "t", df, Seq("id"))
       }
     }
     Await.result(Future.sequence(writers), 120.seconds)
     val cur = ParquetMergeSink.readCurrent(spark, wh, "t").get
     assert(cur.count() == 20L) // all four writers' keys survived
     assert(cur.select("s").distinct().count() == 4L)
+  }
+
+  test("replayed older version is a no-op, not a backwards pointer swap") {
+    // A misordered redelivery (FIFO redrive after DLQ, or a replayed
+    // checkpoint) can present version 1 AFTER version 2 committed.
+    // Re-merging would reapply stale data over the newer snapshot and
+    // swing _CURRENT backwards; the guard must treat current >= version
+    // as already applied.
+    val wh = Files.createTempDirectory("graft_replay").toString
+    ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "a")).toDF("id", "s"), Seq("id"), 1L)
+    ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "b"), (2L, "c")).toDF("id", "s"), Seq("id"), 2L)
+    // replay v1 (stale payload): must not change data or pointer
+    val n = ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "a")).toDF("id", "s"), Seq("id"), 1L)
+    assert(n == 2L) // reports the CURRENT count, like an exact replay
+    assert(ParquetMergeSink.currentPath(wh, "t").get.endsWith("v2"))
+    val cur = ParquetMergeSink.readCurrent(spark, wh, "t").get
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(cur.toSeq == Seq((1L, "b"), (2L, "c")))
+    // same guard on the group-replace sink
+    val g = ParquetMergeSink.mergeGroups(spark, wh, "t",
+      Seq((9L, "stale")).toDF("id", "s"), Seq("id"), 1L)
+    assert(g == 2L && ParquetMergeSink.currentPath(wh, "t").get.endsWith("v2"))
   }
 
   test("time travel: versions, readVersion, vacuum keeps current") {
