@@ -1241,6 +1241,27 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The t97 roundtrip over the SCALE index layout: postings persisted
+    * term-hash-bucketed ([[graft.llm.Retrieval.writeBm25Index]]) with
+    * doclen/stats side tables, queries answered through the pruned
+    * read path — the query batch's terms prune the postings scan to
+    * their buckets instead of reading the whole index (the 100× online
+    * path; ScaleSpec gates that the pruned scan reads a strict subset
+    * of the index files). Oracle: identical to t97 — the layout must
+    * be invisible in the result. */
+  private def t119Bm25Pruned(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    val out = scratch("bm25idx_bkt", dir)
+    graft.llm.Retrieval.writeBm25Index(
+      graft.llm.Retrieval.postings(d, "doc_id", "text"), out, numBuckets = 16)
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+    graft.llm.Retrieval.bm25TopKFromPrunedIndex(s, out, q, "query_id", "qtext", k = 5)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** BM25-seeded selection loop — the glue a real curation pipeline
     * runs between retrieval and the quality classifier: t92's BM25
     * top-5 per query becomes the POSITIVE seed, every non-retrieved doc
@@ -1687,6 +1708,7 @@ object SparkEntry {
     "t98_curriculum_bins" -> t98CurriculumBins _,
     "t97_bm25_index_roundtrip" -> t97Bm25IndexRoundtrip _,
     "t110_bm25_incremental" -> t110Bm25Incremental _,
+    "t119_bm25_pruned" -> t119Bm25Pruned _,
     "t111_report_quantiles" -> t111ReportQuantiles _,
     "t112_knn_ivf_incremental" -> t112KnnIvfIncremental _,
     "t113_threshold_sweep" -> t113ThresholdSweep _,
@@ -2339,6 +2361,9 @@ object SparkEntry {
       // index-roundtrip twin: the persisted-postings path must land on
       // the EXACT t92 result, so it checks against the identical SQL
       "t97_bm25_index_roundtrip" -> (bm25RankCtes(toks) + bm25TopK5),
+      // pruned (term-bucketed) index layout must be result-invisible:
+      // same oracle as t97
+      "t119_bm25_pruned" -> (bm25RankCtes(toks) + bm25TopK5),
       // incremental-index twin: merge(v1 index, delta postings) must
       // land on the from-scratch t92 SQL over the effective post-delta
       // corpus (new docs %5==0 added, revisions %7==0 replaced)

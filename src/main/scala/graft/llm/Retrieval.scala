@@ -100,9 +100,7 @@ object Retrieval {
                         queries: DataFrame, qIdCol: String, qTextCol: String,
                         k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    import org.apache.spark.sql.expressions.Window
     val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // coalesce: sum(dl) is NULL on an empty corpus. With nDocs = 0 the
     // postings side is empty, so the joins below produce the correct
     // empty result — the max(1) divisor guard only keeps the literal
@@ -111,9 +109,25 @@ object Retrieval {
       val r = dl.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
       (r.getLong(0), math.max(r.getLong(1), 1L))
     }
-    val qTerms = queries.select(col(qIdCol).as("query_id"),
+    bm25Rank(post, dl, nDocs, totalTokens,
+      queryTerms(queries, qIdCol, qTextCol), k, k1, b)
+  }
+
+  /** The distinct (query_id, term) probe table — tiny, broadcastable. */
+  private def queryTerms(queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame =
+    queries.select(col(qIdCol).as("query_id"),
         explode(tokens(normalizeText(col(qTextCol)))).as("term"))
       .distinct()
+
+  /** The scoring core shared by the flat and pruned index paths.
+    * `post` may be the full index or any subset containing EVERY row of
+    * every query term (per-term df is computed from it, so partial
+    * per-term postings would skew idf — the [[graft.sources.PrunedIndex]]
+    * completeness contract). */
+  private def bm25Rank(post: DataFrame, dl: DataFrame, nDocs: Long, totalTokens: Long,
+                       qTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val termPpm = floor(
@@ -129,5 +143,47 @@ object Retrieval {
     val rn = row_number().over(Window.partitionBy(col("query_id"))
       .orderBy(col("score_ppm").desc, col("doc_id")))
     scored.withColumn("rank", rn.cast("long")).filter(col("rank") <= k)
+  }
+
+  /** Persist the BM25 index in its SCALE layout: term-hash-bucketed
+    * postings ([[graft.sources.PrunedIndex]]) plus the two side tables
+    * an online query batch must not re-derive from the corpus-sized
+    * index — per-doc lengths and the one-row corpus stats. With the
+    * flat layout every query batch scans all postings; bucketed, the
+    * batch's terms prune the scan to their hash buckets — the 100×
+    * fix for [[bm25TopKFromIndex]]'s full-index read.
+    *
+    * Maintenance composes with the existing merge path: read the full
+    * view, [[mergePostingsForDelta]], re-write — only the buckets a
+    * delta's terms touch change content, but the swap is whole-index
+    * (the versioned-store contract). */
+  def writeBm25Index(post: DataFrame, path: String, numBuckets: Int = 64): Unit = {
+    graft.sources.PrunedIndex.write(post, graft.fs.Fs.child(path, "postings"),
+      Seq("term"), numBuckets)
+    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    dl.write.mode("overwrite").parquet(graft.fs.Fs.child(path, "doclen"))
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
+      .write.mode("overwrite").parquet(graft.fs.Fs.child(path, "stats"))
+  }
+
+  /** [[bm25TopKFromIndex]] over a [[writeBm25Index]] layout: the query
+    * batch's terms prune the postings scan to their buckets (directory
+    * partition pruning — reads a |query terms|/numBuckets fraction of
+    * the index instead of all of it), df comes out exact because a
+    * term's postings live wholly in one bucket, and dl / corpus stats
+    * come from the persisted side tables. Result is row-identical to
+    * the flat-index path (pinned by RetrievalSpec and t119's oracle). */
+  def bm25TopKFromPrunedIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                              queries: DataFrame, qIdCol: String, qTextCol: String,
+                              k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qTerms = queryTerms(queries, qIdCol, qTextCol)
+    val post = graft.sources.PrunedIndex.readPruned(
+      spark, graft.fs.Fs.child(path, "postings"), qTerms.select(col("term")))
+    val dl = spark.read.parquet(graft.fs.Fs.child(path, "doclen"))
+    val st = spark.read.parquet(graft.fs.Fs.child(path, "stats")).head()
+    bm25Rank(post, dl, st.getAs[Long]("n_docs"),
+      math.max(st.getAs[Long]("total_tokens"), 1L), qTerms, k, k1, b)
   }
 }

@@ -1,0 +1,92 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fs.Fs
+
+/** Hash-bucketed persisted-index layout: the 100×-scale answer to
+  * "every online probe scans the whole index".
+  *
+  * The engine's persisted indexes — BM25 postings, fingerprint /
+  * winnowing grams, MinHash band keys, fuzzy-key segments — are all
+  * probed by a SMALL key set (a query batch's terms, a delta batch's
+  * segments) against a corpus-sized table. Stored flat, every probe
+  * reads the full index no matter how few keys it wants; at 100× the
+  * corpus that read dominates the probe. Stored hash-bucketed on the
+  * probe key (`part_bucket = pmod(hash(key…), numBuckets)` as a
+  * PARTITION column), the probe computes its key set's buckets (a
+  * bounded, probe-sized job) and Catalyst's partition pruning reduces
+  * the scan to those directories — the fraction read falls as
+  * min(1, |probe buckets| / numBuckets), independent of corpus size.
+  *
+  * This is the directory-layout dual of [[graft.operators.Scale.bucketizeForJoin]]
+  * (which co-locates two corpus-sized sides via the metastore); here
+  * one side is tiny, so pruning beats co-location and the layout stays
+  * a plain parquet directory any reader can open (the bucket column is
+  * dropped on read).
+  *
+  * Bucket-count choice at scale: buckets should be ≳ the index's file
+  * count at the target SF so each bucket is ≥ one file, and ≤ the
+  * probe-key cardinality above which pruning stops helping (a probe
+  * touching every bucket reads everything regardless — then this
+  * layout costs nothing over flat: same bytes, same pushdown).
+  */
+object PrunedIndex {
+
+  val BucketCol = "part_bucket"
+
+  private def metaPath(path: String): String = Fs.child(path, "_PRUNE_META")
+
+  /** Write `df` partitioned by `pmod(hash(keyCols…), numBuckets)`.
+    * Layout metadata (key columns + bucket count) rides in a
+    * `_PRUNE_META` sidecar so readers never guess the hash domain. */
+  def write(df: DataFrame, path: String, keyCols: Seq[String], numBuckets: Int): Unit = {
+    require(keyCols.nonEmpty, "PrunedIndex needs at least one key column")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(!df.columns.contains(BucketCol),
+      s"input already carries a $BucketCol column")
+    df.withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    Fs.writeStringAtomic(metaPath(path), s"${keyCols.mkString(",")}\n$numBuckets")
+  }
+
+  /** (key columns, bucket count) recorded at write time. */
+  def meta(path: String): (Seq[String], Int) = {
+    val lines = Fs.readString(metaPath(path)).split("\n")
+    (lines(0).split(",").toSeq, lines(1).trim.toInt)
+  }
+
+  /** Full (unpruned) view — identical to the flat layout for readers
+    * that genuinely need every row (rebuild comparisons, compaction). */
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop(BucketCol)
+
+  /** Pruned view for a probe: only the buckets that `probe`'s key rows
+    * can hash into are read (directory-level partition pruning), then
+    * an exact broadcast semi-join on the key columns drops same-bucket
+    * strangers. `probe` must carry the index's key columns (extra
+    * columns are ignored) and is assumed probe-sized — its bucket set
+    * is collected to the driver to become a partition-pruning literal
+    * (bounded by numBuckets, no corpus data moves).
+    *
+    * Completeness: a key's rows all live in exactly one bucket, so the
+    * pruned view contains EVERY index row whose key appears in the
+    * probe — per-key aggregates (e.g. document frequency) computed on
+    * it are exact, not per-bucket approximations. */
+  def readPruned(spark: SparkSession, path: String, probe: DataFrame): DataFrame = {
+    val (keyCols, numBuckets) = meta(path)
+    val probeKeys = probe.select(keyCols.map(col): _*).distinct()
+    val buckets = probeKeys
+      .select(pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val base = spark.read.parquet(path)
+    // using-column joins reorder output (key columns first); re-select
+    // the stored data-column order so the pruned view is schema-identical
+    // to [[read]]
+    val dataCols = base.columns.filterNot(_ == BucketCol)
+    base.where(col(BucketCol).isin(buckets: _*))
+      .join(broadcast(probeKeys), keyCols, "left_semi")
+      .select(dataCols.map(col): _*)
+  }
+}

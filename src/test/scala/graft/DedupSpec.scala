@@ -539,6 +539,44 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 8L, 0L)) && !pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("PrunedIndex layout serves the fuzzy-segment and LSH band indexes unchanged") {
+    import graft.sources.PrunedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pruned_idx").toString
+    val corpus = fuzzyDocs.filter($"doc_id" <= 3)
+    val delta = fuzzyDocs.filter($"doc_id" >= 4)
+    // fuzzy-key segment index, bucketed on (seg_i, seg): the delta's own
+    // segments are the probe; the pruned view must answer the delta
+    // probe identically to the flat index
+    val segIdx = Dedup.fuzzyKeyIndex(corpus, "doc_id", "text", 64, 3)
+    PrunedIndex.write(segIdx, s"$dir/segs", Seq("seg_i", "seg"), numBuckets = 8)
+    val segProbe = Dedup.fuzzyKeyIndex(delta, "doc_id", "text", 64, 3)
+      .select($"seg_i", $"seg")
+    val prunedSegs = PrunedIndex.readPruned(spark, s"$dir/segs", segProbe)
+    val gotF = Dedup.fuzzyKeyDeltaPairs(delta, "doc_id", "text", prunedSegs, 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val wantF = Dedup.fuzzyKeyDeltaPairs(delta, "doc_id", "text", segIdx, 64, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotF == wantF && gotF.nonEmpty)
+    // MinHash band index, bucketed on (band, bkey): same contract for
+    // the LSH delta probe
+    val corpusDocs = corpus.filter($"doc_id" % 2 =!= 0)
+    val deltaDocs = corpus.filter($"doc_id" % 2 === 0)
+    val bandIdx = Dedup.minHashBandIndex(corpusDocs, "doc_id", "text",
+      n = 3, numHashes = 64, bands = 32)
+    PrunedIndex.write(bandIdx, s"$dir/bands", Seq("band", "bkey"), numBuckets = 8)
+    val bandProbe = Dedup.minHashBandIndex(deltaDocs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 32)
+      .select($"band", $"bkey")
+    val prunedBands = PrunedIndex.readPruned(spark, s"$dir/bands", bandProbe)
+    val gotM = Dedup.minHashDeltaPairs(deltaDocs, corpusDocs, prunedBands,
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val wantM = Dedup.minHashDeltaPairs(deltaDocs, corpusDocs, bandIdx,
+        "doc_id", "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(gotM == wantM && gotM.nonEmpty)
+  }
+
   test("source-preference dedup: exact dups keep the highest-priority source's copy") {
     // docs 1/2/3 share text across src2/src0/src1 — src0's copy (doc 2)
     // must survive; 4/5 share text within one source — min id wins;

@@ -102,6 +102,18 @@ class RetrievalSpec extends AnyFunSuite {
     assert(inline.nonEmpty && inline == indexed)
   }
 
+  test("bm25TopKFromPrunedIndex equals the flat-index path exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25bkt").toString
+    val post = Retrieval.postings(corpus, "doc_id", "text")
+    Retrieval.writeBm25Index(post, dir, numBuckets = 4)
+    val q = Seq((10L, "apple cherry"), (11L, "date"), (12L, "banana fig")).toDF("qid", "qtext")
+    val flat = Retrieval.bm25TopKFromIndex(post, q, "qid", "qtext", k = 3)
+      .orderBy($"query_id", $"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    val pruned = Retrieval.bm25TopKFromPrunedIndex(spark, dir, q, "qid", "qtext", k = 3)
+      .orderBy($"query_id", $"rank").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(flat.nonEmpty && pruned == flat)
+  }
+
   test("mergePostings: doc-level upsert equals a from-scratch rebuild") {
     // v1 corpus = docs 1,2; delta re-uploads doc 2 (revised) and adds
     // doc 3 — merge must drop ALL of doc 2's old postings, keep doc 1

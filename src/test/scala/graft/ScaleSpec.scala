@@ -29,6 +29,40 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("PrunedIndex: a probe reads a strict subset of index files, rows exact") {
+    import graft.sources.PrunedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString
+    val idx = (0 until 2000).map(i => (i.toLong, s"term${i % 97}", (i % 7 + 1).toLong))
+      .toDF("doc_id", "term", "tf")
+    PrunedIndex.write(idx, s"$dir/postings", Seq("term"), numBuckets = 16)
+    val probe = Seq("term3", "term55", "term96").toDF("term")
+    // AQE off for this check so FileSourceScanExec sits unwrapped in the
+    // executed plan (partition pruning itself is AQE-independent)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collectFirst {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+            s.metrics("numFiles").value
+        }.get
+      }
+      val pruned = PrunedIndex.readPruned(spark, s"$dir/postings", probe)
+      val got = pruned.as[(Long, String, Long)].collect().toSet
+      val want = idx.filter($"term".isin("term3", "term55", "term96"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == want && got.nonEmpty)
+      val prunedFiles = filesRead(pruned)
+      val fullFiles = filesRead(PrunedIndex.read(spark, s"$dir/postings"))
+      assert(prunedFiles > 0 && prunedFiles < fullFiles,
+        s"pruned scan read $prunedFiles of $fullFiles index files — no pruning happened")
+      // and the pruning is directory-level, visible as a partition filter
+      val p = pruned.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains(PrunedIndex.BucketCol), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed join plans without an exchange on either side") {
     // warehouse dir is a static conf; tables land in ./spark-warehouse
     // (gitignored) — fine for a plan-shape check
