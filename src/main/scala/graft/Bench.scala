@@ -35,8 +35,15 @@ object Bench {
     // (the driver never sets it, so the contract run is unchanged).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // Scaled profile (sf1+ / SlopeGate-style runs): exclude the tagged
+    // oracle-only O(n²) baselines — their cost is quadratic by contract.
+    // The driver never sets this env, so the sf0.1 contract run times
+    // every query, baselines included.
+    val scaleProfile = sys.env.contains("SPARK_GRAFT_SCALE_PROFILE")
     val results = SparkEntry.queries.toSeq
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        (!scaleProfile || !SparkEntry.oracleOnly.contains(name)) &&
+          only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -169,6 +169,13 @@ object ScaleBench {
         n = 3, numHashes = 64, bands = 16, threshold = 0.8).count()),
     "t30_simhash" -> (() =>
       graft.llm.Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 3).count()),
+    // capped form only: uncapped winnowing is output-quadratic on hot
+    // fingerprints by contract (167 s at ×10 in r11 — the scale-killer
+    // the df-cap exists to remove), so the slope evidence times the
+    // production path
+    "t46_winnowing_capped" -> (() =>
+      graft.llm.Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDf = 64).count()),
     "t58_jaccard_clusters" -> { () =>
       val pairs = graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       graft.llm.Dedup.nearDupClusters(pairs, "a_id", "b_id").count()

@@ -707,6 +707,18 @@ object SparkEntry {
         k = 16, w = 8, minShared = 8)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Winnowing with the MOSS df-cap ENGAGED (maxDf = 16 bites at sf0.01,
+    * where the hottest fingerprint reaches df 33) — the production-scale
+    * form of t46: fingerprints shared by more than maxDf docs are
+    * boilerplate evidence, not copying evidence, and are dropped before
+    * the pair join, bounding its otherwise df²-quadratic output. Capped
+    * output ⊆ t46's uncapped output by construction (pinned in
+    * SketchSpec); oracle = literal rows from an sf0.01 run. */
+  private def t120WinnowingCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.winnowingPairs(t(s, dir, "documents"), "doc_id", "text",
+        k = 16, w = 8, minShared = 8, maxDf = 16)
+      .orderBy(col("a_id"), col("b_id"))
+
   private def t48Multimodal(s: SparkSession, dir: String): DataFrame = {
     // Multimodal plumbing over synthetic media (bytes = utf8(text)) —
     // the utf8 bytes aren't decodable images/audio, so every row takes
@@ -1693,6 +1705,17 @@ object SparkEntry {
 
   // ====================================================================
 
+  /** Queries that exist as VERIFICATION BASELINES, not production paths:
+    * deliberately-complete O(n²) forms whose only role is to grade the
+    * bucketed production variants (t27 is the oracle for t45/t72/t73;
+    * t28 grades every ANN index — t31/t49/t83/t112). They stay in the
+    * sf0.1 correctness and bench contract (the driver's runs are
+    * unchanged), but any SCALED profile — [[SlopeGate]], a future sf1+
+    * bench — must exclude them: their cost is quadratic by CONTRACT, so
+    * timing them at scale measures the contract, not the engine.
+    * [[Bench]] honors the tag when `SPARK_GRAFT_SCALE_PROFILE` is set. */
+  val oracleOnly: Set[String] = Set("t27_embed_near_dup", "t28_knn_brute")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t106_corpus_diff" -> t106CorpusDiff _,
     "t107_overlap_f1" -> t107OverlapF1 _,
@@ -1801,6 +1824,7 @@ object SparkEntry {
     "t61_bpe_merges" -> t61BpeMerges _,
     "t45_embed_lsh" -> t45EmbedLsh _,
     "t46_winnowing" -> t46Winnowing _,
+    "t120_winnowing_capped" -> t120WinnowingCapped _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2248,6 +2272,7 @@ object SparkEntry {
       "t31_knn_ivf" -> LiteralOracles.t31,
       "t45_embed_lsh" -> LiteralOracles.t45,
       "t46_winnowing" -> LiteralOracles.t46,
+      "t120_winnowing_capped" -> LiteralOracles.t120,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
       "t112_knn_ivf_incremental" -> LiteralOracles.t112,

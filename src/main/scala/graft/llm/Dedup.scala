@@ -897,12 +897,38 @@ object Dedup {
     * fingerprints (shared substrings of length ≥ w + k − 1). Inverted
     * index on fingerprints — same join shape as the shingle path, but
     * fingerprints are position-selected rolling hashes, so a handful
-    * per document regardless of length. */
+    * per document regardless of length.
+    *
+    * `maxDf` (default off) is the MOSS mitigation for hot fingerprints:
+    * the pair join emits df·(df−1)/2 rows per fingerprint, so one
+    * boilerplate substring shared by 10 k docs produces ~5·10⁷ join
+    * rows on its own — output-quadratic at corpus scale. Capping drops
+    * fingerprints appearing in more than `maxDf` documents BEFORE the
+    * join (Schleimer et al., SIGMOD'03 §5 discard "too common" grams;
+    * MOSS ignores matches above a repetition threshold). Recall caveat:
+    * a pair whose ONLY shared substrings are corpus-wide boilerplate no
+    * longer surfaces — which is exactly the MOSS argument for the cap
+    * (ubiquitous strings are evidence of boilerplate, not copying).
+    * Capped output is always a subset of the uncapped output, and equal
+    * whenever no fingerprint exceeds the cap (pinned in DedupSpec). The
+    * hot set has at most totalFps/maxDf distinct values, so the
+    * exclusion anti-join broadcasts. */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
-                     k: Int = 12, w: Int = 8, minShared: Int = 3): DataFrame = {
+                     k: Int = 12, w: Int = 8, minShared: Int = 3,
+                     maxDf: Int = Int.MaxValue): DataFrame = {
     import graft.functions.expr.Winnowing
-    val fps = docs.select(col(idCol).as("id"),
+    val allFps = docs.select(col(idCol).as("id"),
       explode(array_distinct(Winnowing(normalizeText(col(textCol)), k, w))).as("fp"))
+    val fps =
+      if (maxDf == Int.MaxValue) allFps
+      else {
+        // array_distinct above makes rows-per-fp == docs-per-fp (df).
+        val hot = allFps.groupBy(col("fp"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("fp"))
+        allFps.join(broadcast(hot), Seq("fp"), "left_anti")
+      }
     val a = fps.select(col("fp"), col("id").as("a_id"))
     val b = fps.select(col("fp"), col("id").as("b_id"))
     a.join(b, Seq("fp"))

@@ -46,6 +46,28 @@ class SketchSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("winnowing df-cap: capped ⊆ uncapped; equal when no fingerprint is hot; boilerplate-only pairs dropped") {
+    // 6 docs all sharing one long boilerplate footer (the hot substring),
+    // plus docs 0/1 sharing a second, genuinely-copied passage.
+    val boiler = "this page is licensed under the creative commons attribution share alike"
+    val copied = "the quick brown fox jumps over the lazy dog again and again tonight"
+    val docs = (0L to 5L).map { i =>
+      val body = if (i <= 1) s"unique$i words $copied more unique$i" else s"unique$i body text number $i"
+      (i, s"$body $boiler trailer$i")
+    }.toDF("doc_id", "text")
+    def pairSet(maxDf: Int) =
+      Dedup.winnowingPairs(docs, "doc_id", "text", k = 12, w = 8, minShared = 2, maxDf = maxDf)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(Int.MaxValue)
+    val loose = pairSet(6) // no fingerprint can exceed df=6 in a 6-doc corpus
+    val tight = pairSet(3) // boilerplate fingerprints (df=6) are dropped
+    assert(loose == uncapped, "cap above max df must be a no-op")
+    assert(tight.subsetOf(uncapped), "capped output must be a subset")
+    assert(tight.contains((0L, 1L)), "genuinely-copied pair must survive the cap")
+    assert(uncapped.exists(p => p._1 >= 2L), "uncapped must see boilerplate-only pairs")
+    assert(!tight.exists(p => p._1 >= 2L), "boilerplate-only pairs must be dropped by the cap")
+  }
+
   test("winnowing guarantee: shared substring >= w+k-1 chars yields a shared fingerprint") {
     import graft.functions.expr.Winnowing
     import org.apache.spark.sql.functions.col
