@@ -80,6 +80,114 @@ class PurePropertySpec extends Properties("graft.pure") {
     p.withMinSuccessfulTests(60)
 }
 
+/** Crash-replay property over the FULL intake chain — FifoQueue
+  * (at-least-once redelivery) → version gate (Watermarks, strict `>`) →
+  * clean (dropNull + distinct) → ParquetMergeSink.merge (idempotent
+  * replay guard + atomic pointer swap) → watermark advance. A seeded
+  * schedule kills the consumer at arbitrary points between the chain's
+  * durable steps:
+  *
+  *   - point 0: after receive, before any work (pure redelivery)
+  *   - point 1: after the MERGE commits, before the watermark advances
+  *     (the r11 finding-#1 window: store ahead of tracker — the replay
+  *     passes the version gate and must be absorbed by the merge's
+  *     `alreadyApplied` guard)
+  *   - point 2: after the watermark advances, before the ack (tracker
+  *     ahead of queue — the redelivery must be absorbed by the gate)
+  *
+  * plus a deliberate STALE REPLAY (the oldest version re-sent under a
+  * fresh dedup id after the drain). The property: whatever the crash
+  * schedule, the curated store and watermark converge to the no-crash
+  * result. (The pointer-swap-mid-merge window itself is atomic-rename
+  * + table-lock territory, pinned by SinksSpec's concurrency tests.) */
+class CrashReplayPropertySpec extends Properties("graft.crashreplay") {
+  private lazy val spark = GraftSpark.spark
+
+  import graft.model.TableVersion
+  import graft.operators.Relational
+  import graft.sinks.ParquetMergeSink
+
+  private final class InjectedCrash extends RuntimeException("injected crash")
+
+  // 4 versioned batches; unique keys per batch (last write wins within
+  // a send), Option values so the clean step genuinely drops rows
+  private val batchGen: Gen[List[(Int, Option[Int])]] =
+    Gen.listOfN(6, Gen.zip(Gen.choose(0, 5), Gen.option(Gen.choose(0, 99))))
+      .map(_.groupBy(_._1).map(_._2.last).toList)
+  private val batchesGen: Gen[List[List[(Int, Option[Int])]]] =
+    Gen.listOfN(4, batchGen)
+  // crash points consumed one per attempt; >= 3 = survive this attempt.
+  // Finite schedule ⇒ eventually crash-free ⇒ the drain terminates.
+  private val scheduleGen: Gen[List[Int]] = Gen.listOfN(10, Gen.choose(0, 8))
+
+  property("crashed-and-replayed consumer converges to the no-crash store") =
+    Prop.forAllNoShrink(batchesGen, scheduleGen) { (batches, schedule) =>
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_crash").toString
+      val warehouse = s"$root/warehouse"
+      val tracker = new graft.tracker.Watermarks(s"$root/watermarks")
+      var now = 0L
+      val q = new graft.sources.FifoQueue(s"$root/queue",
+        visibilityTimeoutMs = 1000L, clock = () => now)
+      def dfFor(v: Int) = {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types._
+        import scala.jdk.CollectionConverters._
+        val schema = StructType(Seq(
+          StructField("k", IntegerType, nullable = false),
+          StructField("v", IntegerType, nullable = true)))
+        spark.createDataFrame(
+          batches(v - 1).map { case (k, opt) =>
+            Row(k, opt.map(Integer.valueOf).orNull) }.asJava, schema)
+      }
+
+      batches.indices.foreach { i => q.send("t", s"t@${i + 1}", s"${i + 1}") }
+
+      val crashes = schedule.iterator
+      def consumeAll(): Unit = {
+        var iters = 0
+        while (q.depth("t") > 0 && iters < 200) {
+          iters += 1
+          q.receive("t") match {
+            case None => now += 1001 // blocked on a dead consumer's lease
+            case Some(msg) =>
+              val point = if (crashes.hasNext) crashes.next() else 99
+              try {
+                if (point == 0) throw new InjectedCrash
+                val tv = TableVersion("t", msg.body.toLong)
+                if (tracker.shouldProcess(tv)) {
+                  val clean = Relational.distinctRows(
+                    Relational.dropNullRows(dfFor(msg.body.toInt)))
+                  ParquetMergeSink.merge(spark, warehouse, "t", clean, Seq("k"), tv.version)
+                  if (point == 1) throw new InjectedCrash
+                  tracker.advance(tv)
+                }
+                if (point == 2) throw new InjectedCrash
+                q.ack(msg)
+              } catch { case _: InjectedCrash => () } // death: no ack
+          }
+        }
+        assert(q.depth("t") == 0, s"queue did not drain in $iters iterations")
+      }
+      consumeAll()
+      // stale replay: oldest version re-sent under a fresh dedup id —
+      // the version gate must absorb it without touching the store
+      q.send("t", s"replay@1@${schedule.hashCode}", "1")
+      consumeAll()
+
+      val expected = batches.foldLeft(Map.empty[Int, Int]) { (acc, b) =>
+        acc ++ b.collect { case (k, Some(v)) => k -> v }
+      }.toSeq.map { case (k, v) => s"$k|$v" }.sorted
+      val got = ParquetMergeSink.readCurrent(spark, warehouse, "t")
+        .map(_.collect().map(_.mkString("|")).sorted.toSeq).getOrElse(Seq.empty)
+      val wm = tracker.read().getOrElse("t", 0L)
+      got == expected && wm == batches.size.toLong
+    }
+
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withMinSuccessfulTests(5)
+}
+
 /** Spark-bound properties — each case runs local jobs, so the case
   * count is small; the data shapes still vary enough to hit the
   * null/duplicate/key-collision corners. */
