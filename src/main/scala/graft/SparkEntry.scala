@@ -776,10 +776,15 @@ object SparkEntry {
       Similarity.ivfAssignedIndex(delta, "vec_id", "embedding", cents),
       Seq("vec_id"))
     val q = e.filter(col("vec_id") < 20)
-    val ann = Similarity.ivfSearchAssigned(merged, cents, q,
-      "vec_id", "embedding", k = 10, nprobe = 6)
+    // adaptive nprobe (distance-ratio escalation): boundary queries —
+    // where fixed nprobe=6 lost its recall (r11 avg 0.66, floor 0.5) —
+    // probe up to maxProbe cells; deep-in-cell queries stay at minProbe.
+    // Floor raised to 0.7 with the escalation in place.
+    val ann = Similarity.ivfSearchAssignedAdaptive(merged, cents, q,
+      "vec_id", "embedding", k = 10, minProbe = 6, maxProbe = 12,
+      ratioPpm = 2000000L)
     val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
-    Similarity.recallAtK(ann, brute).orderBy(col("query_id"))
+    Similarity.recallAtK(ann, brute, floorPpm = 700000L).orderBy(col("query_id"))
   }
 
   /** IVF assignment drift monitor
@@ -1379,6 +1384,51 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** VARIANT shredding over HETEROGENEOUS sidecar batches — the
+    * crawl-metadata report a data card needs. Three shape classes
+    * (web/pdf/img) serialize to JSON, parse to VARIANT, and shred two
+    * ways: tag arrays explode row-wise through the `variant_explode`
+    * TVF (a doc without tags contributes nothing — `try_variant_get`
+    * yields NULL and the lateral join drops it), and each kind's merged
+    * shape comes from `schema_of_variant_agg`. Identical shapes merge
+    * to themselves, so the agg string is deterministic and the DuckDB
+    * twin pins it as a literal while re-walking the same JSON for the
+    * tag counts. Scale shape: parse/extract are per-row expressions,
+    * the explode is a generator (no shuffle), and both reports are one
+    * thin hash aggregate each. */
+  private def t118VariantShred(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val js = when(col("doc_id") % 3 === 0,
+        to_json(struct(lit("web").as("kind"),
+          struct((lit(200) + col("doc_id") % 5).cast("long").as("status"),
+            (col("n_chars") % 50).cast("long").as("url_len")).as("http"),
+          array(concat(lit("s:"), col("source")), concat(lit("l:"), col("lang")),
+            concat(lit("s:"), col("source"))).as("tags"))))
+      .when(col("doc_id") % 3 === 1,
+        to_json(struct(lit("pdf").as("kind"),
+          (col("n_chars") % 20).cast("long").as("pages"),
+          array(concat(lit("s:"), col("source"))).as("tags"))))
+      .otherwise(
+        to_json(struct(lit("img").as("kind"),
+          struct((col("n_chars") % 640).cast("long").as("w"),
+            (col("n_chars") % 480).cast("long").as("h")).as("image"))))
+    d.select(col("doc_id"), parse_json(js).as("v"))
+      .createOrReplaceTempView("graft_t118_v")
+    val tagRows = s.sql(
+      """SELECT variant_get(v, '$.kind', 'string') AS kind,
+                CAST(value AS STRING) AS tag,
+                count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ
+         FROM graft_t118_v,
+              LATERAL variant_explode(try_variant_get(v, '$.tags'))
+         GROUP BY 1, 2""")
+    val schemaRows = s.sql(
+      """SELECT variant_get(v, '$.kind', 'string') AS kind,
+                concat('schema:', schema_of_variant_agg(v)) AS tag,
+                count(*) AS n_docs, count(*) AS n_occ
+         FROM graft_t118_v GROUP BY 1""")
+    tagRows.unionAll(schemaRows).orderBy(col("kind"), col("tag"))
+  }
+
   /** Bigram-LM quality scoring (add-one smoothed, integer-exact) — the
     * context-aware sibling of t78; same ppm-floor contract. */
   private def t84BigramLogprob(s: SparkSession, dir: String): DataFrame =
@@ -1738,6 +1788,7 @@ object SparkEntry {
     "t115_ivf_drift" -> t115IvfDrift _,
     "t116_decontaminate_spans" -> t116DecontaminateSpans _,
     "t117_variant_extract" -> t117VariantExtract _,
+    "t118_variant_shred" -> t118VariantShred _,
     "t114_source_pref_survivors" -> t114SourcePrefSurvivors _,
     "t96_curation_pipeline" -> t96CurationPipeline _,
     "t95_scrub_dup_spans" -> t95ScrubDupSpans _,
@@ -2816,6 +2867,48 @@ object SparkEntry {
             CAST(json_extract(js, '$$.arr[1]') AS BIGINT) AS arr1,
             json_extract_string(js, '$$.missing') AS missing
           FROM j ORDER BY doc_id""",
+      // heterogeneous-variant twin: DuckDB rebuilds the SAME per-shape
+      // json and re-walks it (json_transform unnest for the tag rows);
+      // the schema_of_variant_agg strings are pinned literals —
+      // identical shapes merge to themselves, so the agg is a
+      // deterministic function of the shape class
+      "t118_variant_shred" ->
+        s"""WITH j AS (SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0 THEN to_json(struct_pack(
+                   kind := 'web',
+                   http := struct_pack(
+                     status := CAST(200 + doc_id % 5 AS BIGINT),
+                     url_len := CAST(n_chars % 50 AS BIGINT)),
+                   tags := ['s:' || source, 'l:' || lang, 's:' || source]))
+                 WHEN doc_id % 3 = 1 THEN to_json(struct_pack(
+                   kind := 'pdf',
+                   pages := CAST(n_chars % 20 AS BIGINT),
+                   tags := ['s:' || source]))
+                 ELSE to_json(struct_pack(
+                   kind := 'img',
+                   image := struct_pack(
+                     w := CAST(n_chars % 640 AS BIGINT),
+                     h := CAST(n_chars % 480 AS BIGINT))))
+            END AS js FROM documents),
+          t AS (SELECT doc_id, json_extract_string(js, '$$.kind') AS kind,
+                  unnest(json_transform(json_extract(js, '$$.tags'),
+                    '["VARCHAR"]')) AS tag
+                FROM j)
+          SELECT kind, tag,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ
+          FROM t GROUP BY kind, tag
+          UNION ALL
+          SELECT json_extract_string(js, '$$.kind') AS kind,
+            'schema:' || CASE json_extract_string(js, '$$.kind')
+              WHEN 'web' THEN 'OBJECT<http: OBJECT<status: BIGINT, url_len: BIGINT>, kind: STRING, tags: ARRAY<STRING>>'
+              WHEN 'pdf' THEN 'OBJECT<kind: STRING, pages: BIGINT, tags: ARRAY<STRING>>'
+              ELSE 'OBJECT<image: OBJECT<h: BIGINT, w: BIGINT>, kind: STRING>'
+            END AS tag,
+            CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(count(*) AS BIGINT) AS n_occ
+          FROM j GROUP BY 1, 2
+          ORDER BY kind, tag""",
       // t95's window/rebuild idiom pointed at the t81 bench gram set:
       // matched windows' covered positions drop, short docs contribute
       // their whole-text shingle (shingleSet parity on both sides)

@@ -188,6 +188,67 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
   }
 
+  /** [[ivfSearchAssigned]] with ADAPTIVE nprobe — the recall-escalation
+    * rule for queries near cell boundaries, where a fixed nprobe loses
+    * most of its recall: a query probes every cell whose centroid
+    * distance is within `ratioPpm`/10⁶ × its nearest-centroid distance
+    * (the FAISS-style distance-ratio heuristic), floored at `minProbe`
+    * cells and capped at `maxProbe`. A query that lands deep inside one
+    * cell pays `minProbe`; a boundary query — exactly the kind fixed
+    * nprobe misses on — escalates toward `maxProbe`. Average probe cost
+    * tracks the data's boundary mass instead of its worst case, so at
+    * corpus scale this dominates raising a global nprobe. Deterministic:
+    * the rule is a pure per-row function of (query, centroids), and
+    * in-cell ranking stays exact. Escalation monotonicity (recall ≥
+    * the fixed-`minProbe` search, per query) is pinned in
+    * SimilaritySpec. */
+  def ivfSearchAssignedAdaptive(assigned: DataFrame,
+                                centroids: Array[(Int, Array[Double])],
+                                queries: DataFrame, idCol: String, vecCol: String,
+                                k: Int, minProbe: Int = 4, maxProbe: Int = 10,
+                                ratioPpm: Long = 2000000L): DataFrame = {
+    val a = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_v"), col("cell"))
+    val dvQ = queries.select(col(idCol), col(vecCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probes = probeCellsAdaptive(dvQ, centroids, minProbe, maxProbe, ratioPpm)
+      .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("cell"))
+    val scored = a.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("q_v"), col("c_v")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
+  }
+
+  /** Per-query adaptive probe set (distance-ratio rule; see
+    * [[ivfSearchAssignedAdaptive]]). Squared distances are ≥ 0
+    * mathematically; the expansion can go fractionally negative in
+    * floating point, so the ratio test clamps d2min at 0 — a clamp of
+    * the same per-row arithmetic on both sides, still deterministic. */
+  private def probeCellsAdaptive(dvQ: DataFrame, centroids: Array[(Int, Array[Double])],
+                                 minProbe: Int, maxProbe: Int,
+                                 ratioPpm: Long): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    require(minProbe >= 1 && maxProbe >= minProbe,
+      s"need 1 <= minProbe <= maxProbe; got ($minProbe, $maxProbe)")
+    val v2 = dot(col("v"), col("v"))
+    val scored = centroids.map { case (cell, c) =>
+      val cCol = array(c.map(lit): _*)
+      val d2 = v2 - lit(2.0) * dot(col("v"), cCol) + lit(c.map(x => x * x).sum)
+      struct(d2.as("d2"), lit(cell).as("cell"))
+    }
+    val sorted = array_sort(array(scored: _*))
+    val d2min = greatest(element_at(sorted, 1).getField("d2"), lit(0.0))
+    val nNear = filter(sorted,
+      c => greatest(c.getField("d2"), lit(0.0)) * lit(1000000.0) <=
+        lit(ratioPpm.toDouble) * d2min)
+    val nProbe = greatest(lit(minProbe),
+      least(lit(maxProbe), size(nNear)))
+    dvQ.withColumn("cell", explode(slice(sorted, lit(1), nProbe).getField("cell")))
+  }
+
   /** IVF search over a k-means index: corpus pre-assigned to its
     * nearest centroid; each query probes the `nprobe` nearest cells and
     * ranks exactly within them. */

@@ -71,6 +71,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(merged) == run(rebuilt) && run(merged).nonEmpty)
   }
 
+  test("adaptive nprobe: per-query recall >= fixed minProbe; full escalation == full probing") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 8, 2)
+    val idx = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+    val q = embs.filter($"vec_id" < 10)
+    val brute = Similarity.bruteTopK(embs, q, "vec_id", "embedding", k = 5)
+    def recall(ann: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      Similarity.recallAtK(ann, brute)
+        .select($"query_id", $"n_hits").as[(Long, Long)].collect().toMap
+    val fixed = recall(Similarity.ivfSearchAssigned(idx, cents, q,
+      "vec_id", "embedding", k = 5, nprobe = 2))
+    val adaptive = recall(Similarity.ivfSearchAssignedAdaptive(idx, cents, q,
+      "vec_id", "embedding", k = 5, minProbe = 2, maxProbe = 6, ratioPpm = 3000000L))
+    // escalation is monotone: never worse than the fixed-minProbe search
+    assert(adaptive.forall { case (qid, h) => h >= fixed(qid) })
+    // ratio wide enough to keep every cell == probing all cells == brute
+    val full = recall(Similarity.ivfSearchAssignedAdaptive(idx, cents, q,
+      "vec_id", "embedding", k = 5, minProbe = 8, maxProbe = 8, ratioPpm = 1000000L))
+    assert(full.values.forall(_ == 5L))
+  }
+
   test("ivfCellStats: hand-computed per-cell integer mean distances") {
     // centroids (1,0) and (0,1); vectors split 2/1 with known d²:
     //   (1,0) -> cell 0, d² = 0; (0.6,0.8) -> cell 1 (d²=0.4 vs 1.0... )
