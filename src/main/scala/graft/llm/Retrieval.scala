@@ -123,11 +123,24 @@ object Retrieval {
     * `post` may be the full index or any subset containing EVERY row of
     * every query term (per-term df is computed from it, so partial
     * per-term postings would skew idf — the [[graft.sources.PrunedIndex]]
-    * completeness contract). */
+    * completeness contract).
+    *
+    * Probed shape: the index is semi-joined to the distinct probed
+    * terms BEFORE df aggregation, so the df shuffle carries only the
+    * probed terms' rows instead of dfs for every term nobody asked
+    * about (the earlier form aggregated over the full index — a
+    * corpus-wide shuffle that dominated the 10× query wall). df stays a
+    * map-side-combined AGGREGATE, not a per-term count window: the
+    * probe terms are each document's lead tokens, i.e. the corpus's
+    * hottest terms, and a window would hand each hot term's postings to
+    * one task (skew stall) where the partial aggregate shrinks them in
+    * place. */
   private def bm25Rank(post: DataFrame, dl: DataFrame, nDocs: Long, totalTokens: Long,
                        qTerms: DataFrame, k: Int, k1: Double, b: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dfT = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val probed = post.join(broadcast(qTerms.select(col("term")).distinct()),
+      Seq("term"), "left_semi")
+    val dfT = probed.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(((lit(nDocs) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val termPpm = floor(
@@ -136,7 +149,7 @@ object Retrieval {
           + lit(k1 * b) * col("dl").cast("double")
             * lit(nDocs.toDouble) / lit(totalTokens.toDouble))
         * lit(1e6) + lit(1e-4)).cast("long").as("term_ppm")
-    val scored = qTerms.join(post, "term").join(dfT, "term").join(dl, "doc_id")
+    val scored = qTerms.join(probed, "term").join(dfT, "term").join(dl, "doc_id")
       .select(col("query_id"), col("doc_id"), termPpm)
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("term_ppm")).as("score_ppm"))
@@ -158,11 +171,20 @@ object Retrieval {
     * delta's terms touch change content, but the swap is whole-index
     * (the versioned-store contract). */
   def writeBm25Index(post: DataFrame, path: String, numBuckets: Int = 64): Unit = {
+    val spark = post.sparkSession
     graft.sources.PrunedIndex.write(post, graft.fs.Fs.child(path, "postings"),
       Seq("term"), numBuckets)
-    val dl = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    // doclen/stats derive from the JUST-WRITTEN postings, not from
+    // `post`'s lineage: re-evaluating the lineage re-tokenizes the
+    // whole corpus once per side table (3x the build cost at any
+    // scale); the written index is the thin (doc_id, term, tf) table
+    // and scanning it back is the cheap path.
+    val written = graft.sources.PrunedIndex.read(
+      spark, graft.fs.Fs.child(path, "postings"))
+    val dl = written.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     dl.write.mode("overwrite").parquet(graft.fs.Fs.child(path, "doclen"))
-    dl.agg(count(lit(1)).as("n_docs"),
+    spark.read.parquet(graft.fs.Fs.child(path, "doclen"))
+      .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("total_tokens"))
       .write.mode("overwrite").parquet(graft.fs.Fs.child(path, "stats"))
   }
@@ -179,8 +201,20 @@ object Retrieval {
                               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val qTerms = queryTerms(queries, qIdCol, qTextCol)
+    // Materialize the probed postings ONCE (the classic "fetch the
+    // postings lists" step): bm25Rank references its input twice (df
+    // aggregate + score join), and re-evaluating the pruned scan +
+    // semi-join lineage per reference doubles the read. The subset is
+    // probe-bounded — |probed terms' postings| — which is exactly the
+    // working set an online query batch implies; a probe whose terms
+    // hit every bucket degrades to the flat path's full read and
+    // should use bm25TopKFromIndex instead (scaladoc above).
+    // localCheckpoint (not persist) so the blocks are dropped by the
+    // context cleaner when the result goes out of scope, rather than
+    // pinning cache across a long session of query batches.
     val post = graft.sources.PrunedIndex.readPruned(
       spark, graft.fs.Fs.child(path, "postings"), qTerms.select(col("term")))
+      .localCheckpoint()
     val dl = spark.read.parquet(graft.fs.Fs.child(path, "doclen"))
     val st = spark.read.parquet(graft.fs.Fs.child(path, "stats")).head()
     bm25Rank(post, dl, st.getAs[Long]("n_docs"),

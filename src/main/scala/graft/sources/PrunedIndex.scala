@@ -40,13 +40,22 @@ object PrunedIndex {
 
   /** Write `df` partitioned by `pmod(hash(keyCols…), numBuckets)`.
     * Layout metadata (key columns + bucket count) rides in a
-    * `_PRUNE_META` sidecar so readers never guess the hash domain. */
+    * `_PRUNE_META` sidecar so readers never guess the hash domain.
+    *
+    * The rows are repartitioned ON the bucket value first: a naive
+    * `partitionBy` write fans out to (tasks × buckets) files — ~2 000
+    * small files for a 32-task, 64-bucket index, which triples the
+    * write wall and taxes every later listing. One shuffle of the thin
+    * index keyed by bucket lands each bucket in one task → ~one file
+    * per bucket. At larger SF set
+    * `spark.sql.files.maxRecordsPerFile` to split fat buckets. */
   def write(df: DataFrame, path: String, keyCols: Seq[String], numBuckets: Int): Unit = {
     require(keyCols.nonEmpty, "PrunedIndex needs at least one key column")
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     require(!df.columns.contains(BucketCol),
       s"input already carries a $BucketCol column")
     df.withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .repartition(numBuckets, col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
     Fs.writeStringAtomic(metaPath(path), s"${keyCols.mkString(",")}\n$numBuckets")
   }
