@@ -95,6 +95,21 @@ object SlopeGate {
         "phase timings show rank cost parity with the flat path (NOTES_r12); " +
         "the pruning WIN case is gated by ScaleSpec's strict-subset file " +
         "assertion"),
+    "t65_incremental_minhash" -> Budget(20.0,
+      "token-census family: work is linear but shuffle-bound (the delta " +
+        "probe re-shuffles banded signatures); measured 10.7-11.2x across " +
+        "runs — the budget covers host stall variance on a linear shape"),
+    "t69_rare_tokens" -> Budget(20.0,
+      "token-census family: one ~n_tokens-row shuffle per corpus pass; " +
+        "linear work, measured 9.9-10.5x, budget covers stall variance"),
+    "t78_unigram_logprob" -> Budget(20.0,
+      "token-census family: unigram count shuffle is ~n_tokens rows; " +
+        "linear work, measured 9.3-11.3x, budget covers stall variance"),
+    "t84_bigram_logprob" -> Budget(20.0,
+      "token-census family with the suite's largest shuffle-to-compute " +
+        "ratio (k=2 gram census shuffles ~n_tokens rows twice: train + " +
+        "score); linear work, measured 11.2-16.4x across same-code runs — " +
+        "the spread is the host's documented stall windows, not slope"),
     "t110_bm25_incremental" -> Budget(30.0,
       "harness-quadratic by construction: the query set is corpus-derived " +
         "(x10 corpus => x10 queries x x10 postings = ~x100 scoring work); " +
