@@ -707,6 +707,29 @@ object SparkEntry {
         k = 16, w = 8, minShared = 8)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Incremental winnowing over the persisted fingerprint index — the
+    * index-maintenance form completing the family (exact t64, minhash
+    * t65, fuzzy-key stream, now winnowing): v1 of the corpus
+    * (doc_id % 5 ≠ 0, original text) is fingerprint-indexed once; a
+    * delta lands carrying NEW docs (doc_id % 5 = 0) and RE-UPLOADED
+    * revisions (doc_id % 7 = 0, text + trailer). The probe anti-joins
+    * the re-uploads' stale index rows, applies the df-cap over the
+    * post-delta corpus, and emits exactly the delta-touching pairs a
+    * rebuild would (pinned by SketchSpec). Literal oracle — winnowing
+    * fingerprints are engine-native rolling hashes. */
+  private def t121WinnowingDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val revText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" winnowing rev2 trailer"))).otherwise(col("text"))
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .withColumn("text", revText)
+    Dedup.winnowingDeltaPairs(delta, "doc_id", "text",
+        Dedup.winnowingIndex(corpus, "doc_id", "text", k = 16, w = 8),
+        k = 16, w = 8, minShared = 8, maxDf = 16)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Winnowing with the MOSS df-cap ENGAGED (maxDf = 16 bites at sf0.01,
     * where the hottest fingerprint reaches df 33) — the production-scale
     * form of t46: fingerprints shared by more than maxDf docs are
@@ -1876,6 +1899,7 @@ object SparkEntry {
     "t45_embed_lsh" -> t45EmbedLsh _,
     "t46_winnowing" -> t46Winnowing _,
     "t120_winnowing_capped" -> t120WinnowingCapped _,
+    "t121_winnowing_delta" -> t121WinnowingDelta _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2324,6 +2348,7 @@ object SparkEntry {
       "t45_embed_lsh" -> LiteralOracles.t45,
       "t46_winnowing" -> LiteralOracles.t46,
       "t120_winnowing_capped" -> LiteralOracles.t120,
+      "t121_winnowing_delta" -> LiteralOracles.t121,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
       "t112_knn_ivf_incremental" -> LiteralOracles.t112,

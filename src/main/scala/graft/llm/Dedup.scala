@@ -916,23 +916,81 @@ object Dedup {
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      k: Int = 12, w: Int = 8, minShared: Int = 3,
                      maxDf: Int = Int.MaxValue): DataFrame = {
-    import graft.functions.expr.Winnowing
-    val allFps = docs.select(col(idCol).as("id"),
-      explode(array_distinct(Winnowing(normalizeText(col(textCol)), k, w))).as("fp"))
-    val fps =
-      if (maxDf == Int.MaxValue) allFps
-      else {
-        // array_distinct above makes rows-per-fp == docs-per-fp (df).
-        val hot = allFps.groupBy(col("fp"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxDf)
-          .select(col("fp"))
-        allFps.join(broadcast(hot), Seq("fp"), "left_anti")
-      }
+    val fps = dropHotFps(winnowingIndex(docs, idCol, textCol, k, w), maxDf)
     val a = fps.select(col("fp"), col("id").as("a_id"))
     val b = fps.select(col("fp"), col("id").as("b_id"))
     a.join(b, Seq("fp"))
       .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Persisted winnowing fingerprint index: one (id, fp) row per
+    * DISTINCT fingerprint per document — the [[fingerprintIndex]] /
+    * [[minHashBandIndex]] / [[fuzzyKeyIndex]] persisted-index pattern
+    * for the winnowing family. Build once per corpus version,
+    * `write.parquet`, and probe delta batches with
+    * [[winnowingDeltaPairs]] instead of re-fingerprinting the corpus;
+    * maintenance is a doc-keyed group-replace
+    * ([[graft.operators.Relational.mergeReplaceGroups]] on `id`, with
+    * the delta's id set as the explicit replace-key set so a re-upload
+    * that fingerprints to nothing still displaces its old rows). */
+  def winnowingIndex(docs: DataFrame, idCol: String, textCol: String,
+                     k: Int = 12, w: Int = 8): DataFrame = {
+    import graft.functions.expr.Winnowing
+    docs.select(col(idCol).as("id"),
+      explode(array_distinct(Winnowing(normalizeText(col(textCol)), k, w))).as("fp"))
+  }
+
+  /** Rows of fingerprints with df ≤ `maxDf` (the MOSS cap; see
+    * [[winnowingPairs]]). df is computable as a row count because the
+    * index holds DISTINCT fps per doc; the hot set is ≤ totalRows/maxDf
+    * values, so the exclusion anti-join broadcasts. */
+  private def dropHotFps(fps: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) fps
+    else {
+      val hot = fps.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("fp"))
+      fps.join(broadcast(hot), Seq("fp"), "left_anti")
+    }
+
+  /** Incremental winnowing near-copy pairs: every pair (a_id < b_id)
+    * sharing ≥ `minShared` fingerprints in the post-delta corpus, with
+    * at least one side in the delta — delta-vs-corpus pairs from a
+    * broadcast probe of the delta's fingerprints against the persisted
+    * [[winnowingIndex]], within-delta pairs from the delta's own tiny
+    * self-join. Equals `winnowingPairs(corpus ∪ delta)` restricted to
+    * pairs touching a delta id (pinned by SketchSpec, including the
+    * re-upload and capped cases), at per-batch cost: the corpus text is
+    * never re-read — only its thin index is probed.
+    *
+    * Re-uploaded documents (ids present in both the index and the
+    * delta) count ONLY their delta-revision fingerprints: the index's
+    * stale rows are anti-joined out first — the
+    * [[fuzzyKeyDeltaPairs]] superseded-key contract. The `maxDf` cap is
+    * evaluated on the POST-DELTA corpus (current index rows ∪ delta
+    * rows), matching what a rebuild would compute. */
+  def winnowingDeltaPairs(delta: DataFrame, idCol: String, textCol: String,
+                          corpusIndex: DataFrame,
+                          k: Int = 12, w: Int = 8, minShared: Int = 3,
+                          maxDf: Int = Int.MaxValue): DataFrame = {
+    val deltaFps = winnowingIndex(delta, idCol, textCol, k, w)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val merged = dropHotFps(current.unionAll(deltaFps), maxDf)
+    val mergedDelta = merged.join(broadcast(deltaIds), Seq("id"), "left_semi")
+    // delta side × full post-delta corpus; least/greatest normalizes
+    // the within-delta symmetric duplicates, distinct collapses them
+    // (one row per (fp, pair) — fps are distinct per doc)
+    mergedDelta.select(col("fp"), col("id").as("x"))
+      .join(merged.select(col("fp"), col("id").as("y")), Seq("fp"))
+      .filter(col("x") =!= col("y"))
+      .select(col("fp"), least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"))
+      .distinct()
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)

@@ -68,6 +68,30 @@ class SketchSpec extends AnyFunSuite {
     assert(!tight.exists(p => p._1 >= 2L), "boilerplate-only pairs must be dropped by the cap")
   }
 
+  test("incremental winnowing: delta probe == rebuild restricted to delta-touching pairs (incl. re-uploads and cap)") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val revText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" incremental winnowing revision trailer"))).otherwise(col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0) // v1, original text
+    val delta = docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .withColumn("text", revText) // new docs + re-uploads with CHANGED text
+    val updated = docs.withColumn("text", revText) // what the corpus looks like post-delta
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    for (cap <- Seq(Int.MaxValue, 12)) {
+      val full = Dedup.winnowingPairs(updated, "doc_id", "text",
+          k = 12, w = 8, minShared = 2, maxDf = cap)
+        .as[(Long, Long, Long)].collect().toSet
+      val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+      val got = Dedup.winnowingDeltaPairs(delta, "doc_id", "text",
+          Dedup.winnowingIndex(corpus, "doc_id", "text", k = 12, w = 8),
+          k = 12, w = 8, minShared = 2, maxDf = cap)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"cap=$cap")
+      assert(got.nonEmpty, s"cap=$cap produced no pairs — test data too thin")
+    }
+  }
+
   test("winnowing guarantee: shared substring >= w+k-1 chars yields a shared fingerprint") {
     import graft.functions.expr.Winnowing
     import org.apache.spark.sql.functions.col

@@ -22,6 +22,7 @@ QUERIES = {
     "t45_embed_lsh": (["a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t46_winnowing": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
     "t120_winnowing_capped": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
+    "t121_winnowing_delta": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
     "t48_multimodal": (["kind", "n", "total_bytes", "brightness_micro"], "kind"),
     "t49_knn_ivf_kmeans": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t50_bpe_tokens": (["doc_id", "n_bpe_tokens"], "doc_id"),
