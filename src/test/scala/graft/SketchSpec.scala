@@ -92,6 +92,51 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming winnowing: accumulated micro-batch pairs equal the batch run; index == rebuilt") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val common = "spark structured streaming watermarks and stateful aggregation semantics"
+    val other = "distributed inverted index maintenance with versioned parquet snapshots"
+    val docs = Seq(
+      (0L, s"alpha opening words $common and an alpha ending here"),
+      (1L, s"beta preamble text $common plus a beta conclusion now"),
+      (2L, "gamma text with nothing shared across any other document at all"),
+      (3L, s"delta lead-in $common delta trailing words follow here"), // cross-batch pair with 0/1
+      (4L, s"epsilon starts $other and epsilon closes the text"),
+      (5L, s"zeta begins $other with zeta finishing the passage")      // within-batch pair with 4
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_wstream").toString
+    docs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
+    docs.filter($"doc_id" >= 3).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.WinnowingStream.start(
+      stream, "doc_id", "text", s"$dir/wh", "win_idx", s"$dir/ckpt",
+      k = 12, w = 8, minShared = 2) {
+      (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
+    }
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 12, w = 8, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.exists(p => p._2 == 3L), "expected a cross-batch pair")
+    // maintained index equals a from-scratch winnowingIndex
+    val cur = graft.sinks.ParquetMergeSink.readCurrent(spark, s"$dir/wh", "win_idx").get
+    val rebuilt = Dedup.winnowingIndex(docs, "doc_id", "text", k = 12, w = 8)
+    assert(cur.as[(Long, Long)].collect().toSet ==
+      rebuilt.as[(Long, Long)].collect().toSet)
+    // and answers a fresh delta exactly
+    val d6 = Seq((6L, s"eta prefix $common eta suffix closes")).toDF("doc_id", "text")
+    val next = Dedup.winnowingDeltaPairs(d6, "doc_id", "text", cur,
+        k = 12, w = 8, minShared = 2)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(next.exists(_._2 == 6L) && next.forall(_._2 == 6L))
+  }
+
   test("winnowing guarantee: shared substring >= w+k-1 chars yields a shared fingerprint") {
     import graft.functions.expr.Winnowing
     import org.apache.spark.sql.functions.col
