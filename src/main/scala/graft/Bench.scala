@@ -30,6 +30,12 @@ object Bench {
     // individual shuffle-heavy queries 5-10x on a single run; a median
     // cannot be produced by one stall, so phantom spikes stop
     // masquerading as regressions. Per-run times stay in the JSON.
+    // The MIN is emitted alongside (queries_min / total_min_sec) and is
+    // the regression-TRACKING statistic, matching SlopeGate: a stall
+    // window spanning two of three reps defeats the median (r12: t86
+    // medians 9.29 vs min 1.50 on identical code), but no stall can
+    // produce a min. The headline "value" stays the median total for
+    // cross-round continuity of the driver's artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     // Dev loop: SPARK_GRAFT_ONLY=t76_containment,... times a subset solo
     // (the driver never sets it, so the contract run is unchanged).
@@ -54,12 +60,16 @@ object Bench {
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
+    val qmins = results.map { case (k, _, runs) => "\"" + k + "\":" + runs.min }
+      .mkString("{", ",", "}")
     val rs = results.map { case (k, _, runs) =>
       "\"" + k + "\":" + runs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val totalMin = if (results.nonEmpty) results.map(_._3.min).sum else 0.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$rs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min_sec":$totalMin,""" +
+        s""""queries":$qs,"queries_min":$qmins,"runs":$rs,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture keeps only the tail of long lines, so
     // per-query medians for the early (q-family) queries were unreadable

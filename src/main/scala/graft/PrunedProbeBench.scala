@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Selective-probe evidence for the [[graft.sources.PrunedIndex]]
+  * layout — the measurement t119 cannot provide: t119's query set is
+  * corpus-derived (every doc's lead tokens), so its probe terms hit
+  * ~all buckets and the pruned read degenerates to the flat read by
+  * design. The layout's reason to exist is the SELECTIVE probe — a
+  * bounded online query batch whose terms hash into a small fraction
+  * of buckets; this bench measures exactly that case against the flat
+  * layout at ×1 and ×`factor` corpus scale.
+  *
+  * Workload: the BM25 postings index over the scaled documents table,
+  * written flat (plain parquet) and bucketed
+  * ([[graft.llm.Retrieval.writeBm25Index]], `numBuckets` such that the
+  * probe's bucket fraction is ≤ ~10%). The probe is a FIXED ~100-term
+  * query set (one query per term), drawn deterministically from the
+  * corpus vocabulary — terms are real (non-empty postings) but the set
+  * does not grow with the corpus, which is the realistic online shape
+  * (t92's corpus-derived set is the stress shape).
+  *
+  * Each (layout, scale) cell runs `reps` times; the MIN is the
+  * statistic (stall windows cannot produce a min — the SlopeGate
+  * convention). Prints one JSON line per cell plus a summary line with
+  * the pruned/flat ratio at each scale.
+  *
+  * Usage: `runMain graft.PrunedProbeBench [baseSfDir] [workDir] [factor]
+  *   [numBuckets] [nTerms] [reps]`
+  */
+object PrunedProbeBench {
+
+  /** Fixed probe: the first `nTerms` terms of the BASE corpus
+    * vocabulary by (md5(term), term) order — deterministic, spread
+    * uniformly over term-hash buckets, and independent of the scale
+    * factor (the ×N corpus contains every base term). */
+  def probeTerms(basePost: DataFrame, nTerms: Int): DataFrame =
+    basePost.select(col("term")).distinct()
+      .orderBy(md5(col("term")), col("term"))
+      .limit(nTerms)
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/root/repo/target/prunedprobe"
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val numBuckets = if (args.length > 3) args(3).toInt else 1024
+    val nTerms = if (args.length > 4) args(4).toInt else 100
+    val reps = if (args.length > 5) args(5).toInt else 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
+
+    val basePost = graft.llm.Retrieval.postings(
+      spark.read.parquet(s"$baseDir/documents.parquet"), "doc_id", "text")
+    val queries = probeTerms(basePost, nTerms)
+      .select(monotonically_increasing_id().as("query_id"), col("term").as("qtext"))
+      .localCheckpoint() // freeze the probe — identical rows for every cell
+    val nQ = queries.count()
+
+    def buildLayouts(docsPath: String, tag: String): (String, String) = {
+      val flat = s"$workDir/${tag}_flat"
+      val bkt = s"$workDir/${tag}_bucketed"
+      val post = graft.llm.Retrieval.postings(
+        spark.read.parquet(docsPath), "doc_id", "text")
+      if (!graft.fs.Fs.exists(s"$flat/_SUCCESS"))
+        post.write.mode("overwrite").parquet(flat)
+      if (!graft.fs.Fs.exists(s"$bkt/postings/_SUCCESS"))
+        graft.llm.Retrieval.writeBm25Index(post, bkt, numBuckets)
+      (flat, bkt)
+    }
+
+    def minWall(run: () => Long): (Double, Long) = {
+      var rows = 0L
+      val t = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        rows = run()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      (t, rows)
+    }
+
+    val cells = Seq(
+      "x1" -> s"$baseDir/documents.parquet",
+      s"x$factor" -> (ScaleBench.scaledDocs(spark, baseDir, workDir, factor) : String)
+    ).map { case (scale, docsPath) =>
+      val (flat, bkt) = buildLayouts(docsPath, scale)
+      val (flatSec, flatRows) = minWall(() =>
+        graft.llm.Retrieval.bm25TopKFromIndex(
+          spark.read.parquet(flat), queries, "query_id", "qtext", k = 5).count())
+      val (prunedSec, prunedRows) = minWall(() =>
+        graft.llm.Retrieval.bm25TopKFromPrunedIndex(
+          spark, bkt, queries, "query_id", "qtext", k = 5).count())
+      require(flatRows == prunedRows,
+        s"layout changed results at $scale: flat=$flatRows pruned=$prunedRows")
+      println(s"""{"metric":"pruned_probe","scale":"$scale","n_queries":$nQ,""" +
+        s""""num_buckets":$numBuckets,"flat_sec":$flatSec,"pruned_sec":$prunedSec,""" +
+        s""""rows":$flatRows,"pruned_over_flat":${prunedSec / flatSec}}""")
+      (scale, flatSec, prunedSec)
+    }
+    val line = cells.map { case (s, f, p) =>
+      s""""$s":{"flat_sec":$f,"pruned_sec":$p,"pruned_over_flat":${p / f}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"pruned_probe_summary","n_queries":$nQ,"num_buckets":$numBuckets,"reps":$reps,"scales":$line}""")
+    spark.stop()
+  }
+}

@@ -164,6 +164,10 @@ object ScaleBench {
       graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
     "t76_containment" -> (() =>
       graft.llm.Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
+    // production form: hot container-side shingles capped (registry t122)
+    "t122_containment_capped" -> (() =>
+      graft.llm.Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.8, maxDf = 64).count()),
     "t29_minhash_lsh" -> (() =>
       graft.llm.Dedup.minHashLshPairs(docs, "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.8).count()),
@@ -172,8 +176,9 @@ object ScaleBench {
     // capped form only: uncapped winnowing is output-quadratic on hot
     // fingerprints by contract (167 s at ×10 in r11 — the scale-killer
     // the df-cap exists to remove), so the slope evidence times the
-    // production path
-    "t46_winnowing_capped" -> (() =>
+    // production path. Keyed by the REGISTRY name (t120) so slope
+    // evidence cross-references cleanly with SLOPES/CORRECTNESS.
+    "t120_winnowing_capped" -> (() =>
       graft.llm.Dedup.winnowingPairs(docs, "doc_id", "text",
         k = 16, w = 8, minShared = 8, maxDf = 64).count()),
     "t58_jaccard_clusters" -> { () =>

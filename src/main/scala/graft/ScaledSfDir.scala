@@ -57,6 +57,21 @@ object ScaledSfDir {
     out
   }
 
+  /** Documents-only layout carrying [[ScaleBench.scaledFuzzyDocsDf]]'s
+    * key-decorrelating alphabet rotation — the [[SlopeGate]] alternate
+    * input for the fuzzy-KEY family, whose slope on the shared layout
+    * is output-quadratic by corpus construction (identical 64-char
+    * prefix keys across copies). Factor 1 is the identity rotation, so
+    * the base side times the same per-doc work. Only
+    * `documents.parquet` is written — the fuzzy queries read nothing
+    * else. */
+  def buildFuzzy(spark: SparkSession, baseDir: String, out: String, factor: Int): String = {
+    if (!graft.fs.Fs.exists(s"$out/documents.parquet/_SUCCESS"))
+      ScaleBench.scaledFuzzyDocsDf(spark, baseDir, factor)
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/target/scalebench/sf1"

@@ -48,21 +48,25 @@ object SlopeGate {
   /** Scaled-wall floor below which ratios are jitter, not slopes. */
   val SubFloorSec = 5.0
 
+  /** Queries timed against the KEY-DECORRELATED documents layout
+    * ([[ScaleBench.scaledFuzzyDocsDf]], factor-bounded per its lcm-130
+    * note) at BOTH scales instead of the shared layout. The shared
+    * corpus appends its junk at the END of each copy's text, so all 10
+    * copies of a doc keep an identical 64-char prefix key — the
+    * all-pairs fuzzy-key contract is then output-quadratic in factor
+    * by corpus construction (measured 48x/32x in r12's calibration),
+    * which measures the corpus artifact, not the plan. The rotation
+    * layout preserves within-copy key structure bijectively while
+    * decorrelating across copies, so the gate measures the operator
+    * (~2.2x at x10, NOTES_r11) and these queries need no Skip. */
+  val fuzzyDirQueries: Set[String] =
+    Set("t100_fuzzy_key_pairs", "t105_fuzzy_survivors")
+
   val rules: Map[String, Rule] = Map(
     "t46_winnowing" -> Skip(
       "uncapped winnowing is df^2-output-quadratic by contract on hot " +
         "fingerprints (167 s at x10, r11); the production path is " +
         "t120_winnowing_capped, which IS gated"),
-    "t100_fuzzy_key_pairs" -> Skip(
-      "the SHARED scaled corpus appends junk at the END of each copy's " +
-        "text, so all 10 copies of a doc keep an identical 64-char prefix " +
-        "key: the all-pairs contract is then output-quadratic in factor by " +
-        "corpus construction (measured 48x). The operator's real slope is " +
-        "ScaleBench's key-decorrelated harness: 2.2x at x10 (NOTES_r11)"),
-    "t105_fuzzy_survivors" -> Skip(
-      "downstream of t100's pairs on the same shared corpus (identical " +
-        "prefix keys across copies, measured 32x); slope evidence is the " +
-        "decorrelated ScaleBench fuzzy family"),
     "t45_embed_lsh" -> Skip(
       "true near-dup output grows ~119x at factor 10 (measured 113 -> " +
         "13403 pairs): the rotation scheme preserves pairwise structure " +
@@ -85,6 +89,10 @@ object SlopeGate {
       "t92's corpus-derived query set feeding seed selection (measured " +
         "14.5x); the NB-training stage is linear and dilutes the quadratic " +
         "scoring term"),
+    "t124_bm25_rerank" -> Budget(25.0,
+      "t93's exact shape plus a shortlist-sized rerank window: the " +
+        "corpus-derived query set makes BM25 scoring work ~x100 by " +
+        "construction; the added rerank join is |Q|*k rows and linear"),
     "t97_bm25_index_roundtrip" -> Budget(20.0,
       "in-query index rebuild is linear but the t92 corpus-derived query " +
         "set grows scoring work ~quadratically (measured 12.2x)"),
@@ -146,6 +154,15 @@ object SlopeGate {
 
     val scaledDir = ScaledSfDir.build(spark, baseDir, s"$workDir/sf_x$factor", factor)
 
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
+    // built only when a fuzzy-family query is in this run's set
+    lazy val fuzzyBase =
+      ScaledSfDir.buildFuzzy(spark, baseDir, s"$workDir/fuzzy_x1", 1)
+    lazy val fuzzyScaled =
+      ScaledSfDir.buildFuzzy(spark, baseDir, s"$workDir/fuzzy_x$factor", factor)
+
     def minWall(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): Double =
       (1 to reps).map { _ =>
@@ -154,8 +171,6 @@ object SlopeGate {
         (System.nanoTime() - t0) / 1e9
       }.min
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
     val entries = names.map { name =>
       val rule = rules.get(name)
       if (SparkEntry.oracleOnly.contains(name))
@@ -164,13 +179,19 @@ object SlopeGate {
       else rule match {
         case Some(Skip(why)) => Entry(name, "skipped", 0, 0, 0, 0, why)
         case other =>
+          val fuzzy = fuzzyDirQueries.contains(name)
           val (budget, why) = other match {
             case Some(Budget(r, w)) => (r, w)
-            case _ => (DefaultBudget, "")
+            case _ => (DefaultBudget,
+              if (fuzzy) "timed on the key-decorrelated fuzzy documents " +
+                "layout at both scales (see fuzzyDirQueries)"
+              else "")
           }
+          val (bDir, sDir) =
+            if (fuzzy) (fuzzyBase, fuzzyScaled) else (baseDir, scaledDir)
           val fn = SparkEntry.queries(name)
-          val base = minWall(fn, baseDir)
-          val scaled = minWall(fn, scaledDir)
+          val base = minWall(fn, bDir)
+          val scaled = minWall(fn, sDir)
           val ratio = if (base > 0) scaled / base else 0.0
           val status =
             if (scaled < SubFloorSec) "subfloor"
@@ -192,15 +213,18 @@ object SlopeGate {
         s"${q("budget")}: ${e.budget}") ++
         (if (e.why.nonEmpty) Seq(s"${q("why")}: ${q(e.why)}") else Nil)
       s"  ${q(e.name)}: {${fields.mkString(", ")}}"
-    }.mkString(",\n")
+    }
     val nFail = entries.count(_.status == "fail")
     val summary = s"""  "_summary": {"factor": $factor, "reps": $reps, """ +
       s""""default_budget": $DefaultBudget, "subfloor_sec": $SubFloorSec, """ +
       s""""n": ${entries.size}, "pass": ${entries.count(_.status == "pass")}, """ +
       s""""subfloor": ${entries.count(_.status == "subfloor")}, """ +
       s""""skipped": ${entries.count(_.status == "skipped")}, "fail": $nFail}"""
+    // summary and body joined on ONE non-empty sequence: with an empty
+    // entry set (SPARK_GRAFT_ONLY filtering everything out) a naive
+    // s"$summary,\n$body" would emit a dangling comma — invalid JSON
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"{\n$summary,\n$body\n}\n")
+      (Seq(summary) ++ body).mkString("{\n", ",\n", "\n}\n"))
     println(s"[slope] wrote $outFile; failures: $nFail")
     spark.stop()
     if (nFail > 0) sys.exit(2)

@@ -1155,6 +1155,77 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The corpus-wide boilerplate phrase t122 injects — 12 words, short
+    * enough that a carrier document's own text dominates its shingle
+    * set (carrier-carrier containment stays ≈ 10/|sh| ≪ 0.8), long
+    * enough that a quote doc (boilerplate + one unique word) is 10/11 ≈
+    * 0.909-contained in every carrier. */
+  private val containmentBoiler =
+    "this page is licensed under the creative commons attribution share alike terms"
+
+  /** Containment with the hot-shingle cap ENGAGED — the production-
+    * scale form of t76 (the [[graft.llm.Dedup.winnowingPairs]] maxDf
+    * pattern applied to the last uncapped pair generator). The corpus
+    * is t76's (documents ∪ half-copies) plus a boilerplate injection
+    * that makes the cap BITE at sf0.01: every third doc carries a
+    * shared 12-word boilerplate trailer (df ≈ 170 ≫ maxDf = 16) and
+    * five "quote" docs are ~91%-boilerplate — uncapped, each quote doc
+    * is containment-matched to EVERY carrier (the df² candidate
+    * pathology in miniature); capped, boilerplate shingles leave the
+    * container index, the boilerplate-only pairs vanish, and the
+    * genuinely-copied half→original pairs survive untouched (their
+    * shingles have df ≈ 2). Capped ⊆ uncapped and equality-when-cold
+    * are pinned in DedupSpec; oracle = literal rows from an sf0.01
+    * run. */
+  private def t122ContainmentCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(t122Corpus(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.8, maxDf = 16)
+      .select(col("a_id"), col("b_id"),
+        floor(col("containment") * 1e6).cast("long").as("containment_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+
+  private def t122Corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val carriers = d.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" " + containmentBoiler))).otherwise(col("text"))
+        .as("text"))
+    val halves = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val quotes = s.range(5).select(
+      (col("id") + 300000).as("doc_id"),
+      concat(lit(containmentBoiler), lit(" uniqword"), col("id")).as("text"))
+    carriers.unionByName(halves).unionByName(quotes)
+  }
+
+  /** Incremental containment — the index/delta maintenance form
+    * completing the family triple alongside winnowing (t121), MinHash
+    * (t65) and exact (t64): corpus v1 (the original documents) is
+    * shingled once into the persisted [[graft.llm.Dedup.containmentIndex]];
+    * the delta batch carries the 50 half-copies as NEW docs plus
+    * doc_id % 7 = 0 re-uploads with CHANGED text, and
+    * [[graft.llm.Dedup.containmentDeltaPairs]] probes the index without
+    * ever re-shingling the corpus. Equals the from-scratch rebuild
+    * restricted to delta-touching pairs (pinned in DedupSpec, including
+    * the capped case); oracle = literal rows from an sf0.01 run. */
+  private def t123ContainmentDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+    val halves = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val revs = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"),
+      concat(col("text"), lit(" containment rev2 trailer")).as("text"))
+    val delta = halves.unionByName(revs)
+    Dedup.containmentDeltaPairs(delta, "doc_id", "text",
+        Dedup.containmentIndex(corpus, "doc_id", "text", n = 3),
+        n = 3, threshold = 0.8, maxDf = 16)
+      .select(col("a_id"), col("b_id"),
+        floor(col("containment") * 1e6).cast("long").as("containment_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Temperature-scaled (τ=½) source mixture over the documents table:
     * 30% overall keep rate, small sources upweighted ∝ √n. Every
     * threshold is derived with integer-exact arithmetic, so the DuckDB
@@ -1325,6 +1396,40 @@ object SparkEntry {
     val prior = graft.llm.Classifier.nbPriorPpm(labeled, "y")
     graft.llm.Classifier.nbScore(d, model, prior, "doc_id", "text", nBuckets = 256)
       .orderBy(col("doc_id"))
+  }
+
+  /** Retrieve→rerank loop ([[graft.llm.Retrieval.rerank]]) — the stage
+    * a curation pipeline runs between cheap recall and selection: BM25
+    * pulls a k=20 shortlist per query, the t93 weak-label hashed-NB
+    * scorer (seed = BM25 top-5) re-scores the CORPUS, and the shortlist
+    * is reordered by NB score to a final top-5 — both stages keep their
+    * integer-ppm contracts, so the composed loop is oracle-exact. At
+    * scale the shortlist broadcasts against the score frame. The
+    * |Q|·20-row shortlist is localCheckpointed (the t119 idiom): it
+    * feeds BOTH the seed and the rerank join, and re-evaluating its
+    * lineage would run the full BM25 chain twice; the blocks are
+    * dropped by the context cleaner when the result goes out of
+    * scope. */
+  private def t124Bm25Rerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    val d = t(s, dir, "documents")
+    val q = d.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+    val shortlist = graft.llm.Retrieval
+      .bm25TopK(d, "doc_id", "text", q, "query_id", "qtext", k = 20)
+      .localCheckpoint()
+    val seed = shortlist.filter(col("rank") <= 5)
+      .select(col("doc_id")).distinct().withColumn("y", lit(true))
+    val labeled = d.join(seed, Seq("doc_id"), "left")
+      .withColumn("y", coalesce(col("y"), lit(false)))
+    val model = graft.llm.Classifier.nbTrain(labeled, "doc_id", "text", "y", nBuckets = 256)
+    val prior = graft.llm.Classifier.nbPriorPpm(labeled, "y")
+    val scores = graft.llm.Classifier
+      .nbScore(d, model, prior, "doc_id", "text", nBuckets = 256)
+      .select(col("doc_id"), col("score_ppm").as("nb_ppm"))
+    graft.llm.Retrieval.rerank(shortlist, scores, "nb_ppm", k = 5)
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Temperature-mix WATERFILL: a 10-doc `a_tiny` source saturates in
@@ -1900,6 +2005,9 @@ object SparkEntry {
     "t46_winnowing" -> t46Winnowing _,
     "t120_winnowing_capped" -> t120WinnowingCapped _,
     "t121_winnowing_delta" -> t121WinnowingDelta _,
+    "t122_containment_capped" -> t122ContainmentCapped _,
+    "t123_containment_delta" -> t123ContainmentDelta _,
+    "t124_bm25_rerank" -> t124Bm25Rerank _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -1966,6 +2074,30 @@ object SparkEntry {
       """
           SELECT query_id, doc_id, score_ppm, rank FROM rk WHERE rank <= 5
           ORDER BY query_id, rank"""
+    // the weak-label hashed-NB chain seeded by BM25 top-5 (t86's model
+    // math over t92's retrieval) — shared by t93 and t124, same
+    // single-copy rationale as bm25RankCtes
+    val nbSeedCtes = s""",
+          seed AS (SELECT DISTINCT doc_id FROM rk WHERE rank <= 5),
+          b AS (SELECT doc_id, doc_id IN (SELECT doc_id FROM seed) AS y, tk FROM dk),
+          f AS (SELECT doc_id, y, unnest(tk) AS feat FROM b),
+          fb AS (SELECT doc_id, y,
+            CAST(('0x' || substring(md5(feat), 1, 12)) AS BIGINT) % 256 AS bucket FROM f),
+          db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY 1, 2),
+          cls AS (SELECT bucket,
+              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
+              CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM fb GROUP BY 1),
+          tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM cls),
+          pri AS (SELECT CAST(floor(ln(CAST((SELECT count(*) FROM b WHERE y) AS DOUBLE)
+                / CAST((SELECT count(*) FROM b WHERE NOT y) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS p),
+          w AS (SELECT bucket,
+            CAST(floor((ln(CAST(cp + 1 AS DOUBLE) / CAST((SELECT np FROM tot) + 256 AS DOUBLE))
+                      - ln(CAST(cn + 1 AS DOUBLE) / CAST((SELECT nn FROM tot) + 256 AS DOUBLE)))
+                * 1000000.0 + 0.0001) AS BIGINT) AS w_ppm
+            FROM cls),
+          docw AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_feats,
+              CAST(sum(db.n * w.w_ppm) AS BIGINT) AS sum_w
+            FROM db JOIN w USING (bucket) GROUP BY 1)"""
     // langId in DuckDB, generated from TextFunctions.LangMarkers so the
     // two engines can never desync when marker sets change (t24, t32)
     val langScoreCols = TextFunctions.LangMarkers.map { case (lang, words) =>
@@ -2349,8 +2481,18 @@ object SparkEntry {
       "t46_winnowing" -> LiteralOracles.t46,
       "t120_winnowing_capped" -> LiteralOracles.t120,
       "t121_winnowing_delta" -> LiteralOracles.t121,
+      "t122_containment_capped" -> LiteralOracles.t122,
+      "t123_containment_delta" -> LiteralOracles.t123,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
+      // provenance note: t112's literal rows (like every LiteralOracles
+      // entry) are generated from the engine's own sf0.01 output, so the
+      // r12 adaptive-nprobe recall floor-raise (0.5 → 0.7) is a
+      // self-pinned REGRESSION pin, not independent verification; the
+      // independent signal is the query's own floor_ok column (recall vs
+      // in-query BRUTE FORCE must clear the floor — brute force is
+      // IVF-independent) plus SimilaritySpec's monotonicity and
+      // full-escalation == brute pins
       "t112_knn_ivf_incremental" -> LiteralOracles.t112,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
@@ -2478,31 +2620,30 @@ object SparkEntry {
       // then the t86 hashed-NB chain trains on (retrieved = positive)
       // and scores every doc — two ppm contracts composed end to end
       "t93_bm25_seed_select" -> {
-        bm25RankCtes(toks) + s""",
-          seed AS (SELECT DISTINCT doc_id FROM rk WHERE rank <= 5),
-          b AS (SELECT doc_id, doc_id IN (SELECT doc_id FROM seed) AS y, tk FROM dk),
-          f AS (SELECT doc_id, y, unnest(tk) AS feat FROM b),
-          fb AS (SELECT doc_id, y,
-            CAST(('0x' || substring(md5(feat), 1, 12)) AS BIGINT) % 256 AS bucket FROM f),
-          db AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n FROM fb GROUP BY 1, 2),
-          cls AS (SELECT bucket,
-              CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS cp,
-              CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS cn FROM fb GROUP BY 1),
-          tot AS (SELECT CAST(sum(cp) AS BIGINT) AS np, CAST(sum(cn) AS BIGINT) AS nn FROM cls),
-          pri AS (SELECT CAST(floor(ln(CAST((SELECT count(*) FROM b WHERE y) AS DOUBLE)
-                / CAST((SELECT count(*) FROM b WHERE NOT y) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS p),
-          w AS (SELECT bucket,
-            CAST(floor((ln(CAST(cp + 1 AS DOUBLE) / CAST((SELECT np FROM tot) + 256 AS DOUBLE))
-                      - ln(CAST(cn + 1 AS DOUBLE) / CAST((SELECT nn FROM tot) + 256 AS DOUBLE)))
-                * 1000000.0 + 0.0001) AS BIGINT) AS w_ppm
-            FROM cls),
-          docw AS (SELECT db.doc_id, CAST(sum(db.n) AS BIGINT) AS n_feats,
-              CAST(sum(db.n * w.w_ppm) AS BIGINT) AS sum_w
-            FROM db JOIN w USING (bucket) GROUP BY 1)
+        bm25RankCtes(toks) + nbSeedCtes + """
           SELECT b.doc_id, coalesce(n_feats, 0) AS n_feats,
             coalesce(sum_w, 0) + (SELECT p FROM pri) AS score_ppm,
             coalesce(sum_w, 0) + (SELECT p FROM pri) > 0 AS pred
           FROM b LEFT JOIN docw USING (doc_id) ORDER BY doc_id"""
+      },
+      // retrieve→rerank: the t92 BM25 chain recalls a k=20 shortlist,
+      // the t93 weak-label NB chain scores the corpus, and the
+      // shortlist reorders by NB score to a final top-5 — same shared
+      // CTEs as t93, so a scoring-math fix cannot desync the twins
+      "t124_bm25_rerank" -> {
+        bm25RankCtes(toks) + nbSeedCtes + """,
+          short AS (SELECT query_id, doc_id, score_ppm AS bm25_ppm
+            FROM rk WHERE rank <= 20),
+          ns AS (SELECT b.doc_id,
+              coalesce(sum_w, 0) + (SELECT p FROM pri) AS nb_ppm
+            FROM b LEFT JOIN docw USING (doc_id)),
+          rr AS (SELECT short.query_id, short.doc_id, short.bm25_ppm,
+              ns.nb_ppm AS rerank_ppm,
+              CAST(row_number() OVER (PARTITION BY short.query_id
+                ORDER BY ns.nb_ppm DESC, short.doc_id) AS BIGINT) AS rank
+            FROM short JOIN ns USING (doc_id))
+          SELECT query_id, doc_id, bm25_ppm, rerank_ppm, rank
+          FROM rr WHERE rank <= 5 ORDER BY query_id, rank"""
       },
       // char-trigram NB langid: seen-bucket weight ln(c+1) (the add-one
       // smoothing base cancels against the unseen term), per-lang base

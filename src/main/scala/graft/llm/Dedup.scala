@@ -203,28 +203,92 @@ object Dedup {
     * exactly the shared region). Size prune |B| ≥ t·|A| (B must hold
     * the intersection). One wide shuffle on shingle; candidates are
     * verified exactly. Output one row per ordered (contained a_id,
-    * container b_id) pair. */
+    * container b_id) pair.
+    *
+    * `maxDf` (default off) is the hot-shingle cap — the
+    * [[winnowingPairs]] MOSS mitigation applied to the container index:
+    * "index ALL container shingles" must not mean "index corpus-wide
+    * stop-phrases", because a shingle shared by df docs contributes
+    * ~df² candidate rows that overwhelmingly fail verification —
+    * df²-output-quadratic at corpus scale (the exact pathology the
+    * winnowing cap removed in r12). Capping anti-joins container-side
+    * shingles with document frequency > `maxDf` out of the index BEFORE
+    * the candidate join. Recall caveat: a contained doc whose rarest
+    * prefix shingles are ALL corpus-boilerplate can no longer reach its
+    * container — which is the MOSS argument for the cap (ubiquitous
+    * strings are boilerplate evidence, not quoting evidence). Capped
+    * output ⊆ uncapped output always, equal whenever no shingle exceeds
+    * the cap (pinned in DedupSpec). */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.8,
-                       dfHeadSize: Int = 100000): DataFrame = {
-    import graft.functions.expr.PrefixShingles
-
-    val withSets = docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
+                       dfHeadSize: Int = 100000,
+                       maxDf: Int = Int.MaxValue): DataFrame = {
+    val withSets = containmentIndex(docs, idCol, textCol, n)
     val dfHead = dfHeadOf(withSets, dfHeadSize)
-
-    val a = withSets.select(
-      explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
-      col("id").as("a_id"), col("sz").as("a_sz"))
-    val b = withSets.select(explode(col("sh")).as("shingle"),
-      col("id").as("b_id"), col("sz").as("b_sz"))
+    val a = prefixSide(withSets, threshold, dfHead)
+    val b = containerSide(withSets, maxDf)
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("b_sz") >= lit(threshold) * col("a_sz"))
       .select("a_id", "b_id")
       .distinct()
+    verifyContainment(candidates, withSets, threshold)
+  }
 
+  /** Persisted containment index: one (id, sh, sz) row per document —
+    * the shingle-set projection [[containmentPairs]] computes inline,
+    * in persistable form (build once per corpus version,
+    * `write.parquet`, probe delta batches with
+    * [[containmentDeltaPairs]]). One row per doc, so maintenance is a
+    * plain doc-keyed upsert (anti-join stale ids, union the delta).
+    * The array column is the method's inherent weight (~n× the token
+    * count); the delta path still wins because the corpus TEXT is never
+    * re-normalized or re-shingled per batch. */
+  def containmentIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): DataFrame =
+    docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+
+  /** Contained-side prefix index: each doc's |S| − ⌈t·|S|⌉ + 1 rarest
+    * shingles, exploded thin. */
+  private def prefixSide(withSets: DataFrame, threshold: Double,
+                         dfHead: Map[String, Long]): DataFrame = {
+    import graft.functions.expr.PrefixShingles
+    withSets.select(
+      explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
+      col("id").as("a_id"), col("sz").as("a_sz"))
+  }
+
+  /** Container-side full index, minus shingles hotter than `maxDf`
+    * (no-op at the default). The hot set has ≤ totalShingleRows/maxDf
+    * distinct values; the anti-join is left to AQE to broadcast when it
+    * fits (see [[dropHotFps]]).
+    *
+    * Skew contract (`private[graft]` so ScaleSpec can pin it): after
+    * the cap, NO shingle key holds more than `maxDf` container rows, so
+    * the candidate join's per-key fan-out is bounded by maxDf·df_prefix
+    * rows — a hot key cannot concentrate a join's output in one task
+    * the way an uncapped corpus stop-phrase does (t76's 9→69 s rep
+    * spread at sf0.1 was exactly that). This is the df-cap acting as
+    * the skew mitigation; AQE's skew-join split stays as the backstop
+    * for residual within-cap imbalance. */
+  private[graft] def containerSide(withSets: DataFrame, maxDf: Int): DataFrame = {
+    val b = withSets.select(explode(col("sh")).as("shingle"),
+      col("id").as("b_id"), col("sz").as("b_sz"))
+    if (maxDf == Int.MaxValue) b
+    else {
+      val hot = withSets.select(explode(col("sh")).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("shingle"))
+      b.join(hot, Seq("shingle"), "left_anti")
+    }
+  }
+
+  /** Exact-containment verification of candidate (a_id, b_id) pairs
+    * against the full shingle sets. */
+  private def verifyContainment(candidates: DataFrame, withSets: DataFrame,
+                                threshold: Double): DataFrame = {
     val sa = withSets.select(col("id").as("a_id"), col("sh").as("a_sh"))
     val sb = withSets.select(col("id").as("b_id"), col("sh").as("b_sh"))
     candidates
@@ -234,6 +298,49 @@ object Dedup {
           size(col("a_sh")).cast("double"))
       .filter(col("containment") >= threshold)
       .select(col("a_id"), col("b_id"), col("containment"))
+  }
+
+  /** Incremental containment: every pair (contained a_id, container
+    * b_id) with C(A→B) ≥ t in the post-delta corpus, restricted to
+    * pairs with at least one side in the delta — equal to
+    * `containmentPairs(corpus ∪ delta)` so restricted (pinned in
+    * DedupSpec, including re-uploads and the capped case), at per-batch
+    * cost: the corpus text is never re-read or re-shingled; only its
+    * persisted [[containmentIndex]] is probed.
+    *
+    * Two candidate joins cover the asymmetric relation's two delta
+    * roles: (delta as contained) probes the delta docs' prefixes
+    * against the FULL container index; (delta as container) probes
+    * every doc's prefix against the delta docs' shingles only — the
+    * second join is delta-bounded, the first is a thin
+    * prefix-vs-index probe, and neither rescans text. Re-uploaded ids
+    * count only their delta revision (stale index rows anti-joined
+    * out — the [[winnowingDeltaPairs]] superseded-key contract), and
+    * the df order + `maxDf` hot set are evaluated over the POST-DELTA
+    * corpus, matching what a rebuild would compute. */
+  def containmentDeltaPairs(delta: DataFrame, idCol: String, textCol: String,
+                            corpusIndex: DataFrame,
+                            n: Int = 3, threshold: Double = 0.8,
+                            dfHeadSize: Int = 100000,
+                            maxDf: Int = Int.MaxValue): DataFrame = {
+    val deltaSets = containmentIndex(delta, idCol, textCol, n)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val merged = current.unionByName(deltaSets)
+    val dfHead = dfHeadOf(merged, dfHeadSize)
+    val bAll = containerSide(merged, maxDf)
+    val aDelta = prefixSide(
+      merged.join(broadcast(deltaIds), Seq("id"), "left_semi"), threshold, dfHead)
+    val aAll = prefixSide(merged, threshold, dfHead)
+    val bDelta = bAll.join(
+      broadcast(deltaIds.select(col("id").as("b_id"))), Seq("b_id"), "left_semi")
+    val candidates = aDelta.join(bAll, Seq("shingle"))
+      .unionByName(aAll.join(bDelta, Seq("shingle")))
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_sz") >= lit(threshold) * col("a_sz"))
+      .select("a_id", "b_id")
+      .distinct()
+    verifyContainment(candidates, merged, threshold)
   }
 
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs. */
@@ -945,8 +1052,11 @@ object Dedup {
 
   /** Rows of fingerprints with df ≤ `maxDf` (the MOSS cap; see
     * [[winnowingPairs]]). df is computable as a row count because the
-    * index holds DISTINCT fps per doc; the hot set is ≤ totalRows/maxDf
-    * values, so the exclusion anti-join broadcasts. */
+    * index holds DISTINCT fps per doc. The hot set is ≤ totalRows/maxDf
+    * distinct values — small at any fixed corpus size but LINEAR in
+    * corpus growth, so the hint is left to AQE: it broadcasts the
+    * anti-join while the set fits and degrades to a shuffle anti-join
+    * past the broadcast threshold instead of OOMing a forced build. */
   private def dropHotFps(fps: DataFrame, maxDf: Int): DataFrame =
     if (maxDf == Int.MaxValue) fps
     else {
@@ -954,7 +1064,7 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > maxDf)
         .select(col("fp"))
-      fps.join(broadcast(hot), Seq("fp"), "left_anti")
+      fps.join(hot, Seq("fp"), "left_anti")
     }
 
   /** Incremental winnowing near-copy pairs: every pair (a_id < b_id)

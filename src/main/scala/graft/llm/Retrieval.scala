@@ -158,6 +158,37 @@ object Retrieval {
     scored.withColumn("rank", rn.cast("long")).filter(col("rank") <= k)
   }
 
+  /** Re-rank a per-query retrieval shortlist with ANY per-document
+    * score table — the reranker seam of a retrieve→rerank pipeline
+    * (the shape a cross-encoder stage has): BM25 recalls a cheap
+    * shortlist at |Q|·k scale, then a higher-fidelity scorer reorders
+    * it. `docScores` is any (doc_id, score) frame — the hashed-NB
+    * quality classifier here (t124), a fastText/cross-encoder score
+    * column in production. Ties break on doc_id; `rank` is a per-query
+    * row_number 1..k over the reranked order. Documents the scorer
+    * does not cover drop from the shortlist (inner join — a reranker
+    * that cannot score a doc cannot rank it).
+    *
+    * Scale shape: the shortlist is |Q|·k rows — it broadcasts against
+    * the corpus-sized score frame, so the scorer's table scans once
+    * and never shuffles; the rerank window partitions by query over
+    * shortlist-sized data only. */
+  def rerank(shortlist: DataFrame, docScores: DataFrame,
+             scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sc = docScores.select(col("doc_id"), col(scoreCol).as("__rr"))
+    val joined = shortlist.select(col("query_id"), col("doc_id"),
+        col("score_ppm").as("bm25_ppm"))
+      .join(sc, Seq("doc_id"))
+    val rn = row_number().over(Window.partitionBy(col("query_id"))
+      .orderBy(col("__rr").desc, col("doc_id")))
+    joined.withColumn("rank", rn.cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("bm25_ppm"),
+        col("__rr").as("rerank_ppm"), col("rank"))
+  }
+
   /** Persist the BM25 index in its SCALE layout: term-hash-bucketed
     * postings ([[graft.sources.PrunedIndex]]) plus the two side tables
     * an online query batch must not re-derive from the corpus-sized

@@ -167,6 +167,62 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(got == naive)
   }
 
+  test("containment df-cap: capped ⊆ uncapped; equal when no shingle is hot; boilerplate-only pairs dropped") {
+    // 6 carrier docs share a 12-word boilerplate trailer; 2 "quote" docs
+    // are ~91% boilerplate (contained in EVERY carrier uncapped — the
+    // df² candidate pathology); docs 20/21 are a genuine quote pair.
+    val boiler = "this page is licensed under the creative commons attribution share alike"
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = ((0L to 5L).map { i =>
+      (i, s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i iota$i $boiler")
+    } ++ Seq(
+      (10L, s"$boiler uniqqa"),
+      (11L, s"$boiler uniqqb"),
+      (20L, quote),
+      (21L, s"salad opening words here $quote and trailing salad content words")
+    )).toDF("doc_id", "text")
+    def pairSet(maxDf: Int) =
+      Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8, maxDf = maxDf)
+        .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(Int.MaxValue)
+    val loose = pairSet(8)  // boiler df = 8 (6 carriers + 2 quotes): not hot at cap 8
+    val tight = pairSet(4)  // boiler trigrams (df 8) are dropped
+    assert(loose == uncapped, "cap at max df must be a no-op")
+    assert(tight.subsetOf(uncapped), "capped output must be a subset")
+    assert(tight.contains((20L, 21L)), "genuine quote pair must survive the cap")
+    assert(uncapped.exists(p => p._1 >= 10L && p._1 <= 11L),
+      "uncapped must see the boilerplate-only quote-doc pairs")
+    assert(!tight.exists(p => p._1 >= 10L && p._1 <= 11L),
+      "boilerplate-only pairs must be dropped by the cap")
+  }
+
+  test("incremental containment: delta probe == rebuild restricted to delta-touching pairs (incl. re-uploads and cap)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val revText = when($"doc_id" % 7 === 0,
+      concat($"text", lit(" containment revision trailer"))).otherwise($"text")
+    val halves = docs.filter($"doc_id" < 50).select(
+      ($"doc_id" + 200000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val corpus = docs.select($"doc_id", $"text") // v1, original text
+    val delta = docs.filter($"doc_id" % 7 === 0)
+      .select($"doc_id", revText.as("text")) // re-uploads with CHANGED text
+      .unionByName(halves)                   // plus new docs
+    val updated = docs.select($"doc_id", revText.as("text")).unionByName(halves)
+    val deltaIds = delta.select("doc_id").as[Long].collect().toSet
+    for (cap <- Seq(Int.MaxValue, 16)) {
+      val full = Dedup.containmentPairs(updated, "doc_id", "text",
+          n = 3, threshold = 0.8, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+      val got = Dedup.containmentDeltaPairs(delta, "doc_id", "text",
+          Dedup.containmentIndex(corpus, "doc_id", "text", n = 3),
+          n = 3, threshold = 0.8, maxDf = cap)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"cap=$cap")
+      assert(got.nonEmpty, s"cap=$cap produced no pairs — test data too thin")
+    }
+  }
+
   // ---- URL hosts ----------------------------------------------------------
 
   test("urlHosts extracts hosts only, path and bare domains excluded") {

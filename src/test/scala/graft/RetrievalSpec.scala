@@ -90,6 +90,29 @@ class RetrievalSpec extends AnyFunSuite {
       s"topic-A doc $unretrievedA should outscore topic-B docs: $scores")
   }
 
+  test("rerank: shortlist reorders by the score column, ties break on doc id, unscored docs drop") {
+    val shortlist = Seq(
+      // (query_id, doc_id, score_ppm, rank) — two queries, k=3 BM25 order
+      (10L, 1L, 900L, 1L), (10L, 2L, 800L, 2L), (10L, 3L, 700L, 3L),
+      (20L, 2L, 600L, 1L), (20L, 4L, 500L, 2L), (20L, 5L, 400L, 3L)
+    ).toDF("query_id", "doc_id", "score_ppm", "rank")
+    val scores = Seq(
+      (1L, 5L), (2L, 50L), (3L, 50L), (4L, -10L) // doc 5 unscored → drops
+    ).toDF("doc_id", "s")
+    val got = Retrieval.rerank(shortlist, scores, "s", k = 2)
+      .orderBy($"query_id", $"rank")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      // q10: docs 2 and 3 tie at 50 → doc id ascending; doc 1 (s=5) falls to rank 3 (cut)
+      (10L, 2L, 800L, 50L, 1L), (10L, 3L, 700L, 50L, 2L),
+      // q20: doc 5 dropped (unscored), 2 beats 4
+      (20L, 2L, 600L, 50L, 1L), (20L, 4L, 500L, -10L, 2L)))
+    // k covers the whole shortlist → every scored doc ranks
+    val all = Retrieval.rerank(shortlist, scores, "s", k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(all.length == 5 && !all.exists(_._2 == 5L))
+  }
+
   test("bm25TopKFromIndex over a parquet-roundtripped index equals the inline path") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bm25idx").toString
     Retrieval.postings(corpus, "doc_id", "text").write.mode("overwrite").parquet(dir)

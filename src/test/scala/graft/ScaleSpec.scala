@@ -29,6 +29,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("containment df-cap bounds per-shingle join fan-out under a hot key (skew contract)") {
+    import org.apache.spark.sql.functions._
+    // 200 docs all sharing one boilerplate phrase: uncapped, its
+    // shingles each hold 200 container rows (the skewed key a corpus
+    // stop-phrase creates — one task would absorb 200·df_prefix join
+    // rows); capped, NO key exceeds maxDf rows, so no task can.
+    val boiler = "creative commons attribution share alike license applies here"
+    val docs = (0 until 200)
+      .map(i => (i.toLong, s"doc$i opening alpha$i beta$i $boiler tail$i"))
+      .toDF("doc_id", "text")
+    val sets = graft.llm.Dedup.containmentIndex(docs, "doc_id", "text", n = 3)
+    def maxPerKey(maxDf: Int): Long =
+      graft.llm.Dedup.containerSide(sets, maxDf)
+        .groupBy($"shingle").count()
+        .agg(max($"count")).as[Long].head()
+    val maxDf = 16
+    assert(maxPerKey(Int.MaxValue) == 200L, "uncapped hot key must hold all docs")
+    assert(maxPerKey(maxDf) <= maxDf.toLong,
+      "capped index must bound every key's fan-out at maxDf")
+  }
+
   test("PrunedIndex: a probe reads a strict subset of index files, rows exact") {
     import graft.sources.PrunedIndex
     val dir = java.nio.file.Files.createTempDirectory("graft_pidx").toString

@@ -23,6 +23,8 @@ QUERIES = {
     "t46_winnowing": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
     "t120_winnowing_capped": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
     "t121_winnowing_delta": (["a_id", "b_id", "shared_fps"], "a_id, b_id"),
+    "t122_containment_capped": (["a_id", "b_id", "containment_ppm"], "a_id, b_id"),
+    "t123_containment_delta": (["a_id", "b_id", "containment_ppm"], "a_id, b_id"),
     "t48_multimodal": (["kind", "n", "total_bytes", "brightness_micro"], "kind"),
     "t49_knn_ivf_kmeans": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t50_bpe_tokens": (["doc_id", "n_bpe_tokens"], "doc_id"),
