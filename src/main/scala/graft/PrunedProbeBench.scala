@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions.{normalizeText, tokens}
+
 /** Selective-probe evidence for the [[graft.sources.PrunedIndex]]
   * layout — the measurement t119 cannot provide: t119's query set is
   * corpus-derived (every doc's lead tokens), so its probe terms hit
@@ -12,31 +14,52 @@ import org.apache.spark.sql.functions._
   * of buckets; this bench measures exactly that case against the flat
   * layout at ×1 and ×`factor` corpus scale.
   *
-  * Workload: the BM25 postings index over the scaled documents table,
-  * written flat (plain parquet) and bucketed
-  * ([[graft.llm.Retrieval.writeBm25Index]], `numBuckets` such that the
-  * probe's bucket fraction is ≤ ~10%). The probe is a FIXED ~100-term
-  * query set (one query per term), drawn deterministically from the
-  * corpus vocabulary — terms are real (non-empty postings) but the set
-  * does not grow with the corpus, which is the realistic online shape
-  * (t92's corpus-derived set is the stress shape).
+  * Corpus: the synthetic documents table is word salad over a 31-WORD
+  * vocabulary, so every real term is corpus-hot and a 100-term probe
+  * cannot exist; [[expandedDocsDf]] restores a realistic vocabulary
+  * (Heaps' law — tens of thousands of terms at these doc counts) by
+  * suffixing every token with its document's `doc_id mod vocabClasses`
+  * residue: vocabulary grows ×vocabClasses, each expanded term's
+  * document frequency is ~n_docs/vocabClasses, and a term's postings
+  * still live wholly in one bucket. The probe is a FIXED 100-term set
+  * drawn deterministically from the ×1 vocabulary (present at every
+  * scale; terms do not grow with the corpus — the realistic online
+  * shape, where t92's corpus-derived set is the stress shape).
   *
   * Each (layout, scale) cell runs `reps` times; the MIN is the
   * statistic (stall windows cannot produce a min — the SlopeGate
-  * convention). Prints one JSON line per cell plus a summary line with
-  * the pruned/flat ratio at each scale.
+  * convention). The first pruned rep pays the one-time partition
+  * listing that [[graft.sources.PrunedIndex]] caches thereafter (the
+  * metastore-analog cost); min-of-reps measures the steady state an
+  * online query service runs in. Prints one JSON line per cell plus a
+  * summary with the pruned/flat ratio at each scale.
   *
   * Usage: `runMain graft.PrunedProbeBench [baseSfDir] [workDir] [factor]
-  *   [numBuckets] [nTerms] [reps]`
+  *   [numBuckets] [nTerms] [reps] [vocabClasses]`
   */
 object PrunedProbeBench {
 
-  /** Fixed probe: the first `nTerms` terms of the BASE corpus
+  /** `factor` copies of the base docs (copy-unique ids, no junk
+    * extension — BM25 probing needs vocabulary, not near-dup realism)
+    * with every token suffixed by the doc's id-residue class. */
+  def expandedDocsDf(spark: SparkSession, baseDir: String, factor: Int,
+                     vocabClasses: Int): DataFrame = {
+    val base = spark.read.parquet(s"$baseDir/documents.parquet")
+    val copies = spark.range(factor).select(col("id").cast("int").as("copy"))
+    base.crossJoin(copies)
+      .select((col("doc_id") * factor + col("copy")).as("doc_id"), col("text"))
+      .select(col("doc_id"), array_join(
+        transform(tokens(normalizeText(col("text"))),
+          t => concat(t, lit("_"),
+            pmod(col("doc_id"), lit(vocabClasses)).cast("string"))), " ")
+        .as("text"))
+  }
+
+  /** Fixed probe: the first `nTerms` terms of the ×1 expanded
     * vocabulary by (md5(term), term) order — deterministic, spread
-    * uniformly over term-hash buckets, and independent of the scale
-    * factor (the ×N corpus contains every base term). */
-  def probeTerms(basePost: DataFrame, nTerms: Int): DataFrame =
-    basePost.select(col("term")).distinct()
+    * uniformly over term-hash buckets, and scale-independent. */
+  def probeTerms(post: DataFrame, nTerms: Int): DataFrame =
+    post.select(col("term")).distinct()
       .orderBy(md5(col("term")), col("term"))
       .limit(nTerms)
 
@@ -47,6 +70,7 @@ object PrunedProbeBench {
     val numBuckets = if (args.length > 3) args(3).toInt else 1024
     val nTerms = if (args.length > 4) args(4).toInt else 100
     val reps = if (args.length > 5) args(5).toInt else 3
+    val vocabClasses = if (args.length > 6) args(6).toInt else 500
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,18 +83,26 @@ object PrunedProbeBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
 
+    def docsPath(f: Int): String = {
+      val out = s"$workDir/docs_v${vocabClasses}_x$f"
+      if (!graft.fs.Fs.exists(s"$out/_SUCCESS"))
+        expandedDocsDf(spark, baseDir, f, vocabClasses)
+          .write.mode("overwrite").parquet(out)
+      out
+    }
+
     val basePost = graft.llm.Retrieval.postings(
-      spark.read.parquet(s"$baseDir/documents.parquet"), "doc_id", "text")
+      spark.read.parquet(docsPath(1)), "doc_id", "text")
     val queries = probeTerms(basePost, nTerms)
       .select(monotonically_increasing_id().as("query_id"), col("term").as("qtext"))
       .localCheckpoint() // freeze the probe — identical rows for every cell
     val nQ = queries.count()
 
-    def buildLayouts(docsPath: String, tag: String): (String, String) = {
+    def buildLayouts(path: String, tag: String): (String, String) = {
       val flat = s"$workDir/${tag}_flat"
       val bkt = s"$workDir/${tag}_bucketed"
       val post = graft.llm.Retrieval.postings(
-        spark.read.parquet(docsPath), "doc_id", "text")
+        spark.read.parquet(path), "doc_id", "text")
       if (!graft.fs.Fs.exists(s"$flat/_SUCCESS"))
         post.write.mode("overwrite").parquet(flat)
       if (!graft.fs.Fs.exists(s"$bkt/postings/_SUCCESS"))
@@ -88,11 +120,8 @@ object PrunedProbeBench {
       (t, rows)
     }
 
-    val cells = Seq(
-      "x1" -> s"$baseDir/documents.parquet",
-      s"x$factor" -> (ScaleBench.scaledDocs(spark, baseDir, workDir, factor) : String)
-    ).map { case (scale, docsPath) =>
-      val (flat, bkt) = buildLayouts(docsPath, scale)
+    val cells = Seq("x1" -> 1, s"x$factor" -> factor).map { case (scale, f) =>
+      val (flat, bkt) = buildLayouts(docsPath(f), s"v${vocabClasses}_$scale")
       val (flatSec, flatRows) = minWall(() =>
         graft.llm.Retrieval.bm25TopKFromIndex(
           spark.read.parquet(flat), queries, "query_id", "qtext", k = 5).count())
@@ -109,7 +138,7 @@ object PrunedProbeBench {
     val line = cells.map { case (s, f, p) =>
       s""""$s":{"flat_sec":$f,"pruned_sec":$p,"pruned_over_flat":${p / f}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"pruned_probe_summary","n_queries":$nQ,"num_buckets":$numBuckets,"reps":$reps,"scales":$line}""")
+    println(s"""{"metric":"pruned_probe_summary","n_queries":$nQ,"num_buckets":$numBuckets,"reps":$reps,"vocab_classes":$vocabClasses,"scales":$line}""")
     spark.stop()
   }
 }

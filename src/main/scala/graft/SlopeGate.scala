@@ -99,10 +99,10 @@ object SlopeGate {
     "t119_bm25_pruned" -> Budget(25.0,
       "t97's workload over the bucketed layout; the corpus-derived probe " +
         "(~all buckets hit) is the layout's documented degenerate case - " +
-        "same bytes as flat plus the exact semi-join. Isolated min-of-2 " +
-        "phase timings show rank cost parity with the flat path (NOTES_r12); " +
-        "the pruning WIN case is gated by ScaleSpec's strict-subset file " +
-        "assertion"),
+        "same bytes as flat plus the exact semi-join. The pruning WIN case " +
+        "is measured by PrunedProbeBench (NOTES_r13: selective 100-term " +
+        "probe, pruned wall ~flat in corpus size, 0.49x flat at x50) and " +
+        "gated by ScaleSpec's strict-subset file assertion"),
     "t65_incremental_minhash" -> Budget(20.0,
       "token-census family: work is linear but shuffle-bound (the delta " +
         "probe re-shuffles banded signatures); measured 10.7-11.2x across " +

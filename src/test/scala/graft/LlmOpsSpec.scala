@@ -223,6 +223,53 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming containment: accumulated micro-batch pairs equal the batch run; index == rebuilt") {
+    import java.nio.file.Files
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val snippet = "winnowing and containment indexes maintain themselves incrementally"
+    val docs = Seq(
+      (0L, quote),                                                    // contained in 1 (and later 3, 6)
+      (1L, s"alpha opening salad words around here $quote beta closing salad words follow now"),
+      (2L, "gamma text sharing nothing with any other document in this corpus at all"),
+      (3L, s"delta batch lead-in salad content $quote epsilon trailing salad content here"), // cross-batch container of 0
+      (4L, snippet),                                                  // contained in 5, within batch 2
+      (5L, s"zeta prefix salad tokens before $snippet eta suffix salad tokens after")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cstream").toString
+    docs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
+    docs.filter($"doc_id" >= 3).write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.ContainmentStream.start(
+      stream, "doc_id", "text", s"$dir/wh", "cont_idx", s"$dir/ckpt",
+      n = 3, threshold = 0.8) {
+      (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
+    }
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val batch = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.contains((0L, 3L)), "expected a cross-batch containment pair")
+    assert(batch.contains((4L, 5L)), "expected a within-batch containment pair")
+    // maintained index equals a from-scratch containmentIndex
+    val cur = graft.sinks.ParquetMergeSink.readCurrent(spark, s"$dir/wh", "cont_idx").get
+    val rebuilt = Dedup.containmentIndex(docs, "doc_id", "text", n = 3)
+    assert(cur.select($"id", $"sz").as[(Long, Int)].collect().toSet ==
+      rebuilt.select($"id", $"sz").as[(Long, Int)].collect().toSet)
+    assert(cur.select($"id", explode($"sh")).as[(Long, String)].collect().toSet ==
+      rebuilt.select($"id", explode($"sh")).as[(Long, String)].collect().toSet)
+    // and answers a fresh delta exactly — doc 6 contains the quote
+    val d6 = Seq((6L, s"theta salad opening words $quote iota salad closing words"))
+      .toDF("doc_id", "text")
+    val next = Dedup.containmentDeltaPairs(d6, "doc_id", "text", cur,
+        n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(next.contains((0L, 6L)) && next.forall(p => p._1 == 6L || p._2 == 6L))
+  }
+
   // ---- URL hosts ----------------------------------------------------------
 
   test("urlHosts extracts hosts only, path and bare domains excluded") {
