@@ -161,7 +161,7 @@ object Dedup {
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
 
-    val dfHead = dfHeadOf(withSets, dfHeadSize)
+    val (dfHead, _) = dfHeadOf(withSets, dfHeadSize)
 
     val prefix = withSets.select(
       explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
@@ -181,15 +181,23 @@ object Dedup {
   /** Document-frequency head for the prefix-filter's global shingle
     * order — distributed top-K (per-partition partial top-K, then
     * merge), collected to BOUNDED driver state. df = 1 shingles sort
-    * identically with or without an entry, so only df ≥ 2 matter. */
-  private def dfHeadOf(withSets: DataFrame, dfHeadSize: Int): Map[String, Long] =
-    withSets
+    * identically with or without an entry, so only df ≥ 2 matter.
+    *
+    * Returns (head, complete): `complete` is true when the head holds
+    * EVERY df ≥ 2 shingle (the collect came back under the cap), in
+    * which case any df-derived set — like the containment cap's hot
+    * set, hot ⟺ df > maxDf ≥ 1 ⟹ df ≥ 2 — can be read off the head
+    * driver-side instead of re-aggregating the corpus. */
+  private def dfHeadOf(withSets: DataFrame, dfHeadSize: Int): (Map[String, Long], Boolean) = {
+    val rows = withSets
       .select(explode(col("sh")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .orderBy(col("df").desc, col("shingle"))
       .limit(dfHeadSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+    (rows.map(r => r.getString(0) -> r.getLong(1)).toMap, rows.length < dfHeadSize)
+  }
 
   /** Near-containment pairs: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ t —
     * the ASYMMETRIC "A is (near-)quoted inside B" relation that Jaccard
@@ -223,10 +231,11 @@ object Dedup {
                        n: Int = 3, threshold: Double = 0.8,
                        dfHeadSize: Int = 100000,
                        maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val withSets = containmentIndex(docs, idCol, textCol, n)
-    val dfHead = dfHeadOf(withSets, dfHeadSize)
+    val (dfHead, complete) = dfHeadOf(withSets, dfHeadSize)
     val a = prefixSide(withSets, threshold, dfHead)
-    val b = containerSide(withSets, maxDf)
+    val b = containerSide(withSets, maxDf, if (complete) Some(dfHead) else None)
     val candidates = a.join(b, Seq("shingle"))
       .filter(col("a_id") =!= col("b_id"))
       .filter(col("b_sz") >= lit(threshold) * col("a_sz"))
@@ -260,9 +269,13 @@ object Dedup {
   }
 
   /** Container-side full index, minus shingles hotter than `maxDf`
-    * (no-op at the default). The hot set has ≤ totalShingleRows/maxDf
-    * distinct values; the anti-join is left to AQE to broadcast when it
-    * fits (see [[dropHotFps]]).
+    * (no-op at the default). When the caller's df head came back
+    * COMPLETE (it then holds every df ≥ 2 shingle, a superset of any
+    * hot set with maxDf ≥ 1), the hot keys are read off it driver-side
+    * and anti-joined as a local relation — no second corpus census
+    * pass; otherwise df re-aggregates distributed. Either way the hot
+    * set has ≤ totalShingleRows/maxDf distinct values and the
+    * anti-join build side is left to AQE (see [[dropHotFps]]).
     *
     * Skew contract (`private[graft]` so ScaleSpec can pin it): after
     * the cap, NO shingle key holds more than `maxDf` container rows, so
@@ -272,16 +285,26 @@ object Dedup {
     * spread at sf0.1 was exactly that). This is the df-cap acting as
     * the skew mitigation; AQE's skew-join split stays as the backstop
     * for residual within-cap imbalance. */
-  private[graft] def containerSide(withSets: DataFrame, maxDf: Int): DataFrame = {
+  private[graft] def containerSide(withSets: DataFrame, maxDf: Int,
+      completeDfHead: Option[Map[String, Long]] = None): DataFrame = {
     val b = withSets.select(explode(col("sh")).as("shingle"),
       col("id").as("b_id"), col("sz").as("b_sz"))
     if (maxDf == Int.MaxValue) b
-    else {
-      val hot = withSets.select(explode(col("sh")).as("shingle"))
-        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > maxDf)
-        .select(col("shingle"))
-      b.join(hot, Seq("shingle"), "left_anti")
+    else completeDfHead match {
+      case Some(head) =>
+        val hotKeys = head.collect { case (s, df) if df > maxDf => s }.toSeq
+        if (hotKeys.isEmpty) b
+        else {
+          val spark = withSets.sparkSession
+          import spark.implicits._
+          b.join(hotKeys.toDF("shingle"), Seq("shingle"), "left_anti")
+        }
+      case None =>
+        val hot = withSets.select(explode(col("sh")).as("shingle"))
+          .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("shingle"))
+        b.join(hot, Seq("shingle"), "left_anti")
     }
   }
 
@@ -323,12 +346,13 @@ object Dedup {
                             n: Int = 3, threshold: Double = 0.8,
                             dfHeadSize: Int = 100000,
                             maxDf: Int = Int.MaxValue): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     val deltaSets = containmentIndex(delta, idCol, textCol, n)
     val deltaIds = delta.select(col(idCol).as("id")).distinct()
     val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
     val merged = current.unionByName(deltaSets)
-    val dfHead = dfHeadOf(merged, dfHeadSize)
-    val bAll = containerSide(merged, maxDf)
+    val (dfHead, complete) = dfHeadOf(merged, dfHeadSize)
+    val bAll = containerSide(merged, maxDf, if (complete) Some(dfHead) else None)
     val aDelta = prefixSide(
       merged.join(broadcast(deltaIds), Seq("id"), "left_semi"), threshold, dfHead)
     val aAll = prefixSide(merged, threshold, dfHead)

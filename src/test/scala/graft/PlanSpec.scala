@@ -84,6 +84,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("t114_source_pref_survivors").contains("CartesianProduct"))
   }
 
+  test("t122: capped containment anti-joins the hot set, no cartesian or nested loop") {
+    val p = plan("t122_containment_capped")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("t123: incremental containment broadcasts the delta id set, no cartesian") {
+    val p = plan("t123_containment_delta")
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("t124: rerank joins the shortlist without a cartesian or nested loop") {
+    val p = plan("t124_bm25_rerank")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q36: as-of join is one shuffle + window, not a join explosion") {
     val p = plan("q36_asof_join")
     assert(p.contains("Window"), p.take(2000))
