@@ -742,6 +742,30 @@ object SparkEntry {
         k = 16, w = 8, minShared = 8, maxDf = 16)
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Perceptual-hash image dedup ([[graft.llm.Multimodal.imageNearDupPairs]]):
+    * the REAL decode path — 120 deterministic PNGs synthesized in-query
+    * from doc ids (12 spectral groups, per-id pixel noise), decoded
+    * with ImageIO, pHashed (32×32 gray → DCT-II → median threshold,
+    * StrictMath throughout so bits are platform-identical), and paired
+    * via the SimHash pigeonhole machinery at hamming ≤ 6. Output is the
+    * per-(group, group) pair census — deterministic integers, pinned as
+    * a literal sf0.01 oracle; the raw-pair semantics (banding == brute,
+    * fallback hashing) are pinned in MultimodalSpec. */
+  private def t125PhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      graft.llm.Multimodal.MediaRecord(
+        id, "image", graft.llm.Multimodal.synthImagePng(id), 32, 32, 0L)))
+    graft.llm.Multimodal.imageNearDupPairs(media, maxHamming = 6)
+      .select((col("a_id") % 12).as("a_grp"), (col("b_id") % 12).as("b_grp"),
+        col("hamming"))
+      .groupBy(col("a_grp"), col("b_grp"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).cast("long").as("max_hamming"))
+      .orderBy(col("a_grp"), col("b_grp"))
+  }
+
   private def t48Multimodal(s: SparkSession, dir: String): DataFrame = {
     // Multimodal plumbing over synthetic media (bytes = utf8(text)) —
     // the utf8 bytes aren't decodable images/audio, so every row takes
@@ -2008,6 +2032,7 @@ object SparkEntry {
     "t122_containment_capped" -> t122ContainmentCapped _,
     "t123_containment_delta" -> t123ContainmentDelta _,
     "t124_bm25_rerank" -> t124Bm25Rerank _,
+    "t125_phash_pairs" -> t125PhashPairs _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2483,6 +2508,7 @@ object SparkEntry {
       "t121_winnowing_delta" -> LiteralOracles.t121,
       "t122_containment_capped" -> LiteralOracles.t122,
       "t123_containment_delta" -> LiteralOracles.t123,
+      "t125_phash_pairs" -> LiteralOracles.t125,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
       // provenance note: t112's literal rows (like every LiteralOracles

@@ -589,19 +589,28 @@ object Dedup {
     * this operator's job is to make the candidate stage linear-ish so
     * only the unavoidable output expansion scales with cluster mass. */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    sigHammingPairs(simHashes(docs, idCol, textCol), maxHamming)
+
+  /** Hamming-≤k pairs over ANY 64-bit signature table (id, sig) — the
+    * [[simHashPairs]] distinct-signature pigeonhole machinery factored
+    * out so every 64-bit sketch shares it (SimHash over tokens, image
+    * pHash via [[Multimodal.imageNearDupPairs]]). Scale notes and the
+    * completeness argument live on [[simHashPairs]]. */
+  def sigHammingPairs(sigs0: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "8-chunk combination banding is complete only for maxHamming <= 7")
     // persisted because FIVE downstream plan branches scan it (reps
     // aggregate, both expansion joins, both intra-join sides) with
-    // different join keys — without it each branch re-tokenizes and
-    // re-hashes the whole corpus. 16 bytes/doc; same tradeoff as the
-    // sibling embeddingNearDupLsh's sketched table. Storage is bounded:
-    // repeated calls on the same inputs reuse ONE cache-manager entry
-    // (same-plan lookup), and [[releaseSimHashCache]] frees it when the
-    // caller is done with the returned (lazy) frame — pinned by
-    // DedupSpec's persisted-RDD-count test.
-    val sigs = simHashes(docs, idCol, textCol)
+    // different join keys — without it each branch re-derives every
+    // signature (re-tokenizing or re-decoding the corpus). 16
+    // bytes/doc; same tradeoff as the sibling embeddingNearDupLsh's
+    // sketched table. Storage is bounded: repeated calls on the same
+    // inputs reuse ONE cache-manager entry (same-plan lookup), and
+    // [[releaseSimHashCache]] (or `unpersist` on an identical plan)
+    // frees it when the caller is done with the returned (lazy) frame
+    // — pinned by DedupSpec's persisted-RDD-count test.
+    val sigs = sigs0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sigs.groupBy(col("sig")).agg(count(lit(1)).as("m")).select("sig")
 

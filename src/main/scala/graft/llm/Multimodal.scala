@@ -256,6 +256,193 @@ object Multimodal {
       .as[MediaRecord]
   }
 
+  // ---- perceptual hashing (multimodal dedup) ------------------------------
+
+  final case class MediaHash(media_id: Long, phash: Long, decoded: Boolean)
+
+  /** Area-average grayscale resample to n×n — deterministic pure
+    * arithmetic (no AWT rendering path), so the hash is a pure function
+    * of the pixel data. */
+  private def grayMatrix(img: java.awt.image.BufferedImage, n: Int): Array[Array[Double]] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      val y0 = h * i / n
+      val y1 = math.max(h * (i + 1) / n, y0 + 1)
+      var j = 0
+      while (j < n) {
+        val x0 = w * j / n
+        val x1 = math.max(w * (j + 1) / n, x0 + 1)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+            x += 1
+          }
+          y += 1
+        }
+        out(i)(j) = sum / ((y1 - y0).toDouble * (x1 - x0))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Orthonormal 2D DCT-II (C = T·M·Tᵀ). StrictMath basis so the
+    * coefficients — hence the hash bits — are bit-identical on every
+    * JVM/platform (Math.cos may use platform intrinsics). */
+  private def dct2(m: Array[Array[Double]]): Array[Array[Double]] = {
+    val n = m.length
+    val t = Array.tabulate(n, n) { (u, x) =>
+      val a = if (u == 0) StrictMath.sqrt(1.0 / n) else StrictMath.sqrt(2.0 / n)
+      a * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n))
+    }
+    val tm = Array.ofDim[Double](n, n) // T·M
+    var u = 0
+    while (u < n) {
+      var j = 0
+      while (j < n) {
+        var s = 0.0
+        var x = 0
+        while (x < n) { s += t(u)(x) * m(x)(j); x += 1 }
+        tm(u)(j) = s
+        j += 1
+      }
+      u += 1
+    }
+    val out = Array.ofDim[Double](n, n) // (T·M)·Tᵀ
+    u = 0
+    while (u < n) {
+      var v = 0
+      while (v < n) {
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += tm(u)(j) * t(v)(j); j += 1 }
+        out(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    out
+  }
+
+  /** Classic 64-bit pHash (the imagehash/pHash.org recipe): grayscale →
+    * 32×32 area-average → 2D DCT-II → the 8×8 low-frequency block,
+    * thresholded at its median (strict >, ties → 0); bit k = (u·8+v).
+    * Robust to resize/re-encode/small edits — near-duplicate images land
+    * within a few bits. */
+  def pHash64(img: java.awt.image.BufferedImage): Long = {
+    val c = dct2(grayMatrix(img, 32))
+    val vals = new Array[Double](64)
+    var k = 0
+    while (k < 64) { vals(k) = c(k / 8)(k % 8); k += 1 }
+    val sorted = vals.clone()
+    java.util.Arrays.sort(sorted)
+    val med = (sorted(31) + sorted(32)) / 2.0
+    var hash = 0L
+    k = 0
+    while (k < 64) { if (vals(k) > med) hash |= (1L << k); k += 1 }
+    hash
+  }
+
+  /** SplitMix64 finalizer — the byte-checksum fallback's mixer, so
+    * undecodable blobs still get a well-spread deterministic 64-bit
+    * identity (exact-dup bytes ⇒ equal hash; no perceptual meaning). */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Per-media 64-bit perceptual hash: image rows that `ImageIO` can
+    * decode get the real [[pHash64]] (`decoded = true`); everything
+    * else gets the byte-checksum fallback through [[mix64]]
+    * (`decoded = false` — exact dups still collide, the operator stays
+    * total). Partition-local like [[extractFeatures]]. */
+  def imagePHashes(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        val real =
+          if (r.kind != "image") None
+          else
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes)))
+              .map(img => MediaHash(r.media_id, pHash64(img), decoded = true))
+            catch { case _: Exception => None }
+        real.getOrElse(MediaHash(r.media_id, mix64(byteChecksum(r.bytes)), decoded = false))
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs: hamming ≤ `maxHamming` over
+    * [[imagePHashes]] — multimodal dedup composed from the decode seam
+    * and [[graft.llm.Dedup.sigHammingPairs]]'s distinct-signature
+    * pigeonhole banding (complete for maxHamming ≤ 7, exact-verified).
+    * The corpus's media BYTES never shuffle: only the thin
+    * (media_id, 64-bit hash) projection enters the join. */
+  def imageNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    Dedup.sigHammingPairs(
+      imagePHashes(media).toDF()
+        .select(col("media_id").as("id"), col("phash").as("sig")),
+      maxHamming)
+
+  /** Deterministic 32×32 synthetic PNG for perceptual-hash tests and
+    * the t125 oracle query. Synthesized directly in DCT space: every
+    * non-DC slot of the 8×8 low-frequency block carries a group-keyed
+    * ±amplitude (each group is a random corner of {±A}⁶³, so two
+    * groups differ in ~32 expected hash bits), while the per-id pixel
+    * noise (±3 of 255) sits far below the slot amplitude — same-group
+    * images land within a few bits. A flat-spectrum image (a single
+    * sinusoid, say) would NOT work: 63 near-zero coefficients make
+    * their bits coin flips under any noise — pHash separates images by
+    * spectral SHAPE, so the fixture must have one. StrictMath so the
+    * pixels are platform-identical. */
+  def synthImagePng(id: Long, nGroups: Int = 12): Array[Byte] = {
+    val g = ((id % nGroups + nGroups) % nGroups).toInt
+    val signs = Array.tabulate(8, 8) { (u, v) =>
+      if (u == 0 && v == 0) 0.0
+      else if ((scala.util.hashing.MurmurHash3.productHash((g, u, v)) & 1) == 0) 1.0
+      else -1.0
+    }
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 32) {
+        var acc = 0.0
+        var u = 0
+        while (u < 8) {
+          var v = 0
+          while (v < 8) {
+            acc += signs(u)(v) *
+              StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64.0) *
+              StrictMath.cos((2 * y + 1) * v * StrictMath.PI / 64.0)
+            v += 1
+          }
+          u += 1
+        }
+        val noise = ((id * 31 + x * 3 + y * 5) % 7).toInt - 3
+        val p = math.min(255,
+          math.max(0, StrictMath.round(127.5 + 6.0 * acc).toInt + noise))
+        img.setRGB(x, y, (p << 16) | (p << 8) | p)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Build a synthetic media table from any table with an id + a string
     * column (test scaffolding: bytes = UTF-8 of the string). */
   def syntheticMedia(spark: SparkSession, src: DataFrame, idCol: String, textCol: String): Dataset[MediaRecord] = {

@@ -147,6 +147,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(feats.map(_.n_bytes).toSeq == Seq(2L, 3L))
   }
 
+  test("pHash64: identical images collide, small noise stays close, different frequency is far") {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    def hashOf(id: Long) = Multimodal.pHash64(
+      ImageIO.read(new ByteArrayInputStream(Multimodal.synthImagePng(id))))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // same id → identical bytes → identical hash
+    assert(hashOf(7L) == hashOf(7L))
+    // same group (ids ≡ mod 12), different noise → within a few bits
+    val sameGroup = for (i <- 0 until 4; j <- (i + 1) until 4)
+      yield hamming(hashOf(12L * i + 3), hashOf(12L * j + 3))
+    assert(sameGroup.forall(_ <= 6), s"same-group distances: $sameGroup")
+    // different dominant frequency → far apart
+    val crossGroup = for (g1 <- 0 until 6; g2 <- (g1 + 1) until 6)
+      yield hamming(hashOf(g1.toLong), hashOf(g2.toLong))
+    assert(crossGroup.forall(_ > 6), s"cross-group distances: $crossGroup")
+  }
+
+  test("imageNearDupPairs: banding equals brute-force hamming; fallback hashes for undecodable bytes") {
+    val media = spark.createDataset((0L until 36L).map { id =>
+      Multimodal.MediaRecord(id, "image", Multimodal.synthImagePng(id), 32, 32, 0L)
+    })
+    val hashes = Multimodal.imagePHashes(media).collect()
+    assert(hashes.forall(_.decoded), "every synthetic PNG must really decode")
+    val byId = hashes.map(h => h.media_id -> h.phash).toMap
+    val maxH = 6
+    val brute = (for {
+      a <- 0L until 36L; b <- (a + 1) until 36L
+      if java.lang.Long.bitCount(byId(a) ^ byId(b)) <= maxH
+    } yield (a, b)).toSet
+    val banded = Multimodal.imageNearDupPairs(media, maxHamming = maxH)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(banded == brute, s"banded ${banded.size} vs brute ${brute.size}")
+    assert(brute.nonEmpty, "synthetic groups must produce near-dup pairs")
+    // undecodable bytes: deterministic fallback, exact dups collide
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRecord(100L, "image", Array[Byte](1, 2, 3), 0, 0, 0L),
+      Multimodal.MediaRecord(101L, "image", Array[Byte](1, 2, 3), 0, 0, 0L),
+      Multimodal.MediaRecord(102L, "audio", Array[Byte](9, 9), 0, 0, 0L)))
+    val jh = Multimodal.imagePHashes(junk).collect().map(h => h.media_id -> h).toMap
+    assert(!jh(100L).decoded && !jh(102L).decoded)
+    assert(jh(100L).phash == jh(101L).phash, "identical bytes must collide")
+    assert(jh(100L).phash != jh(102L).phash)
+  }
+
   test("sampleFrames: n evenly spaced samples per item, empty-safe") {
     val frames = Multimodal.sampleFrames(media, 4)
     val byId = frames.groupBy("media_id").count().collect()
