@@ -766,6 +766,30 @@ object SparkEntry {
       .orderBy(col("a_grp"), col("b_grp"))
   }
 
+  /** Audio-fingerprint dedup ([[graft.llm.Multimodal.audioNearDupPairs]]):
+    * the audio twin of t125 over the REAL `javax.sound` decode path —
+    * 120 deterministic 1-second WAVs synthesized in-query (12
+    * loudness-envelope groups, 4 id-nudged windows each), decoded to
+    * PCM, energy-envelope fingerprinted (64 window energies →
+    * median threshold) and paired at hamming ≤ 7 through the shared
+    * pigeonhole machinery. Output: per-(group, group) pair census,
+    * literal sf0.01 oracle; raw-pair semantics pinned in
+    * MultimodalSpec. */
+  private def t126AudiofpPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+    val media = ids.mapPartitions(_.map(id =>
+      graft.llm.Multimodal.MediaRecord(
+        id, "audio", graft.llm.Multimodal.synthWavPcm(id), 0, 0, 1000L)))
+    graft.llm.Multimodal.audioNearDupPairs(media, maxHamming = 7)
+      .select((col("a_id") % 12).as("a_grp"), (col("b_id") % 12).as("b_grp"),
+        col("hamming"))
+      .groupBy(col("a_grp"), col("b_grp"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).cast("long").as("max_hamming"))
+      .orderBy(col("a_grp"), col("b_grp"))
+  }
+
   private def t48Multimodal(s: SparkSession, dir: String): DataFrame = {
     // Multimodal plumbing over synthetic media (bytes = utf8(text)) —
     // the utf8 bytes aren't decodable images/audio, so every row takes
@@ -2033,6 +2057,7 @@ object SparkEntry {
     "t123_containment_delta" -> t123ContainmentDelta _,
     "t124_bm25_rerank" -> t124Bm25Rerank _,
     "t125_phash_pairs" -> t125PhashPairs _,
+    "t126_audiofp_pairs" -> t126AudiofpPairs _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2509,6 +2534,7 @@ object SparkEntry {
       "t122_containment_capped" -> LiteralOracles.t122,
       "t123_containment_delta" -> LiteralOracles.t123,
       "t125_phash_pairs" -> LiteralOracles.t125,
+      "t126_audiofp_pairs" -> LiteralOracles.t126,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
       // provenance note: t112's literal rows (like every LiteralOracles

@@ -394,6 +394,133 @@ object Multimodal {
         .select(col("media_id").as("id"), col("phash").as("sig")),
       maxHamming)
 
+  /** Normalized PCM samples from a decodable 16- or 8-bit audio stream
+    * (the [[audioDecode]] sample path, returned whole) — None when the
+    * bytes aren't decodable audio. */
+  private def pcmSamples(bytes: Array[Byte]): Option[Array[Double]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.BufferedInputStream(new java.io.ByteArrayInputStream(bytes)))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        if (bits != 16 && bits != 8) return None
+        val data = in.readAllBytes()
+        if (bits == 16) {
+          val le = !fmt.isBigEndian
+          val out = new Array[Double](data.length / 2)
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (le) ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+              else ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+            out(i / 2) = s / 32768.0
+            i += 2
+          }
+          Some(out)
+        } else Some(data.map(b => ((b & 0xFF) - 128) / 128.0))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** 64-bit energy-envelope audio fingerprint: the decoded PCM stream
+    * splits into 64 equal windows, bit k = (window k's mean-square
+    * energy > the median window energy) — the coarse shape of the
+    * loudness envelope, the energy-difference family of audio
+    * fingerprints (Haitsma–Kalker'02's robust-hash idea) reduced to
+    * one 64-bit word so it rides the same pigeonhole machinery as
+    * SimHash/pHash. Invariant to amplitude scaling? No — but to any
+    * MONOTONE per-sample transform that preserves window-energy order,
+    * including uniform gain; near-identical recordings land within a
+    * few bits. None when the bytes aren't decodable audio or hold
+    * fewer than 64 samples. */
+  def audioFingerprint64(bytes: Array[Byte]): Option[Long] =
+    pcmSamples(bytes).filter(_.length >= 64).map { s =>
+      val energies = new Array[Double](64)
+      var w = 0
+      while (w < 64) {
+        val x0 = s.length * w / 64
+        val x1 = math.max(s.length * (w + 1) / 64, x0 + 1)
+        var sum = 0.0
+        var i = x0
+        while (i < x1) { sum += s(i) * s(i); i += 1 }
+        energies(w) = sum / (x1 - x0)
+        w += 1
+      }
+      val sorted = energies.clone()
+      java.util.Arrays.sort(sorted)
+      val med = (sorted(31) + sorted(32)) / 2.0
+      var hash = 0L
+      w = 0
+      while (w < 64) { if (energies(w) > med) hash |= (1L << w); w += 1 }
+      hash
+    }
+
+  /** Per-media 64-bit audio fingerprint: audio rows that decode get the
+    * real [[audioFingerprint64]] (`decoded = true`); everything else
+    * the byte-checksum fallback (`decoded = false`) — the
+    * [[imagePHashes]] contract for the audio column. */
+  def audioFingerprints(media: Dataset[MediaRecord]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { r =>
+      val real =
+        if (r.kind != "audio") None
+        else audioFingerprint64(r.bytes).map(MediaHash(r.media_id, _, decoded = true))
+      real.getOrElse(MediaHash(r.media_id, mix64(byteChecksum(r.bytes)), decoded = false))
+    })
+  }
+
+  /** Near-duplicate audio pairs: hamming ≤ `maxHamming` over
+    * [[audioFingerprints]] through
+    * [[graft.llm.Dedup.sigHammingPairs]] — the audio twin of
+    * [[imageNearDupPairs]]; media bytes never shuffle. */
+  def audioNearDupPairs(media: Dataset[MediaRecord], maxHamming: Int = 3): DataFrame =
+    Dedup.sigHammingPairs(
+      audioFingerprints(media).toDF()
+        .select(col("media_id").as("id"), col("phash").as("sig")),
+      maxHamming)
+
+  /** Deterministic synthetic 16-bit mono WAV (8 kHz, 1 s = 64 windows
+    * of 125 samples) for fingerprint tests and the t126 oracle query:
+    * a 440 Hz carrier under a group-keyed two-level loudness envelope
+    * (window w loud/quiet by a hash of (group, w) — decisive
+    * median-threshold bits, the [[synthImagePng]] spectral-shape
+    * lesson applied to energy), with four id-chosen windows pulled
+    * toward the median so near-dup copies differ by a few bits. */
+  def synthWavPcm(id: Long, nGroups: Int = 12): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val g = ((id % nGroups + nGroups) % nGroups).toInt
+    val rate = 8000f
+    val perWin = 125
+    val nFrames = 64 * perWin
+    val pcm = new Array[Byte](nFrames * 2)
+    var w = 0
+    while (w < 64) {
+      val loud = (scala.util.hashing.MurmurHash3.productHash((g, w)) & 1) == 0
+      val nudged = (0 until 4).exists(j =>
+        w == (((id * 7 + j * 17) % 64 + 64) % 64).toInt)
+      // loud 0.8 / quiet 0.2; a nudged window moves to 0.55 / 0.45 —
+      // close enough to the median energy for per-id bit flips
+      val amp =
+        if (nudged) { if (loud) 0.55 else 0.45 }
+        else { if (loud) 0.8 else 0.2 }
+      var i = 0
+      while (i < perWin) {
+        val t = w * perWin + i
+        val s = (StrictMath.sin(2 * StrictMath.PI * 440.0 * t / rate) * amp * 32767).toShort
+        pcm(2 * t) = (s & 0xFF).toByte
+        pcm(2 * t + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      w += 1
+    }
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong),
+      AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic 32×32 synthetic PNG for perceptual-hash tests and
     * the t125 oracle query. Synthesized directly in DCT space: every
     * non-DC slot of the 8×8 low-frequency block carries a group-keyed

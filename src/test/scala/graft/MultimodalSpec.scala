@@ -192,6 +192,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(jh(100L).phash != jh(102L).phash)
   }
 
+  test("audioFingerprint64: identical WAVs collide, same-group near, cross-group far; banding == brute") {
+    def fpOf(id: Long) = Multimodal.audioFingerprint64(Multimodal.synthWavPcm(id)).get
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(fpOf(5L) == fpOf(5L))
+    // same group (ids ≡ mod 12) differ only in the 4 id-nudged windows each
+    val sameGroup = for (i <- 0 until 4; j <- (i + 1) until 4)
+      yield hamming(fpOf(12L * i + 2), fpOf(12L * j + 2))
+    assert(sameGroup.forall(_ <= 8), s"same-group distances: $sameGroup")
+    // different envelope pattern → far apart
+    val crossGroup = for (g1 <- 0 until 6; g2 <- (g1 + 1) until 6)
+      yield hamming(fpOf(g1.toLong), fpOf(g2.toLong))
+    assert(crossGroup.forall(_ > 8), s"cross-group distances: $crossGroup")
+
+    val media = spark.createDataset((0L until 36L).map { id =>
+      Multimodal.MediaRecord(id, "audio", Multimodal.synthWavPcm(id), 0, 0, 0L)
+    })
+    val hashes = Multimodal.audioFingerprints(media).collect()
+    assert(hashes.forall(_.decoded), "every synthetic WAV must really decode")
+    val byId = hashes.map(h => h.media_id -> h.phash).toMap
+    val maxH = 7
+    val brute = (for {
+      a <- 0L until 36L; b <- (a + 1) until 36L
+      if java.lang.Long.bitCount(byId(a) ^ byId(b)) <= maxH
+    } yield (a, b)).toSet
+    val banded = Multimodal.audioNearDupPairs(media, maxHamming = maxH)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(banded == brute && brute.nonEmpty)
+    // undecodable bytes fall back deterministically
+    val junk = spark.createDataset(Seq(
+      Multimodal.MediaRecord(200L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 0L)))
+    assert(!Multimodal.audioFingerprints(junk).collect().head.decoded)
+  }
+
   test("sampleFrames: n evenly spaced samples per item, empty-safe") {
     val frames = Multimodal.sampleFrames(media, 4)
     val byId = frames.groupBy("media_id").count().collect()
