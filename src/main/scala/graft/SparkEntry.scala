@@ -790,6 +790,45 @@ object SparkEntry {
       .orderBy(col("a_grp"), col("b_grp"))
   }
 
+  /** Incremental perceptual-hash dedup
+    * ([[graft.llm.Dedup.sigHammingDeltaPairs]] over a persisted
+    * [[graft.llm.Multimodal.imagePHashes]] index) — the t121/t123
+    * index/delta maintenance story for the media-hash family: corpus v1
+    * (ids % 5 ≠ 0) is decoded and hashed once; the delta batch carries
+    * NEW images (ids % 5 = 0) and RE-UPLOADS with a CHANGED image
+    * (ids % 7 = 0, shifted to a different spectral group — their stale
+    * signatures must be displaced, not matched); only the delta decodes
+    * per batch. Output: the delta-touching per-(group, group) pair
+    * census at hamming ≤ 6, literal sf0.01 oracle (group labels derive
+    * from ids, so a re-uploaded doc keeps its OLD label while its NEW
+    * spectral group drives the pairing — deterministic either way);
+    * delta == rebuild-restricted is pinned generically in DedupSpec. */
+  private def t127PhashDelta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.Multimodal
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+      .filter(col("doc_id") < 120).as[Long]
+    val v1 = ids.filter((id: Long) => id % 5 != 0).mapPartitions(_.map(id =>
+      Multimodal.MediaRecord(id, "image", Multimodal.synthImagePng(id), 32, 32, 0L)))
+    val corpusIdx = Multimodal.imagePHashes(v1).toDF()
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+    val deltaMedia = ids.filter((id: Long) => id % 5 == 0 || id % 7 == 0)
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 7 == 0) Multimodal.synthImagePng(id + 601) // re-upload, new group
+          else Multimodal.synthImagePng(id)
+        Multimodal.MediaRecord(id, "image", bytes, 32, 32, 0L)
+      })
+    val deltaSigs = Multimodal.imagePHashes(deltaMedia).toDF()
+      .select(col("media_id").as("id"), col("phash").as("sig"))
+    graft.llm.Dedup.sigHammingDeltaPairs(deltaSigs, corpusIdx, maxHamming = 6)
+      .select((col("a_id") % 12).as("a_grp"), (col("b_id") % 12).as("b_grp"),
+        col("hamming"))
+      .groupBy(col("a_grp"), col("b_grp"))
+      .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).cast("long").as("max_hamming"))
+      .orderBy(col("a_grp"), col("b_grp"))
+  }
+
   private def t48Multimodal(s: SparkSession, dir: String): DataFrame = {
     // Multimodal plumbing over synthetic media (bytes = utf8(text)) —
     // the utf8 bytes aren't decodable images/audio, so every row takes
@@ -2058,6 +2097,7 @@ object SparkEntry {
     "t124_bm25_rerank" -> t124Bm25Rerank _,
     "t125_phash_pairs" -> t125PhashPairs _,
     "t126_audiofp_pairs" -> t126AudiofpPairs _,
+    "t127_phash_delta" -> t127PhashDelta _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2535,6 +2575,7 @@ object SparkEntry {
       "t123_containment_delta" -> LiteralOracles.t123,
       "t125_phash_pairs" -> LiteralOracles.t125,
       "t126_audiofp_pairs" -> LiteralOracles.t126,
+      "t127_phash_delta" -> LiteralOracles.t127,
       "t48_multimodal" -> LiteralOracles.t48,
       "t49_knn_ivf_kmeans" -> LiteralOracles.t49,
       // provenance note: t112's literal rows (like every LiteralOracles

@@ -614,45 +614,13 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val reps = sigs.groupBy(col("sig")).agg(count(lit(1)).as("m")).select("sig")
 
-    def chunkOf(sig: Column, c: Int): Column = shiftright(sig, c * 8).bitwiseAND(0xFFL)
-    val w = math.max(1, 8 - maxHamming)
-    val combos = (0 until 8).combinations(w).map(_.toSeq).toSeq
-    def comboKey(sig: Column, combo: Seq[Int]): Column =
-      // shift-or, not multiply-add: at w = 8 the key fills all 64 bits
-      // and ANSI mode would reject the (harmless, wrapping) overflow
-      combo.map(chunkOf(sig, _)).reduce((acc, c) => shiftleft(acc, 8).bitwiseOR(c))
-    val banded = reps.select(col("sig"),
-      posexplode(array(combos.map(comboKey(col("sig"), _)): _*))
-        .as(Seq("combo", "ckey")))
+    val combos = sigCombos(maxHamming)
+    val banded = bandSigs(reps, combos)
     val l = banded.select(col("combo"), col("ckey"), col("sig").as("a_sig"))
     val r = banded.select(col("combo"), col("ckey"), col("sig").as("b_sig"))
-    // "first agreeing combo" as a 256-entry lookup instead of a
-    // least(when...) over every combination: the expanded form (56
-    // combos × w chunk-compares at maxHamming = 3) overflowed janino's
-    // 64 KB method limit and silently dropped the whole join stage to
-    // interpreted execution. Chunk c of a_sig agrees with b_sig iff
-    // byte c of (a_sig XOR b_sig) is zero, so an 8-bit zero-byte mask
-    // determines agreement of EVERY combo at once; the minimal agreeing
-    // combo index is then a pure function of that mask, precomputed
-    // here into a 256-int literal array. 8 small terms + one
-    // element_at — codegens comfortably at any maxHamming.
-    val firstAgreeingCombo =
-      if (combos.size == 1) lit(0) // exact-match banding: single combo, nothing to dedup
-      else {
-        val xorSig = col("a_sig").bitwiseXOR(col("b_sig"))
-        val zeroByteMask = (0 until 8).map { c =>
-          when(chunkOf(xorSig, c) === 0L, lit(1 << c)).otherwise(lit(0))
-        }.reduce(_ + _)
-        val comboMasks = combos.map(_.map(1 << _).sum)
-        val firstByMask = (0 until 256).map { zm =>
-          val i = comboMasks.indexWhere(m => (zm & m) == m)
-          if (i < 0) combos.size else i
-        }
-        element_at(typedLit(firstByMask), zeroByteMask.cast("int") + 1)
-      }
     val sigPairs = l.join(r, Seq("combo", "ckey"))
       .filter(col("a_sig") < col("b_sig"))
-      .filter(col("combo") === firstAgreeingCombo)
+      .filter(col("combo") === firstAgreeingCombo(combos, col("a_sig"), col("b_sig")))
       .select(col("a_sig"), col("b_sig"),
         bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -670,6 +638,119 @@ object Dedup {
     val b = sigs.select(col("sig"), col("id").as("b_id"))
     val intra = a.join(b, Seq("sig")).filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), lit(0).as("hamming"))
+
+    intra.unionByName(inter)
+  }
+
+  private def sigChunk(sig: Column, c: Int): Column =
+    shiftright(sig, c * 8).bitwiseAND(0xFFL)
+
+  /** The C(8, 8−maxHamming) chunk combinations of the pigeonhole
+    * banding (see [[simHashPairs]]'s completeness argument). */
+  private def sigCombos(maxHamming: Int): Seq[Seq[Int]] = {
+    val w = math.max(1, 8 - maxHamming)
+    (0 until 8).combinations(w).map(_.toSeq).toSeq
+  }
+
+  /** (sig, combo, ckey) rows: one bucket key per chunk combination.
+    * Shift-or, not multiply-add: at w = 8 the key fills all 64 bits and
+    * ANSI mode would reject the (harmless, wrapping) overflow. */
+  private def bandSigs(sigs: DataFrame, combos: Seq[Seq[Int]]): DataFrame = {
+    def comboKey(combo: Seq[Int]): Column =
+      combo.map(sigChunk(col("sig"), _)).reduce((acc, c) => shiftleft(acc, 8).bitwiseOR(c))
+    sigs.select(col("sig"),
+      posexplode(array(combos.map(comboKey): _*)).as(Seq("combo", "ckey")))
+  }
+
+  /** "First agreeing combo" as a 256-entry lookup instead of a
+    * least(when...) over every combination: the expanded form (56
+    * combos × w chunk-compares at maxHamming = 3) overflowed janino's
+    * 64 KB method limit and silently dropped the whole join stage to
+    * interpreted execution. Chunk c of aSig agrees with bSig iff byte c
+    * of (aSig XOR bSig) is zero, so an 8-bit zero-byte mask determines
+    * agreement of EVERY combo at once; the minimal agreeing combo index
+    * is then a pure function of that mask, precomputed here into a
+    * 256-int literal array. 8 small terms + one element_at — codegens
+    * comfortably at any maxHamming. */
+  private def firstAgreeingCombo(combos: Seq[Seq[Int]],
+                                 aSig: Column, bSig: Column): Column =
+    if (combos.size == 1) lit(0) // exact-match banding: single combo, nothing to dedup
+    else {
+      val xorSig = aSig.bitwiseXOR(bSig)
+      val zeroByteMask = (0 until 8).map { c =>
+        when(sigChunk(xorSig, c) === 0L, lit(1 << c)).otherwise(lit(0))
+      }.reduce(_ + _)
+      val comboMasks = combos.map(_.map(1 << _).sum)
+      val firstByMask = (0 until 256).map { zm =>
+        val i = comboMasks.indexWhere(m => (zm & m) == m)
+        if (i < 0) combos.size else i
+      }
+      element_at(typedLit(firstByMask), zeroByteMask.cast("int") + 1)
+    }
+
+  /** Incremental hamming-≤k pairs over a persisted 64-bit signature
+    * index — the index/delta maintenance form for the [[sigHammingPairs]]
+    * family (SimHash, image pHash, audio fingerprints), mirroring
+    * [[winnowingDeltaPairs]]' contract: every pair (a_id < b_id) with
+    * hamming ≤ `maxHamming` in the POST-delta corpus and at least one
+    * side in the delta. Equals `sigHammingPairs(corpus ∪ delta)` so
+    * restricted (pinned in DedupSpec, including re-uploads: ids present
+    * in both index and delta count ONLY their delta signature — stale
+    * index rows are anti-joined out first).
+    *
+    * Scale shape: the corpus is never re-sketched — only its thin
+    * (id, sig) index is probed. Candidate generation bands the delta's
+    * DISTINCT signatures against the merged index's distinct
+    * signatures (delta-bounded × corpus-banded, the same
+    * diversity-bound bucket occupancy as the batch form); expansion
+    * joins produce exactly the delta-touching output rows. */
+  def sigHammingDeltaPairs(delta: DataFrame, corpusIndex: DataFrame,
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      "8-chunk combination banding is complete only for maxHamming <= 7")
+    val deltaIds = delta.select(col("id")).distinct()
+    val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val merged = current.withColumn("d", lit(false))
+      .unionByName(delta.select(col("id"), col("sig")).withColumn("d", lit(true)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val combos = sigCombos(maxHamming)
+    val dBand = bandSigs(merged.filter(col("d")).select(col("sig")).distinct(), combos)
+      .select(col("combo"), col("ckey"), col("sig").as("x_sig"))
+    val mBand = bandSigs(merged.select(col("sig")).distinct(), combos)
+      .select(col("combo"), col("ckey"), col("sig").as("y_sig"))
+    // normalize the asymmetric (delta sig, any sig) candidates to
+    // (a_sig < b_sig); a pair of two delta sigs arises in both
+    // orientations with the SAME first agreeing combo, so distinct()
+    // collapses it (thin 17-byte rows)
+    val sigPairs = dBand.join(mBand, Seq("combo", "ckey"))
+      .filter(col("x_sig") =!= col("y_sig"))
+      .select(least(col("x_sig"), col("y_sig")).as("a_sig"),
+        greatest(col("x_sig"), col("y_sig")).as("b_sig"), col("combo"))
+      .filter(col("combo") === firstAgreeingCombo(combos, col("a_sig"), col("b_sig")))
+      .select(col("a_sig"), col("b_sig"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+
+    // expansion to doc pairs, keeping only delta-touching ones
+    val inter = sigPairs
+      .join(merged.select(col("sig").as("a_sig"), col("id").as("x_id"),
+        col("d").as("x_d")), "a_sig")
+      .join(merged.select(col("sig").as("b_sig"), col("id").as("y_id"),
+        col("d").as("y_d")), "b_sig")
+      .filter(col("x_d") || col("y_d"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("hamming"))
+
+    // identical-sig pairs (hamming 0): delta side × all same-sig docs;
+    // within-delta pairs arise twice → distinct
+    val intra = merged.filter(col("d")).select(col("sig"), col("id").as("x_id"))
+      .join(merged.select(col("sig"), col("id").as("y_id")), Seq("sig"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), lit(0).as("hamming"))
+      .distinct()
 
     intra.unionByName(inter)
   }

@@ -76,6 +76,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.exists(p => (p._1, p._2) == (0L, 3L) && p._3 == 0))
   }
 
+  test("sigHammingDeltaPairs equals the full rebuild restricted to delta-touching pairs (incl. re-uploads)") {
+    // v1 = the 5-doc corpus; the delta re-uploads doc 1 with UNRELATED
+    // text (its old near-dup signature must be displaced, not matched)
+    // and adds 5 (near-dup of 0) and 6 (exact copy of 2)
+    val delta = Seq(
+      (1L, "totally rewritten upload about watermark tracking and versioned stores"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today now"),
+      (6L, "completely different text about spark catalyst optimizer internals and codegen")
+    ).toDF("doc_id", "text")
+    val updated = corpus.filter($"doc_id" =!= 1L).unionByName(delta)
+    val deltaIds = Set(1L, 5L, 6L)
+    val corpusIdx = Dedup.simHashes(corpus, "doc_id", "text")
+    val deltaSigs = Dedup.simHashes(delta, "doc_id", "text")
+    for (maxH <- Seq(0, 3, 6)) {
+      val full = Dedup.simHashPairs(updated, "doc_id", "text", maxHamming = maxH)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      val expected = full.filter(p => deltaIds(p._1) || deltaIds(p._2))
+      val got = Dedup.sigHammingDeltaPairs(deltaSigs, corpusIdx, maxHamming = maxH)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      assert(got == expected, s"maxHamming=$maxH")
+      assert(got.contains((2L, 6L)), s"maxHamming=$maxH must see the exact-copy pair")
+      assert(!got.exists(p => p._1 == 0L && p._2 == 1L),
+        s"maxHamming=$maxH: doc 1's STALE near-dup signature must be displaced")
+    }
+  }
+
   test("simhashPairs banding is complete: equals brute force at several widths") {
     // pigeonhole banding adapts its key width to the bound
     // (w = 8 - maxHamming chunks); every width must return EXACTLY the

@@ -27,6 +27,7 @@ QUERIES = {
     "t123_containment_delta": (["a_id", "b_id", "containment_ppm"], "a_id, b_id"),
     "t125_phash_pairs": (["a_grp", "b_grp", "n_pairs", "max_hamming"], "a_grp, b_grp"),
     "t126_audiofp_pairs": (["a_grp", "b_grp", "n_pairs", "max_hamming"], "a_grp, b_grp"),
+    "t127_phash_delta": (["a_grp", "b_grp", "n_pairs", "max_hamming"], "a_grp, b_grp"),
     "t48_multimodal": (["kind", "n", "total_bytes", "brightness_micro"], "kind"),
     "t49_knn_ivf_kmeans": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t50_bpe_tokens": (["doc_id", "n_bpe_tokens"], "doc_id"),
