@@ -3,8 +3,49 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every SparkEntry query timed at
-  * SPARK_GRAFT_SF_DIR; prints ONE JSON line. */
+  * SPARK_GRAFT_SF_DIR; prints ONE JSON line.
+  *
+  * The artifact is self-adjudicating: each rep records its wall-clock
+  * start and the host 1-min loadavg before/after, and each query whose
+  * min exceeds `SUSPECT_FACTOR`x its min in the newest committed
+  * BENCH_full_r{N}.json is listed under "suspects". A reader can then
+  * tell a host-contention window (elevated loadavg spanning the reps)
+  * from a genuine regression without re-running anything — r13's
+  * phantom t98/t99 3-5x "regressions" needed a manual solo re-run to
+  * adjudicate precisely because the artifact carried no host state. */
 object Bench {
+  private val SuspectFactor = 2.5
+  private val SuspectMinDeltaSec = 0.4
+
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString
+      .split("\\s+").head.toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** queries_min of the newest committed BENCH_full_r{N}.json in CWD
+    * (the artifact of record for the prior round), if any. */
+  private def priorMins(): (String, Map[String, Double]) = {
+    val dir = new java.io.File(".")
+    val re = "BENCH_full_r(\\d+)\\.json".r
+    val cands = Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
+      f.getName match { case re(n) => Some((n.toInt, f)) case _ => None }
+    }
+    if (cands.isEmpty) return ("none", Map.empty)
+    val f = cands.maxBy(_._1)._2
+    try {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = om.readTree(f)
+      val node = root.get("queries_min")
+      if (node == null) (f.getName, Map.empty)
+      else {
+        val it = node.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+        (f.getName, b.result())
+      }
+    } catch { case _: Throwable => (f.getName + " (unreadable)", Map.empty) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -52,24 +93,43 @@ object Bench {
           only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
+        val startMs = System.currentTimeMillis()
+        val loadBefore = load1()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, startMs, loadBefore, load1())
       }
-      (name, runs.sorted.apply(reps / 2), runs)
+      (name, runs.map(_._1).sorted.apply(reps / 2), runs)
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val qmins = results.map { case (k, _, runs) => "\"" + k + "\":" + runs.min }
+    val qmins = results.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.map(_._1).min }
       .mkString("{", ",", "}")
     val rs = results.map { case (k, _, runs) =>
-      "\"" + k + "\":" + runs.mkString("[", ",", "]") }
+      "\"" + k + "\":" + runs.map(_._1).mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    // Per-rep adjudication metadata: [start_epoch_ms, load1_before,
+    // load1_after] per rep, in run order.
+    val meta = results.map { case (k, _, runs) =>
+      "\"" + k + "\":" + runs.map { case (_, ms, lb, la) =>
+        s"[$ms,$lb,$la]" }.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val (priorFile, prior) = priorMins()
+    val suspects = results.collect {
+      case (k, _, runs) if prior.get(k).exists { p =>
+        val m = runs.map(_._1).min
+        m > p * SuspectFactor && m - p > SuspectMinDeltaSec } => k
+    }
+    val suspectsJson = suspects.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val totalMin = if (results.nonEmpty) results.map(_._3.min).sum else 0.0
+    val totalMin =
+      if (results.nonEmpty) results.map(_._3.map(_._1).min).sum else 0.0
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min_sec":$totalMin,""" +
-        s""""queries":$qs,"queries_min":$qmins,"runs":$rs,"sf":"$sfDir"}"""
+        s""""queries":$qs,"queries_min":$qmins,"runs":$rs,"rep_meta":$meta,""" +
+        s""""prior":"$priorFile","suspects":$suspectsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture keeps only the tail of long lines, so
     // per-query medians for the early (q-family) queries were unreadable

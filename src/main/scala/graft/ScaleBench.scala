@@ -164,10 +164,15 @@ object ScaleBench {
       graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
     "t76_containment" -> (() =>
       graft.llm.Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8).count()),
-    // production form: hot container-side shingles capped (registry t122)
+    // production form: hot container-side shingles capped. Registry
+    // PARAMETERS (maxDf = 16) so slope numbers filed under the registry
+    // key were measured at the registry's cap; the CORPUS still differs
+    // (scaled plain documents here vs t122's boilerplate-injected
+    // corpus, which exists to make the cap bite at sf0.01 — the scaled
+    // frames exercise the same plan shape at 10x the rows).
     "t122_containment_capped" -> (() =>
       graft.llm.Dedup.containmentPairs(docs, "doc_id", "text", n = 3,
-        threshold = 0.8, maxDf = 64).count()),
+        threshold = 0.8, maxDf = 16).count()),
     "t29_minhash_lsh" -> (() =>
       graft.llm.Dedup.minHashLshPairs(docs, "doc_id", "text",
         n = 3, numHashes = 64, bands = 16, threshold = 0.8).count()),
@@ -176,11 +181,13 @@ object ScaleBench {
     // capped form only: uncapped winnowing is output-quadratic on hot
     // fingerprints by contract (167 s at ×10 in r11 — the scale-killer
     // the df-cap exists to remove), so the slope evidence times the
-    // production path. Keyed by the REGISTRY name (t120) so slope
-    // evidence cross-references cleanly with SLOPES/CORRECTNESS.
+    // production path. Keyed by the REGISTRY name (t120) AND run at the
+    // registry's parameters (maxDf = 16) so slope evidence
+    // cross-references cleanly with SLOPES/CORRECTNESS; only the corpus
+    // differs (scaled documents vs the sf0.01 base).
     "t120_winnowing_capped" -> (() =>
       graft.llm.Dedup.winnowingPairs(docs, "doc_id", "text",
-        k = 16, w = 8, minShared = 8, maxDf = 64).count()),
+        k = 16, w = 8, minShared = 8, maxDf = 16).count()),
     "t58_jaccard_clusters" -> { () =>
       val pairs = graft.llm.Dedup.jaccardNearDupPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
       graft.llm.Dedup.nearDupClusters(pairs, "a_id", "b_id").count()
