@@ -145,9 +145,19 @@ object Dedup {
     * difference between a bounded join and a quadratic blow-up. The
     * earlier composed form (explode → join full df table → regroup per
     * doc) shuffled the full inverted index twice before the similarity
-    * join even started; shingle sets are recomputed per consumer instead
-    * of persisted — they inline into the scan, and recompute beats
-    * caching the widest relation in the plan. */
+    * join even started.
+    *
+    * The shingle-set projection is PERSISTED (MEMORY_AND_DISK) for the
+    * call's lifetime: five plan branches scan it (df census, prefix
+    * side, container side, both verify sides), and re-running the
+    * normalize→tokenize→shingle chain per branch was measured 1.5–2×
+    * slower than one build + four cache scans at sf0.1 (r14; the
+    * earlier recompute-wins measurement predates the verify branches).
+    * Storage is corpus-proportional (~n× token bytes, spills to disk)
+    * but bounded across calls: identical corpora resolve to ONE
+    * cache-manager entry (canonicalized-plan equality — the
+    * [[simHashPairs]] contract), and [[releaseShingleSetCache]] frees
+    * it when the caller is done with the returned lazy frame. */
   def jaccardNearDupPairs(
       docs: DataFrame,
       idCol: String,
@@ -157,9 +167,11 @@ object Dedup {
       dfHeadSize: Int = 100000): DataFrame = {
     import graft.functions.expr.PrefixShingles
 
-    val withSets = docs
-      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
+    // [[containmentIndex]] IS this projection — sharing the plan means
+    // Jaccard, containment and MinHash-LSH calls over the same corpus
+    // resolve to ONE cache entry (see the persist note there)
+    val withSets = containmentIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val (dfHead, _) = dfHeadOf(withSets, dfHeadSize)
 
@@ -232,7 +244,10 @@ object Dedup {
                        dfHeadSize: Int = 100000,
                        maxDf: Int = Int.MaxValue): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    // persisted for the same five-branch reason as [[jaccardNearDupPairs]]
+    // (same plan ⇒ same cache entry; release via [[releaseShingleSetCache]])
     val withSets = containmentIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (dfHead, complete) = dfHeadOf(withSets, dfHeadSize)
     val a = prefixSide(withSets, threshold, dfHead)
     val b = containerSide(withSets, maxDf, if (complete) Some(dfHead) else None)
@@ -257,6 +272,37 @@ object Dedup {
                        n: Int = 3): DataFrame =
     docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
+
+  /** Release the shingle-set cache a prior [[jaccardNearDupPairs]] /
+    * [[containmentPairs]] / [[minHashLshPairs]] call persisted for
+    * these inputs (they share the [[containmentIndex]] plan, so one
+    * release frees all three), once the returned frames' results are
+    * consumed. Public-API unpersist via canonicalized-plan-equality
+    * lookup — the [[releaseSimHashCache]] contract; safe to call even
+    * if nothing is cached. */
+  def releaseShingleSetCache(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3): Unit =
+    containmentIndex(docs, idCol, textCol, n).unpersist(): Unit
+
+  /** The post-delta merged shingle-set index [[containmentDeltaPairs]]
+    * persists (stale re-upload rows displaced) — factored out so
+    * [[releaseContainmentDeltaCache]] can rebuild the identical plan
+    * for the cache-manager lookup. */
+  private def containmentMergedPlan(delta: DataFrame, idCol: String,
+      textCol: String, corpusIndex: DataFrame, n: Int): DataFrame = {
+    val deltaSets = containmentIndex(delta, idCol, textCol, n)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .unionByName(deltaSets)
+  }
+
+  /** Release the merged-index cache a prior [[containmentDeltaPairs]]
+    * call persisted for these inputs — the per-batch incremental
+    * caller's storage bound (the [[releaseSigHammingDeltaCache]]
+    * contract). Safe to call even if nothing is cached. */
+  def releaseContainmentDeltaCache(delta: DataFrame, idCol: String,
+      textCol: String, corpusIndex: DataFrame, n: Int = 3): Unit =
+    containmentMergedPlan(delta, idCol, textCol, corpusIndex, n).unpersist(): Unit
 
   /** Contained-side prefix index: each doc's |S| − ⌈t·|S|⌉ + 1 rarest
     * shingles, exploded thin. */
@@ -309,7 +355,22 @@ object Dedup {
   }
 
   /** Exact-containment verification of candidate (a_id, b_id) pairs
-    * against the full shingle sets. */
+    * against the full shingle sets.
+    *
+    * Shape note (measured, r14): the candidates join the full `sh`
+    * arrays on both sides, but AQE broadcasts the thin pair list, so
+    * the array sides stream ONCE map-side and `array_intersect` runs
+    * without any array ever crossing a shuffle. A PPJoin-style thin
+    * rewrite (explode candidate docs' sets, count overlap in a
+    * (pair, shingle)-keyed join — no arrays) was built and benchmarked
+    * head-to-head in one JVM: 8.1–8.4 s vs 5.4–7.1 s for this form on
+    * the t122 corpus at sf0.1 — the ~25 M-row (pair × shingle)
+    * expansion shuffle costs more than the broadcast+intersect it
+    * replaces, at every candidate volume tried. The positional-filter
+    * half of PPJoin cannot prune here either: with the container side
+    * indexing ALL its shingles, the prefix-match count bounds
+    * |A ∩ B| only by cnt + min(⌈t·|A|⌉ − 1, |B| − cnt), which rules
+    * out nothing when |B| is large. Kept array-form deliberately. */
   private def verifyContainment(candidates: DataFrame, withSets: DataFrame,
                                 threshold: Double): DataFrame = {
     val sa = withSets.select(col("id").as("a_id"), col("sh").as("a_sh"))
@@ -347,10 +408,11 @@ object Dedup {
                             dfHeadSize: Int = 100000,
                             maxDf: Int = Int.MaxValue): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    val deltaSets = containmentIndex(delta, idCol, textCol, n)
+    // persisted like the batch form's withSets (six branches scan it);
+    // release via [[releaseContainmentDeltaCache]] with the same inputs
+    val merged = containmentMergedPlan(delta, idCol, textCol, corpusIndex, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deltaIds = delta.select(col(idCol).as("id")).distinct()
-    val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
-    val merged = current.unionByName(deltaSets)
     val (dfHead, complete) = dfHeadOf(merged, dfHeadSize)
     val bAll = containerSide(merged, maxDf, if (complete) Some(dfHead) else None)
     val aDelta = prefixSide(
@@ -367,7 +429,9 @@ object Dedup {
     verifyContainment(candidates, merged, threshold)
   }
 
-  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs. */
+  /** Exact-Jaccard verification of candidate (a_id, b_id) pairs.
+    * Array-form deliberately — see [[verifyContainment]]'s shape note
+    * for the measured comparison against a thin PPJoin-style count. */
   private[llm] def verifyJaccard(candidates: DataFrame, withSets: DataFrame,
                                  threshold: Double): DataFrame = {
     val sa = withSets.select(col("id").as("a_id"), col("sh").as("a_sh"))
@@ -429,7 +493,11 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
 
-    val withSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    // the shared [[containmentIndex]] plan: a Jaccard/containment call
+    // over the same corpus in the same session resolves to the same
+    // cache entry (released together via [[releaseShingleSetCache]])
+    val withSets = containmentIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(candidates, withSets, threshold)
   }
 
@@ -708,10 +776,7 @@ object Dedup {
                            maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 7,
       "8-chunk combination banding is complete only for maxHamming <= 7")
-    val deltaIds = delta.select(col("id")).distinct()
-    val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
-    val merged = current.withColumn("d", lit(false))
-      .unionByName(delta.select(col("id"), col("sig")).withColumn("d", lit(true)))
+    val merged = sigHammingMergedPlan(delta, corpusIndex)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val combos = sigCombos(maxHamming)
@@ -754,6 +819,27 @@ object Dedup {
 
     intra.unionByName(inter)
   }
+
+  /** The (stale-rows-displaced, delta-flagged) merged index plan
+    * [[sigHammingDeltaPairs]] persists — factored out so
+    * [[releaseSigHammingDeltaCache]] can rebuild the identical plan and
+    * find the cache-manager entry by canonicalized-plan equality. */
+  private def sigHammingMergedPlan(delta: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    val deltaIds = delta.select(col("id")).distinct()
+    val current = corpusIndex.join(broadcast(deltaIds), Seq("id"), "left_anti")
+    current.withColumn("d", lit(false))
+      .unionByName(delta.select(col("id"), col("sig")).withColumn("d", lit(true)))
+  }
+
+  /** Release the merged-index cache a prior [[sigHammingDeltaPairs]]
+    * call persisted for these inputs, once the returned frame's results
+    * are consumed. Without this, an incremental caller (one call per
+    * batch, each with a distinct delta plan) accumulates one executor
+    * storage entry PER BATCH until the session ends — the same
+    * contract as [[releaseSimHashCache]], public-API unpersist via
+    * plan-equality lookup. Safe to call even if nothing is cached. */
+  def releaseSigHammingDeltaCache(delta: DataFrame, corpusIndex: DataFrame): Unit =
+    sigHammingMergedPlan(delta, corpusIndex).unpersist(): Unit
 
   /** Release the signature cache a prior [[simHashPairs]] call persisted
     * for these inputs, once the returned frame's results are consumed.

@@ -162,17 +162,22 @@ object Retrieval {
     * score table — the reranker seam of a retrieve→rerank pipeline
     * (the shape a cross-encoder stage has): BM25 recalls a cheap
     * shortlist at |Q|·k scale, then a higher-fidelity scorer reorders
-    * it. `docScores` is any (doc_id, score) frame — the hashed-NB
-    * quality classifier here (t124), a fastText/cross-encoder score
-    * column in production. Ties break on doc_id; `rank` is a per-query
-    * row_number 1..k over the reranked order. Documents the scorer
-    * does not cover drop from the shortlist (inner join — a reranker
-    * that cannot score a doc cannot rank it).
+    * it. `shortlist` must carry the [[bm25TopK]] output schema
+    * (query_id, doc_id, score_ppm); `docScores` is any frame with a
+    * doc_id column and `scoreCol` — the hashed-NB quality classifier
+    * here (t124), a fastText/cross-encoder score column in production.
+    * A doc_id appearing on MULTIPLE scorer rows contributes its MAX
+    * score once (aggregated after the join, so the dedup never
+    * shuffles the scorer table and a duplicated scorer row cannot
+    * duplicate shortlist rows or corrupt ranks). Ties break on doc_id;
+    * `rank` is a per-query row_number 1..k over the reranked order.
+    * Documents the scorer does not cover drop from the shortlist
+    * (inner join — a reranker that cannot score a doc cannot rank it).
     *
     * Scale shape: the shortlist is |Q|·k rows — it broadcasts against
     * the corpus-sized score frame, so the scorer's table scans once
-    * and never shuffles; the rerank window partitions by query over
-    * shortlist-sized data only. */
+    * and never shuffles; the duplicate-score aggregate and the rerank
+    * window both run over shortlist-sized data only. */
   def rerank(shortlist: DataFrame, docScores: DataFrame,
              scoreCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -181,6 +186,8 @@ object Retrieval {
     val joined = shortlist.select(col("query_id"), col("doc_id"),
         col("score_ppm").as("bm25_ppm"))
       .join(sc, Seq("doc_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(first(col("bm25_ppm")).as("bm25_ppm"), max(col("__rr")).as("__rr"))
     val rn = row_number().over(Window.partitionBy(col("query_id"))
       .orderBy(col("__rr").desc, col("doc_id")))
     joined.withColumn("rank", rn.cast("long"))

@@ -58,6 +58,9 @@ object ContainmentStream {
             Dedup.containmentIndex(cached, idCol, textCol, n),
             Seq("id"), id + 1,
             replaceKeySet = Some(cached.select(col(idCol).as("id")))): Unit
+          // free the merged-index cache the delta probe persisted —
+          // without this each micro-batch leaves one entry behind
+          Dedup.releaseContainmentDeltaCache(cached, idCol, textCol, idx, n)
         } finally {
           cached.unpersist(): Unit
         }

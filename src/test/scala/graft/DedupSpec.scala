@@ -297,6 +297,55 @@ class DedupSpec extends AnyFunSuite {
     assert(lshLvl() != StorageLevel.NONE)
     Dedup.releaseEmbeddingLshCache(vecs, "vec_id", "embedding")
     assert(lshLvl() == StorageLevel.NONE, "releaseEmbeddingLshCache left the entry cached")
+
+    // shingle-set cache: Jaccard, containment and MinHash-LSH share the
+    // containmentIndex plan, so all three land in ONE entry and one
+    // release frees it
+    def shLvl() = Dedup.containmentIndex(corpus, "doc_id", "text", 3).storageLevel
+    Dedup.releaseShingleSetCache(corpus, "doc_id", "text", 3)
+    assert(shLvl() == StorageLevel.NONE)
+    Dedup.jaccardNearDupPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8).count()
+    assert(shLvl() != StorageLevel.NONE, "jaccard call must cache the shingle sets")
+    Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8).count()
+    Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3).count()
+    assert(shLvl() != StorageLevel.NONE)
+    Dedup.releaseShingleSetCache(corpus, "doc_id", "text", 3)
+    assert(shLvl() == StorageLevel.NONE, "releaseShingleSetCache left the entry cached")
+
+    // incremental forms: the per-batch merged plans must be releasable
+    // too (a streaming caller creates a distinct plan per batch — these
+    // are exactly the entries that would otherwise accumulate)
+    val half = corpus.filter($"doc_id" % 2 === 0)
+    val rest = corpus.filter($"doc_id" % 2 =!= 0)
+    val cIdx = Dedup.containmentIndex(half, "doc_id", "text", 3)
+    // reconstruct the merged plan the delta call persists, to observe
+    // its storage level (same construction ⇒ same canonicalized plan)
+    def cMergedLvl() = cIdx
+      .join(org.apache.spark.sql.functions.broadcast(
+        rest.select($"doc_id".as("id")).distinct()), Seq("id"), "left_anti")
+      .unionByName(Dedup.containmentIndex(rest, "doc_id", "text", 3))
+      .storageLevel
+    Dedup.containmentDeltaPairs(rest, "doc_id", "text", cIdx, n = 3, threshold = 0.8).count()
+    assert(cMergedLvl() != StorageLevel.NONE, "delta call must cache the merged index")
+    Dedup.releaseContainmentDeltaCache(rest, "doc_id", "text", cIdx, n = 3)
+    assert(cMergedLvl() == StorageLevel.NONE, "releaseContainmentDeltaCache left the entry cached")
+    val sIdx = Dedup.simHashes(half, "doc_id", "text").select($"id", $"sig")
+    val sDelta = Dedup.simHashes(rest, "doc_id", "text").select($"id", $"sig")
+    def sMergedLvl() = sIdx
+      .join(org.apache.spark.sql.functions.broadcast(sDelta.select($"id").distinct()),
+        Seq("id"), "left_anti")
+      .withColumn("d", org.apache.spark.sql.functions.lit(false))
+      .unionByName(sDelta.select($"id", $"sig")
+        .withColumn("d", org.apache.spark.sql.functions.lit(true)))
+      .storageLevel
+    Dedup.sigHammingDeltaPairs(sDelta, sIdx, maxHamming = 3).count()
+    assert(sMergedLvl() != StorageLevel.NONE, "sig delta call must cache the merged index")
+    Dedup.releaseSigHammingDeltaCache(sDelta, sIdx)
+    assert(sMergedLvl() == StorageLevel.NONE, "releaseSigHammingDeltaCache left the entry cached")
+    Dedup.releaseSimHashCache(half, "doc_id", "text")
+    Dedup.releaseSimHashCache(rest, "doc_id", "text")
+    Dedup.releaseShingleSetCache(half, "doc_id", "text", 3)
+    Dedup.releaseShingleSetCache(rest, "doc_id", "text", 3)
   }
 
   test("semDedupDeltaPairs equals the fixed-centroid full run restricted to delta-touching pairs") {
