@@ -225,6 +225,142 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!Multimodal.audioFingerprints(junk).collect().head.decoded)
   }
 
+  // ---- independent pins for the media hashes ------------------------------
+  //
+  // t125–t127's literal oracles are generated from the engine's own
+  // output, so they pin regressions rather than prove the hash. These
+  // two reimplement the PUBLIC recipes from scratch in the test tree —
+  // direct-definition O(n⁴) DCT (vs production's T·M·Tᵀ matrix
+  // factorization), separate gray/median/WAV-parsing code — and assert
+  // bit-equality, so a production-side algebra or indexing slip cannot
+  // hide behind a self-pinned oracle.
+
+  /** Clean-room 64-bit pHash per the published recipe (imagehash /
+    * pHash.org): 32×32 area-average gray → orthonormal 2D DCT-II by its
+    * direct quadruple-sum definition → 8×8 low block, strict-> median
+    * threshold, bit k = u·8+v. Shares no code with production. */
+  private def refPHash64(img: java.awt.image.BufferedImage): Long = {
+    val n = 32
+    val g = Array.tabulate(n, n) { (i, j) =>
+      val y0 = img.getHeight * i / n
+      val y1 = math.max(img.getHeight * (i + 1) / n, y0 + 1)
+      val x0 = img.getWidth * j / n
+      val x1 = math.max(img.getWidth * (j + 1) / n, x0 + 1)
+      val px = for (y <- y0 until y1; x <- x0 until x1) yield {
+        val p = img.getRGB(x, y)
+        (((p >> 16) & 0xFF) + ((p >> 8) & 0xFF) + (p & 0xFF)) / 3.0
+      }
+      px.sum / px.size
+    }
+    def alpha(u: Int) =
+      if (u == 0) StrictMath.sqrt(1.0 / n) else StrictMath.sqrt(2.0 / n)
+    val block = for (u <- 0 until 8; v <- 0 until 8) yield {
+      var s = 0.0
+      for (x <- 0 until n; y <- 0 until n)
+        s += g(x)(y) * StrictMath.cos((2 * x + 1) * u * StrictMath.PI / (2.0 * n)) *
+          StrictMath.cos((2 * y + 1) * v * StrictMath.PI / (2.0 * n))
+      alpha(u) * alpha(v) * s
+    }
+    val med = { val s = block.sorted; (s(31) + s(32)) / 2.0 }
+    block.zipWithIndex.foldLeft(0L) { case (h, (c, k)) =>
+      if (c > med) h | (1L << k) else h
+    }
+  }
+
+  test("pHash64 equals an independent clean-room reimplementation, bit for bit") {
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+    // synthetic corpus images across every spectral group + noise seeds
+    for (id <- 0L until 36L) {
+      val img = ImageIO.read(new ByteArrayInputStream(Multimodal.synthImagePng(id)))
+      assert(Multimodal.pHash64(img) == refPHash64(img), s"id=$id")
+    }
+    // and arbitrary (non-synth-structured) deterministic RGB noise
+    val rnd = new scala.util.Random(42)
+    val img = new java.awt.image.BufferedImage(
+      57, 43, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 43; x <- 0 until 57) img.setRGB(x, y, rnd.nextInt(1 << 24))
+    assert(Multimodal.pHash64(img) == refPHash64(img))
+  }
+
+  /** Clean-room energy-envelope fingerprint: parse the WAV's `data`
+    * chunk by hand (16-bit little-endian PCM), 64 equal windows,
+    * mean-square energy, strict-> median threshold. */
+  private def refAudioFp64(wav: Array[Byte]): Long = {
+    // locate the data chunk: "data" tag then 4-byte LE size
+    val at = (0 until wav.length - 8).find(i =>
+      wav(i) == 'd' && wav(i + 1) == 'a' && wav(i + 2) == 't' && wav(i + 3) == 'a').get
+    val len = ((wav(at + 4) & 0xFF) | ((wav(at + 5) & 0xFF) << 8) |
+      ((wav(at + 6) & 0xFF) << 16) | ((wav(at + 7) & 0xFF) << 24))
+    val pcm = wav.slice(at + 8, at + 8 + len)
+    val samples = Array.tabulate(pcm.length / 2) { k =>
+      ((pcm(2 * k + 1) << 8) | (pcm(2 * k) & 0xFF)).toShort / 32768.0
+    }
+    val energies = Array.tabulate(64) { w =>
+      val x0 = samples.length * w / 64
+      val x1 = math.max(samples.length * (w + 1) / 64, x0 + 1)
+      var s = 0.0
+      for (i <- x0 until x1) s += samples(i) * samples(i)
+      s / (x1 - x0)
+    }
+    val sorted = energies.sorted
+    val med = (sorted(31) + sorted(32)) / 2.0
+    (0 until 64).foldLeft(0L) { (h, w) =>
+      if (energies(w) > med) h | (1L << w) else h
+    }
+  }
+
+  test("audioFingerprint64 equals an independent WAV-parse reimplementation, bit for bit") {
+    for (id <- 0L until 36L) {
+      val wav = Multimodal.synthWavPcm(id)
+      assert(Multimodal.audioFingerprint64(wav).contains(refAudioFp64(wav)), s"id=$id")
+    }
+  }
+
+  test("MediaHashStream: accumulated micro-batch pairs equal the batch run; index == rebuilt") {
+    import java.nio.file.Files
+    import graft.llm.Multimodal.MediaRecord
+    // groups by id % 12 (synthImagePng): two same-group clusters split
+    // across batches so cross-batch AND within-batch pairs both arise
+    val ids1 = Seq(3L, 15L, 5L)          // batch 1: two of group 3, one of group 5
+    val ids2 = Seq(27L, 17L, 2L)         // batch 2: group 3 (cross-batch), group 5 (cross-batch), group 2 (alone)
+    def rec(id: Long) = MediaRecord(id, "image", Multimodal.synthImagePng(id), 32, 32, 0L)
+    val dir = Files.createTempDirectory("graft_mhstream").toString
+    ids1.map(rec).toDS().toDF().write.parquet(s"$dir/in1")
+    ids2.map(rec).toDS().toDF().write.parquet(s"$dir/in2")
+    val schema = spark.read.parquet(s"$dir/in1").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+    val q = graft.streaming.MediaHashStream.start(
+      stream, s"$dir/wh", "media_sigs", s"$dir/ckpt", maxHamming = 6) {
+      (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
+    }
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val all = (ids1 ++ ids2).map(rec).toDS()
+    val batch = Multimodal.imageNearDupPairs(all, maxHamming = 6)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.contains((3L, 27L)) || batch.contains((15L, 27L)),
+      "expected a cross-batch near-dup pair")
+    assert(batch.contains((3L, 15L)), "expected a within-batch near-dup pair")
+    // maintained index equals a from-scratch hash of the latest corpus
+    val cur = graft.sinks.ParquetMergeSink.readCurrent(spark, s"$dir/wh", "media_sigs").get
+    val rebuilt = Multimodal.imagePHashes(all).toDF()
+      .select($"media_id".as("id"), $"phash".as("sig"))
+    assert(cur.select($"id", $"sig").as[(Long, Long)].collect().toSet ==
+      rebuilt.as[(Long, Long)].collect().toSet)
+    // and answers a fresh delta exactly: a new group-3 image pairs with
+    // the three ingested group-3 ids through the maintained index
+    val d = Multimodal.imagePHashes(Seq(rec(39L)).toDS()).toDF()
+      .select($"media_id".as("id"), $"phash".as("sig"))
+    val next = graft.llm.Dedup.sigHammingDeltaPairs(d, cur, maxHamming = 6)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(next.forall(p => p._1 == 39L || p._2 == 39L))
+    assert(next.exists(p => Set(3L, 15L, 27L)(p._1) || Set(3L, 15L, 27L)(p._2)))
+  }
+
   test("sampleFrames: n evenly spaced samples per item, empty-safe") {
     val frames = Multimodal.sampleFrames(media, 4)
     val byId = frames.groupBy("media_id").count().collect()
