@@ -118,6 +118,11 @@ object SlopeGate {
         "ratio (k=2 gram census shuffles ~n_tokens rows twice: train + " +
         "score); linear work, measured 11.2-16.4x across same-code runs — " +
         "the spread is the host's documented stall windows, not slope"),
+    "t128_curation_e2e" -> Budget(20.0,
+      "stage composition whose slope is the max of its gated stages: " +
+        "the unigram-LM token census (t78's shape, budget 20) dominates; " +
+        "near-dup pairing, gram scrub, mix, and BFD pack are all " +
+        "individually gated linear shapes (t26/t89, t81, t77, t75)"),
     "t110_bm25_incremental" -> Budget(30.0,
       "harness-quadratic by construction: the query set is corpus-derived " +
         "(x10 corpus => x10 queries x x10 postings = ~x100 scoring work); " +

@@ -1769,6 +1769,27 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The END-TO-END curation job ([[graft.llm.Curation.fullPipelineLedger]]):
+    * near-dup survivors (keep longest) → benchmark decontamination
+    * (%50 bench, ≥2 shared 8-grams) → unigram-LM quality floor →
+    * temperature mix (τ=½, 30%) → BFD packing, reported as a first-fail
+    * verdict ledger over every input doc. The packer runs for real;
+    * 'packed' asserts exactly-one bin assignment (conservation), so the
+    * oracle hash would catch a lost/duplicated doc. Bin-level detail is
+    * CurationSpec's (BFD is not SQL-expressible).
+    *
+    * Oracle note (stage 4): the mix quotas here resolve in ONE waterfill
+    * round — no source saturates (quota ≪ n for every source at τ=½ /
+    * 30% on near-balanced sources), so the single-round SQL twin is
+    * exact; CurationSpec pins the no-saturation precondition. */
+  private def t128CurationE2e(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    graft.llm.Curation.fullPipelineLedger(d, "doc_id", "text",
+        scoreCol = "n_chars", sourceCol = "source",
+        bench = d.filter(col("doc_id") % 50 === 0), benchTextCol = "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2098,6 +2119,7 @@ object SparkEntry {
     "t125_phash_pairs" -> t125PhashPairs _,
     "t126_audiofp_pairs" -> t126AudiofpPairs _,
     "t127_phash_delta" -> t127PhashDelta _,
+    "t128_curation_e2e" -> t128CurationE2e _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3195,6 +3217,69 @@ object SparkEntry {
           FROM o ORDER BY doc_id""",
       // staged pipeline: each stage's census runs over the PREVIOUS
       // stage's survivors, mirroring the Spark staging exactly
+      // end-to-end curation ledger: t89's recursive-CTE survivors +
+      // t81's gram flags (minShared=2) + t78's score chain w/ floor +
+      // t77's quota math computed over the stage-3 keep set (single
+      // waterfill round — no saturation, pinned in CurationSpec); all
+      // sampled docs label 'packed' (BFD conservation — a lost/dup doc
+      // would surface as Spark-side 'pack_lost' and hash-mismatch)
+      "t128_curation_e2e" ->
+        s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingles AS s FROM documents),
+          pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sh a, sh b WHERE a.doc_id < b.doc_id
+            AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                / CAST(len(list_distinct(a.s || b.s)) AS DOUBLE) >= 0.8),
+          edges AS (SELECT a_id AS u, b_id AS v FROM pairs
+            UNION SELECT b_id AS u, a_id AS v FROM pairs),
+          walk(id, reach) AS (
+            SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+            UNION
+            SELECT w.id, e.v FROM walk w JOIN edges e ON w.reach = e.u),
+          comp AS (SELECT id, min(reach) AS rep FROM walk GROUP BY id),
+          m AS (SELECT c.id, c.rep, d.n_chars FROM comp c JOIN documents d ON d.doc_id = c.id),
+          losers AS (SELECT id FROM (SELECT id, row_number() OVER (
+              PARTITION BY rep ORDER BY n_chars DESC, id) AS rn FROM m) WHERE rn > 1),
+          g AS (SELECT doc_id, unnest($grams8) AS gram FROM documents),
+          bg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+          flagged AS (SELECT g.doc_id FROM g JOIN bg USING (gram)
+                      GROUP BY g.doc_id HAVING count(*) >= 2),
+          p AS (SELECT doc_id, unnest($toks) AS tok FROM documents),
+          gt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY doc_id, tok),
+          v AS (SELECT tok, CAST(sum(n) AS BIGINT) AS c FROM gt GROUP BY tok),
+          tot AS (SELECT CAST(sum(c) AS BIGINT) AS N FROM v),
+          sc AS (SELECT tok,
+              CAST(floor(log2(CAST(c AS DOUBLE) / CAST((SELECT N FROM tot) AS DOUBLE)) * 1000000.0 + 0.0001) AS BIGINT) AS lp
+            FROM v),
+          dsc AS (SELECT doc_id, CAST(sum(gt.n) AS BIGINT) AS n_toks,
+              CAST(sum(gt.n * sc.lp) AS BIGINT) AS sum_lp
+            FROM gt JOIN sc USING (tok) GROUP BY doc_id),
+          qual AS (SELECT doc_id FROM dsc
+            WHERE (CASE WHEN sum_lp >= 0 THEN sum_lp // n_toks
+                        ELSE -((-sum_lp) // n_toks) END) >= -4930000),
+          s3 AS (SELECT doc_id FROM documents
+                 WHERE doc_id NOT IN (SELECT id FROM losers)
+                   AND doc_id NOT IN (SELECT doc_id FROM flagged)
+                   AND doc_id IN (SELECT doc_id FROM qual)),
+          c4 AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n
+                 FROM documents d JOIN s3 USING (doc_id) GROUP BY d.source),
+          t4 AS (SELECT CAST(sum(n) AS HUGEINT) * 300000 // 1000000 AS T,
+                   CAST(sum(CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)) AS HUGEINT) AS sumW
+                 FROM c4),
+          q4 AS (SELECT source, n,
+                   least(CAST((SELECT T FROM t4) * CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT)
+                     // (SELECT sumW FROM t4) AS BIGINT), n) AS quota
+                 FROM c4),
+          sampled AS (SELECT d.doc_id
+            FROM documents d JOIN s3 USING (doc_id) JOIN q4 ON q4.source = d.source
+            WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0
+                  < CAST(q4.quota AS DOUBLE) / CAST(q4.n AS DOUBLE))
+          SELECT d.doc_id, CAST($nTokens AS BIGINT) AS n_tokens,
+            CASE WHEN d.doc_id IN (SELECT id FROM losers) THEN 'near_dup'
+                 WHEN d.doc_id IN (SELECT doc_id FROM flagged) THEN 'contaminated'
+                 WHEN d.doc_id NOT IN (SELECT doc_id FROM qual) THEN 'low_quality'
+                 WHEN d.doc_id NOT IN (SELECT doc_id FROM sampled) THEN 'not_sampled'
+                 ELSE 'packed' END AS verdict
+          FROM documents d ORDER BY doc_id""",
       "t96_curation_pipeline" ->
         s"""WITH st AS (SELECT doc_id, CAST($nTokens AS BIGINT) AS n_tokens,
             ${dupFracPpm(3)} AS rep_ppm, md5($norm) AS fp FROM documents),

@@ -53,4 +53,93 @@ object Curation {
           .when(col("is_contam"), "contaminated")
           .otherwise("kept").as("verdict"))
   }
+
+  /** The full curation JOB a pretraining run executes over a raw
+    * corpus, composed end to end from the production operators — the
+    * query a 100 TB user actually submits, where [[stagedVerdicts]] is
+    * the cheap text-gate prefix:
+    *
+    *   1. near-dup clustering, keep the highest-`scoreCol` member per
+    *      cluster ([[Dedup.jaccardNearDupPairs]] →
+    *      [[Dedup.dedupByPairsKeepBest]]);
+    *   2. benchmark decontamination of the survivors against a
+    *      persisted gram index ([[Decontaminate.scrubAgainstGramIndex]],
+    *      union semantics, `minShared` distinct leaked grams);
+    *   3. quality floor: corpus-trained unigram LM score
+    *      ([[TextAnalysis.unigramLogProbPpm]] — trained on the FULL
+    *      corpus, the model is independent of the dedup outcome)
+    *      must reach `minAvgLogProbPpm`;
+    *   4. temperature-scaled source mixing
+    *      ([[graft.operators.Sampling.temperatureMixtureSample]],
+    *      quotas derived from the counts of what stage 3 kept);
+    *   5. sequence packing of the sampled docs
+    *      ([[Packing.packBinsBFD]]).
+    *
+    * Output: one row per INPUT doc — (id, n_tokens, verdict) with
+    * verdict ∈ {near_dup, contaminated, low_quality, not_sampled,
+    * packed} in first-fail order. The packer runs for real and its
+    * conservation is part of the contract: a sampled doc is `packed`
+    * only if BFD assigned it to exactly one bin (any loss or
+    * duplication would surface as the never-expected `pack_lost`,
+    * which the oracle would catch as a hash mismatch). Bin-level
+    * detail (bucket/bin/fill) is pinned separately in PackingSpec /
+    * CurationSpec — bin ids are not SQL-derivable (BFD is inherently
+    * sequential per bucket), the ledger is.
+    *
+    * Scale shape: each stage is the production operator with its own
+    * documented scale story; the composition adds only id-frame
+    * left joins (thin, all on the same key — one shuffle partitioning
+    * reused across the ledger build) and one #sources-row driver
+    * aggregate for the quotas. Document text is scanned by the stage
+    * operators and never moves through the ledger joins. Stage 1
+    * persists the corpus shingle-set plan (the
+    * [[Dedup.jaccardNearDupPairs]] contract) — call
+    * [[Dedup.releaseShingleSetCache]](docs, idCol, textCol, shingleN)
+    * after materializing the ledger to free it. */
+  def fullPipelineLedger(docs: DataFrame, idCol: String, textCol: String,
+                         scoreCol: String, sourceCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+                         gramN: Int = 8, minShared: Int = 2,
+                         minAvgLogProbPpm: Long = -4930000L,
+                         targetPpm: Long = 300000L,
+                         capacity: Long = 128L, nBuckets: Int = 8): DataFrame = {
+    // 1 — near-dup survivors (keep best)
+    val pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
+      n = shingleN, threshold = jaccardThreshold)
+    val survivors = Dedup.dedupByPairsKeepBest(
+      docs, idCol, scoreCol, pairs, "a_id", "b_id")
+    // 2 — decontaminate survivors against the benchmark gram index
+    val idx = Decontaminate.benchGramIndex(bench, benchTextCol, gramN)
+    val clean = Decontaminate.scrubAgainstGramIndex(
+      survivors, idCol, textCol, idx, gramN, minShared)
+    // 3 — quality floor from the corpus-trained unigram LM
+    val qualIds = TextAnalysis.unigramLogProbPpm(docs, idCol, textCol)
+      .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm)
+      .select(col(idCol))
+    val quality = clean.join(qualIds, Seq(idCol), "left_semi")
+    // 4 — temperature mix over what survived
+    val mixed = graft.operators.Sampling.temperatureMixtureSample(
+      quality, idCol, sourceCol, targetPpm)
+    // 5 — pack the sample; count assignments per doc (conservation)
+    val packed = Packing.packBinsBFD(mixed, idCol,
+        tokenCount(col(textCol)), capacity, nBuckets)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_assigned"))
+
+    def ids(df: DataFrame, name: String): DataFrame =
+      df.select(col(idCol)).withColumn(name, lit(true))
+    docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .join(ids(survivors, "s_dedup"), Seq(idCol), "left")
+      .join(ids(clean, "s_clean"), Seq(idCol), "left")
+      .join(ids(quality, "s_qual"), Seq(idCol), "left")
+      .join(ids(mixed, "s_mix"), Seq(idCol), "left")
+      .join(packed, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(col("s_dedup").isNull, "near_dup")
+          .when(col("s_clean").isNull, "contaminated")
+          .when(col("s_qual").isNull, "low_quality")
+          .when(col("s_mix").isNull, "not_sampled")
+          .when(col("n_assigned") === 1L, "packed")
+          .otherwise("pack_lost").as("verdict"))
+  }
 }

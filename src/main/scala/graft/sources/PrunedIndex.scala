@@ -16,9 +16,9 @@ import graft.fs.Fs
   * corpus that read dominates the probe. Stored hash-bucketed on the
   * probe key (`part_bucket = pmod(hash(key…), numBuckets)` as a
   * PARTITION column), the probe computes its key set's buckets (a
-  * bounded, probe-sized job) and Catalyst's partition pruning reduces
-  * the scan to those directories — the fraction read falls as
-  * min(1, |probe buckets| / numBuckets), independent of corpus size.
+  * bounded, probe-sized job) and reads only those buckets' files —
+  * the fraction read falls as min(1, |probe buckets| / numBuckets),
+  * independent of corpus size.
   *
   * This is the directory-layout dual of [[graft.operators.Scale.bucketizeForJoin]]
   * (which co-locates two corpus-sized sides via the metastore); here
@@ -31,44 +31,90 @@ import graft.fs.Fs
   * probe-key cardinality above which pruning stops helping (a probe
   * touching every bucket reads everything regardless — then this
   * layout costs nothing over flat: same bytes, same pushdown).
-  */
+  *
+  * == Staleness contract ==
+  * [[read]] / [[readPruned]] serve the layout AS OF the last completed
+  * [[write]] — by this or any other process: each call re-stats the
+  * `_PRUNE_META` sidecar (one cheap stat) and re-reads the manifest
+  * when its modification time moved, so a concurrent rebuild through
+  * [[write]] is picked up. What is NOT supported is rewriting the
+  * directory by any path that bypasses [[write]] (a bare
+  * `df.write.parquet(path)` overwrite): such a rewrite updates neither
+  * sidecar, and readers keep serving the old file list — use [[write]]
+  * for every rewrite, or delete the sidecars to force the listing
+  * fallback. */
 object PrunedIndex {
 
   val BucketCol = "part_bucket"
 
   private def metaPath(path: String): String = Fs.child(path, "_PRUNE_META")
+  private def manifestPath(path: String): String = Fs.child(path, "_PRUNE_MANIFEST")
 
-  /** Cached (listed) base relations, keyed by path. Listing a
-    * many-bucket layout is the probe path's dominant FIXED cost — Spark
-    * rediscovers all `numBuckets` partition directories on every fresh
-    * `read.parquet` call (measured 2.5–4.7 s at 1024 buckets on local
-    * disk, dwarfing the pruned scan itself), while the whole point of
-    * the layout is that a probe touches a handful of them. An online
-    * query-batch service holds the listing once per index version —
-    * this cache is the in-process analog of the metastore partition
-    * catalog that plays that role on a real cluster. Entries are
-    * invalidated by [[write]] (same-JVM rebuild/compaction swaps are
-    * seen), dropped when their owning session stops, and the map is
-    * bounded by the number of distinct index paths a process touches
-    * (cleared defensively past 64). */
+  /** Parsed `_PRUNE_MANIFEST` (bucket → relative file paths), cached
+    * per (session, path) and validated against the `_PRUNE_META`
+    * modification time on EVERY access — a stale cached listing can
+    * outlive a same-JVM rebuild no longer than one stat. The manifest
+    * is what makes the FIRST probe of an index version listing-free:
+    * without it Spark rediscovers all `numBuckets` partition
+    * directories on the first fresh `read.parquet` (measured 2.5–4.7 s
+    * at 1024 buckets on local disk, dwarfing the pruned scan); the
+    * r13 in-process listing cache only amortized that over LATER
+    * probes. The writer lists the tree ONCE at write time instead —
+    * the in-process analog of a metastore partition catalog, in a
+    * sidecar any process can read. */
+  private final case class Manifest(metaMtime: Long, files: Map[Int, Seq[String]])
+  private val manifestCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Manifest]
+
+  /** Legacy fallback (pre-manifest layouts): cached listed base
+    * relations, keyed by (session, path). Same staleness contract. */
   private val baseCache =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+
+  private def sessionKey(spark: SparkSession): Int = System.identityHashCode(spark)
 
   private def listedBase(spark: SparkSession, path: String): DataFrame = {
     if (baseCache.size > 64) baseCache.clear()
-    val cached = baseCache.get(path).filter { df =>
+    val key = (sessionKey(spark), path)
+    val cached = baseCache.get(key).filter { df =>
       (df.sparkSession eq spark) && !df.sparkSession.sparkContext.isStopped
     }
     cached.getOrElse {
       val df = spark.read.parquet(path)
-      baseCache.put(path, df)
+      baseCache.put(key, df)
       df
     }
   }
 
+  private def metaMtime(path: String): Long =
+    Fs.fs(metaPath(path))
+      .getFileStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
+      .getModificationTime
+
+  private def manifestFor(spark: SparkSession, path: String): Option[Map[Int, Seq[String]]] = {
+    if (!Fs.exists(manifestPath(path))) return None
+    if (manifestCache.size > 64) manifestCache.clear()
+    val mt = metaMtime(path)
+    val key = (sessionKey(spark), path)
+    val cached = manifestCache.get(key).filter(_.metaMtime == mt)
+    Some(cached.getOrElse {
+      val files = Fs.readString(manifestPath(path)).split("\n")
+        .iterator.filter(_.nonEmpty).map { line =>
+          val i = line.indexOf('\t')
+          (line.substring(0, i).toInt, line.substring(i + 1))
+        }.toSeq.groupMap(_._1)(_._2)
+      val m = Manifest(mt, files)
+      manifestCache.put(key, m)
+      m
+    }.files)
+  }
+
   /** Write `df` partitioned by `pmod(hash(keyCols…), numBuckets)`.
     * Layout metadata (key columns + bucket count) rides in a
-    * `_PRUNE_META` sidecar so readers never guess the hash domain.
+    * `_PRUNE_META` sidecar so readers never guess the hash domain, and
+    * the data-file tree rides in a `_PRUNE_MANIFEST` sidecar
+    * (bucket → file list) so probes never list the directory — the
+    * writer pays one listing here, at write time.
     *
     * The rows are repartitioned ON the bucket value first: a naive
     * `partitionBy` write fans out to (tasks × buckets) files — ~2 000
@@ -85,8 +131,26 @@ object PrunedIndex {
     df.withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
       .repartition(numBuckets, col(BucketCol))
       .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+    val prefix = BucketCol + "="
+    val lines = Fs.list(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { d =>
+        val bucket = d.getPath.getName.substring(prefix.length).toInt
+        Fs.list(d.getPath.toString)
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(f => s"$bucket\t${d.getPath.getName}/${f.getPath.getName}")
+      }
+    // manifest lands before meta: meta (the version/validation stamp)
+    // only ever points at a complete manifest
+    Fs.writeStringAtomic(manifestPath(path), lines.mkString("\n"))
     Fs.writeStringAtomic(metaPath(path), s"${keyCols.mkString(",")}\n$numBuckets")
-    baseCache.remove(path): Unit
+    // drop every session's cached state for this path (same-JVM
+    // rebuild/compaction swaps are seen immediately)
+    manifestCache.filterInPlace((k, _) => k._2 != path)
+    baseCache.filterInPlace((k, _) => k._2 != path)
   }
 
   /** (key columns, bucket count) recorded at write time. */
@@ -96,17 +160,25 @@ object PrunedIndex {
   }
 
   /** Full (unpruned) view — identical to the flat layout for readers
-    * that genuinely need every row (rebuild comparisons, compaction). */
+    * that genuinely need every row (rebuild comparisons, compaction).
+    * Listing-free when the manifest sidecar exists; see the staleness
+    * contract above. */
   def read(spark: SparkSession, path: String): DataFrame =
-    listedBase(spark, path).drop(BucketCol)
+    (manifestFor(spark, path) match {
+      case Some(m) if m.nonEmpty =>
+        val files = m.valuesIterator.flatten.map(Fs.child(path, _)).toSeq
+        spark.read.option("basePath", path).parquet(files: _*)
+      case _ => listedBase(spark, path)
+    }).drop(BucketCol)
 
-  /** Pruned view for a probe: only the buckets that `probe`'s key rows
-    * can hash into are read (directory-level partition pruning), then
-    * an exact broadcast semi-join on the key columns drops same-bucket
-    * strangers. `probe` must carry the index's key columns (extra
-    * columns are ignored) and is assumed probe-sized — its bucket set
-    * is collected to the driver to become a partition-pruning literal
-    * (bounded by numBuckets, no corpus data moves).
+  /** Pruned view for a probe: only the files of the buckets that
+    * `probe`'s key rows can hash into are read (straight from the
+    * manifest — no directory listing, even on the first probe of an
+    * index version), then an exact broadcast semi-join on the key
+    * columns drops same-bucket strangers. `probe` must carry the
+    * index's key columns (extra columns are ignored) and is assumed
+    * probe-sized — its bucket set is collected to the driver to become
+    * the file selection (bounded by numBuckets, no corpus data moves).
     *
     * Completeness: a key's rows all live in exactly one bucket, so the
     * pruned view contains EVERY index row whose key appears in the
@@ -117,13 +189,25 @@ object PrunedIndex {
     val probeKeys = probe.select(keyCols.map(col): _*).distinct()
     val buckets = probeKeys
       .select(pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val base = listedBase(spark, path)
+      .distinct().collect().map(_.getInt(0)).toSet
+    val base = manifestFor(spark, path) match {
+      case Some(m) if m.nonEmpty =>
+        val sel = m.iterator.collect { case (b, fs) if buckets(b) => fs }
+          .flatten.map(Fs.child(path, _)).toSeq
+        if (sel.nonEmpty) spark.read.option("basePath", path).parquet(sel: _*)
+        else {
+          // no probed bucket holds rows: an empty frame with the stored
+          // schema, read from one arbitrary data file
+          val any = Fs.child(path, m.valuesIterator.flatten.next())
+          spark.read.option("basePath", path).parquet(any).limit(0)
+        }
+      case _ => listedBase(spark, path)
+    }
     // using-column joins reorder output (key columns first); re-select
     // the stored data-column order so the pruned view is schema-identical
     // to [[read]]
     val dataCols = base.columns.filterNot(_ == BucketCol)
-    base.where(col(BucketCol).isin(buckets: _*))
+    base.where(col(BucketCol).isin(buckets.toSeq: _*))
       .join(broadcast(probeKeys), keyCols, "left_semi")
       .select(dataCols.map(col): _*)
   }

@@ -62,6 +62,68 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Map(1L -> "too_short", 2L -> "kept", 3L -> "exact_dup"))
   }
 
+  test("fullPipelineLedger: verdict sets equal independently staged runs; " +
+       "packing conserves; mix quotas never saturate (single-round oracle precondition)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val ledger = Curation.fullPipelineLedger(d, "doc_id", "text",
+        scoreCol = "n_chars", sourceCol = "source",
+        bench = bench, benchTextCol = "text")
+      .select($"doc_id", $"verdict").as[(Long, String)].collect().toMap
+    assert(ledger.size == d.count())
+    // every class fires on this corpus, and pack_lost never does
+    val byVerdict = ledger.groupBy(_._2).view.mapValues(_.keySet.toSet).toMap
+    assert(Set("near_dup", "contaminated", "low_quality", "not_sampled", "packed")
+      .subsetOf(byVerdict.keySet), s"missing classes: ${byVerdict.keySet}")
+    assert(!byVerdict.contains("pack_lost"))
+
+    // stage the same job by hand from the production operators
+    val pairs = graft.llm.Dedup.jaccardNearDupPairs(d, "doc_id", "text")
+    val survivors = graft.llm.Dedup.dedupByPairsKeepBest(
+      d, "doc_id", "n_chars", pairs, "a_id", "b_id")
+    val survIds = survivors.select($"doc_id").as[Long].collect().toSet
+    val idx = graft.llm.Decontaminate.benchGramIndex(bench, "text", 8)
+    val cleanIds = graft.llm.Decontaminate.scrubAgainstGramIndex(
+        survivors, "doc_id", "text", idx, 8, minShared = 2)
+      .select($"doc_id").as[Long].collect().toSet
+    val qualIds = graft.llm.TextAnalysis.unigramLogProbPpm(d, "doc_id", "text")
+      .filter($"avg_logprob_ppm" >= -4930000L)
+      .select($"doc_id").as[Long].collect().toSet
+    val allIds = ledger.keySet
+    assert(byVerdict("near_dup") == allIds -- survIds)
+    assert(byVerdict("contaminated") == survIds -- cleanIds)
+    assert(byVerdict("low_quality") == (cleanIds & survIds) -- qualIds)
+    val mixedDf = graft.operators.Sampling.temperatureMixtureSample(
+      d.join(survivors.select("doc_id"), "doc_id", "left_semi")
+        .join(spark.createDataset(cleanIds.toSeq).toDF("doc_id"), "doc_id", "left_semi")
+        .join(spark.createDataset(qualIds.toSeq).toDF("doc_id"), "doc_id", "left_semi"),
+      "doc_id", "source", 300000L)
+    val mixedIds = mixedDf.select($"doc_id").as[Long].collect().toSet
+    assert(byVerdict("packed") == mixedIds)
+    assert(byVerdict("not_sampled") == (cleanIds & qualIds) -- mixedIds)
+
+    // packing: every sampled doc in exactly one bin, no bin overflows
+    val packed = graft.llm.Packing.packBinsBFD(mixedDf, "doc_id",
+      graft.functions.TextFunctions.tokenCount($"text"), capacity = 128L, nBuckets = 8)
+    val asg = packed.groupBy($"doc_id").count().as[(Long, Long)].collect()
+    assert(asg.map(_._1).toSet == mixedIds && asg.forall(_._2 == 1L))
+    val fills = packed.filter(!$"oversize")
+      .groupBy($"bucket", $"bin").agg(sum($"n_tokens").as("fill"))
+      .select($"fill").as[Long].collect()
+    assert(fills.nonEmpty && fills.forall(_ <= 128L))
+
+    // no-saturation precondition of the single-round SQL mix twin: the
+    // raw first-round quota stays strictly under every source's size
+    val stage3Counts = d
+      .join(spark.createDataset((cleanIds & qualIds).toSeq).toDF("doc_id"), "doc_id", "left_semi")
+      .groupBy($"source").count().as[(String, Long)].collect().toSeq.sortBy(_._1)
+    val quotas = graft.operators.Sampling.temperatureQuotas(stage3Counts, 300000L)
+    stage3Counts.foreach { case (src, n) =>
+      assert(quotas(src) < n, s"source $src saturated: quota ${quotas(src)} >= n $n")
+    }
+    graft.llm.Dedup.releaseShingleSetCache(d, "doc_id", "text")
+  }
+
   test("verdicts and span scrub are partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter($"doc_id" % 50 === 0)
