@@ -65,7 +65,16 @@ object Fs {
     finally in.close()
   }
 
-  /** tmp-write + OVERWRITE-rename (atomic where the FS can do it). */
+  /** tmp-write + OVERWRITE-rename (atomic where the FS can do it).
+    *
+    * On LOCAL paths the swap is NIO `ATOMIC_MOVE` — one `rename(2)`, so
+    * an unlocked concurrent reader sees either the old or the new file,
+    * never a missing one. Hadoop's `FileContext.rename(OVERWRITE)` is
+    * delete-then-rename on the local AbstractFileSystem (a reader can
+    * observe the gap — seen as a transient FileNotFound under a
+    * `_CURRENT`-pointer read racing a swap, VacuumReaderPropertySpec);
+    * it remains the path for HDFS, where the overwrite-rename IS one
+    * atomic server-side op. */
   def writeStringAtomic(p: String, body: String): Unit = {
     val target = new Path(p)
     val tmp = new Path(target.getParent, target.getName + ".tmp")
@@ -74,13 +83,28 @@ object Fs {
     val out = f.create(tmp, true)
     try out.write(body.getBytes(StandardCharsets.UTF_8))
     finally out.close()
-    FileContext.getFileContext(target.toUri, conf)
-      .rename(tmp, target, Options.Rename.OVERWRITE)
+    (localPath(tmp.toString), localPath(p)) match {
+      case (Some(src), Some(dst)) =>
+        java.nio.file.Files.move(src, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      case _ =>
+        FileContext.getFileContext(target.toUri, conf)
+          .rename(tmp, target, Options.Rename.OVERWRITE)
+    }
   }
 
   def mkdirs(p: String): Unit = fs(p).mkdirs(new Path(p))
 
   def deleteRecursive(p: String): Unit = fs(p).delete(new Path(p), true)
+
+  /** Plain (no-overwrite) rename; false when the FS refuses (missing
+    * source, existing destination). One atomic metadata op on local
+    * filesystems and HDFS — the primitive that lets a deleter remove a
+    * directory from its visible name in one step before grinding
+    * through its files. */
+  def rename(src: String, dst: String): Boolean =
+    fs(src).rename(new Path(src), new Path(dst))
 
   /** Local-filesystem view of a path, when it has one (`file:` scheme or
     * no scheme) — used for OS-level file locks, which only exist there. */

@@ -37,12 +37,21 @@ object ParquetMergeSink {
   def readCurrent(spark: SparkSession, warehouse: String, table: String): Option[DataFrame] =
     currentPath(warehouse, table).map(spark.read.parquet(_))
 
-  /** All retained versions of a table, ascending (time travel). */
-  def versions(warehouse: String, table: String): Seq[Long] =
-    Fs.list(Fs.child(warehouse, table))
+  /** All COMMITTED retained versions of a table, ascending (time
+    * travel). A version counts only once its `_SUCCESS` job-commit
+    * marker exists: an in-flight [[merge]]'s half-written dir — or a
+    * crashed writer's debris — is invisible to [[readVersion]], so time
+    * travel can never resolve a snapshot that is still being written
+    * (the reader-side half of the all-or-nothing contract; the deleter
+    * side is [[vacuum]]'s rename-then-delete). */
+  def versions(warehouse: String, table: String): Seq[Long] = {
+    val root = Fs.child(warehouse, table)
+    Fs.list(root)
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit) => s.drop(1).toLong }
+      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty && s.drop(1).forall(_.isDigit)
+          && Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
       .sorted
+  }
 
   /** Read a table as of a given version (the latest retained version
     * ≤ `asOf`) — every merge keeps its full snapshot dir, so any past
@@ -51,14 +60,43 @@ object ParquetMergeSink {
     versions(warehouse, table).filter(_ <= asOf).lastOption
       .map(v => spark.read.parquet(Fs.child(Fs.child(warehouse, table), s"v$v")))
 
-  /** Drop all but the newest `keep` versions (never the current one). */
+  /** Drop all but the newest `keep` versions (never the current one).
+    *
+    * Reader safety (pinned by VacuumReaderPropertySpec): each dropped
+    * version is first RENAMED to a hidden `.vacuum-v<N>` name — one
+    * atomic metadata op on local filesystems and HDFS — and only then
+    * deleted file by file. A concurrent [[readVersion]] therefore sees
+    * each version all-or-nothing: resolve before the rename and the
+    * complete file set is still reachable under the old name (a scan
+    * that loses the race mid-read fails WHOLE — Spark errors on a
+    * listed file that vanished — it cannot silently return a subset,
+    * because no moment exists when the visible path holds only some of
+    * the version's files); resolve after it and [[versions]] no longer
+    * lists the version, so the read falls back to the newest RETAINED
+    * version ≤ asOf, which is [[readVersion]]'s documented contract.
+    * Retention contract for long scans is the lakehouse-standard one:
+    * size `keep` (and the vacuum cadence) so a reader's pinned version
+    * stays inside the newest-`keep` window for the duration of its
+    * scan; readers needing stronger pins should copy the snapshot out.
+    * On object stores without atomic rename the hidden-name step is
+    * advisory (same listing race as any non-transactional store) —
+    * the FIFO-group single-writer discipline is the cross-process
+    * guard there, as for [[merge]]. */
   def vacuum(warehouse: String, table: String, keep: Int = 1): Unit = {
     val cur = currentPath(warehouse, table)
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
     val all = versions(warehouse, table)
     val drop = all.dropRight(math.max(keep, 1))
       .filterNot(v => cur.contains(s"v$v"))
-    drop.foreach(v => Fs.deleteRecursive(Fs.child(Fs.child(warehouse, table), s"v$v")))
+    drop.foreach { v =>
+      val dir = Fs.child(Fs.child(warehouse, table), s"v$v")
+      val hidden = Fs.child(Fs.child(warehouse, table), s".vacuum-v$v")
+      // a crashed earlier vacuum may have left the hidden dir behind;
+      // clear it so the rename can land, then delete out of view
+      if (Fs.exists(hidden)) Fs.deleteRecursive(hidden)
+      if (Fs.rename(dir, hidden)) Fs.deleteRecursive(hidden)
+      else Fs.deleteRecursive(dir) // rename-less FS: best-effort direct delete
+    }
   }
 
   // Per-table writer serialization — the engine-side analog of the
