@@ -897,6 +897,27 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute, floorPpm = 700000L).orderBy(col("query_id"))
   }
 
+  /** Graph ANN ([[graft.llm.GraphAnn.nswTopK]]) graded against brute
+    * force — the HNSW-class index shape, distributed SPANN-style:
+    * k-means cells route each query to its 8 nearest cells, each cell
+    * builds a deterministic navigable-small-world graph locally
+    * (partition-sized memory; the corpus crosses ONE shuffle), and the
+    * per-cell beam results merge through a thin top-k window. Same
+    * recall-vs-brute grading contract as [[t49KnnIvfKmeans]]/t112
+    * (decimal centroids, id tie-breaks, bit-equal cosines), so the
+    * literal oracle hash-checks the graph search's QUALITY. Exactness
+    * escalation (nprobe = nCells, ef ≥ cell size ⇒ == brute) is pinned
+    * in GraphAnnSpec. */
+  private def t129KnnGraphNsw(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val ann = graft.llm.GraphAnn.nswTopK(e, q, "vec_id", "embedding",
+      k = 10, nCells = 16, nprobe = 8, iters = 2, m = 8,
+      efConstruction = 48, efSearch = 48)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
+  }
+
   /** IVF assignment drift monitor
     * ([[graft.llm.Similarity.ivfCellStats]]): per-cell integer mean
     * squared distance of the v1 corpus vs the delta batch, both under
@@ -2120,6 +2141,7 @@ object SparkEntry {
     "t126_audiofp_pairs" -> t126AudiofpPairs _,
     "t127_phash_delta" -> t127PhashDelta _,
     "t128_curation_e2e" -> t128CurationE2e _,
+    "t129_knn_graph_nsw" -> t129KnnGraphNsw _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2609,6 +2631,7 @@ object SparkEntry {
       // IVF-independent) plus SimilaritySpec's monotonicity and
       // full-escalation == brute pins
       "t112_knn_ivf_incremental" -> LiteralOracles.t112,
+      "t129_knn_graph_nsw" -> LiteralOracles.t129,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

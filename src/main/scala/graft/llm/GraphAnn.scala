@@ -1,0 +1,219 @@
+package graft.llm
+
+import scala.collection.mutable.{ArrayBuffer, PriorityQueue}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest neighbor — the HNSW/NSW-class index
+  * shape (Malkov & Yashunin, TPAMI'20), distributed the way SPANN /
+  * sharded-FAISS deployments do it: the corpus is PARTITIONED into
+  * k-means cells (the [[Similarity]] IVF machinery), each cell builds a
+  * small navigable-small-world graph locally, and a query beam-searches
+  * only the graphs of its `nprobe` nearest cells. A monolithic HNSW is
+  * pointer-chasing over the whole corpus — it cannot shard; the
+  * cell-partitioned form keeps each graph executor-memory-sized and
+  * turns the global structure into driver-side centroid state (k·dim
+  * doubles, the same control-plane class as a BPE merge table).
+  *
+  * Scale shape: the corpus moves through ONE shuffle (groupByKey on the
+  * assigned cell — at scale this is a read of the persisted
+  * [[Similarity.ivfAssignedIndex]], already bucketed by cell); queries
+  * are probe-sized and broadcast as a cell-keyed map; output before the
+  * final thin top-k merge is |Q|·nprobe·efSearch rows. Per-task memory
+  * is one cell's vectors plus its adjacency (≈ cellRows·(dim·8 + 2m·4)
+  * bytes) — the operator's documented bound, sized by nCells exactly
+  * like SPANN's posting-length cap.
+  *
+  * Determinism (the literal-oracle contract): cell assignment is a pure
+  * function of (vector, decimal-exact centroids); each cell's rows sort
+  * by id before the SEQUENTIAL graph build; every comparison in build
+  * and search uses the total order (cos desc, id asc), so heap ties
+  * cannot exist; cosines use the same left-to-right double accumulation
+  * as [[graft.functions.expr.FloatVecDot]], making Scala-side scores
+  * bit-equal to the Catalyst-side ones [[Similarity.bruteTopK]] emits.
+  *
+  * Exactness escalation (the t112 full-escalation==brute contract,
+  * pinned in SimilaritySpec): every node keeps an implicit BACKBONE
+  * edge to its insertion-order neighbors (i−1, i+1), so a cell's graph
+  * is connected no matter how degree pruning rewires it; with
+  * `efSearch` ≥ cell size the beam never prunes and visits the whole
+  * cell, and with `nprobe` ≥ nCells the probe set covers the corpus —
+  * the search degrades gracefully to exact brute force.
+  */
+object GraphAnn {
+
+  /** Build-and-search in one call: k-means route + per-cell NSW graphs
+    * + beam search + thin global merge. Output matches
+    * [[Similarity.bruteTopK]]: (query_id, rank, neighbor_id, cos_sim),
+    * rank 1..k by (cos desc, id asc), self-matches excluded. Ids must
+    * be integral (cast to long for the graph's arrays). `queries` is
+    * probe-sized — its routed form is collected and broadcast. */
+  def nswTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              nCells: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              m: Int = 8, efConstruction: Int = 48, efSearch: Int = 48): DataFrame = {
+    val centroids = Similarity.kMeansCentroids(corpus, idCol, vecCol, nCells, iters)
+    nswSearchAssigned(Similarity.ivfAssignedIndex(corpus, idCol, vecCol, centroids),
+      centroids, queries, idCol, vecCol, k, nprobe, m, efConstruction, efSearch)
+  }
+
+  /** Search over a persisted cell assignment ([[Similarity
+    * .ivfAssignedIndex]] — maintainable incrementally by group-merge,
+    * the t112 story): graphs are (re)built per cell from the assigned
+    * vectors, queries probe their `nprobe` nearest cells' graphs. Graph
+    * build is deterministic from the assignment alone, so rebuilding
+    * per query batch answers exactly what a persisted adjacency would
+    * — build cost is the price of having no graph mutation protocol,
+    * the right trade until per-batch query volume amortizes it. */
+  def nswSearchAssigned(assigned: DataFrame, centroids: Array[(Int, Array[Double])],
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nprobe: Int = 4, m: Int = 8,
+                        efConstruction: Int = 48, efSearch: Int = 48): DataFrame = {
+    require(k >= 1 && m >= 1 && efConstruction >= 1 && efSearch >= 1,
+      s"need positive (k, m, efConstruction, efSearch); got ($k, $m, $efConstruction, $efSearch)")
+    val spark = assigned.sparkSession
+    import spark.implicits._
+
+    // route queries to cells with the shared IVF rule, then collect the
+    // probe set driver-side (|Q|·nprobe rows of dim doubles — bounded)
+    val dvQ = queries.select(col(idCol).cast("long").as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probeRows = Similarity.probeCells(dvQ, centroids, nprobe)
+      .select(col("qid"), col("v"), col("cell"))
+      .as[(Long, Seq[Double], Int)].collect()
+    val byCell: Map[Int, Array[(Long, Array[Double])]] = probeRows
+      .groupBy(_._3).map { case (c, xs) =>
+        c -> xs.sortBy(_._1).map(t => (t._1, t._2.toArray))
+      }
+    val probesB = spark.sparkContext.broadcast(byCell)
+
+    val rows = assigned.select(col("cell"), col(idCol).cast("long").as("nid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Int, Long, Seq[Double])]
+    val hits = rows.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val qs = probesB.value.getOrElse(cell, Array.empty[(Long, Array[Double])])
+      if (qs.isEmpty) Iterator.empty
+      else {
+        // one cell's vectors in memory — the operator's documented
+        // per-task bound; id sort makes the sequential build canonical
+        val nodes = it.map { case (_, id, v) => (id, v.toArray) }.toArray.sortBy(_._1)
+        val g = new NswGraph(nodes.map(_._1), nodes.map(_._2), m, efConstruction)
+        qs.iterator.flatMap { case (qid, qv) =>
+          g.search(qv, efSearch).iterator.map { case (nid, cos) => (qid, nid, cos) }
+        }
+      }
+    }.toDF("query_id", "neighbor_id", "cos")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    hits.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos").as("cos_sim"))
+  }
+
+  /** One cell's navigable-small-world graph. Single-threaded,
+    * insertion in id order, every choice tie-broken by the total order
+    * (cos desc, id asc) — fully deterministic for a given (ids, vecs).
+    *
+    * Build: node i beam-searches the graph of nodes [0, i) with
+    * ef = efConstruction, links to its `m` best, and any neighbor
+    * exceeding degree 2m prunes back to its 2m best (the HNSW layer-0
+    * M/M_max discipline). The implicit ±1 backbone keeps the graph
+    * connected under any pruning (see the object scaladoc). */
+  private final class NswGraph(ids: Array[Long], vecs: Array[Array[Double]],
+                               m: Int, efConstruction: Int) {
+    private val n = ids.length
+    private val mMax = 2 * m
+    private val norms: Array[Double] = vecs.map(v => math.sqrt(dotD(v, v)))
+    private val adj: Array[ArrayBuffer[Int]] = Array.fill(n)(new ArrayBuffer[Int](mMax + 1))
+
+    // Σ aᵢ·bᵢ left-to-right — bit-equal to expr.FloatVecDot's loop
+    private def dotD(a: Array[Double], b: Array[Double]): Double = {
+      val len = math.min(a.length, b.length)
+      var acc = 0.0
+      var i = 0
+      while (i < len) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+
+    // cos = dot/(na·nb), zero-norm guard — VectorFunctions.cosineWithNorms
+    private def cosTo(node: Int, q: Array[Double], qn: Double): Double = {
+      val nn = norms(node) * qn
+      if (nn == 0.0) 0.0 else dotD(vecs(node), q) / nn
+    }
+
+    // total order: greater = better = (cos desc, id asc); never 0 for
+    // distinct nodes, so heap behavior is order-independent
+    private def cmp(c1: Double, i1: Int, c2: Double, i2: Int): Int =
+      if (c1 != c2) java.lang.Double.compare(c1, c2)
+      else java.lang.Long.compare(ids(i2), ids(i1))
+    private val bestFirst: Ordering[(Int, Double)] =
+      (a, b) => cmp(a._2, a._1, b._2, b._1)
+
+    /** Beam search over nodes [0, bound): the ef best reachable nodes,
+      * best-first. Neighbor expansion walks adj ∪ {c−1, c+1} (the
+      * backbone), so with ef ≥ bound the whole range is visited. */
+    private def searchBounded(q: Array[Double], qn: Double, ef: Int,
+                              bound: Int): ArrayBuffer[(Int, Double)] = {
+      val visited = new java.util.BitSet(bound)
+      val cand = PriorityQueue.empty[(Int, Double)](bestFirst)
+      val res = PriorityQueue.empty[(Int, Double)](bestFirst.reverse) // head = worst kept
+      val e0 = (0, cosTo(0, q, qn))
+      visited.set(0)
+      cand.enqueue(e0)
+      res.enqueue(e0)
+      var done = false
+      while (!done && cand.nonEmpty) {
+        val (c, cCos) = cand.dequeue()
+        val worst = res.head
+        if (res.size >= ef && cmp(cCos, c, worst._2, worst._1) < 0) done = true
+        else {
+          def offer(nb: Int): Unit = if (nb >= 0 && nb < bound && !visited.get(nb)) {
+            visited.set(nb)
+            val nbCos = cosTo(nb, q, qn)
+            val w = res.head
+            if (res.size < ef || cmp(nbCos, nb, w._2, w._1) > 0) {
+              cand.enqueue((nb, nbCos))
+              res.enqueue((nb, nbCos))
+              if (res.size > ef) { res.dequeue(): Unit }
+            }
+          }
+          offer(c - 1); offer(c + 1)
+          adj(c).foreach(offer)
+        }
+      }
+      res.dequeueAll.reverseIterator.to(ArrayBuffer) // best-first
+    }
+
+    /** Public search over the whole cell. */
+    def search(q: Array[Double], ef: Int): ArrayBuffer[(Long, Double)] =
+      if (n == 0) ArrayBuffer.empty
+      else searchBounded(q, math.sqrt(dotD(q, q)), ef, n).map { case (i, c) => (ids(i), c) }
+
+    private def shrink(j: Int): Unit = if (adj(j).length > mMax) {
+      val kept = adj(j)
+        .map(nb => (nb, cosTo(nb, vecs(j), norms(j))))
+        .sorted(bestFirst.reverse).takeRight(mMax) // best mMax under the total order
+        .map(_._1)
+      adj(j).clear()
+      adj(j) ++= kept
+    }
+
+    // sequential build
+    {
+      var i = 1
+      while (i < n) {
+        val found = searchBounded(vecs(i), norms(i), efConstruction, i)
+        found.take(m).foreach { case (j, _) =>
+          adj(i) += j
+          adj(j) += i
+          shrink(j)
+        }
+        i += 1
+      }
+    }
+  }
+}

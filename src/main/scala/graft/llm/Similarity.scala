@@ -279,8 +279,9 @@ object Similarity {
       .withColumn("floor_ok", (col("recall_ppm") >= lit(floorPpm)).cast("int"))
   }
 
-  /** The `nprobe` nearest cells per query row (same L2 scoring). */
-  private def probeCells(dvQ: DataFrame, centroids: Array[(Int, Array[Double])],
+  /** The `nprobe` nearest cells per query row (same L2 scoring);
+    * `private[llm]` so [[GraphAnn]] routes with the identical rule. */
+  private[llm] def probeCells(dvQ: DataFrame, centroids: Array[(Int, Array[Double])],
                          nprobe: Int): DataFrame = {
     import graft.functions.VectorFunctions.dot
     val v2 = dot(col("v"), col("v"))

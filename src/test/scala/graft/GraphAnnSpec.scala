@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{GraphAnn, Similarity}
+
+class GraphAnnSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f)),
+    (2L, Array(0.0f, 1.0f)),
+    (3L, Array(-1.0f, 0.0f)),
+    (4L, Array(0.7f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("nswTopK hand case: one cell, exhaustive ef recovers exact cosine order") {
+    val out = GraphAnn.nswTopK(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding",
+        k = 3, nCells = 1, nprobe = 1, iters = 1, m = 2, efConstruction = 16, efSearch = 16)
+      .select("rank", "neighbor_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 1L), (2L, 4L), (3L, 2L)))
+  }
+
+  test("full escalation == brute: nprobe covers all cells, ef covers every cell") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 10)
+    // the backbone guarantees each cell's graph is connected, so an
+    // efSearch >= cell size beam visits the WHOLE cell and nprobe =
+    // nCells makes the union the whole corpus: exact brute force,
+    // including bit-equal cos_sim (shared left-to-right accumulation)
+    val nsw = GraphAnn.nswTopK(embs, queries, "vec_id", "embedding",
+        k = 5, nCells = 4, nprobe = 4, iters = 2, m = 2, efConstruction = 8, efSearch = 10000)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", 5)
+      .select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Int, Long, Double)].collect().map(r => (r._1, r._2.toLong, r._3, r._4))
+      .sortBy(r => (r._1, r._2))
+    assert(nsw.toSeq == brute.toSeq)
+  }
+
+  test("output is partitioning-independent at approximate settings") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 8)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphAnn.nswTopK(df, queries, "vec_id", "embedding",
+          k = 5, nCells = 8, nprobe = 3, iters = 2, m = 4, efConstruction = 8, efSearch = 8)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(run(embs.repartition(7)) == run(embs.coalesce(1)))
+  }
+
+  test("moderate-parameter recall beats the 0.5 IVF floor on the fixture corpus") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 10)
+    val ann = GraphAnn.nswTopK(embs, queries, "vec_id", "embedding",
+      k = 5, nCells = 8, nprobe = 4, iters = 3, m = 4, efConstruction = 16, efSearch = 16)
+    val brute = Similarity.bruteTopK(embs, queries, "vec_id", "embedding", 5)
+    val rec = Similarity.recallAtK(ann, brute)
+      .select($"recall_ppm").as[Long].collect()
+    val avg = rec.sum.toDouble / rec.length / 1e6
+    assert(avg >= 0.5, s"avg recall $avg")
+  }
+
+  test("search over a persisted assignment equals the one-call form") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 6)
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_nsw").toString
+    Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+      .write.mode("overwrite").parquet(s"$root/assigned")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val fromDisk = GraphAnn.nswSearchAssigned(spark.read.parquet(s"$root/assigned"),
+      cents, queries, "vec_id", "embedding", k = 4, nprobe = 2, m = 4,
+      efConstruction = 12, efSearch = 12)
+    val oneCall = GraphAnn.nswTopK(embs, queries, "vec_id", "embedding",
+      k = 4, nCells = 4, nprobe = 2, iters = 2, m = 4, efConstruction = 12, efSearch = 12)
+    assert(rows(fromDisk) == rows(oneCall))
+  }
+}

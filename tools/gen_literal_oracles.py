@@ -38,6 +38,7 @@ QUERIES = {
     "t79_semdedup_delta": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t83_knn_pq": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t112_knn_ivf_incremental": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
+    "t129_knn_graph_nsw": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t115_ivf_drift": (["cell", "n_v1", "mean_d2_v1", "n_delta", "mean_d2_delta", "drift_ppm"], "cell"),
 }
 
