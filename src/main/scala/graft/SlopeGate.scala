@@ -130,7 +130,11 @@ object SlopeGate {
     "t112_knn_ivf_incremental" -> Budget(8.0,
       "grades against in-query brute force over the x10 corpus on x10 " +
         "queries (the recall harness, not the index): scoring work is " +
-        "~x100 by construction; measured 2.6x (NOTES_r11)"))
+        "~x100 by construction; measured 2.6x (NOTES_r11)"),
+    "t130_knn_ivf_pruned" -> Budget(8.0,
+      "t112's exact flow over the cell-bucketed pruned layout: same " +
+        "harness-bound brute-force grading, plus a 16-bucket index " +
+        "write per run (write-once, probe-bounded read)"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

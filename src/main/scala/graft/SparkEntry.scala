@@ -897,6 +897,36 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute, floorPpm = 700000L).orderBy(col("query_id"))
   }
 
+  /** [[t112KnnIvfIncremental]]'s exact flow with the merged assignment
+    * PERSISTED in the cell-bucketed pruned layout
+    * ([[graft.llm.Similarity.writeAssignedPruned]]) and searched via
+    * [[graft.llm.Similarity.ivfSearchPrunedAdaptive]]: the adaptive
+    * probe resolves its cell set first and reads ONLY those cells'
+    * bucket files (manifest-listed, no directory scan) — the t119
+    * pruned-postings story for the embedding family. The oracle IS
+    * t112's literal oracle, byte-identical: pruning may change what is
+    * READ, never what is answered (a vector's rows live in exactly one
+    * cell, so every probed cell is complete in the pruned view). */
+  private def t130KnnIvfPruned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val root = scratch("ivfprune", dir)
+    val cents = Similarity.kMeansCentroids(v1, "vec_id", "embedding", k = 16, iters = 2)
+    val merged = graft.operators.Relational.mergeReplaceGroups(
+      Similarity.ivfAssignedIndex(v1, "vec_id", "embedding", cents),
+      Similarity.ivfAssignedIndex(delta, "vec_id", "embedding", cents),
+      Seq("vec_id"))
+    Similarity.writeAssignedPruned(merged, "vec_id", "embedding",
+      s"$root/assigned_pruned", numBuckets = 16)
+    val q = e.filter(col("vec_id") < 20)
+    val ann = Similarity.ivfSearchPrunedAdaptive(s, s"$root/assigned_pruned",
+      cents, q, "vec_id", "embedding", k = 10, minProbe = 6, maxProbe = 12,
+      ratioPpm = 2000000L)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 700000L).orderBy(col("query_id"))
+  }
+
   /** Graph ANN ([[graft.llm.GraphAnn.nswTopK]]) graded against brute
     * force — the HNSW-class index shape, distributed SPANN-style:
     * k-means cells route each query to its 8 nearest cells, each cell
@@ -2142,6 +2172,7 @@ object SparkEntry {
     "t127_phash_delta" -> t127PhashDelta _,
     "t128_curation_e2e" -> t128CurationE2e _,
     "t129_knn_graph_nsw" -> t129KnnGraphNsw _,
+    "t130_knn_ivf_pruned" -> t130KnnIvfPruned _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2632,6 +2663,9 @@ object SparkEntry {
       // full-escalation == brute pins
       "t112_knn_ivf_incremental" -> LiteralOracles.t112,
       "t129_knn_graph_nsw" -> LiteralOracles.t129,
+      // pruning changes what is READ, never the answer: t130 must equal
+      // t112's independent literal oracle byte-for-byte
+      "t130_knn_ivf_pruned" -> LiteralOracles.t112,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -179,6 +179,13 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val probes = probeCells(dvQ, centroids, nprobe)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("cell"))
+    rankWithinProbes(a, probes, k)
+  }
+
+  /** Shared scoring tail of every assigned-index search: broadcast the
+    * probe set against the (neighbor_id, c_v, cell) index view, score
+    * exactly within probed cells, rank per query. */
+  private def rankWithinProbes(a: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val scored = a.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_v"), col("c_v")))
@@ -213,14 +220,48 @@ object Similarity {
       transform(col(vecCol), x => x.cast("double")).as("v"))
     val probes = probeCellsAdaptive(dvQ, centroids, minProbe, maxProbe, ratioPpm)
       .select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("cell"))
-    val scored = a.join(broadcast(probes), Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("q_v"), col("c_v")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos").as("cos_sim"))
+    rankWithinProbes(a, probes, k)
   }
+
+  /** [[ivfSearchAssignedAdaptive]] over a PERSISTED cell-bucketed
+    * assignment layout ([[graft.sources.PrunedIndex]] written with
+    * key = cell): the probe resolves its adaptive cell set FIRST, then
+    * reads ONLY those cells' bucket files — at corpus scale the scan
+    * cost is probe-bounded (≈ nprobe/nCells of the index bytes,
+    * listing-free via the manifest sidecar), not corpus-bounded. This
+    * is the t119 pruned-postings story applied to the embedding
+    * family: cell plays the role BM25's term plays, and the same
+    * completeness argument holds — a vector's rows live in exactly one
+    * cell, so the pruned view contains every row of every probed cell
+    * (search results are identical to the flat read, pinned in
+    * SimilaritySpec and by t130's must-equal-t112 oracle).
+    * Write the layout with [[writeAssignedPruned]]. */
+  def ivfSearchPrunedAdaptive(spark: SparkSession, indexPath: String,
+                              centroids: Array[(Int, Array[Double])],
+                              queries: DataFrame, idCol: String, vecCol: String,
+                              k: Int, minProbe: Int = 4, maxProbe: Int = 10,
+                              ratioPpm: Long = 2000000L): DataFrame = {
+    val dvQ = queries.select(col(idCol), col(vecCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probeRows = probeCellsAdaptive(dvQ, centroids, minProbe, maxProbe, ratioPpm)
+    val pruned = graft.sources.PrunedIndex.readPruned(
+      spark, indexPath, probeRows.select(col("cell")))
+    val a = pruned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("c_v"), col("cell"))
+    rankWithinProbes(a,
+      probeRows.select(col(idCol).as("query_id"), col(vecCol).as("q_v"), col("cell")), k)
+  }
+
+  /** Persist an assignment index in the cell-bucketed pruned layout
+    * [[ivfSearchPrunedAdaptive]] probes. Maintenance stays the t112
+    * group-merge: rebuild-and-rewrite the layout from the merged
+    * assignment per index version (the layout is derived state; the
+    * assignment frame remains the source of truth). */
+  def writeAssignedPruned(assigned: DataFrame, idCol: String, vecCol: String,
+                          path: String, numBuckets: Int): Unit =
+    graft.sources.PrunedIndex.write(
+      assigned.select(col(idCol), col(vecCol), col("cell")),
+      path, Seq("cell"), numBuckets)
 
   /** Per-query adaptive probe set (distance-ratio rule; see
     * [[ivfSearchAssignedAdaptive]]). Squared distances are ≥ 0

@@ -158,6 +158,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pq == brute)
   }
 
+  test("pruned cell-bucketed assignment search equals the flat adaptive search") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = embs.filter($"vec_id" < 8)
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 8, 2)
+    val assigned = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfprune").toString
+    Similarity.writeAssignedPruned(assigned, "vec_id", "embedding", s"$root/a", numBuckets = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val flat = Similarity.ivfSearchAssignedAdaptive(assigned, cents, q,
+      "vec_id", "embedding", k = 5, minProbe = 2, maxProbe = 5)
+    val pruned = Similarity.ivfSearchPrunedAdaptive(spark, s"$root/a", cents, q,
+      "vec_id", "embedding", k = 5, minProbe = 2, maxProbe = 5)
+    // pruning changes what is read, never the answer — including cos bits
+    assert(rows(pruned).nonEmpty && rows(pruned) == rows(flat))
+  }
+
   test("PQ quality improves with codebook size; persisted index round-trips") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 10)
