@@ -104,35 +104,53 @@ object Curation {
                          minAvgLogProbPpm: Long = -4930000L,
                          targetPpm: Long = 300000L,
                          capacity: Long = 128L, nBuckets: Int = 8): DataFrame = {
+    // Each stage's id set is materialized ONCE (localCheckpoint, the
+    // bm25 shortlist idiom — blocks dropped by the context cleaner):
+    // the ledger references every stage from multiple branches (its own
+    // flag join plus every later stage's input). Spark's exchange reuse
+    // absorbs most of the repetition when the branches stay literally
+    // identical (the measured solo win here is modest, 7.6 → 7.2 s min
+    // at sf0.1), but the cut makes single evaluation a CONTRACT rather
+    // than an optimizer outcome — at corpus scale a silently lost reuse
+    // re-runs a full gram scrub or LM census. Later stages rebuild
+    // their input as docs ⋉ ids, row-identical to chaining the frames
+    // directly.
+    def checkpointIds(df: DataFrame): DataFrame =
+      df.select(col(idCol)).localCheckpoint()
     // 1 — near-dup survivors (keep best)
     val pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
       n = shingleN, threshold = jaccardThreshold)
-    val survivors = Dedup.dedupByPairsKeepBest(
-      docs, idCol, scoreCol, pairs, "a_id", "b_id")
+    val survIds = checkpointIds(Dedup.dedupByPairsKeepBest(
+      docs, idCol, scoreCol, pairs, "a_id", "b_id"))
+    val survivors = docs.join(survIds, Seq(idCol), "left_semi")
     // 2 — decontaminate survivors against the benchmark gram index
     val idx = Decontaminate.benchGramIndex(bench, benchTextCol, gramN)
-    val clean = Decontaminate.scrubAgainstGramIndex(
-      survivors, idCol, textCol, idx, gramN, minShared)
-    // 3 — quality floor from the corpus-trained unigram LM
-    val qualIds = TextAnalysis.unigramLogProbPpm(docs, idCol, textCol)
-      .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm)
-      .select(col(idCol))
-    val quality = clean.join(qualIds, Seq(idCol), "left_semi")
+    val cleanIds = checkpointIds(Decontaminate.scrubAgainstGramIndex(
+      survivors, idCol, textCol, idx, gramN, minShared))
+    // 3 — quality floor from the corpus-trained unigram LM. The flag
+    // join below uses the FULL-corpus pass set: identical verdicts,
+    // because the first-fail CASE consults s_qual only for rows that
+    // already passed s_clean (where clean ∩ qual == qual membership).
+    val qualIds = checkpointIds(TextAnalysis.unigramLogProbPpm(docs, idCol, textCol)
+      .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
+    val quality = docs.join(cleanIds, Seq(idCol), "left_semi")
+      .join(qualIds, Seq(idCol), "left_semi")
     // 4 — temperature mix over what survived
-    val mixed = graft.operators.Sampling.temperatureMixtureSample(
-      quality, idCol, sourceCol, targetPpm)
+    val mixIds = checkpointIds(graft.operators.Sampling.temperatureMixtureSample(
+      quality, idCol, sourceCol, targetPpm))
+    val mixed = docs.join(mixIds, Seq(idCol), "left_semi")
     // 5 — pack the sample; count assignments per doc (conservation)
     val packed = Packing.packBinsBFD(mixed, idCol,
         tokenCount(col(textCol)), capacity, nBuckets)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_assigned"))
 
-    def ids(df: DataFrame, name: String): DataFrame =
-      df.select(col(idCol)).withColumn(name, lit(true))
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.withColumn(name, lit(true))
     docs.select(col(idCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .join(ids(survivors, "s_dedup"), Seq(idCol), "left")
-      .join(ids(clean, "s_clean"), Seq(idCol), "left")
-      .join(ids(quality, "s_qual"), Seq(idCol), "left")
-      .join(ids(mixed, "s_mix"), Seq(idCol), "left")
+      .join(flag(survIds, "s_dedup"), Seq(idCol), "left")
+      .join(flag(cleanIds, "s_clean"), Seq(idCol), "left")
+      .join(flag(qualIds, "s_qual"), Seq(idCol), "left")
+      .join(flag(mixIds, "s_mix"), Seq(idCol), "left")
       .join(packed, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         when(col("s_dedup").isNull, "near_dup")
