@@ -114,6 +114,29 @@ object GraphAnn {
         col("neighbor_id"), col("cos").as("cos_sim"))
   }
 
+  /** [[nswSearchAssigned]] over a PERSISTED cell-bucketed assignment
+    * layout ([[Similarity.writeAssignedPruned]]): the probe's cell set
+    * resolves first, then ONLY those cells' bucket files are read
+    * (manifest-listed) before the per-cell graph build — so graph
+    * construction work, not just the scan, is probe-bounded: cells no
+    * query routes to are never read, never decoded, never graphed.
+    * Results are identical to [[nswSearchAssigned]] over the flat
+    * assignment (a vector's rows live in exactly one cell; pinned in
+    * GraphAnnSpec). */
+  def nswSearchPruned(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                      centroids: Array[(Int, Array[Double])],
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nprobe: Int = 4, m: Int = 8,
+                      efConstruction: Int = 48, efSearch: Int = 48): DataFrame = {
+    val dvQ = queries.select(col(idCol), col(vecCol),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probed = Similarity.probeCells(dvQ, centroids, nprobe)
+    val assigned = graft.sources.PrunedIndex.readPruned(
+      spark, indexPath, probed.select(col("cell")))
+    nswSearchAssigned(assigned, centroids, queries, idCol, vecCol,
+      k, nprobe, m, efConstruction, efSearch)
+  }
+
   /** One cell's navigable-small-world graph. Single-threaded,
     * insertion in id order, every choice tie-broken by the total order
     * (cos desc, id asc) — fully deterministic for a given (ids, vecs).

@@ -64,6 +64,23 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(avg >= 0.5, s"avg recall $avg")
   }
 
+  test("search over the pruned cell-bucketed layout equals the flat assignment search") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 6)
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2)
+    val assigned = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+    val root = java.nio.file.Files.createTempDirectory("graft_nswprune").toString
+    Similarity.writeAssignedPruned(assigned, "vec_id", "embedding", s"$root/a", numBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val flat = GraphAnn.nswSearchAssigned(assigned, cents, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12)
+    val pruned = GraphAnn.nswSearchPruned(spark, s"$root/a", cents, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12)
+    assert(rows(pruned).nonEmpty && rows(pruned) == rows(flat))
+  }
+
   test("search over a persisted assignment equals the one-call form") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 6)
