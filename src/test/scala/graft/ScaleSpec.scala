@@ -84,6 +84,38 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("cell-bucketed ANN probe reads a strict subset of assignment files") {
+    import graft.llm.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft_annprune").toString
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 8, 2)
+    Similarity.writeAssignedPruned(
+      Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents),
+      "vec_id", "embedding", s"$dir/a", numBuckets = 8)
+    val q = embs.filter($"vec_id" < 3)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // sum numFiles over only the scans of the assignment layout (the
+      // query frame scans embeddings.parquet through the same plan)
+      def indexFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(s"$dir/a")) =>
+            s.metrics("numFiles").value
+        }.sum
+      }
+      val pruned = indexFilesRead(Similarity.ivfSearchPrunedAdaptive(
+        spark, s"$dir/a", cents, q, "vec_id", "embedding",
+        k = 3, minProbe = 1, maxProbe = 2))
+      val full = indexFilesRead(
+        graft.sources.PrunedIndex.read(spark, s"$dir/a"))
+      assert(pruned > 0 && pruned < full,
+        s"ANN probe read $pruned of $full assignment files — no pruning happened")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed join plans without an exchange on either side") {
     // warehouse dir is a static conf; tables land in ./spark-warehouse
     // (gitignored) — fine for a plan-shape check
