@@ -23,27 +23,42 @@ object Bench {
     catch { case _: Throwable => -1.0 }
 
   /** queries_min of the newest committed BENCH_full_r{N}.json in CWD
-    * (the artifact of record for the prior round), if any. */
-  private def priorMins(): (String, Map[String, Double]) = {
+    * with N STRICTLY BELOW the current round (parsed from
+    * SPARK_GRAFT_BENCH_OUT when it matches the artifact naming): the
+    * prior must be the PREVIOUS round's artifact of record, never an
+    * earlier same-round capture — a whole-round regression must not be
+    * able to become its own suspect baseline (r14 verdict). Falls back
+    * to the newest artifact of any round only when the out name
+    * doesn't parse (ad-hoc dev captures). Returns
+    * (name, captured_at epoch-ms, mins). */
+  private def priorMins(outName: String): (String, Long, Map[String, Double]) = {
     val dir = new java.io.File(".")
     val re = "BENCH_full_r(\\d+)\\.json".r
+    val currentRound: Option[Int] =
+      new java.io.File(outName).getName match {
+        case re(n) => Some(n.toInt)
+        case _     => None
+      }
     val cands = Option(dir.listFiles()).getOrElse(Array.empty).flatMap { f =>
-      f.getName match { case re(n) => Some((n.toInt, f)) case _ => None }
+      f.getName match {
+        case re(n) if currentRound.forall(n.toInt < _) => Some((n.toInt, f))
+        case _ => None
+      }
     }
-    if (cands.isEmpty) return ("none", Map.empty)
+    if (cands.isEmpty) return ("none", 0L, Map.empty)
     val f = cands.maxBy(_._1)._2
     try {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = om.readTree(f)
       val node = root.get("queries_min")
-      if (node == null) (f.getName, Map.empty)
+      if (node == null) (f.getName, f.lastModified(), Map.empty)
       else {
         val it = node.fields()
         val b = Map.newBuilder[String, Double]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
-        (f.getName, b.result())
+        (f.getName, f.lastModified(), b.result())
       }
-    } catch { case _: Throwable => (f.getName + " (unreadable)", Map.empty) }
+    } catch { case _: Throwable => (f.getName + " (unreadable)", f.lastModified(), Map.empty) }
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +115,14 @@ object Bench {
         val sec = (System.nanoTime() - t0) / 1e9
         (sec, startMs, loadBefore, load1())
       }
+      // Query-boundary cache release: dedup-family queries persist a
+      // shared shingle projection (Dedup.containmentIndex) sized to the
+      // corpus; without a release those pins accumulate in executor
+      // storage for the whole 138-query session. Reps of ONE query keep
+      // their warm-cache carryover (released only after all reps), so
+      // queries_min stays comparable across rounds.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       (name, runs.map(_._1).sorted.apply(reps / 2), runs)
     }
     val qs = results.map { case (k, med, _) => "\"" + k + "\":" + med }
@@ -116,7 +139,9 @@ object Bench {
       "\"" + k + "\":" + runs.map { case (_, ms, lb, la) =>
         s"[$ms,$lb,$la]" }.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
-    val (priorFile, prior) = priorMins()
+    val outName =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")
+    val (priorFile, priorAtMs, prior) = priorMins(outName)
     val suspects = results.collect {
       case (k, _, runs) if prior.get(k).exists { p =>
         val m = runs.map(_._1).min
@@ -129,16 +154,15 @@ object Bench {
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min_sec":$totalMin,""" +
         s""""queries":$qs,"queries_min":$qmins,"runs":$rs,"rep_meta":$meta,""" +
-        s""""prior":"$priorFile","suspects":$suspectsJson,"sf":"$sfDir"}"""
+        s""""prior":"$priorFile","prior_captured_at_ms":$priorAtMs,""" +
+        s""""suspects":$suspectsJson,"sf":"$sfDir"}"""
     println(line)
     // The driver's stdout capture keeps only the tail of long lines, so
     // per-query medians for the early (q-family) queries were unreadable
     // across rounds. Persist the full JSON beside the build so every
     // median survives verbatim (committed per round as BENCH_full_r{N}).
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_full_latest.json")),
-      line + "\n")
+      java.nio.file.Paths.get(outName), line + "\n")
     spark.stop()
   }
 }

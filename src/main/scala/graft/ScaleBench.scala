@@ -218,7 +218,13 @@ object ScaleBench {
     val results = fam.filter(_._1.startsWith(onlyPrefix)).map { case (name, run) =>
       val t0 = System.nanoTime()
       val rows = run()
-      (name, (System.nanoTime() - t0) / 1e9, rows)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // release per-query persisted state (shared shingle projections)
+      // so scaled-corpus caches don't pin executor storage session-long
+      val spark = docs.sparkSession
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (name, sec, rows)
     }
     val qs = results.map { case (k, sec, rows) =>
       "\"" + k + "\":{\"sec\":" + sec + ",\"rows\":" + rows + "}"

@@ -173,12 +173,18 @@ object SlopeGate {
       ScaledSfDir.buildFuzzy(spark, baseDir, s"$workDir/fuzzy_x$factor", factor)
 
     def minWall(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                dir: String): Double =
-      (1 to reps).map { _ =>
+                dir: String): Double = {
+      val m = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }.min
+      // release persisted state between timed queries (reps above keep
+      // their warm-cache carryover; accumulation across the suite ends)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      m
+    }
 
     val entries = names.map { name =>
       val rule = rules.get(name)

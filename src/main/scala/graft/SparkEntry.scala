@@ -948,6 +948,48 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
   }
 
+  /** [[t129KnnGraphNsw]]'s index PERSISTED and DELTA-MAINTAINED: the
+    * corpus arrives in two batches under frozen centroids; the v1
+    * adjacency is written as a cell-bucketed
+    * [[graft.sources.PrunedIndex]] ([[graft.llm.GraphAnn
+    * .writeGraphIndex]]), the delta merges through
+    * [[graft.llm.GraphAnn.mergeGraphEdgesForDelta]] (append-only cells
+    * CONTINUE the stored sequential build; interleaved cells rebuild —
+    * either way == full rebuild, pinned in GraphAnnSpec), and the
+    * search ([[graft.llm.GraphAnn.nswSearchGraph]]) reconstructs each
+    * probed cell's graph from its stored edge buckets — no per-batch
+    * graph build. The oracle IS t129's literal oracle byte-for-byte:
+    * the same argument as t130==t112 — persistence and maintenance
+    * change what is STORED and READ, never the answer (assignment is a
+    * per-row pure function of the frozen centroids, so the merged
+    * assignment equals the full one; delta-merged edges equal the full
+    * rebuild; reconstruction restores the exact adjacency). */
+  private def t131KnnGraphPersisted(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val root = scratch("nswgraph", dir)
+    val cents = Similarity.kMeansCentroids(e, "vec_id", "embedding", k = 16, iters = 2)
+    val a1 = Similarity.ivfAssignedIndex(v1, "vec_id", "embedding", cents)
+    val aD = Similarity.ivfAssignedIndex(delta, "vec_id", "embedding", cents)
+    val merged = graft.operators.Relational.mergeReplaceGroups(a1, aD, Seq("vec_id"))
+    Similarity.writeAssignedPruned(merged, "vec_id", "embedding",
+      s"$root/assigned", numBuckets = 16)
+    graft.llm.GraphAnn.writeGraphIndex(
+      graft.llm.GraphAnn.buildGraphEdges(a1, "vec_id", "embedding",
+        m = 8, efConstruction = 48),
+      s"$root/graph_v1", numBuckets = 16)
+    val edgesV2 = graft.llm.GraphAnn.mergeGraphEdgesForDelta(s, s"$root/graph_v1",
+      a1, aD, "vec_id", "embedding", m = 8, efConstruction = 48)
+    graft.llm.GraphAnn.writeGraphIndex(edgesV2, s"$root/graph_v2", numBuckets = 16)
+    val q = e.filter(col("vec_id") < 20)
+    val ann = graft.llm.GraphAnn.nswSearchGraph(s, s"$root/assigned",
+      s"$root/graph_v2", cents, q, "vec_id", "embedding",
+      k = 10, nprobe = 8, efSearch = 48)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
+  }
+
   /** IVF assignment drift monitor
     * ([[graft.llm.Similarity.ivfCellStats]]): per-cell integer mean
     * squared distance of the v1 corpus vs the delta batch, both under
@@ -2173,6 +2215,7 @@ object SparkEntry {
     "t128_curation_e2e" -> t128CurationE2e _,
     "t129_knn_graph_nsw" -> t129KnnGraphNsw _,
     "t130_knn_ivf_pruned" -> t130KnnIvfPruned _,
+    "t131_knn_graph_persisted" -> t131KnnGraphPersisted _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2666,6 +2709,9 @@ object SparkEntry {
       // pruning changes what is READ, never the answer: t130 must equal
       // t112's independent literal oracle byte-for-byte
       "t130_knn_ivf_pruned" -> LiteralOracles.t112,
+      // persistence + delta maintenance change what is STORED, never the
+      // answer: t131 must equal t129's independent literal byte-for-byte
+      "t131_knn_graph_persisted" -> LiteralOracles.t129,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

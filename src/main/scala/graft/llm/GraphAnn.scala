@@ -137,6 +137,179 @@ object GraphAnn {
       k, nprobe, m, efConstruction, efSearch)
   }
 
+  // ==== Persisted adjacency (the graph index as durable state) ====
+  //
+  // nswSearchAssigned rebuilds each probed cell's graph per query batch
+  // — deterministic, but the build cost recurs with every batch. The
+  // persisted form writes the adjacency ONCE as a cell-bucketed
+  // [[graft.sources.PrunedIndex]] (edges: cell, src, dst, pos — the
+  // same layout t130 uses for vectors), searches reconstruct the graph
+  // from the stored edges (no per-batch build), and maintenance is
+  // delta-bounded: only cells a delta touches re-derive their edges,
+  // append-only deltas by CONTINUING the sequential build from the
+  // stored state (id order makes insert-into-persisted == rebuild).
+
+  /** The deterministic per-cell NSW adjacency as an edge frame:
+    * (cell, src, dst, pos) with `pos` the edge's position in src's
+    * adjacency list — enough to reconstruct each graph EXACTLY (the
+    * persisted == rebuilt bit-equal contract, pinned in GraphAnnSpec).
+    * One corpus shuffle (groupByKey on cell), per-task memory = one
+    * cell, output ≈ rows·2m edges. */
+  def buildGraphEdges(assigned: DataFrame, idCol: String, vecCol: String,
+                      m: Int = 8, efConstruction: Int = 48): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.select(col("cell"), col(idCol).cast("long").as("nid"),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Int, Long, Seq[Double])]
+      .groupByKey(_._1).flatMapGroups { (cell, it) =>
+        val nodes = it.map { case (_, id, v) => (id, v.toArray) }.toArray.sortBy(_._1)
+        val g = new NswGraph(nodes.map(_._1), nodes.map(_._2), m, efConstruction)
+        g.edgeRows.map { case (src, dst, pos) => (cell, src, dst, pos) }
+      }.toDF("cell", "src", "dst", "pos")
+  }
+
+  /** Persist an edge frame in the cell-bucketed pruned layout
+    * ([[graft.sources.PrunedIndex]], key = cell) — probes read only
+    * their cells' edge files, exactly like the assignment layout. */
+  def writeGraphIndex(edges: DataFrame, path: String, numBuckets: Int,
+                      maxRecordsPerFile: Long = 0L): Unit =
+    graft.sources.PrunedIndex.write(
+      edges.select(col("cell"), col("src"), col("dst"), col("pos")),
+      path, Seq("cell"), numBuckets, maxRecordsPerFile)
+
+  /** Delta maintenance of a persisted graph index: recompute edges for
+    * ONLY the cells the delta's vectors land in, CONTINUING each cell's
+    * sequential build from the stored adjacency when the delta is
+    * append-only there (every new id > every existing id in the cell —
+    * the insertion-order rule then makes the continued build identical
+    * to a from-scratch rebuild of old∪new, pinned in GraphAnnSpec).
+    * Cells where ids interleave rebuild from scratch — the same final
+    * edges by determinism, just without the shortcut. Untouched cells'
+    * edges stream through unchanged. Returns the FULL new edge frame
+    * (write it back with [[writeGraphIndex]] — derived state, whole-
+    * index swap, delta-bounded compute; the t110/t112 maintenance
+    * contract).
+    *
+    * `oldAssigned` is the PRE-delta assignment and `deltaAssigned` the
+    * delta's rows under the same centroids; pass the same
+    * (m, efConstruction) the index was built with. */
+  def mergeGraphEdgesForDelta(spark: org.apache.spark.sql.SparkSession,
+                              graphPath: String,
+                              oldAssigned: DataFrame, deltaAssigned: DataFrame,
+                              idCol: String, vecCol: String,
+                              m: Int = 8, efConstruction: Int = 48): DataFrame = {
+    import spark.implicits._
+    val touched = deltaAssigned.select(col("cell")).distinct()
+    val oldEdges = graft.sources.PrunedIndex.readPruned(spark, graphPath, touched)
+    // one tagged frame so a single groupByKey(cell) co-locates a cell's
+    // old nodes (kind 0), stored edges (kind 1), and new nodes (kind 2)
+    def nodeRows(df: DataFrame, kind: Int) = df
+      .join(touched, Seq("cell"), "left_semi")
+      .select(col("cell"), lit(kind).as("kind"),
+        col(idCol).cast("long").as("a"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        lit(0L).as("b"), lit(0).as("p"))
+    val tagged = nodeRows(oldAssigned, 0)
+      .unionByName(oldEdges.select(col("cell"), lit(1).as("kind"),
+        col("src").as("a"), lit(null).cast("array<double>").as("v"),
+        col("dst").as("b"), col("pos").as("p")))
+      .unionByName(nodeRows(deltaAssigned, 2))
+      .as[(Int, Int, Long, Seq[Double], Long, Int)]
+    val recomputed = tagged.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val rows = it.toArray
+      val oldNodes = rows.iterator.filter(_._2 == 0)
+        .map(r => (r._3, r._4.toArray)).toArray.sortBy(_._1)
+      val newNodes = rows.iterator.filter(_._2 == 2)
+        .map(r => (r._3, r._4.toArray)).toArray.sortBy(_._1)
+      val all = (oldNodes ++ newNodes).sortBy(_._1)
+      val appendOnly = oldNodes.isEmpty || newNodes.isEmpty ||
+        newNodes.head._1 > oldNodes.last._1
+      val g =
+        if (appendOnly && oldNodes.nonEmpty && newNodes.nonEmpty) {
+          // reconstruct the stored graph over the old prefix, then run
+          // the same sequential rule over just the new suffix
+          val idToIdx = oldNodes.iterator.map(_._1).zipWithIndex.toMap
+          val adj = Array.fill(all.length)(new ArrayBuffer[Int]())
+          rows.iterator.filter(_._2 == 1).toArray.sortBy(_._6).foreach { r =>
+            adj(idToIdx(r._3)).insert(
+              math.min(r._6, adj(idToIdx(r._3)).length), idToIdx(r._5))
+          }
+          new NswGraph(all.map(_._1), all.map(_._2), m, efConstruction,
+            prebuilt = adj, buildFrom = oldNodes.length)
+        } else new NswGraph(all.map(_._1), all.map(_._2), m, efConstruction)
+      g.edgeRows.map { case (src, dst, pos) => (cell, src, dst, pos) }
+    }.toDF("cell", "src", "dst", "pos")
+    graft.sources.PrunedIndex.read(spark, graphPath)
+      .join(touched, Seq("cell"), "left_anti")
+      .unionByName(recomputed)
+  }
+
+  /** Search over PERSISTED assignment + adjacency layouts: the probe's
+    * cell set resolves first, then ONLY those cells' assignment AND
+    * edge bucket files are read (manifest-listed), each cell's graph is
+    * RECONSTRUCTED from its stored edges — no per-batch build — and
+    * beam-searched. Results are identical to [[nswSearchAssigned]] at
+    * the same (m, efConstruction, efSearch): reconstruction restores
+    * the exact adjacency the build produced (pinned bit-equal in
+    * GraphAnnSpec). */
+  def nswSearchGraph(spark: org.apache.spark.sql.SparkSession,
+                     assignedPath: String, graphPath: String,
+                     centroids: Array[(Int, Array[Double])],
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, nprobe: Int = 4, efSearch: Int = 48): DataFrame = {
+    require(k >= 1 && efSearch >= 1, s"need positive (k, efSearch); got ($k, $efSearch)")
+    import spark.implicits._
+    val dvQ = queries.select(col(idCol).cast("long").as("qid"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val probeRows = Similarity.probeCells(dvQ, centroids, nprobe)
+      .select(col("qid"), col("v"), col("cell"))
+      .as[(Long, Seq[Double], Int)].collect()
+    val byCell: Map[Int, Array[(Long, Array[Double])]] = probeRows
+      .groupBy(_._3).map { case (c, xs) =>
+        c -> xs.sortBy(_._1).map(t => (t._1, t._2.toArray))
+      }
+    val probesB = spark.sparkContext.broadcast(byCell)
+    val cellsDf = byCell.keys.toSeq.toDF("cell")
+
+    val nodes = graft.sources.PrunedIndex.readPruned(spark, assignedPath, cellsDf)
+      .select(col("cell"), lit(0).as("kind"), col(idCol).cast("long").as("a"),
+        transform(col(vecCol), x => x.cast("double")).as("v"),
+        lit(0L).as("b"), lit(0).as("p"))
+    val edges = graft.sources.PrunedIndex.readPruned(spark, graphPath, cellsDf)
+      .select(col("cell"), lit(1).as("kind"), col("src").as("a"),
+        lit(null).cast("array<double>").as("v"), col("dst").as("b"), col("pos").as("p"))
+    val hits = nodes.unionByName(edges)
+      .as[(Int, Int, Long, Seq[Double], Long, Int)]
+      .groupByKey(_._1).flatMapGroups { (cell, it) =>
+        val qs = probesB.value.getOrElse(cell, Array.empty[(Long, Array[Double])])
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val rows = it.toArray
+          val ns = rows.iterator.filter(_._2 == 0)
+            .map(r => (r._3, r._4.toArray)).toArray.sortBy(_._1)
+          val idToIdx = ns.iterator.map(_._1).zipWithIndex.toMap
+          val adj = Array.fill(ns.length)(new ArrayBuffer[Int]())
+          rows.iterator.filter(_._2 == 1).toArray.sortBy(_._6).foreach { r =>
+            adj(idToIdx(r._3)).insert(
+              math.min(r._6, adj(idToIdx(r._3)).length), idToIdx(r._5))
+          }
+          val g = new NswGraph(ns.map(_._1), ns.map(_._2), m = 1,
+            efConstruction = 1, prebuilt = adj, buildFrom = ns.length)
+          qs.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, efSearch).iterator.map { case (nid, cos) => (qid, nid, cos) }
+          }
+        }
+      }.toDF("query_id", "neighbor_id", "cos")
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    hits.filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("cos").as("cos_sim"))
+  }
+
   /** One cell's navigable-small-world graph. Single-threaded,
     * insertion in id order, every choice tie-broken by the total order
     * (cos desc, id asc) — fully deterministic for a given (ids, vecs).
@@ -145,13 +318,35 @@ object GraphAnn {
     * ef = efConstruction, links to its `m` best, and any neighbor
     * exceeding degree 2m prunes back to its 2m best (the HNSW layer-0
     * M/M_max discipline). The implicit ±1 backbone keeps the graph
-    * connected under any pruning (see the object scaladoc). */
+    * connected under any pruning (see the object scaladoc).
+    *
+    * `prebuilt`/`buildFrom`: reconstruction and incremental-insert
+    * support — adopt `prebuilt` as the adjacency state (the stored
+    * edges of nodes [0, buildFrom)) and run the sequential build only
+    * for nodes [buildFrom, n). With buildFrom = n the graph is a pure
+    * reconstruction (search-only); determinism makes the continued
+    * build identical to a from-scratch build whenever `prebuilt` is
+    * itself the from-scratch state of the prefix. */
   private final class NswGraph(ids: Array[Long], vecs: Array[Array[Double]],
-                               m: Int, efConstruction: Int) {
+                               m: Int, efConstruction: Int,
+                               prebuilt: Array[ArrayBuffer[Int]] = null,
+                               buildFrom: Int = 0) {
     private val n = ids.length
     private val mMax = 2 * m
     private val norms: Array[Double] = vecs.map(v => math.sqrt(dotD(v, v)))
-    private val adj: Array[ArrayBuffer[Int]] = Array.fill(n)(new ArrayBuffer[Int](mMax + 1))
+    private val adj: Array[ArrayBuffer[Int]] =
+      if (prebuilt != null) {
+        require(prebuilt.length == n,
+          s"prebuilt adjacency covers ${prebuilt.length} nodes, graph has $n")
+        prebuilt
+      } else Array.fill(n)(new ArrayBuffer[Int](mMax + 1))
+
+    /** The adjacency as (src id, dst id, position) rows — the persisted
+      * form [[writeGraphIndex]] stores and reconstruction replays. */
+    def edgeRows: Iterator[(Long, Long, Int)] =
+      (0 until n).iterator.flatMap { i =>
+        adj(i).iterator.zipWithIndex.map { case (j, pos) => (ids(i), ids(j), pos) }
+      }
 
     // Σ aᵢ·bᵢ left-to-right — bit-equal to expr.FloatVecDot's loop
     private def dotD(a: Array[Double], b: Array[Double]): Double = {
@@ -217,17 +412,20 @@ object GraphAnn {
       else searchBounded(q, math.sqrt(dotD(q, q)), ef, n).map { case (i, c) => (ids(i), c) }
 
     private def shrink(j: Int): Unit = if (adj(j).length > mMax) {
+      // bestFirst orders "greater = better", so sorting under its
+      // REVERSE lists best-first; keep the HEAD mMax — the best mMax
+      // under the total order (the HNSW layer-0 M_max prune)
       val kept = adj(j)
         .map(nb => (nb, cosTo(nb, vecs(j), norms(j))))
-        .sorted(bestFirst.reverse).takeRight(mMax) // best mMax under the total order
+        .sorted(bestFirst.reverse).take(mMax)
         .map(_._1)
       adj(j).clear()
       adj(j) ++= kept
     }
 
-    // sequential build
+    // sequential build (from buildFrom when a prebuilt prefix is adopted)
     {
-      var i = 1
+      var i = math.max(1, buildFrom)
       while (i < n) {
         val found = searchBounded(vecs(i), norms(i), efConstruction, i)
         found.take(m).foreach { case (j, _) =>

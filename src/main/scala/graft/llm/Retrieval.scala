@@ -187,7 +187,10 @@ object Retrieval {
         col("score_ppm").as("bm25_ppm"))
       .join(sc, Seq("doc_id"))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(first(col("bm25_ppm")).as("bm25_ppm"), max(col("__rr")).as("__rr"))
+      // max on BOTH aggregates: first() is order-dependent, so a
+      // shortlist that ever carried duplicate (query_id, doc_id) rows
+      // with differing score_ppm would retain a nondeterministic bm25
+      .agg(max(col("bm25_ppm")).as("bm25_ppm"), max(col("__rr")).as("__rr"))
     val rn = row_number().over(Window.partitionBy(col("query_id"))
       .orderBy(col("__rr").desc, col("doc_id")))
     joined.withColumn("rank", rn.cast("long"))

@@ -82,7 +82,8 @@ object ParquetMergeSink {
     * advisory (same listing race as any non-transactional store) —
     * the FIFO-group single-writer discipline is the cross-process
     * guard there, as for [[merge]]. */
-  def vacuum(warehouse: String, table: String, keep: Int = 1): Unit = {
+  def vacuum(warehouse: String, table: String, keep: Int = 1,
+             debrisGraceMs: Long = 24L * 3600 * 1000): Unit = {
     val cur = currentPath(warehouse, table)
       .map(p => new org.apache.hadoop.fs.Path(p).getName)
     val all = versions(warehouse, table)
@@ -96,6 +97,28 @@ object ParquetMergeSink {
       if (Fs.exists(hidden)) Fs.deleteRecursive(hidden)
       if (Fs.rename(dir, hidden)) Fs.deleteRecursive(hidden)
       else Fs.deleteRecursive(dir) // rename-less FS: best-effort direct delete
+    }
+    // Debris sweep: [[versions]] lists only _SUCCESS-committed dirs, so
+    // a crashed WRITER's uncommitted v* directory (and a crashed
+    // vacuum's .vacuum-* remnant) is invisible to the retention window
+    // above and would otherwise accumulate forever. Sweep them once
+    // they are older than the grace period — an in-flight writer's dir
+    // is younger than any sane grace, and writers re-land their version
+    // from scratch on retry, so deleting stale debris can never lose
+    // committed data (committed dirs have _SUCCESS and are handled
+    // above, never here).
+    val committed = all.map(v => s"v$v").toSet
+    val now = System.currentTimeMillis()
+    val root = Fs.child(warehouse, table)
+    Fs.list(root).foreach { st =>
+      val name = st.getPath.getName
+      val isStaleVersionDebris = st.isDirectory &&
+        name.startsWith("v") && name.drop(1).nonEmpty && name.drop(1).forall(_.isDigit) &&
+        !committed.contains(name) && !cur.contains(name)
+      val isVacuumRemnant = st.isDirectory && name.startsWith(".vacuum-")
+      if ((isStaleVersionDebris || isVacuumRemnant) &&
+          now - st.getModificationTime > debrisGraceMs)
+        Fs.deleteRecursive(st.getPath.toString)
     }
   }
 

@@ -34,10 +34,14 @@ import graft.fs.Fs
   *
   * == Staleness contract ==
   * [[read]] / [[readPruned]] serve the layout AS OF the last completed
-  * [[write]] — by this or any other process: each call re-stats the
-  * `_PRUNE_META` sidecar (one cheap stat) and re-reads the manifest
-  * when its modification time moved, so a concurrent rebuild through
-  * [[write]] is picked up. What is NOT supported is rewriting the
+  * [[write]] — by this or any other process: each call re-reads the
+  * tiny `_PRUNE_META` sidecar and re-parses the manifest when its
+  * VERSION TOKEN (monotonic, compared by value — immune to coarse
+  * filesystem mtime granularity) moved, so a concurrent rebuild
+  * through [[write]] is picked up. A manifest whose meta is missing
+  * (a write crashed between the two sidecar lands) degrades to the
+  * listing fallback rather than erroring. What is NOT supported is
+  * rewriting the
   * directory by any path that bypasses [[write]] (a bare
   * `df.write.parquet(path)` overwrite): such a rewrite updates neither
   * sidecar, and readers keep serving the old file list — use [[write]]
@@ -52,8 +56,13 @@ object PrunedIndex {
 
   /** Parsed `_PRUNE_MANIFEST` (bucket → relative file paths), cached
     * per (session, path) and validated against the `_PRUNE_META`
-    * modification time on EVERY access — a stale cached listing can
-    * outlive a same-JVM rebuild no longer than one stat. The manifest
+    * VERSION TOKEN on EVERY access — a monotonic value the writer
+    * stamps into the sidecar (epoch-ms + process counter), compared by
+    * value, so two rebuilds inside one filesystem-mtime granule still
+    * invalidate correctly (an mtime check cannot distinguish them on
+    * second-granularity filesystems — object stores included). A stale
+    * cached listing can outlive a same-JVM rebuild no longer than one
+    * tiny sidecar read. The manifest
     * is what makes the FIRST probe of an index version listing-free:
     * without it Spark rediscovers all `numBuckets` partition
     * directories on the first fresh `read.parquet` (measured 2.5–4.7 s
@@ -62,7 +71,7 @@ object PrunedIndex {
     * probes. The writer lists the tree ONCE at write time instead —
     * the in-process analog of a metastore partition catalog, in a
     * sidecar any process can read. */
-  private final case class Manifest(metaMtime: Long, files: Map[Int, Seq[String]])
+  private final case class Manifest(version: String, files: Map[Int, Seq[String]])
   private val manifestCache =
     scala.collection.concurrent.TrieMap.empty[(Int, String), Manifest]
 
@@ -86,24 +95,51 @@ object PrunedIndex {
     }
   }
 
-  private def metaMtime(path: String): Long =
-    Fs.fs(metaPath(path))
-      .getFileStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
-      .getModificationTime
+  /** Monotonic writer counter: epoch-ms alone repeats across two
+    * rebuilds inside one millisecond; epoch-ms + this counter never
+    * repeats within a process, and the epoch-ms prefix separates
+    * processes in every realistic rebuild cadence. */
+  private val versionCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def newVersionToken(): String =
+    s"${System.currentTimeMillis()}-${versionCounter.incrementAndGet()}"
+
+  /** The meta sidecar's lines: (keyCols, numBuckets, versionToken).
+    * Pre-token layouts (two-line meta) fall back to the mtime as the
+    * token — weaker (granularity-bound) but only for indexes written
+    * by an older build. Absent meta → None: a manifest without its
+    * meta is an incomplete write (the writer lands meta LAST), so the
+    * reader must treat it as "no manifest" rather than throw. */
+  private def metaLines(path: String): Option[(Seq[String], Int, String)] = {
+    if (!Fs.exists(metaPath(path))) return None
+    val lines = Fs.readString(metaPath(path)).split("\n")
+    val token =
+      if (lines.length >= 3 && lines(2).trim.nonEmpty) lines(2).trim
+      else "mtime:" + Fs.fs(metaPath(path))
+        .getFileStatus(new org.apache.hadoop.fs.Path(metaPath(path)))
+        .getModificationTime
+    Some((lines(0).split(",").toSeq, lines(1).trim.toInt, token))
+  }
 
   private def manifestFor(spark: SparkSession, path: String): Option[Map[Int, Seq[String]]] = {
     if (!Fs.exists(manifestPath(path))) return None
+    // manifest exists but meta is missing: a write crashed between the
+    // two sidecar lands (manifest-first, meta-last) or a reader raced a
+    // first write — serve the listing fallback, never throw
+    val token = metaLines(path) match {
+      case Some((_, _, t)) => t
+      case None            => return None
+    }
     if (manifestCache.size > 64) manifestCache.clear()
-    val mt = metaMtime(path)
     val key = (sessionKey(spark), path)
-    val cached = manifestCache.get(key).filter(_.metaMtime == mt)
+    val cached = manifestCache.get(key).filter(_.version == token)
     Some(cached.getOrElse {
       val files = Fs.readString(manifestPath(path)).split("\n")
         .iterator.filter(_.nonEmpty).map { line =>
           val i = line.indexOf('\t')
           (line.substring(0, i).toInt, line.substring(i + 1))
         }.toSeq.groupMap(_._1)(_._2)
-      val m = Manifest(mt, files)
+      val m = Manifest(token, files)
       manifestCache.put(key, m)
       m
     }.files)
@@ -121,16 +157,24 @@ object PrunedIndex {
     * small files for a 32-task, 64-bucket index, which triples the
     * write wall and taxes every later listing. One shuffle of the thin
     * index keyed by bucket lands each bucket in one task → ~one file
-    * per bucket. At larger SF set
-    * `spark.sql.files.maxRecordsPerFile` to split fat buckets. */
-  def write(df: DataFrame, path: String, keyCols: Seq[String], numBuckets: Int): Unit = {
+    * per bucket. `maxRecordsPerFile` > 0 splits a fat (hot-key) bucket
+    * into multiple files so no single probe task has to scan one giant
+    * file — the per-write form of `spark.sql.files.maxRecordsPerFile`,
+    * the knob a skewed cell/term distribution needs at corpus scale. */
+  def write(df: DataFrame, path: String, keyCols: Seq[String], numBuckets: Int,
+            maxRecordsPerFile: Long = 0L): Unit = {
     require(keyCols.nonEmpty, "PrunedIndex needs at least one key column")
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     require(!df.columns.contains(BucketCol),
       s"input already carries a $BucketCol column")
-    df.withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+    val writer = df
+      .withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
       .repartition(numBuckets, col(BucketCol))
-      .write.mode("overwrite").partitionBy(BucketCol).parquet(path)
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .partitionBy(BucketCol).parquet(path)
     val prefix = BucketCol + "="
     val lines = Fs.list(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
@@ -144,20 +188,29 @@ object PrunedIndex {
           .map(f => s"$bucket\t${d.getPath.getName}/${f.getPath.getName}")
       }
     // manifest lands before meta: meta (the version/validation stamp)
-    // only ever points at a complete manifest
+    // only ever points at a complete manifest; the third line is the
+    // monotonic version token readers compare BY VALUE (mtime
+    // granularity is filesystem-dependent — see manifestFor)
     Fs.writeStringAtomic(manifestPath(path), lines.mkString("\n"))
-    Fs.writeStringAtomic(metaPath(path), s"${keyCols.mkString(",")}\n$numBuckets")
+    Fs.writeStringAtomic(metaPath(path),
+      s"${keyCols.mkString(",")}\n$numBuckets\n${newVersionToken()}")
     // drop every session's cached state for this path (same-JVM
     // rebuild/compaction swaps are seen immediately)
     manifestCache.filterInPlace((k, _) => k._2 != path)
     baseCache.filterInPlace((k, _) => k._2 != path)
   }
 
-  /** (key columns, bucket count) recorded at write time. */
-  def meta(path: String): (Seq[String], Int) = {
-    val lines = Fs.readString(metaPath(path)).split("\n")
-    (lines(0).split(",").toSeq, lines(1).trim.toInt)
-  }
+  /** (key columns, bucket count) recorded at write time. A pruned
+    * probe cannot run without them (the hash domain would be a guess),
+    * so an absent meta — an uncommitted [[write]] — is a hard error
+    * here, unlike [[read]]'s listing fallback. */
+  def meta(path: String): (Seq[String], Int) =
+    metaLines(path) match {
+      case Some((cols, buckets, _)) => (cols, buckets)
+      case None => throw new IllegalStateException(
+        s"no _PRUNE_META at $path: the index write never completed " +
+          "(meta lands last) — rebuild via PrunedIndex.write")
+    }
 
   /** Full (unpruned) view — identical to the flat layout for readers
     * that genuinely need every row (rebuild comparisons, compaction).

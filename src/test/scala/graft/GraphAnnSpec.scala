@@ -81,6 +81,70 @@ class GraphAnnSpec extends AnyFunSuite {
     assert(rows(pruned).nonEmpty && rows(pruned) == rows(flat))
   }
 
+  test("persisted adjacency: search over stored edges == per-batch-build search, bit-equal") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = embs.filter($"vec_id" < 6)
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2)
+    val assigned = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+    val root = java.nio.file.Files.createTempDirectory("graft_nswgraph").toString
+    Similarity.writeAssignedPruned(assigned, "vec_id", "embedding", s"$root/a", numBuckets = 4)
+    val edges = GraphAnn.buildGraphEdges(assigned, "vec_id", "embedding",
+      m = 4, efConstruction = 12)
+    GraphAnn.writeGraphIndex(edges, s"$root/g", numBuckets = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "neighbor_id", "cos_sim")
+        .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val rebuilt = GraphAnn.nswSearchAssigned(assigned, cents, queries,
+      "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12)
+    val fromEdges = GraphAnn.nswSearchGraph(spark, s"$root/a", s"$root/g", cents,
+      queries, "vec_id", "embedding", k = 4, nprobe = 2, efSearch = 12)
+    assert(rows(fromEdges).nonEmpty && rows(fromEdges) == rows(rebuilt))
+  }
+
+  test("delta edge maintenance == full rebuild: append-only continue AND interleaved rebuild") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2)
+    def assignedOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssignedIndex(df, "vec_id", "embedding", cents)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "src", "dst", "pos")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    // append-only: every delta id is greater than every old id, so every
+    // touched cell CONTINUES its sequential build from the stored state
+    val cut = 80L
+    val old1 = assignedOf(embs.filter($"vec_id" < cut))
+    val delta1 = assignedOf(embs.filter($"vec_id" >= cut))
+    val root = java.nio.file.Files.createTempDirectory("graft_nswdelta").toString
+    GraphAnn.writeGraphIndex(
+      GraphAnn.buildGraphEdges(old1, "vec_id", "embedding", m = 4, efConstruction = 12),
+      s"$root/g1", numBuckets = 4)
+    val merged1 = GraphAnn.mergeGraphEdgesForDelta(spark, s"$root/g1",
+      old1, delta1, "vec_id", "embedding", m = 4, efConstruction = 12)
+    val rebuild1 = GraphAnn.buildGraphEdges(assignedOf(embs), "vec_id", "embedding",
+      m = 4, efConstruction = 12)
+    assert(edgeSet(merged1) == edgeSet(rebuild1))
+    // interleaved ids: the continue shortcut is inapplicable; the touched
+    // cells rebuild from scratch — determinism makes the result identical
+    val old2 = assignedOf(embs.filter($"vec_id" % 2 === 0))
+    val delta2 = assignedOf(embs.filter($"vec_id" % 2 =!= 0))
+    GraphAnn.writeGraphIndex(
+      GraphAnn.buildGraphEdges(old2, "vec_id", "embedding", m = 4, efConstruction = 12),
+      s"$root/g2", numBuckets = 4)
+    val merged2 = GraphAnn.mergeGraphEdgesForDelta(spark, s"$root/g2",
+      old2, delta2, "vec_id", "embedding", m = 4, efConstruction = 12)
+    assert(edgeSet(merged2) == edgeSet(rebuild1))
+    // untouched cells: a delta confined to one cell leaves every other
+    // cell's edges byte-identical to the stored frame (streamed through)
+    val oneCellDelta = delta1.orderBy($"vec_id").limit(1)
+    val touched = oneCellDelta.select("cell").as[Int].collect().toSet
+    val merged3 = GraphAnn.mergeGraphEdgesForDelta(spark, s"$root/g1",
+      old1, oneCellDelta, "vec_id", "embedding", m = 4, efConstruction = 12)
+    val storedUntouched = graft.sources.PrunedIndex.read(spark, s"$root/g1")
+      .filter(!$"cell".isin(touched.toSeq: _*))
+    assert(edgeSet(merged3.filter(!$"cell".isin(touched.toSeq: _*))) ==
+      edgeSet(storedUntouched))
+  }
+
   test("search over a persisted assignment equals the one-call form") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 6)

@@ -84,6 +84,47 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("PrunedIndex: back-to-back rebuilds serve the SECOND manifest (version token, not mtime)") {
+    import graft.sources.PrunedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx_ver").toString
+    val p = s"$dir/idx"
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "term")
+    PrunedIndex.write(v1, p, Seq("term"), numBuckets = 4)
+    // populate the manifest cache from the first version
+    assert(PrunedIndex.read(spark, p).count() == 2)
+    // rebuild IMMEDIATELY — inside any coarse filesystem mtime granule;
+    // the by-value version token must still invalidate the cached
+    // manifest (an mtime check can serve v1's file list here and either
+    // miss v2's rows or fail on v1's deleted files)
+    val v2 = Seq((10L, "x"), (11L, "y"), (12L, "z")).toDF("doc_id", "term")
+    PrunedIndex.write(v2, p, Seq("term"), numBuckets = 4)
+    assert(PrunedIndex.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set((10L, "x"), (11L, "y"), (12L, "z")))
+    val pruned = PrunedIndex.readPruned(spark, p, Seq("x").toDF("term"))
+    assert(pruned.as[(Long, String)].collect().toSet == Set((10L, "x")))
+    // the sidecar carries the token: 3 lines, keyCols + buckets + token
+    val meta = graft.fs.Fs.readString(s"$p/_PRUNE_META").split("\n")
+    assert(meta.length == 3 && meta(2).trim.nonEmpty, meta.mkString("|"))
+  }
+
+  test("PrunedIndex: manifest without meta (crashed write) degrades to listing, not an error") {
+    import graft.sources.PrunedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx_crash").toString
+    val p = s"$dir/idx"
+    PrunedIndex.write(Seq((1L, "a"), (2L, "b")).toDF("doc_id", "term"),
+      p, Seq("term"), numBuckets = 4)
+    // simulate the crash window: write() lands _PRUNE_MANIFEST before
+    // _PRUNE_META, so kill the meta while the manifest survives
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p, "_PRUNE_META"))
+    // full read falls back to the directory listing — all rows, no throw
+    assert(PrunedIndex.read(spark, p).count() == 2)
+    // a pruned probe cannot run without the hash domain: clear hard error
+    val e = intercept[IllegalStateException] {
+      PrunedIndex.readPruned(spark, p, Seq("a").toDF("term"))
+    }
+    assert(e.getMessage.contains("_PRUNE_META"))
+  }
+
   test("cell-bucketed ANN probe reads a strict subset of assignment files") {
     import graft.llm.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_annprune").toString

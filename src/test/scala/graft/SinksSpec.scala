@@ -83,6 +83,26 @@ class SinksSpec extends AnyFunSuite {
     assert(ParquetMergeSink.readCurrent(spark, wh, "t").get.count() == 2)
   }
 
+  test("vacuum sweeps crashed-writer debris past the grace period, spares fresh dirs") {
+    val wh = Files.createTempDirectory("graft_debris").toString
+    ParquetMergeSink.merge(spark, wh, "t", Seq((1L, "a")).toDF("id", "s"), Seq("id"), 1L)
+    val root = java.nio.file.Paths.get(wh, "t")
+    // a crashed writer's uncommitted version dir (no _SUCCESS — invisible
+    // to versions()) and a crashed vacuum's hidden remnant, both stale
+    val staleV = root.resolve("v99"); Files.createDirectories(staleV)
+    Files.writeString(staleV.resolve("part-0.parquet"), "debris")
+    val staleHidden = root.resolve(".vacuum-v98"); Files.createDirectories(staleHidden)
+    staleV.toFile.setLastModified(System.currentTimeMillis() - 100000)
+    staleHidden.toFile.setLastModified(System.currentTimeMillis() - 100000)
+    // an IN-FLIGHT writer's fresh uncommitted dir must survive the sweep
+    val fresh = root.resolve("v100"); Files.createDirectories(fresh)
+    ParquetMergeSink.vacuum(wh, "t", keep = 1, debrisGraceMs = 50000)
+    assert(!Files.exists(staleV), "stale uncommitted v-dir must be swept")
+    assert(!Files.exists(staleHidden), "stale .vacuum-* remnant must be swept")
+    assert(Files.exists(fresh), "fresh (possibly in-flight) dir must be spared")
+    assert(ParquetMergeSink.readCurrent(spark, wh, "t").get.count() == 1)
+  }
+
   test("JdbcUpsertSink: batched executor-side upsert into Derby (K2)") {
     val db = Files.createTempDirectory("graft_derby").toString + "/db"
     val url = s"jdbc:derby:$db;create=true"
