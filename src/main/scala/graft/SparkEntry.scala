@@ -990,6 +990,68 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
   }
 
+  /** The CLOSED drift loop over the versioned ANN index store
+    * ([[graft.llm.AnnIndexStore]]) — what t115's monitor feeds: two
+    * independent stores built from the same v1 corpus each receive a
+    * delta; the in-distribution delta measures drift ≈ 10⁶ ppm, stays
+    * below the 2×10⁶ threshold, writes NOTHING (byte-identical store,
+    * pinned in AnnIndexStoreSpec) and is absorbed by the
+    * frozen-centroid [[graft.llm.AnnIndexStore.appendDelta]]; the
+    * shifted delta (+3.0 per float — out of distribution) drives drift
+    * past threshold, triggering retrain + full rebuild + atomic
+    * `_CURRENT` swap. `parity` re-derives, IN the query, that the
+    * store's post-maintenance graph search equals the from-scratch
+    * reference (frozen-centroid merged search after append; one-call
+    * [[graft.llm.GraphAnn.nswTopK]] on the merged corpus after
+    * recluster) — so the hash pins both the integer drift census and
+    * the rebuilt-equals-fresh contract. Deterministic throughout
+    * (decimal centroids, integer ppm, total-order ties) → literal
+    * oracle. */
+  private def t132AnnDriftRecluster(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val deltaSame = e.filter(col("vec_id") % 5 === 0)
+    val deltaShift = deltaSame.select(col("vec_id"),
+      transform(col("embedding"), x => (x + lit(3.0f)).cast("float")).as("embedding"))
+    val root = scratch("annstore", dir)
+    val p = AnnIndexStore.Params(nCells = 16, iters = 2, numBuckets = 16,
+      m = 8, efConstruction = 48)
+    val q = e.filter(col("vec_id") < 20)
+    def parity(a: DataFrame, b: DataFrame): Long =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+    def scenario(name: String, delta: DataFrame): (String, Long, Int, Long, Long, Int) = {
+      val r = s"$root/$name"
+      AnnIndexStore.build(s, v1, "vec_id", "embedding", r, p)
+      val cents1 = AnnIndexStore.centroids(s, r)
+      val d = AnnIndexStore.reclusterIfDrifted(s, r, delta, "vec_id", "embedding",
+        thresholdPpm = 2000000L, p)
+      val vAfter =
+        if (d.reclustered) d.version
+        else AnnIndexStore.appendDelta(s, r, delta, "vec_id", "embedding", p)
+      val store = AnnIndexStore.searchGraph(s, r, q, "vec_id", "embedding",
+        k = 10, nprobe = 8, efSearch = 48)
+      val fresh =
+        if (d.reclustered)
+          graft.llm.GraphAnn.nswTopK(v1.unionByName(delta), q, "vec_id", "embedding",
+            k = 10, nCells = 16, nprobe = 8, iters = 2, m = 8,
+            efConstruction = 48, efSearch = 48)
+        else
+          graft.llm.GraphAnn.nswSearchAssigned(
+            Similarity.ivfAssignedIndex(v1.unionByName(delta), "vec_id", "embedding", cents1),
+            cents1, q, "vec_id", "embedding", k = 10, nprobe = 8,
+            m = 8, efConstruction = 48, efSearch = 48)
+      val mismatches = parity(store, fresh)
+      val nIndex = AnnIndexStore.assigned(s, r).count()
+      (name, d.driftPpm, if (d.reclustered) 1 else 0, vAfter, nIndex,
+        if (mismatches == 0L) 1 else 0)
+    }
+    Seq(scenario("in_dist", deltaSame), scenario("shifted", deltaShift))
+      .toDF("scenario", "drift_ppm", "reclustered", "version_after", "n_index", "parity")
+      .orderBy(col("scenario"))
+  }
+
   /** IVF assignment drift monitor
     * ([[graft.llm.Similarity.ivfCellStats]]): per-cell integer mean
     * squared distance of the v1 corpus vs the delta batch, both under
@@ -2216,6 +2278,7 @@ object SparkEntry {
     "t129_knn_graph_nsw" -> t129KnnGraphNsw _,
     "t130_knn_ivf_pruned" -> t130KnnIvfPruned _,
     "t131_knn_graph_persisted" -> t131KnnGraphPersisted _,
+    "t132_ann_drift_recluster" -> t132AnnDriftRecluster _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2712,6 +2775,7 @@ object SparkEntry {
       // persistence + delta maintenance change what is STORED, never the
       // answer: t131 must equal t129's independent literal byte-for-byte
       "t131_knn_graph_persisted" -> LiteralOracles.t129,
+      "t132_ann_drift_recluster" -> LiteralOracles.t132,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

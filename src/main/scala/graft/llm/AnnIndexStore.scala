@@ -1,0 +1,226 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.fs.Fs
+
+/** Versioned ANN index store — the durable, atomically-swappable home
+  * of the embedding family's FULL index state, closing the drift loop
+  * t115 only measured: centroids (the driver-side control plane), the
+  * cell-bucketed assignment layout (t130), and the persisted NSW
+  * adjacency (t131), all swapped together so a reader never sees a
+  * centroid set paired with another version's buckets.
+  *
+  * Layout (the [[graft.sinks.ParquetMergeSink]] idiom — versioned dirs,
+  * committed-only listing, atomic `_CURRENT` pointer; single-writer
+  * discipline per store root, as the reference's FIFO groups enforce
+  * per table, cf. /root/reference/second_lambda_function.py:44-88):
+  *
+  * {{{
+  *   root/v<N>/centroids/   (cell, centroid)      — kMeansIndex parquet
+  *   root/v<N>/assigned/    (id, vec, cell)       — PrunedIndex, key=cell
+  *   root/v<N>/graph/       (cell, src, dst, pos) — PrunedIndex, key=cell
+  *   root/v<N>/_SUCCESS                           — commit marker
+  *   root/_CURRENT                                — "v<N>", atomic swap
+  * }}}
+  *
+  * Maintenance ladder (all compute delta-bounded except where noted):
+  *  - [[appendDelta]] — frozen centroids; assignment grows by group
+  *    merge (no corpus re-scan, no re-assignment of old rows), the
+  *    graph by [[GraphAnn.mergeGraphEdgesForDelta]] (only touched
+  *    cells recompute; append-only cells CONTINUE the stored build).
+  *    The layout rewrite itself shuffles index rows once — thin rows,
+  *    derived state.
+  *  - [[reclusterIfDrifted]] — the decision [[Similarity.ivfCellStats]]
+  *    was built to feed: when the delta's global mean squared distance
+  *    under the CURRENT centroids degrades past `thresholdPpm` vs the
+  *    stored corpus baseline, retrain on stored ∪ delta and rebuild
+  *    everything as a new version; below threshold NOTHING is written
+  *    (the no-drift path provably leaves the store untouched — pinned
+  *    in AnnIndexStoreSpec by file-listing equality).
+  *
+  * Every step is deterministic (decimal centroids, integer ppm floors,
+  * total-order ties), so a reclustered store equals a fresh
+  * [[build]] on the merged corpus bit-for-bit — t132's oracle contract.
+  */
+object AnnIndexStore {
+
+  /** nCells from a target cell size: ⌈n / cellTarget⌉, floored at 1 —
+    * the auto-sizing rule that keeps PER-TASK memory (one cell's
+    * vectors + adjacency) bounded as the corpus grows, instead of
+    * letting a fixed nCells dilate cells linearly with n. At 100 TB
+    * this, not the shuffle, is the operator's scale limit. */
+  def autoCells(n: Long, cellTarget: Long): Int = {
+    require(cellTarget >= 1, s"cellTarget must be >= 1, got $cellTarget")
+    math.max(1L, (n + cellTarget - 1) / cellTarget).min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Index hyper-parameters, recorded once at [[build]] and reused by
+    * every maintenance step (a delta merged under different (m, ef)
+    * would silently break the delta==rebuild contract).
+    * `nCells` <= 0 ⇒ auto-size from `cellTarget` at (re)build time. */
+  final case class Params(nCells: Int = 16, cellTarget: Long = 10000L,
+                          iters: Int = 2, numBuckets: Int = 16,
+                          m: Int = 8, efConstruction: Int = 48,
+                          maxRecordsPerFile: Long = 0L)
+
+  /** Recluster decision: what [[reclusterIfDrifted]] saw and did. */
+  final case class Decision(driftPpm: Long, reclustered: Boolean, version: Long)
+
+  private def ptr(root: String): String = Fs.child(root, "_CURRENT")
+
+  /** Committed versions, ascending (a version counts only once its
+    * `_SUCCESS` marker exists — an in-flight build is invisible). */
+  def versions(root: String): Seq[Long] =
+    if (!Fs.exists(root)) Seq.empty
+    else Fs.list(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+          s.drop(1).forall(_.isDigit) &&
+          Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
+      .sorted
+
+  def currentVersion(root: String): Option[Long] =
+    if (Fs.exists(ptr(root))) Some(Fs.readString(ptr(root)).trim.drop(1).toLong) else None
+
+  def currentPath(root: String): Option[String] =
+    currentVersion(root).map(v => Fs.child(root, s"v$v"))
+
+  private def vPath(root: String, v: Long) = Fs.child(root, s"v$v")
+
+  /** The current centroid matrix — k rows of dim doubles, driver-side
+    * control state (same class as a BPE merge table). */
+  def centroids(spark: SparkSession, root: String): Array[(Int, Array[Double])] =
+    Similarity.centroidsOf(spark.read.parquet(
+      Fs.child(currentPath(root).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root")), "centroids")))
+
+  /** The current assignment frame (id, vec, cell) — the corpus as the
+    * index stores it; full (unpruned) view. */
+  def assigned(spark: SparkSession, root: String): DataFrame =
+    graft.sources.PrunedIndex.read(spark, Fs.child(currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root")), "assigned"))
+
+  private def writeVersion(spark: SparkSession, root: String, v: Long,
+                           cents: Array[(Int, Array[Double])],
+                           assignedDf: DataFrame, edges: DataFrame,
+                           idCol: String, vecCol: String, p: Params): Long = {
+    import spark.implicits._
+    val dir = vPath(root, v)
+    cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids"))
+    graft.sources.PrunedIndex.write(
+      assignedDf.select(col(idCol), col(vecCol), col("cell")),
+      Fs.child(dir, "assigned"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
+    graft.sources.PrunedIndex.write(
+      edges.select(col("cell"), col("src"), col("dst"), col("pos")),
+      Fs.child(dir, "graph"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
+    Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
+    Fs.writeStringAtomic(ptr(root), s"v$v")
+    v
+  }
+
+  private def resolveCells(corpus: DataFrame, p: Params): Int =
+    if (p.nCells > 0) p.nCells else autoCells(corpus.count(), p.cellTarget)
+
+  /** Train + assign + graph + persist as the store's first (or next)
+    * version. Returns the committed version number. */
+  def build(spark: SparkSession, corpus: DataFrame,
+            idCol: String, vecCol: String, root: String, p: Params): Long = {
+    val cents = Similarity.kMeansCentroids(corpus, idCol, vecCol, resolveCells(corpus, p), p.iters)
+    val assignedDf = Similarity.ivfAssignedIndex(corpus, idCol, vecCol, cents)
+    val edges = GraphAnn.buildGraphEdges(assignedDf, idCol, vecCol, p.m, p.efConstruction)
+    writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
+      cents, assignedDf, edges, idCol, vecCol, p)
+  }
+
+  /** Absorb a delta under FROZEN centroids: assignment group-merges
+    * (old rows never re-assigned, corpus never re-scanned), the graph
+    * delta-merges ([[GraphAnn.mergeGraphEdgesForDelta]] — only touched
+    * cells recompute), and the result lands as a new committed version
+    * with an atomic pointer swap. Search after == search over a
+    * from-scratch build at the same centroids (the t131 contract). */
+  def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
+                  idCol: String, vecCol: String, p: Params): Long = {
+    val cur = currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val cents = centroids(spark, root)
+    val oldAssigned = assigned(spark, root)
+    val deltaAssigned = Similarity.ivfAssignedIndex(delta, idCol, vecCol, cents)
+    val merged = graft.operators.Relational.mergeReplaceGroups(
+      oldAssigned, deltaAssigned, Seq(idCol))
+    val edges = GraphAnn.mergeGraphEdgesForDelta(spark, Fs.child(cur, "graph"),
+      oldAssigned, deltaAssigned, idCol, vecCol, p.m, p.efConstruction)
+    writeVersion(spark, root, currentVersion(root).get + 1,
+      cents, merged, edges, idCol, vecCol, p)
+  }
+
+  /** Global integer drift of a delta batch vs the stored corpus under
+    * the CURRENT centroids: (delta mean d²_ppm · 10⁶) DIV (corpus mean
+    * d²_ppm, floored at 1). 1 000 000 = "delta fits exactly as well as
+    * the corpus"; 2 000 000 = twice the mean squared distance. Pure
+    * integer arithmetic over [[Similarity.ivfCellStats]]'s per-vector
+    * ppm floors — deterministic, partition-independent. */
+  def driftPpm(spark: SparkSession, root: String, delta: DataFrame,
+               idCol: String, vecCol: String): Long = {
+    val cents = centroids(spark, root)
+    def globalMean(df: DataFrame): Long = {
+      val r = Similarity.ivfCellStats(df, idCol, vecCol, cents)
+        .agg(sum(col("n")).as("n"),
+          sum(col("mean_d2_ppm") * col("n")).as("s"))
+        .select(expr("s DIV n")).collect()(0)
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    val base = globalMean(assigned(spark, root))
+    val dlt = globalMean(delta)
+    dlt * 1000000L / math.max(base, 1L)
+  }
+
+  /** The closed drift loop: measure the delta's drift; above
+    * `thresholdPpm`, retrain centroids on stored ∪ delta and rebuild
+    * assignment + graph as a new version (atomic swap — equal to a
+    * fresh [[build]] on the merged corpus, bit-for-bit, by
+    * determinism); at or below threshold, write NOTHING and leave the
+    * store byte-identical (the caller absorbs the delta with
+    * [[appendDelta]], the frozen-centroid path). Returns what it saw
+    * and did. */
+  def reclusterIfDrifted(spark: SparkSession, root: String, delta: DataFrame,
+                         idCol: String, vecCol: String,
+                         thresholdPpm: Long, p: Params): Decision = {
+    val drift = driftPpm(spark, root, delta, idCol, vecCol)
+    if (drift <= thresholdPpm)
+      Decision(drift, reclustered = false, currentVersion(root).get)
+    else {
+      val mergedCorpus = graft.operators.Relational.mergeReplaceGroups(
+        assigned(spark, root).select(col(idCol), col(vecCol)),
+        delta.select(col(idCol), col(vecCol)), Seq(idCol))
+      val v = build(spark, mergedCorpus, idCol, vecCol, root, p)
+      Decision(drift, reclustered = true, v)
+    }
+  }
+
+  /** Graph search over the CURRENT version — probe-bounded reads of
+    * the assignment and edge buckets, graphs reconstructed from stored
+    * edges ([[GraphAnn.nswSearchGraph]]). */
+  def searchGraph(spark: SparkSession, root: String, queries: DataFrame,
+                  idCol: String, vecCol: String, k: Int,
+                  nprobe: Int = 4, efSearch: Int = 48): DataFrame = {
+    val cur = currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    GraphAnn.nswSearchGraph(spark, Fs.child(cur, "assigned"), Fs.child(cur, "graph"),
+      centroids(spark, root), queries, idCol, vecCol, k, nprobe, efSearch)
+  }
+
+  /** IVF (exhaustive-within-probed-cells) search over the CURRENT
+    * version's pruned assignment — the [[Similarity
+    * .ivfSearchPrunedAdaptive]] path at store level. */
+  def searchIvf(spark: SparkSession, root: String, queries: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                minProbe: Int = 4, maxProbe: Int = 8,
+                ratioPpm: Long = 2000000L): DataFrame = {
+    val cur = currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    Similarity.ivfSearchPrunedAdaptive(spark, Fs.child(cur, "assigned"),
+      centroids(spark, root), queries, idCol, vecCol, k, minProbe, maxProbe, ratioPpm)
+  }
+}

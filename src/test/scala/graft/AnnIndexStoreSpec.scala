@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions.{lit, transform}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{AnnIndexStore, GraphAnn, Similarity}
+import graft.llm.AnnIndexStore.Params
+
+class AnnIndexStoreSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private val P = Params(nCells = 4, iters = 2, numBuckets = 4, m = 4, efConstruction = 12)
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("query_id", "rank", "neighbor_id", "cos_sim")
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+  /** Recursive (relative path, length) listing — byte-level "the store
+    * was not touched" witness (mtime alone can survive a rewrite). */
+  private def listing(root: String): Set[(String, Long)] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.Set.empty[(String, Long)]
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out += ((base.relativize(p).toString, java.nio.file.Files.size(p)))
+    }
+    out.toSet
+  }
+
+  test("build + searchGraph == the one-call nswTopK, bit-equal") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annstore").toString + "/s"
+    val v = AnnIndexStore.build(spark, embs, "vec_id", "embedding", root, P)
+    assert(v == 1L && AnnIndexStore.currentVersion(root).contains(1L))
+    val q = embs.filter($"vec_id" < 6)
+    val store = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12)
+    val oneCall = GraphAnn.nswTopK(embs, q, "vec_id", "embedding",
+      k = 4, nCells = 4, nprobe = 2, iters = 2, m = 4, efConstruction = 12, efSearch = 12)
+    assert(rows(store).nonEmpty && rows(store) == rows(oneCall))
+  }
+
+  test("appendDelta under frozen centroids == fresh assignment search; versions advance") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annstore2").toString + "/s"
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P)
+    val cents = AnnIndexStore.centroids(spark, root)
+    val v2 = AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", P)
+    assert(v2 == 2L && AnnIndexStore.versions(root) == Seq(1L, 2L))
+    val q = embs.filter($"vec_id" < 6)
+    val store = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12)
+    val fresh = GraphAnn.nswSearchAssigned(
+      Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents), cents,
+      q, "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12)
+    assert(rows(store) == rows(fresh))
+  }
+
+  test("no drift: reclusterIfDrifted writes NOTHING — store byte-identical") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annstore3").toString + "/s"
+    val v1 = embs.filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P)
+    val before = listing(root)
+    val d = AnnIndexStore.reclusterIfDrifted(spark, root, delta, "vec_id", "embedding",
+      thresholdPpm = 2000000L, P)
+    assert(!d.reclustered && d.version == 1L)
+    assert(d.driftPpm > 0L && d.driftPpm <= 2000000L, s"drift ${d.driftPpm}")
+    assert(listing(root) == before)
+  }
+
+  test("drifted delta: recluster fires, new version == fresh build on the merged corpus") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annstore4").toString + "/s"
+    val v1 = embs.select($"vec_id", $"embedding").filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0).select($"vec_id",
+      transform($"embedding", x => (x + lit(3.0f)).cast("float")).as("embedding"))
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P)
+    val d = AnnIndexStore.reclusterIfDrifted(spark, root, delta, "vec_id", "embedding",
+      thresholdPpm = 2000000L, P)
+    assert(d.reclustered && d.driftPpm > 2000000L && d.version == 2L)
+    assert(AnnIndexStore.currentVersion(root).contains(2L))
+    val q = embs.filter($"vec_id" < 6)
+    val store = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12)
+    val fresh = GraphAnn.nswTopK(v1.unionByName(delta), q, "vec_id", "embedding",
+      k = 4, nCells = 4, nprobe = 2, iters = 2, m = 4, efConstruction = 12, efSearch = 12)
+    assert(rows(store).nonEmpty && rows(store) == rows(fresh))
+  }
+
+  test("autoCells keeps MEAN cell size bounded as the corpus scales (nCells grows, not cells)") {
+    assert(AnnIndexStore.autoCells(100L, 50L) == 2)
+    assert(AnnIndexStore.autoCells(101L, 50L) == 3)
+    assert(AnnIndexStore.autoCells(1L, 1000L) == 1)
+    // ×8 corpus via shifted-id replicas: auto-sizing must scale nCells
+    // ∝ n so the mean cell (≈ the per-task graph build) stays at the
+    // target instead of dilating 8×
+    val rep = (0 until 8).map(i => embs.select(($"vec_id" + lit(i * 1000L)).as("vec_id"),
+      $"embedding")).reduce(_ unionByName _)
+    val auto = P.copy(nCells = 0, cellTarget = 100L)
+    def meanCell(corpus: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val root = java.nio.file.Files.createTempDirectory("graft_autocell").toString + "/s"
+      AnnIndexStore.build(spark, corpus, "vec_id", "embedding", root, auto)
+      val sizes = AnnIndexStore.assigned(spark, root)
+        .groupBy($"cell").count().as[(Int, Long)].collect().map(_._2)
+      (sizes.length.toLong, sizes.sum.toDouble / sizes.length)
+    }
+    // counts are NON-EMPTY cells: k-means may strand a seed (a cell
+    // that loses every member keeps its old centroid and stays empty),
+    // so the built count can undershoot ⌈n/target⌉ slightly — the pin
+    // is that it TRACKS n (×8 corpus → ~×8 cells) and the mean cell
+    // stays near the target instead of dilating ×8
+    val (k1, m1) = meanCell(embs)      //  500 rows → ⌈500/100⌉ = 5 cells
+    val (k8, m8) = meanCell(rep)       // 4000 rows → ⌈4000/100⌉ = 40 cells
+    assert(k1 == 5L && k8 >= 36L && k8 <= 40L, s"cells $k1 / $k8")
+    assert(m1 <= 125.0 && m8 <= 125.0, s"mean cells $m1 / $m8")
+  }
+}
