@@ -1945,6 +1945,41 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** [[t128CurationE2e]] as the DAILY BATCH a 100 TB deployment runs:
+    * the corpus arrives in two installments; the first builds the
+    * persisted curation state ([[graft.llm.Curation.buildState]] —
+    * thin scalars, shingle index, near-dup pairs, clean set, LM
+    * census, gram index — all parquet round-tripped here, the honest
+    * persisted path), and the second flows through
+    * [[graft.llm.Curation.fullPipelineLedgerDelta]]: delta-bounded
+    * TEXT compute (only the delta is shingled / scrubbed / censused;
+    * pairs grow by [[graft.llm.Dedup.jaccardDeltaPairs]] against the
+    * stored index) while survivorship, the LM model shift, quotas and
+    * packing re-derive globally from THIN frames. The oracle IS
+    * t128's full-rebuild DuckDB twin verbatim: incremental execution
+    * changes what is scanned, never the ledger (delta == rebuild,
+    * pinned frame-equal in CurationSpec). */
+  private def t133CurationDelta(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val old = d.filter(col("doc_id") % 4 =!= 3)
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val root = scratch("curstate", dir)
+    val st = graft.llm.Curation.buildState(old, "doc_id", "text",
+      "n_chars", "source", bench, "text")
+    def rt(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$root/$name")
+      s.read.parquet(s"$root/$name")
+    }
+    val persisted = graft.llm.Curation.State(rt(st.thin, "thin"),
+      rt(st.shingles, "shingles"), rt(st.pairs, "pairs"),
+      rt(st.cleanIds, "clean"), rt(st.census, "census"),
+      rt(st.gramIndex, "grams"))
+    graft.llm.Curation.fullPipelineLedgerDelta(persisted, delta,
+        "doc_id", "text", "n_chars", "source")
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2279,6 +2314,7 @@ object SparkEntry {
     "t130_knn_ivf_pruned" -> t130KnnIvfPruned _,
     "t131_knn_graph_persisted" -> t131KnnGraphPersisted _,
     "t132_ann_drift_recluster" -> t132AnnDriftRecluster _,
+    "t133_curation_delta" -> t133CurationDelta _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2422,7 +2458,7 @@ object SparkEntry {
     val cosine = s"""CASE WHEN $cosNorms = 0 THEN 0.0
         ELSE ${ddot("a.embedding", "b.embedding")} / ($cosNorms) END"""
 
-    Map(
+    val base = Map(
       "q01_pricing_summary" ->
         """SELECT l_returnflag, l_linestatus,
           sum(l_quantity) AS sum_qty,
@@ -3798,6 +3834,10 @@ object SparkEntry {
           SELECT vec_id FROM embeddings WHERE vec_id NOT IN (SELECT id FROM losers)
           ORDER BY vec_id""",
     )
+    // the incremental form changes what is SCANNED (delta-bounded text
+    // compute over persisted state), never the ledger: t133's oracle IS
+    // t128's full-rebuild DuckDB twin, verbatim
+    base + ("t133_curation_delta" -> base("t128_curation_e2e"))
   }
 }
 

@@ -160,4 +160,148 @@ object Curation {
           .when(col("n_assigned") === 1L, "packed")
           .otherwise("pack_lost").as("verdict"))
   }
+
+  /** The persisted state an INCREMENTAL curation deployment maintains
+    * between daily batches — every frame is text-free or derived-once:
+    *  - `thin` (id, score, source, n_tokens): the per-doc scalars every
+    *    stage consumes (keep-best score, mixture source, packing
+    *    weight);
+    *  - `shingles`: [[Dedup.containmentIndex]] at the pipeline's
+    *    shingleN — the projection [[Dedup.jaccardDeltaPairs]] probes;
+    *  - `pairs` (a_id, b_id, jaccard): the near-dup pairs among state
+    *    docs;
+    *  - `cleanIds` (id): docs with < minShared grams shared with the
+    *    benchmark (a per-doc property of (text, bench) — stable until
+    *    the bench changes);
+    *  - `census` (id, tok, n): [[TextAnalysis.unigramCensus]] — the LM
+    *    state; corpus-level counts re-aggregate from it thinly;
+    *  - `gramIndex`: the persisted benchmark gram index (t81) the
+    *    delta is scrubbed against.
+    * All six are plain DataFrames — parquet round-trips verbatim. */
+  final case class State(thin: DataFrame, shingles: DataFrame, pairs: DataFrame,
+                         cleanIds: DataFrame, census: DataFrame, gramIndex: DataFrame)
+
+  /** Derive the [[State]] for a corpus — the one-time batch cost the
+    * delta path amortizes. Parameters must match the ledger call's. */
+  def buildState(docs: DataFrame, idCol: String, textCol: String,
+                 scoreCol: String, sourceCol: String,
+                 bench: DataFrame, benchTextCol: String,
+                 shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+                 gramN: Int = 8, minShared: Int = 2): State = {
+    val idx = Decontaminate.benchGramIndex(bench, benchTextCol, gramN)
+    State(
+      thin = docs.select(col(idCol), col(scoreCol), col(sourceCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      shingles = Dedup.containmentIndex(docs, idCol, textCol, shingleN),
+      pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
+        n = shingleN, threshold = jaccardThreshold),
+      cleanIds = Decontaminate.scrubAgainstGramIndex(docs, idCol, textCol,
+        idx, gramN, minShared).select(col(idCol)),
+      census = TextAnalysis.unigramCensus(docs, idCol, textCol),
+      gramIndex = idx)
+  }
+
+  /** The state after absorbing a delta — what the deployment writes
+    * back after each batch. Text compute is delta-bounded: only the
+    * delta is shingled, scrubbed and token-censused; `pairs` grows by
+    * [[Dedup.jaccardDeltaPairs]] against the persisted shingle index.
+    * Delta ids are assumed NEW (the daily-batch contract; re-uploads
+    * go through the replace semantics of the underlying delta
+    * operators before this layer). */
+  def mergeState(state: State, delta: DataFrame, idCol: String, textCol: String,
+                 scoreCol: String, sourceCol: String,
+                 shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+                 gramN: Int = 8, minShared: Int = 2): State = {
+    val deltaPairs = Dedup.jaccardDeltaPairs(delta, idCol, textCol,
+      state.shingles, n = shingleN, threshold = jaccardThreshold)
+    State(
+      thin = state.thin.unionByName(delta.select(col(idCol), col(scoreCol),
+        col(sourceCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))),
+      shingles = state.shingles.unionByName(
+        Dedup.containmentIndex(delta, idCol, textCol, shingleN)),
+      pairs = state.pairs.unionByName(deltaPairs),
+      cleanIds = state.cleanIds.unionByName(
+        Decontaminate.scrubAgainstGramIndex(delta, idCol, textCol,
+          state.gramIndex, gramN, minShared).select(col(idCol))),
+      census = state.census.unionByName(
+        TextAnalysis.unigramCensus(delta, idCol, textCol)),
+      gramIndex = state.gramIndex)
+  }
+
+  /** [[fullPipelineLedger]] over persisted state ∪ delta — the
+    * daily-batch form of t128. Produces the ledger for EVERY doc (old
+    * and delta) and must hash-equal the full rebuild on the merged
+    * corpus (pinned in CurationSpec; t133's oracle IS t128's DuckDB
+    * twin), while the per-batch TEXT compute is delta-bounded:
+    *
+    *  - stage 1: pairs(old∪delta) = state.pairs ∪
+    *    [[Dedup.jaccardDeltaPairs]] (exact — the prefix filter is
+    *    complete under any global order and verification is exact
+    *    Jaccard); keep-best then re-runs over the THIN pair/score
+    *    frames (cluster membership can change for old docs — a new doc
+    *    may join and win an old cluster — so survivorship is global,
+    *    but no text moves);
+    *  - stage 2: contamination is a per-doc property of (text, bench);
+    *    old verdicts come from state.cleanIds, only the delta is
+    *    scrubbed against the persisted gram index;
+    *  - stage 3: the LM retrains by MERGING censuses (corpus counts
+    *    re-aggregate thinly) and every doc re-scores from its stored
+    *    census rows — the model shift the delta induces reaches old
+    *    docs without re-tokenizing them;
+    *  - stage 4: quotas re-derive from the post-delta survivor counts
+    *    (driver-side #sources rows);
+    *  - stage 5: BFD packs from the stored n_tokens.
+    *
+    * The merged state to persist for the NEXT batch is
+    * [[mergeState]] (same delta operators — build it once, reuse). */
+  def fullPipelineLedgerDelta(state: State, delta: DataFrame,
+                              idCol: String, textCol: String,
+                              scoreCol: String, sourceCol: String,
+                              shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+                              gramN: Int = 8, minShared: Int = 2,
+                              minAvgLogProbPpm: Long = -4930000L,
+                              targetPpm: Long = 300000L,
+                              capacity: Long = 128L, nBuckets: Int = 8): DataFrame = {
+    val merged = mergeState(state, delta, idCol, textCol, scoreCol, sourceCol,
+      shingleN, jaccardThreshold, gramN, minShared)
+    def checkpointIds(df: DataFrame): DataFrame =
+      df.select(col(idCol)).localCheckpoint()
+    val allThin = merged.thin.localCheckpoint()
+    // 1 — keep-best over the merged pair set (thin frames only)
+    val survIds = checkpointIds(Dedup.dedupByPairsKeepBest(
+      allThin, idCol, scoreCol, merged.pairs, "a_id", "b_id"))
+    // 2 — per-doc contamination: survivors ∩ clean
+    val cleanIds = checkpointIds(
+      survIds.join(merged.cleanIds, Seq(idCol), "left_semi"))
+    // 3 — quality floor under the post-delta LM (census-scored)
+    val qualIds = checkpointIds(
+      TextAnalysis.unigramLogProbPpmFromCensus(merged.census, idCol)
+        .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
+    val quality = allThin.join(cleanIds, Seq(idCol), "left_semi")
+      .join(qualIds, Seq(idCol), "left_semi")
+    // 4 — temperature mix over what survived
+    val mixIds = checkpointIds(graft.operators.Sampling.temperatureMixtureSample(
+      quality, idCol, sourceCol, targetPpm))
+    val mixed = allThin.join(mixIds, Seq(idCol), "left_semi")
+    // 5 — pack from stored token counts
+    val packed = Packing.packBinsBFD(mixed, idCol, col("n_tokens"),
+        capacity, nBuckets)
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_assigned"))
+
+    def flag(df: DataFrame, name: String): DataFrame =
+      df.withColumn(name, lit(true))
+    allThin.select(col(idCol), col("n_tokens"))
+      .join(flag(survIds, "s_dedup"), Seq(idCol), "left")
+      .join(flag(cleanIds, "s_clean"), Seq(idCol), "left")
+      .join(flag(qualIds, "s_qual"), Seq(idCol), "left")
+      .join(flag(mixIds, "s_mix"), Seq(idCol), "left")
+      .join(packed, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        when(col("s_dedup").isNull, "near_dup")
+          .when(col("s_clean").isNull, "contaminated")
+          .when(col("s_qual").isNull, "low_quality")
+          .when(col("s_mix").isNull, "not_sampled")
+          .when(col("n_assigned") === 1L, "packed")
+          .otherwise("pack_lost").as("verdict"))
+  }
 }

@@ -429,6 +429,48 @@ object Dedup {
     verifyContainment(candidates, merged, threshold)
   }
 
+  /** Incremental [[jaccardNearDupPairs]]: all Jaccard-≥-t pairs with at
+    * least one end in `delta`, against a persisted
+    * [[containmentIndex]] of the existing corpus — corpus TEXT is
+    * never re-normalized or re-shingled; only the delta's text is
+    * scanned. Combined with the stored pair set, this reproduces the
+    * full rebuild EXACTLY: the ICDE'06 prefix filter is complete under
+    * ANY global shingle order (the df order is an optimization, not a
+    * correctness input) and verification is exact Jaccard of the true
+    * sets, so pairs(old ∪ delta) = pairs(old) ∪ this(delta, index) —
+    * the delta==rebuild contract, pinned in DedupSpec. Candidates pair
+    * the delta docs' prefixes against the full merged prefix index
+    * (both orientations, normalized to a_id < b_id); the df order is
+    * evaluated over the POST-DELTA corpus, and re-uploaded ids count
+    * only their delta revision (stale index rows anti-joined out).
+    * The merged index plan is persisted for the call — release with
+    * [[releaseContainmentDeltaCache]] (same plan, same cache entry). */
+  def jaccardDeltaPairs(delta: DataFrame, idCol: String, textCol: String,
+                        corpusIndex: DataFrame,
+                        n: Int = 3, threshold: Double = 0.8,
+                        dfHeadSize: Int = 100000): DataFrame = {
+    import graft.functions.expr.PrefixShingles
+    val merged = containmentMergedPlan(delta, idCol, textCol, corpusIndex, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val (dfHead, _) = dfHeadOf(merged, dfHeadSize)
+    def prefixOf(ws: DataFrame): DataFrame = ws.select(
+      explode(PrefixShingles(col("sh"), threshold, dfHead)).as("shingle"),
+      col("id"), col("sz"))
+    val d = prefixOf(merged.join(broadcast(deltaIds), Seq("id"), "left_semi"))
+      .select(col("shingle"), col("id").as("d_id"), col("sz").as("d_sz"))
+    val o = prefixOf(merged)
+      .select(col("shingle"), col("id").as("o_id"), col("sz").as("o_sz"))
+    val candidates = d.join(o, Seq("shingle"))
+      .filter(col("d_id") =!= col("o_id"))
+      .filter(least(col("d_sz"), col("o_sz")) >=
+        lit(threshold) * greatest(col("d_sz"), col("o_sz")))
+      .select(least(col("d_id"), col("o_id")).as("a_id"),
+        greatest(col("d_id"), col("o_id")).as("b_id"))
+      .distinct()
+    verifyJaccard(candidates, merged, threshold)
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs.
     * Array-form deliberately — see [[verifyContainment]]'s shape note
     * for the measured comparison against a thin PPJoin-style count. */

@@ -105,11 +105,27 @@ object TextAnalysis {
     * would drift by ulps across topologies). Same two thin map-side-
     * combined shuffles as [[rareTokenStats]]; the corpus text never
     * moves. */
-  def unigramLogProbPpm(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val pairs = docs
-      .select(col(idCol).as("id"),
+  def unigramLogProbPpm(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    unigramLogProbPpmFromCensus(unigramCensus(docs, idCol, textCol), idCol)
+
+  /** The per-document token census (id, tok, n) [[unigramLogProbPpm]]
+    * scores from — the LM state an incremental curation deployment
+    * PERSISTS: it is mergeable (a delta's census rows union in; the
+    * corpus-level counts are a thin re-aggregate of the doc-term
+    * frame, no text re-scan), and scoring any corpus snapshot from its
+    * census is bit-identical to scoring from text (the frames are
+    * equal by construction — pinned in TextAnalysisSpec). */
+  def unigramCensus(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
         explode(tokens(normalizeText(col(textCol)))).as("tok"))
       .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("n"))
+
+  /** [[unigramLogProbPpm]]'s scoring tail over a persisted (or merged)
+    * [[unigramCensus]] — the LM "model update" of an incremental
+    * pipeline: corpus counts re-aggregate from the census (thin), and
+    * every document re-scores under the updated distribution without
+    * its text ever being re-tokenized. */
+  def unigramLogProbPpmFromCensus(pairs: DataFrame, idCol: String): DataFrame = {
     val vocab = pairs.groupBy(col("tok")).agg(sum(col("n")).as("c"))
     val total = lit(vocab.agg(sum(col("c"))).collect()(0).getLong(0))
     // +1e-4 ppm guard before the floor, mirrored verbatim in the oracle

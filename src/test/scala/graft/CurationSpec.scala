@@ -124,6 +124,36 @@ class CurationSpec extends AnyFunSuite {
     graft.llm.Dedup.releaseShingleSetCache(d, "doc_id", "text")
   }
 
+  test("fullPipelineLedgerDelta over parquet-persisted state == full rebuild on the merged corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = d.filter($"doc_id" % 4 =!= 3)
+    val delta = d.filter($"doc_id" % 4 === 3)
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val st = Curation.buildState(old, "doc_id", "text", "n_chars", "source",
+      bench, "text")
+    // round-trip the whole state through parquet — the persisted form a
+    // daily-batch deployment actually reads
+    val root = java.nio.file.Files.createTempDirectory("graft_curstate").toString
+    def rt(df: org.apache.spark.sql.DataFrame, name: String) = {
+      df.write.mode("overwrite").parquet(s"$root/$name")
+      spark.read.parquet(s"$root/$name")
+    }
+    val persisted = Curation.State(rt(st.thin, "thin"), rt(st.shingles, "shingles"),
+      rt(st.pairs, "pairs"), rt(st.cleanIds, "clean"), rt(st.census, "census"),
+      rt(st.gramIndex, "grams"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"verdict")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val deltaLedger = Curation.fullPipelineLedgerDelta(persisted, delta,
+      "doc_id", "text", "n_chars", "source")
+    val rebuild = Curation.fullPipelineLedger(d, "doc_id", "text",
+      scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+    assert(rows(deltaLedger).nonEmpty && rows(deltaLedger) == rows(rebuild))
+    graft.llm.Dedup.releaseShingleSetCache(old, "doc_id", "text")
+    graft.llm.Dedup.releaseShingleSetCache(d, "doc_id", "text")
+    spark.catalog.clearCache()
+  }
+
   test("verdicts and span scrub are partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter($"doc_id" % 50 === 0)

@@ -253,6 +253,45 @@ class DedupSpec extends AnyFunSuite {
     assert(!incremental.contains((1L, 3L)))
   }
 
+  test("jaccardDeltaPairs equals the full self-join restricted to delta-touching pairs") {
+    val delta = corpus.filter(col("doc_id") % 2 === 0)      // 0, 2, 4
+    val rest = corpus.filter(col("doc_id") % 2 =!= 0)       // 1, 3
+    val index = Dedup.containmentIndex(rest, "doc_id", "text", n = 3)
+
+    val incremental = Dedup.jaccardDeltaPairs(delta, "doc_id", "text", index,
+        n = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+
+    val deltaIds = Set(0L, 2L, 4L)
+    val full = Dedup.jaccardNearDupPairs(corpus, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(incremental == full.filter(p => deltaIds.contains(p._1) || deltaIds.contains(p._2)))
+    assert(incremental.contains((0L, 1L)) && incremental.contains((0L, 3L)))
+    // stored old pairs ∪ delta pairs reproduce the rebuild exactly
+    val oldPairs = Dedup.jaccardNearDupPairs(rest, "doc_id", "text",
+        n = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert((oldPairs ++ incremental) == full)
+    Dedup.releaseContainmentDeltaCache(delta, "doc_id", "text", index, 3)
+  }
+
+  test("jaccardDeltaPairs on the documents corpus: old pairs + delta pairs == rebuild") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = d.filter(col("doc_id") % 4 =!= 3)
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val index = Dedup.containmentIndex(old, "doc_id", "text", n = 3)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val oldPairs = pset(Dedup.jaccardNearDupPairs(old, "doc_id", "text"))
+    val deltaPairs = pset(Dedup.jaccardDeltaPairs(delta, "doc_id", "text", index))
+    val full = pset(Dedup.jaccardNearDupPairs(d, "doc_id", "text"))
+    assert(deltaPairs.nonEmpty && (oldPairs ++ deltaPairs) == full)
+    Dedup.releaseShingleSetCache(old, "doc_id", "text")
+    Dedup.releaseShingleSetCache(d, "doc_id", "text")
+    Dedup.releaseContainmentDeltaCache(delta, "doc_id", "text", index, 3)
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
