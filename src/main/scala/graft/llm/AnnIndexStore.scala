@@ -139,7 +139,12 @@ object AnnIndexStore {
     * delta-merges ([[GraphAnn.mergeGraphEdgesForDelta]] — only touched
     * cells recompute), and the result lands as a new committed version
     * with an atomic pointer swap. Search after == search over a
-    * from-scratch build at the same centroids (the t131 contract). */
+    * from-scratch build at the same centroids (the t131 contract).
+    * Re-uploaded ids REPLACE their stored rows end to end: the
+    * assignment by [[graft.operators.Relational.mergeReplaceGroups]],
+    * the graph by the displaced-node handling in
+    * [[GraphAnn.mergeGraphEdgesForDelta]] (the replaced id's old cell
+    * recomputes even when the updated vector lands elsewhere). */
   def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
                   idCol: String, vecCol: String, p: Params): Long = {
     val cur = currentPath(root).getOrElse(
@@ -151,7 +156,13 @@ object AnnIndexStore {
       oldAssigned, deltaAssigned, Seq(idCol))
     val edges = GraphAnn.mergeGraphEdgesForDelta(spark, Fs.child(cur, "graph"),
       oldAssigned, deltaAssigned, idCol, vecCol, p.m, p.efConstruction)
-    writeVersion(spark, root, currentVersion(root).get + 1,
+    // allocate past BOTH the last committed version and _CURRENT: after
+    // a crash between a writer's _SUCCESS land and its pointer swap,
+    // currentVersion+1 alone would rewrite that committed (marked) dir
+    // in place — a second crash mid-rewrite would then leave a
+    // "committed" version holding mixed content from two writes
+    writeVersion(spark, root,
+      math.max(versions(root).lastOption.getOrElse(0L), currentVersion(root).get) + 1,
       cents, merged, edges, idCol, vecCol, p)
   }
 

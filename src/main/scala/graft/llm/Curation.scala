@@ -207,7 +207,16 @@ object Curation {
     * [[Dedup.jaccardDeltaPairs]] against the persisted shingle index.
     * Delta ids are assumed NEW (the daily-batch contract; re-uploads
     * go through the replace semantics of the underlying delta
-    * operators before this layer). */
+    * operators before this layer).
+    *
+    * Cache obligation (the [[Dedup.fullPipelineLedger]]-style release
+    * contract): the returned `pairs` is backed by a merged shingle plan
+    * [[Dedup.jaccardDeltaPairs]] PERSISTS for the call — after
+    * materializing the state (parquet write / checkpoint), release it
+    * with [[Dedup.releaseContainmentDeltaCache]](delta, idCol, textCol,
+    * state.shingles, shingleN), or one cache pin accumulates per daily
+    * batch in a long-lived session. [[fullPipelineLedgerDelta]] does
+    * this itself. */
   def mergeState(state: State, delta: DataFrame, idCol: String, textCol: String,
                  scoreCol: String, sourceCol: String,
                  shingleN: Int = 3, jaccardThreshold: Double = 0.8,
@@ -270,6 +279,11 @@ object Curation {
     // 1 — keep-best over the merged pair set (thin frames only)
     val survIds = checkpointIds(Dedup.dedupByPairsKeepBest(
       allThin, idCol, scoreCol, merged.pairs, "a_id", "b_id"))
+    // survIds is checkpointed — the merged shingle plan jaccardDeltaPairs
+    // persisted inside mergeState has no remaining consumer; release it
+    // NOW so a long-lived session running one ledger per daily batch
+    // does not accumulate one cache pin per batch
+    Dedup.releaseContainmentDeltaCache(delta, idCol, textCol, state.shingles, shingleN)
     // 2 — per-doc contamination: survivors ∩ clean
     val cleanIds = checkpointIds(
       survIds.join(merged.cleanIds, Seq(idCol), "left_semi"))

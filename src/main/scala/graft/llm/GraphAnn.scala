@@ -179,7 +179,7 @@ object GraphAnn {
       path, Seq("cell"), numBuckets, maxRecordsPerFile)
 
   /** Delta maintenance of a persisted graph index: recompute edges for
-    * ONLY the cells the delta's vectors land in, CONTINUING each cell's
+    * ONLY the cells the delta touches, CONTINUING each cell's
     * sequential build from the stored adjacency when the delta is
     * append-only there (every new id > every existing id in the cell —
     * the insertion-order rule then makes the continued build identical
@@ -191,6 +191,17 @@ object GraphAnn {
     * index swap, delta-bounded compute; the t110/t112 maintenance
     * contract).
     *
+    * Re-uploads (a delta id already present in `oldAssigned`) DISPLACE
+    * the stale node — the [[graft.llm.Dedup.winnowingDeltaPairs]]
+    * superseded-key contract: the touched set includes the replaced
+    * ids' OLD cells (the updated vector may land elsewhere under the
+    * same centroids), the stale nodes and their stored edges are
+    * excluded from the rebuild, and any cell that lost a node rebuilds
+    * from scratch (its stored adjacency reflects an insertion sequence
+    * that no longer exists). The result equals a from-scratch
+    * [[buildGraphEdges]] on the post-replace assignment — pinned in
+    * GraphAnnSpec.
+    *
     * `oldAssigned` is the PRE-delta assignment and `deltaAssigned` the
     * delta's rows under the same centroids; pass the same
     * (m, efConstruction) the index was built with. */
@@ -200,21 +211,31 @@ object GraphAnn {
                               idCol: String, vecCol: String,
                               m: Int = 8, efConstruction: Int = 48): DataFrame = {
     import spark.implicits._
-    val touched = deltaAssigned.select(col("cell")).distinct()
+    val deltaIds = deltaAssigned.select(col(idCol)).distinct()
+    // stale rows a re-upload displaces — their OLD cells must recompute
+    // even when the updated vector lands in a different cell
+    val replacedOld = oldAssigned.join(broadcast(deltaIds), Seq(idCol), "left_semi")
+    val touched = deltaAssigned.select(col("cell"))
+      .unionByName(replacedOld.select(col("cell"))).distinct()
     val oldEdges = graft.sources.PrunedIndex.readPruned(spark, graphPath, touched)
     // one tagged frame so a single groupByKey(cell) co-locates a cell's
-    // old nodes (kind 0), stored edges (kind 1), and new nodes (kind 2)
+    // surviving old nodes (kind 0), stored edges (kind 1), new nodes
+    // (kind 2), and displaced-node markers (kind 3)
     def nodeRows(df: DataFrame, kind: Int) = df
       .join(touched, Seq("cell"), "left_semi")
       .select(col("cell"), lit(kind).as("kind"),
         col(idCol).cast("long").as("a"),
         transform(col(vecCol), x => x.cast("double")).as("v"),
         lit(0L).as("b"), lit(0).as("p"))
-    val tagged = nodeRows(oldAssigned, 0)
+    val tagged = nodeRows(
+        oldAssigned.join(broadcast(deltaIds), Seq(idCol), "left_anti"), 0)
       .unionByName(oldEdges.select(col("cell"), lit(1).as("kind"),
         col("src").as("a"), lit(null).cast("array<double>").as("v"),
         col("dst").as("b"), col("pos").as("p")))
       .unionByName(nodeRows(deltaAssigned, 2))
+      .unionByName(replacedOld
+        .select(col("cell"), lit(3).as("kind"), col(idCol).cast("long").as("a"),
+          lit(null).cast("array<double>").as("v"), lit(0L).as("b"), lit(0).as("p")))
       .as[(Int, Int, Long, Seq[Double], Long, Int)]
     val recomputed = tagged.groupByKey(_._1).flatMapGroups { (cell, it) =>
       val rows = it.toArray
@@ -223,8 +244,12 @@ object GraphAnn {
       val newNodes = rows.iterator.filter(_._2 == 2)
         .map(r => (r._3, r._4.toArray)).toArray.sortBy(_._1)
       val all = (oldNodes ++ newNodes).sortBy(_._1)
-      val appendOnly = oldNodes.isEmpty || newNodes.isEmpty ||
-        newNodes.head._1 > oldNodes.last._1
+      // a cell that lost a node cannot continue its stored build: the
+      // stored adjacency encodes an insertion sequence including the
+      // displaced node (its edges reference it) — rebuild from scratch
+      val lostNode = rows.exists(_._2 == 3)
+      val appendOnly = !lostNode && (oldNodes.isEmpty || newNodes.isEmpty ||
+        newNodes.head._1 > oldNodes.last._1)
       val g =
         if (appendOnly && oldNodes.nonEmpty && newNodes.nonEmpty) {
           // reconstruct the stored graph over the old prefix, then run

@@ -116,10 +116,24 @@ object ParquetMergeSink {
         name.startsWith("v") && name.drop(1).nonEmpty && name.drop(1).forall(_.isDigit) &&
         !committed.contains(name) && !cur.contains(name)
       val isVacuumRemnant = st.isDirectory && name.startsWith(".vacuum-")
+      // age by the NEWEST mtime anywhere in the tree, not the top-level
+      // dir's: a dir's mtime is set at creation and does not advance
+      // while a writer lands files in nested bucket subdirectories, so
+      // a single write (or compaction) running longer than the grace
+      // period would otherwise have its in-flight dir swept from under it
       if ((isStaleVersionDebris || isVacuumRemnant) &&
-          now - st.getModificationTime > debrisGraceMs)
+          now - treeMaxMtime(st) > debrisGraceMs)
         Fs.deleteRecursive(st.getPath.toString)
     }
+  }
+
+  /** Newest modification time across a directory tree (the dir's own
+    * mtime for an empty one) — the only staleness signal that keeps
+    * advancing while a long write is still landing nested files. */
+  private def treeMaxMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
+    val children =
+      if (st.isDirectory) Fs.list(st.getPath.toString).map(treeMaxMtime) else Nil
+    (st.getModificationTime +: children).max
   }
 
   // Per-table writer serialization — the engine-side analog of the

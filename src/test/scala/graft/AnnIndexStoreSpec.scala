@@ -58,6 +58,31 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(rows(store) == rows(fresh))
   }
 
+  test("appendDelta with re-uploads: stale rows displaced end to end == fresh search") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annstore5").toString + "/s"
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", root, P)
+    val cents = AnnIndexStore.centroids(spark, root)
+    // re-upload 3 existing ids with reversed vectors + 2 genuinely new ids
+    val reup = embs.filter($"vec_id".isin(3L, 17L, 40L))
+      .select($"vec_id", org.apache.spark.sql.functions.reverse($"embedding").as("embedding"))
+      .unionByName(embs.filter($"vec_id" < 2)
+        .select(($"vec_id" + lit(100000L)).as("vec_id"), $"embedding"))
+    AnnIndexStore.appendDelta(spark, root, reup, "vec_id", "embedding", P)
+    // exactly one row per id, and the re-uploaded ids carry the NEW vectors
+    val byId = AnnIndexStore.assigned(spark, root)
+      .groupBy($"vec_id").count().filter($"count" > 1L).count()
+    assert(byId == 0L, "duplicate ids in the merged assignment")
+    val q = embs.filter($"vec_id" < 6)
+    val store = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12)
+    val postReplace = embs.select($"vec_id", $"embedding")
+      .filter(!$"vec_id".isin(3L, 17L, 40L)).unionByName(reup)
+    val fresh = GraphAnn.nswSearchAssigned(
+      Similarity.ivfAssignedIndex(postReplace, "vec_id", "embedding", cents), cents,
+      q, "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12)
+    assert(rows(store).nonEmpty && rows(store) == rows(fresh))
+  }
+
   test("no drift: reclusterIfDrifted writes NOTHING — store byte-identical") {
     val root = java.nio.file.Files.createTempDirectory("graft_annstore3").toString + "/s"
     val v1 = embs.filter($"vec_id" % 5 =!= 0)

@@ -145,6 +145,49 @@ class GraphAnnSpec extends AnyFunSuite {
       edgeSet(storedUntouched))
   }
 
+  test("replacement delta: re-uploaded ids displace stale nodes == rebuild on post-replace corpus") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.kMeansCentroids(embs, "vec_id", "embedding", 4, 2)
+    def assignedOf(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAssignedIndex(df, "vec_id", "embedding", cents)
+    def edgeSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "src", "dst", "pos")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    val root = java.nio.file.Files.createTempDirectory("graft_nswreup").toString
+    GraphAnn.writeGraphIndex(
+      GraphAnn.buildGraphEdges(assignedOf(embs), "vec_id", "embedding",
+        m = 4, efConstruction = 12),
+      s"$root/g", numBuckets = 4)
+    // re-upload 3 existing ids with REVERSED vectors (different direction
+    // → likely a different cell under the same centroids) plus one NEW id
+    val reupIds = Seq(3L, 17L, 40L)
+    val reup = embs.filter($"vec_id".isin(reupIds: _*))
+      .select($"vec_id", org.apache.spark.sql.functions.reverse($"embedding").as("embedding"))
+      .unionByName(embs.filter($"vec_id" === 0L)
+        .select(($"vec_id" + org.apache.spark.sql.functions.lit(100000L)).as("vec_id"),
+          $"embedding"))
+    val thin = embs.select($"vec_id", $"embedding")
+    val merged = GraphAnn.mergeGraphEdgesForDelta(spark, s"$root/g",
+      assignedOf(embs), assignedOf(reup), "vec_id", "embedding", m = 4, efConstruction = 12)
+    // the stale rows' cells really did move for at least one re-upload —
+    // otherwise the displaced-old-cell path is untested
+    val oldCells = assignedOf(embs.filter($"vec_id".isin(reupIds: _*)))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    val newCells = assignedOf(reup.filter($"vec_id".isin(reupIds: _*)))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(reupIds.exists(id => oldCells(id) != newCells(id)),
+      s"fixture too weak: no re-upload changed cell ($oldCells vs $newCells)")
+    val postReplace = thin.filter(!$"vec_id".isin(reupIds: _*)).unionByName(reup)
+    val rebuild = GraphAnn.buildGraphEdges(assignedOf(postReplace), "vec_id", "embedding",
+      m = 4, efConstruction = 12)
+    assert(edgeSet(merged) == edgeSet(rebuild))
+    // no stale node survives: the replaced ids' edges in the merged frame
+    // all come from their NEW cells
+    val mergedCellsOfReup = merged.filter($"src".isin(reupIds: _*))
+      .select("src", "cell").distinct().as[(Long, Int)].collect().toMap
+    assert(reupIds.forall(id => mergedCellsOfReup.get(id).forall(_ == newCells(id))))
+  }
+
   test("search over a persisted assignment equals the one-call form") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = embs.filter($"vec_id" < 6)

@@ -93,13 +93,23 @@ class SinksSpec extends AnyFunSuite {
     Files.writeString(staleV.resolve("part-0.parquet"), "debris")
     val staleHidden = root.resolve(".vacuum-v98"); Files.createDirectories(staleHidden)
     staleV.toFile.setLastModified(System.currentTimeMillis() - 100000)
+    staleV.resolve("part-0.parquet").toFile.setLastModified(System.currentTimeMillis() - 100000)
     staleHidden.toFile.setLastModified(System.currentTimeMillis() - 100000)
     // an IN-FLIGHT writer's fresh uncommitted dir must survive the sweep
     val fresh = root.resolve("v100"); Files.createDirectories(fresh)
+    // and so must a LONG-RUNNING writer's dir whose top-level mtime is
+    // old (set at creation, never advanced) but which is still landing
+    // files in nested bucket subdirs — staleness is the TREE max mtime
+    val slow = root.resolve("v101")
+    Files.createDirectories(slow.resolve("part_bucket=0"))
+    Files.writeString(slow.resolve("part_bucket=0").resolve("part-0.parquet"), "in-flight")
+    slow.toFile.setLastModified(System.currentTimeMillis() - 100000)
+    slow.resolve("part_bucket=0").toFile.setLastModified(System.currentTimeMillis() - 100000)
     ParquetMergeSink.vacuum(wh, "t", keep = 1, debrisGraceMs = 50000)
     assert(!Files.exists(staleV), "stale uncommitted v-dir must be swept")
     assert(!Files.exists(staleHidden), "stale .vacuum-* remnant must be swept")
     assert(Files.exists(fresh), "fresh (possibly in-flight) dir must be spared")
+    assert(Files.exists(slow), "long-running writer's dir with a fresh nested file must be spared")
     assert(ParquetMergeSink.readCurrent(spark, wh, "t").get.count() == 1)
   }
 
