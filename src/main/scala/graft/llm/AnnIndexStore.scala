@@ -25,13 +25,20 @@ import graft.fs.Fs
   *   root/_CURRENT                                — "v<N>", atomic swap
   * }}}
   *
-  * Maintenance ladder (all compute delta-bounded except where noted):
+  * Maintenance ladder (compute AND write I/O delta-bounded except
+  * where noted):
   *  - [[appendDelta]] — frozen centroids; assignment grows by group
   *    merge (no corpus re-scan, no re-assignment of old rows), the
-  *    graph by [[GraphAnn.mergeGraphEdgesForDelta]] (only touched
+  *    graph by [[GraphAnn.recomputedGraphEdgesForDelta]] (only touched
   *    cells recompute; append-only cells CONTINUE the stored build).
-  *    The layout rewrite itself shuffles index rows once — thin rows,
-  *    derived state.
+  *    Only the TOUCHED buckets land new files
+  *    ([[graft.sources.PrunedIndex.writeDelta]]); untouched buckets'
+  *    existing files are stitched into the new version's manifests by
+  *    absolute path — per-batch write I/O is O(delta buckets), not
+  *    O(index). The stitch makes newer versions REFERENCE older
+  *    version dirs' files: retention is [[vacuum]] (reference-aware)
+  *    after [[compact]] (folds the current version self-contained),
+  *    never a bare directory delete.
   *  - [[reclusterIfDrifted]] — the decision [[Similarity.ivfCellStats]]
   *    was built to feed: when the delta's global mean squared distance
   *    under the CURRENT centroids degrades past `thresholdPpm` vs the
@@ -147,23 +154,102 @@ object AnnIndexStore {
     * recomputes even when the updated vector lands elsewhere). */
   def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
                   idCol: String, vecCol: String, p: Params): Long = {
+    import spark.implicits._
     val cur = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val cents = centroids(spark, root)
     val oldAssigned = assigned(spark, root)
     val deltaAssigned = Similarity.ivfAssignedIndex(delta, idCol, vecCol, cents)
+    // touched = the delta's cells plus any re-uploaded id's OLD cell
+    // (the displaced row must leave its bucket) — the same set the
+    // graph recompute derives
+    val deltaIds = delta.select(col(idCol)).distinct()
+    val touchedCells = deltaAssigned.select(col("cell"))
+      .unionByName(oldAssigned.join(broadcast(deltaIds), Seq(idCol), "left_semi")
+        .select(col("cell")))
+      .distinct().localCheckpoint()
     val merged = graft.operators.Relational.mergeReplaceGroups(
       oldAssigned, deltaAssigned, Seq(idCol))
-    val edges = GraphAnn.mergeGraphEdgesForDelta(spark, Fs.child(cur, "graph"),
-      oldAssigned, deltaAssigned, idCol, vecCol, p.m, p.efConstruction)
+    val touchedAssigned = merged.join(touchedCells, Seq("cell"), "left_semi")
+    val (_, recomputedEdges) = GraphAnn.recomputedGraphEdgesForDelta(spark,
+      Fs.child(cur, "graph"), oldAssigned, deltaAssigned, idCol, vecCol,
+      p.m, p.efConstruction)
     // allocate past BOTH the last committed version and _CURRENT: after
     // a crash between a writer's _SUCCESS land and its pointer swap,
     // currentVersion+1 alone would rewrite that committed (marked) dir
     // in place — a second crash mid-rewrite would then leave a
     // "committed" version holding mixed content from two writes
+    val v = math.max(versions(root).lastOption.getOrElse(0L),
+      currentVersion(root).get) + 1
+    val dir = vPath(root, v)
+    // WRITE I/O is delta-bounded, not O(index): only the touched cells'
+    // buckets land new files under the new version dir; untouched
+    // buckets' existing files are stitched into the new manifests by
+    // absolute path (PrunedIndex.writeDelta). The version remains an
+    // atomic multi-component swap (_SUCCESS + _CURRENT) but now
+    // REFERENCES older version dirs' files — retention goes through
+    // [[vacuum]]/[[compact]], never a bare directory delete.
+    cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids"))
+    graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
+      touchedAssigned.select(col(idCol), col(vecCol), col("cell")),
+      touchedCells, basePath = Some(Fs.child(cur, "assigned")), p.maxRecordsPerFile)
+    graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "graph"),
+      recomputedEdges.select(col("cell"), col("src"), col("dst"), col("pos")),
+      touchedCells, basePath = Some(Fs.child(cur, "graph")), p.maxRecordsPerFile)
+    Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
+    Fs.writeStringAtomic(ptr(root), s"v$v")
+    v
+  }
+
+  /** Absolute file entries the given versions' component manifests
+    * reference — the retention dependency set [[vacuum]] honors. */
+  private def referencedEntries(root: String, vs: Seq[Long]): Set[String] =
+    vs.flatMap { v =>
+      Seq("assigned", "graph").flatMap { comp =>
+        val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
+        if (!Fs.exists(mp)) Nil
+        else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
+          .map(l => l.substring(l.indexOf('\t') + 1))
+          .filter(e => e.startsWith("/") || e.contains("://")).toSeq
+      }
+    }.toSet
+
+  /** Re-land the CURRENT version as a SELF-CONTAINED new version (all
+    * buckets' files local — no stitched references into older version
+    * dirs), under the same centroids, assignment and adjacency:
+    * searches are unchanged, only the layout folds flat. The compaction
+    * step that makes [[vacuum]] able to drop every older version —
+    * run it on whatever cadence bounds the reference-chain depth
+    * (weekly against daily deltas, say). */
+  def compact(spark: SparkSession, root: String,
+              idCol: String, vecCol: String, p: Params): Long = {
+    val cur = currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val edges = graft.sources.PrunedIndex.read(spark, Fs.child(cur, "graph"))
     writeVersion(spark, root,
       math.max(versions(root).lastOption.getOrElse(0L), currentVersion(root).get) + 1,
-      cents, merged, edges, idCol, vecCol, p)
+      centroids(spark, root), assigned(spark, root), edges, idCol, vecCol, p)
+  }
+
+  /** Retention: drop committed versions beyond the newest `keep`
+    * (always sparing the current pointer's), but NEVER a version dir
+    * whose files a retained version's manifest still references
+    * (delta-stitched chains) — those are sparable only after a
+    * [[compact]] folds the current version flat. Returns the dropped
+    * version numbers. */
+  def vacuum(root: String, keep: Int = 1): Seq[Long] = {
+    val all = versions(root)
+    val cur = currentVersion(root)
+    val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
+    val refs = referencedEntries(root, retained)
+    val dropped = all.filterNot(retained.contains).filter { v =>
+      val dir = vPath(root, v)
+      val stillReferenced = refs.exists(_.startsWith(dir + "/"))
+      if (!stillReferenced) Fs.deleteRecursive(dir)
+      !stillReferenced
+    }
+    dropped
   }
 
   /** Global integer drift of a delta batch vs the stored corpus under

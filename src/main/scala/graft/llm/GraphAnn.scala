@@ -210,6 +210,24 @@ object GraphAnn {
                               oldAssigned: DataFrame, deltaAssigned: DataFrame,
                               idCol: String, vecCol: String,
                               m: Int = 8, efConstruction: Int = 48): DataFrame = {
+    val (touched, recomputed) = recomputedGraphEdgesForDelta(spark, graphPath,
+      oldAssigned, deltaAssigned, idCol, vecCol, m, efConstruction)
+    graft.sources.PrunedIndex.read(spark, graphPath)
+      .join(touched, Seq("cell"), "left_anti")
+      .unionByName(recomputed)
+  }
+
+  /** The delta-bounded core of [[mergeGraphEdgesForDelta]]: (touched
+    * cells, their recomputed edges) WITHOUT streaming the untouched
+    * cells' stored edges through — what a bucket-stitching writer
+    * ([[graft.sources.PrunedIndex.writeDelta]], used by
+    * [[AnnIndexStore.appendDelta]]) lands so write I/O, not just
+    * compute, is O(delta), leaving untouched buckets' files in place. */
+  def recomputedGraphEdgesForDelta(spark: org.apache.spark.sql.SparkSession,
+                                   graphPath: String,
+                                   oldAssigned: DataFrame, deltaAssigned: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   m: Int = 8, efConstruction: Int = 48): (DataFrame, DataFrame) = {
     import spark.implicits._
     val deltaIds = deltaAssigned.select(col(idCol)).distinct()
     // stale rows a re-upload displaces — their OLD cells must recompute
@@ -265,9 +283,7 @@ object GraphAnn {
         } else new NswGraph(all.map(_._1), all.map(_._2), m, efConstruction)
       g.edgeRows.map { case (src, dst, pos) => (cell, src, dst, pos) }
     }.toDF("cell", "src", "dst", "pos")
-    graft.sources.PrunedIndex.read(spark, graphPath)
-      .join(touched, Seq("cell"), "left_anti")
-      .unionByName(recomputed)
+    (touched, recomputed)
   }
 
   /** Search over PERSISTED assignment + adjacency layouts: the probe's

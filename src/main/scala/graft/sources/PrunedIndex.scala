@@ -212,6 +212,29 @@ object PrunedIndex {
           "(meta lands last) — rebuild via PrunedIndex.write")
     }
 
+  /** Resolve a manifest entry to a readable path: entries written by
+    * [[write]] are relative to the index dir; [[writeDelta]] stitches
+    * untouched buckets' files in by ABSOLUTE path (possibly under a
+    * different index dir — the prior store version), detected by a
+    * leading `/` or a URI scheme. */
+  private def resolveEntry(path: String, e: String): String =
+    if (e.startsWith("/") || e.contains("://")) e else Fs.child(path, e)
+
+  /** Read a manifest-selected entry set. All-relative entries (every
+    * [[write]]-produced layout) read under a `basePath` so the bucket
+    * value stays visible as a partition column — the plan shape the
+    * directory-pruning assertions pin. Once a [[writeDelta]] stitch
+    * introduces ABSOLUTE entries under other roots, a single basePath
+    * cannot span them: the files are passed as leaves (no
+    * partition-column inference — the manifest already knows each
+    * file's bucket, and the bucket column carries no data). */
+  private def readEntries(spark: SparkSession, path: String,
+                          entries: Seq[String]): DataFrame =
+    if (entries.forall(e => !(e.startsWith("/") || e.contains("://"))))
+      spark.read.option("basePath", path)
+        .parquet(entries.map(Fs.child(path, _)): _*)
+    else spark.read.parquet(entries.map(resolveEntry(path, _)): _*)
+
   /** Full (unpruned) view — identical to the flat layout for readers
     * that genuinely need every row (rebuild comparisons, compaction).
     * Listing-free when the manifest sidecar exists; see the staleness
@@ -219,8 +242,7 @@ object PrunedIndex {
   def read(spark: SparkSession, path: String): DataFrame =
     (manifestFor(spark, path) match {
       case Some(m) if m.nonEmpty =>
-        val files = m.valuesIterator.flatten.map(Fs.child(path, _)).toSeq
-        spark.read.option("basePath", path).parquet(files: _*)
+        readEntries(spark, path, m.valuesIterator.flatten.toSeq)
       case _ => listedBase(spark, path)
     }).drop(BucketCol)
 
@@ -246,22 +268,161 @@ object PrunedIndex {
     val base = manifestFor(spark, path) match {
       case Some(m) if m.nonEmpty =>
         val sel = m.iterator.collect { case (b, fs) if buckets(b) => fs }
-          .flatten.map(Fs.child(path, _)).toSeq
-        if (sel.nonEmpty) spark.read.option("basePath", path).parquet(sel: _*)
-        else {
+          .flatten.toSeq
+        if (sel.nonEmpty) readEntries(spark, path, sel)
+        else
           // no probed bucket holds rows: an empty frame with the stored
           // schema, read from one arbitrary data file
-          val any = Fs.child(path, m.valuesIterator.flatten.next())
-          spark.read.option("basePath", path).parquet(any).limit(0)
-        }
+          readEntries(spark, path, Seq(m.valuesIterator.flatten.next())).limit(0)
       case _ => listedBase(spark, path)
     }
     // using-column joins reorder output (key columns first); re-select
     // the stored data-column order so the pruned view is schema-identical
-    // to [[read]]
+    // to [[read]]. Manifest-selected reads carry no bucket column (the
+    // file selection IS the bucket filter); the listing fallback does —
+    // filter it there.
     val dataCols = base.columns.filterNot(_ == BucketCol)
-    base.where(col(BucketCol).isin(buckets.toSeq: _*))
+    val bucketFiltered =
+      if (base.columns.contains(BucketCol))
+        base.where(col(BucketCol).isin(buckets.toSeq: _*))
+      else base
+    bucketFiltered
       .join(broadcast(probeKeys), keyCols, "left_semi")
       .select(dataCols.map(col): _*)
+  }
+
+  /** Delta write with REPLACE-by-key semantics and DELTA-BOUNDED write
+    * I/O: the index after the call holds `newKeyRows` for every key in
+    * `probe` and the stored rows for every other key, but only the
+    * TOUCHED buckets (the probe keys' hash buckets) land new files —
+    * untouched buckets' existing files are stitched into the new
+    * manifest untouched, by absolute path. At corpus scale this turns
+    * per-batch index maintenance from an O(index) rewrite into an
+    * O(delta buckets) one; the manifest + version-token swap makes the
+    * flip atomic for readers exactly as [[write]]'s is.
+    *
+    * `newKeyRows` must contain ONLY rows whose key is in `probe`
+    * (checked); `probe` is probe-sized (its bucket set is collected).
+    * Same-bucket strangers — stored rows of untouched keys sharing a
+    * touched bucket — are read back (touched buckets only) and
+    * re-landed with the new rows, since a bucket's file set is replaced
+    * wholesale.
+    *
+    * New files land under a uniquely-named `delta-<token>/` subdir
+    * (never clobbering live files: a crash before the manifest swap
+    * leaves the old view fully intact), so replaced files become
+    * unreferenced garbage — sweep with [[sweepUnreferenced]] or fold
+    * the layout flat again with a full [[write]] (compaction). After
+    * the first delta the directory is no longer a valid plain-parquet
+    * partition tree: the sidecars are REQUIRED (the listing fallback
+    * would double-count), which the staleness contract above already
+    * demands for every [[write]]-maintained layout.
+    *
+    * `basePath`: stitch from a DIFFERENT index dir (e.g. the previous
+    * store version) instead of `path` itself — `path` is then created
+    * fresh, holding only the delta files + a manifest referencing the
+    * base's untouched files. The base is never modified; retention of
+    * its files becomes the caller's contract (see
+    * [[graft.llm.AnnIndexStore]]'s versioned use). */
+  def writeDelta(spark: SparkSession, path: String, newKeyRows: DataFrame,
+                 probe: DataFrame, basePath: Option[String] = None,
+                 maxRecordsPerFile: Long = 0L): Unit = {
+    val base = basePath.getOrElse(path)
+    val (keyCols, numBuckets) = meta(base)
+    val old = manifestFor(spark, base).getOrElse(throw new IllegalStateException(
+      s"writeDelta needs a _PRUNE_MANIFEST at $base — build the index with PrunedIndex.write"))
+    val probeKeys = probe.select(keyCols.map(col): _*).distinct()
+    val touched = probeKeys
+      .select(pmod(hash(keyCols.map(col): _*), lit(numBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    require(!newKeyRows.columns.contains(BucketCol),
+      s"input already carries a $BucketCol column")
+    // the stored column order is the layout's schema; rows land in it
+    val dataCols = read(spark, base).columns.toSeq
+    // stray keys would silently vanish (their bucket's files are not
+    // rewritten) — fail loudly instead; newKeyRows is delta-bounded so
+    // this check is one cheap job
+    val strayNew = newKeyRows
+      .join(broadcast(probeKeys), keyCols, "left_anti").limit(1).count()
+    require(strayNew == 0L,
+      "writeDelta: newKeyRows contains rows whose key is not in probe")
+    // same-bucket strangers: untouched keys in touched buckets — their
+    // rows must re-land because the bucket's file set is replaced
+    val touchedEntries = old.iterator
+      .collect { case (b, fs) if touched(b) => fs }
+      .flatten.toSeq
+    val strangers =
+      if (touchedEntries.isEmpty) None
+      else Some(readEntries(spark, base, touchedEntries)
+        .drop(BucketCol)
+        .join(broadcast(probeKeys), keyCols, "left_anti"))
+    val full = strangers
+      .map(_.select(dataCols.map(col): _*)
+        .unionByName(newKeyRows.select(dataCols.map(col): _*)))
+      .getOrElse(newKeyRows.select(dataCols.map(col): _*))
+    val token = newVersionToken()
+    val deltaDirName = s"delta-$token"
+    val deltaDir = Fs.child(path, deltaDirName)
+    val writer = full
+      .withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .repartition(math.max(touched.size, 1), col(BucketCol))
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .partitionBy(BucketCol).parquet(deltaDir)
+    val prefix = BucketCol + "="
+    val newLines = Fs.list(deltaDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { d =>
+        val bucket = d.getPath.getName.substring(prefix.length).toInt
+        Fs.list(d.getPath.toString)
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(f => s"$bucket\t$deltaDirName/${d.getPath.getName}/${f.getPath.getName}")
+      }
+    // untouched buckets: carry the old entries forward ABSOLUTIZED, so
+    // chains of deltas collapse to direct pointers (entry resolution
+    // never walks history)
+    val kept = old.iterator.collect { case (b, fs) if !touched(b) =>
+      fs.map(e => s"$b\t${resolveEntry(base, e)}")
+    }.flatten.toSeq
+    Fs.writeStringAtomic(manifestPath(path), (kept ++ newLines).mkString("\n"))
+    Fs.writeStringAtomic(metaPath(path),
+      s"${keyCols.mkString(",")}\n$numBuckets\n$token")
+    manifestCache.filterInPlace((k, _) => k._2 != path)
+    baseCache.filterInPlace((k, _) => k._2 != path)
+  }
+
+  /** Garbage-collect data files under `path` that the CURRENT manifest
+    * no longer references (replaced by a [[writeDelta]]) and that are
+    * older than `graceMs` — the grace spares readers still draining a
+    * plan captured against the previous manifest. Files referenced by
+    * absolute entries living under OTHER roots are out of scope (their
+    * root's own sweep owns them). Returns the deleted count. */
+  def sweepUnreferenced(path: String, graceMs: Long): Long = {
+    if (!Fs.exists(manifestPath(path))) return 0L
+    // compare fully-qualified forms: listStatus returns scheme-qualified
+    // paths while manifest entries resolve scheme-less
+    def qual(p: String): String =
+      Fs.fs(p).makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    val referenced = Fs.readString(manifestPath(path)).split("\n")
+      .iterator.filter(_.nonEmpty)
+      .map { line => qual(resolveEntry(path, line.substring(line.indexOf('\t') + 1))) }
+      .toSet
+    val now = System.currentTimeMillis()
+    def sweep(dir: String): Long =
+      Fs.list(dir).map { st =>
+        val n = st.getPath.getName
+        if (st.isDirectory) sweep(st.getPath.toString)
+        else if (!n.startsWith("_") && !n.startsWith(".") &&
+            !referenced.contains(qual(st.getPath.toString)) &&
+            now - st.getModificationTime > graceMs) {
+          Fs.deleteRecursive(st.getPath.toString); 1L
+        } else 0L
+      }.sum
+    sweep(path)
   }
 }

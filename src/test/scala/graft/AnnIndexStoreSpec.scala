@@ -114,6 +114,52 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(rows(store).nonEmpty && rows(store) == rows(fresh))
   }
 
+  test("appendDelta write I/O is delta-bounded: only touched buckets land files; vacuum/compact lifecycle") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annstore6").toString
+    val root = base + "/s"
+    // 16 cells/buckets and a 5-vector delta: the delta can touch at most
+    // 5 buckets, so stitched (untouched) buckets MUST exist — guarded below
+    val P16 = Params(nCells = 16, iters = 2, numBuckets = 16, m = 4, efConstruction = 12)
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400 && $"vec_id" < 405)
+    val corpus = embs.filter($"vec_id" < 405)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P16)
+    val cents = AnnIndexStore.centroids(spark, root)
+    val v1Files = listing(root)
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", P16)
+    // fixture guard: v2 really does stitch (absolute entries into v1)
+    val v2Manifest = graft.fs.Fs.readString(s"$root/v2/assigned/_PRUNE_MANIFEST")
+    assert(v2Manifest.contains(s"$root/v1/assigned/"),
+      "fixture too weak: no bucket was stitched from v1")
+    // v1's files are all still present, byte-identical (stitched, not
+    // rewritten) — the t132 listing-equality idiom for write I/O
+    assert(v1Files.subsetOf(listing(root)), "appendDelta rewrote v1 files")
+    // v2's LOCAL data footprint is the touched buckets only: every new
+    // data file lives under a writeDelta delta-subdir
+    val v2Data = (listing(root) -- v1Files).map(_._1)
+      .filterNot(f => f.contains("centroids") || f.contains("_PRUNE") ||
+        f.endsWith("_SUCCESS") || f.endsWith("_CURRENT") || f.contains("/."))
+    assert(v2Data.nonEmpty && v2Data.forall(f => f.contains("/delta-")),
+      s"non-delta data files in v2: ${v2Data.filterNot(_.contains("/delta-"))}")
+    // search over the stitched version == fresh build at the same centroids
+    val q = embs.filter($"vec_id" < 6)
+    def storeRows() = rows(AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12))
+    val fresh = rows(GraphAnn.nswSearchAssigned(
+      Similarity.ivfAssignedIndex(corpus, "vec_id", "embedding", cents), cents,
+      q, "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12))
+    assert(storeRows() == fresh && fresh.nonEmpty)
+    // vacuum with keep=1 must SPARE v1: v2's manifests reference its files
+    assert(AnnIndexStore.vacuum(root, keep = 1).isEmpty)
+    assert(AnnIndexStore.versions(root) == Seq(1L, 2L) && storeRows() == fresh)
+    // compact folds the current version self-contained; answers unchanged
+    val v3 = AnnIndexStore.compact(spark, root, "vec_id", "embedding", P16)
+    assert(v3 == 3L && storeRows() == fresh)
+    // now vacuum can drop v1 and v2; the store still serves every search
+    assert(AnnIndexStore.vacuum(root, keep = 1) == Seq(1L, 2L))
+    assert(AnnIndexStore.versions(root) == Seq(3L) && storeRows() == fresh)
+  }
+
   test("autoCells keeps MEAN cell size bounded as the corpus scales (nCells grows, not cells)") {
     assert(AnnIndexStore.autoCells(100L, 50L) == 2)
     assert(AnnIndexStore.autoCells(101L, 50L) == 3)

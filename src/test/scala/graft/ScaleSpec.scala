@@ -125,6 +125,94 @@ class ScaleSpec extends AnyFunSuite {
     assert(e.getMessage.contains("_PRUNE_META"))
   }
 
+  test("PrunedIndex.writeDelta: only touched buckets land new files; reads == full rewrite") {
+    import graft.sources.PrunedIndex
+    import graft.fs.Fs
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx_delta").toString
+    val p = s"$dir/idx"
+    val v1 = (0 until 500).map(i => (i.toLong, s"term${i % 37}", (i % 7 + 1).toLong))
+      .toDF("doc_id", "term", "tf")
+    PrunedIndex.write(v1, p, Seq("term"), numBuckets = 16)
+    def manifestEntries(path: String): Map[Int, Set[String]] =
+      Fs.readString(s"$path/_PRUNE_MANIFEST").split("\n").iterator.filter(_.nonEmpty)
+        .map { l => val i = l.indexOf('\t'); (l.substring(0, i).toInt, l.substring(i + 1)) }
+        .toSeq.groupMap(_._1)(_._2).map { case (k, v) => (k, v.toSet) }
+    val before = manifestEntries(p)
+    // replace term3's rows + add a brand-new term: REPLACE-by-key
+    val newRows = Seq((1000L, "term3", 99L), (1001L, "termNEW", 5L))
+      .toDF("doc_id", "term", "tf")
+    val probe = Seq("term3", "termNEW").toDF("term")
+    import org.apache.spark.sql.functions.{pmod, hash, lit}
+    val touched = probe.select(pmod(hash($"term"), lit(16)).as("b"))
+      .distinct().as[Int].collect().toSet
+    PrunedIndex.writeDelta(spark, p, newRows, probe)
+    val after = manifestEntries(p)
+    // untouched buckets: entry sets identical up to absolutization —
+    // the delta-bounded-write-I/O pin (the t132 listing-equality idiom)
+    val beforeResolved = before.map { case (b, fs) =>
+      (b, fs.map(e => if (e.startsWith("/")) e else s"$p/$e")) }
+    val afterResolved = after.map { case (b, fs) =>
+      (b, fs.map(e => if (e.startsWith("/")) e else s"$p/$e")) }
+    for (b <- before.keySet ++ after.keySet; if !touched(b))
+      assert(afterResolved.get(b) == beforeResolved.get(b), s"untouched bucket $b rewritten")
+    // touched buckets: every entry is NEW (under the delta subdir)
+    for (b <- touched; fs <- after.get(b); e <- fs)
+      assert(e.startsWith("delta-"), s"touched bucket $b kept old entry $e")
+    // logical content == a full rewrite of the merged corpus
+    val expect = v1.filter($"term" =!= "term3").unionByName(newRows)
+      .as[(Long, String, Long)].collect().toSet
+    assert(PrunedIndex.read(spark, p).as[(Long, String, Long)].collect().toSet == expect)
+    val pr = PrunedIndex.readPruned(spark, p, Seq("term3", "term5").toDF("term"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(pr == expect.filter(r => r._2 == "term3" || r._2 == "term5") && pr.nonEmpty)
+    // a second delta chains (entries absolutize, no history walk)
+    PrunedIndex.writeDelta(spark, p,
+      Seq((2000L, "term5", 1L)).toDF("doc_id", "term", "tf"), Seq("term5").toDF("term"))
+    val expect2 = expect.filter(_._2 != "term5") + ((2000L, "term5", 1L))
+    assert(PrunedIndex.read(spark, p).as[(Long, String, Long)].collect().toSet == expect2)
+    // stray keys (not in probe) are rejected, not silently dropped
+    val e = intercept[IllegalArgumentException] {
+      PrunedIndex.writeDelta(spark, p,
+        Seq((1L, "termX", 1L)).toDF("doc_id", "term", "tf"), Seq("termY").toDF("term"))
+    }
+    assert(e.getMessage.contains("probe"))
+    // garbage collection: replaced files sweep once past grace; the view
+    // stays exact before and after
+    Thread.sleep(20)
+    val swept = PrunedIndex.sweepUnreferenced(p, graceMs = 10L)
+    assert(swept > 0L, "replaced files should have been swept")
+    assert(PrunedIndex.read(spark, p).as[(Long, String, Long)].collect().toSet == expect2)
+    assert(PrunedIndex.sweepUnreferenced(p, graceMs = 10L) == 0L)
+  }
+
+  test("PrunedIndex.writeDelta cross-root: a new version dir stitches the base's untouched files") {
+    import graft.sources.PrunedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_pidx_xroot").toString
+    val v1 = (0 until 300).map(i => (i.toLong, s"k${i % 23}", i.toLong)).toDF("id", "k", "v")
+    PrunedIndex.write(v1, s"$dir/v1", Seq("k"), numBuckets = 8)
+    val newRows = Seq((5000L, "k7", 7L)).toDF("id", "k", "v")
+    PrunedIndex.writeDelta(spark, s"$dir/v2", newRows, Seq("k7").toDF("k"),
+      basePath = Some(s"$dir/v1"))
+    // v2 holds ONLY the delta's files locally; reads stitch v1's rest
+    val expect = v1.filter($"k" =!= "k7").unionByName(newRows)
+      .as[(Long, String, Long)].collect().toSet
+    assert(PrunedIndex.read(spark, s"$dir/v2").as[(Long, String, Long)].collect().toSet
+      == expect)
+    assert(PrunedIndex.readPruned(spark, s"$dir/v2", Seq("k7", "k3").toDF("k"))
+      .as[(Long, String, Long)].collect().toSet ==
+      expect.filter(r => r._2 == "k7" || r._2 == "k3"))
+    // the base is untouched and still serves its own view
+    assert(PrunedIndex.read(spark, s"$dir/v1").as[(Long, String, Long)].collect().toSet ==
+      v1.as[(Long, String, Long)].collect().toSet)
+    // v2's local footprint is delta-sized: every local data file is a
+    // delta file (no copy of the base's untouched buckets)
+    val local = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/v2"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map[String](_.toString).toArray.map(_.toString)
+      .filterNot(f => f.contains("_PRUNE") || f.endsWith("_SUCCESS") || f.contains("/."))
+    assert(local.nonEmpty && local.forall(_.contains("/delta-")), local.mkString(","))
+  }
+
   test("cell-bucketed ANN probe reads a strict subset of assignment files") {
     import graft.llm.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_annprune").toString
