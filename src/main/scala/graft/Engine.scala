@@ -101,6 +101,7 @@ final class Engine(
     * functions — the analyst surface. */
   def sql(query: String): DataFrame = {
     functions.GraftFunctions.register(spark)
+    functions.GraftTableFunctions.register(spark)
     listTables().foreach(t => table(t).createOrReplaceTempView(t))
     spark.sql(query)
   }

@@ -134,7 +134,39 @@ object SlopeGate {
     "t130_knn_ivf_pruned" -> Budget(8.0,
       "t112's exact flow over the cell-bucketed pruned layout: same " +
         "harness-bound brute-force grading, plus a 16-bucket index " +
-        "write per run (write-once, probe-bounded read)"))
+        "write per run (write-once, probe-bounded read)"),
+    "t131_knn_graph_persisted" -> Budget(15.0,
+      "t129's build shape (fixed nCells => cell size x10; per-cell NSW " +
+        "build is O(n*ef*m) linear with beam-bounded inserts) run TWICE " +
+        "(v1 build + delta continue == rebuild parity) plus the " +
+        "persisted-layout write/read; the in-query brute grading side is " +
+        "fixed-|Q| x corpus linear — default budget, entry documents the " +
+        "two-builds-per-query scenario"),
+    "t132_ann_drift_recluster" -> Budget(20.0,
+      "the maintenance SCENARIO runs ~5 index builds in one query (two " +
+        "independent stores, one full recluster retrain, one frozen-" +
+        "centroid append, two in-query parity references); every stage " +
+        "is an individually-gated linear shape (t49 k-means fixed " +
+        "iterations, t129/t131 graph builds), so the slope is the max " +
+        "of its stages plus multi-build fixed costs that do not all " +
+        "scale with n"),
+    "t133_curation_delta" -> Budget(20.0,
+      "t128's stage composition (budget 20, token-census-dominated) " +
+        "with the one-time buildState INSIDE the query: the ledger's " +
+        "delta path is delta-bounded text compute over thin frames, but " +
+        "the in-query state build + six-frame parquet round-trip scale " +
+        "with the corpus like t128 itself"),
+    "t134_curation_replace" -> Budget(20.0,
+      "t133's exact shape with a replacement delta: buildState over the " +
+        "draft corpus + delta ledger; same t128-family census-dominated " +
+        "slope"),
+    "t136_sql_bm25" -> Budget(35.0,
+      "t92 reached through the SQL table-function surface: same " +
+        "corpus-derived query set => ~x100 scoring work by construction " +
+        "(t92's budget), plus one tiny query-set parquet write"),
+    "t137_sql_curation" -> Budget(20.0,
+      "t128 reached through the SQL table-function surface: identical " +
+        "plan, same max-of-stages rationale"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

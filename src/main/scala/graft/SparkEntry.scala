@@ -1980,6 +1980,99 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** [[t133CurationDelta]] where the daily batch RE-UPLOADS existing
+    * docs — the reference's versioned-snapshot intake (SURVEY.md P3:
+    * every table arrives as strict-`>` versioned re-uploads) applied to
+    * the curation layer: the persisted state is built over a corpus
+    * whose doc_id%4==3 docs carry an obsolete draft text, and the delta
+    * re-uploads those SAME ids with their true text.
+    * [[graft.llm.Curation.mergeState]]'s replace semantics displace the
+    * stale rows from every state frame (thin, shingles, pairs touching
+    * a replaced id, clean set, census), so the delta ledger must equal
+    * the full rebuild over the TRUE corpus — the oracle is t128's
+    * DuckDB twin over `documents` verbatim: a driver-checked proof that
+    * a re-upload leaves zero stale residue in the persisted state. */
+  private def t134CurationReplace(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val old = d.withColumn("text",
+      when(col("doc_id") % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val root = scratch("curreplace", dir)
+    val st = graft.llm.Curation.buildState(old, "doc_id", "text",
+      "n_chars", "source", bench, "text")
+    def rt(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$root/$name")
+      s.read.parquet(s"$root/$name")
+    }
+    val persisted = graft.llm.Curation.State(rt(st.thin, "thin"),
+      rt(st.shingles, "shingles"), rt(st.pairs, "pairs"),
+      rt(st.cleanIds, "clean"), rt(st.census, "census"),
+      rt(st.gramIndex, "grams"))
+    graft.llm.Curation.fullPipelineLedgerDelta(persisted, delta,
+        "doc_id", "text", "n_chars", "source")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The SQL surface for the flagship dedup operator: the IDENTICAL
+    * distributed plan as t26 (prefix-filtered, df-capped, exact-
+    * verified [[Dedup.jaccardNearDupPairs]]), reached from a PURE SQL
+    * string via the `graft_neardup_pairs` Catalyst table function
+    * ([[graft.functions.GraftTableFunctions]]) — the reference's
+    * analyst-facing query capability (SQL over curated tables,
+    * SURVEY.md §3) extended to the curation layer. Oracle: t26's
+    * DuckDB twin verbatim (the surface changes how the plan is
+    * NAMED, never the plan). */
+  private def t135SqlNeardup(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftTableFunctions.register(s)
+    s.sql(
+      s"""SELECT a_id, b_id,
+            CAST(floor(jaccard * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM graft_neardup_pairs('$dir/documents.parquet', 'doc_id', 'text', 3, 0.8)
+          ORDER BY a_id, b_id""")
+  }
+
+  /** SQL surface for BM25 retrieval: t92's exact query set (every
+    * doc_id%100==0 doc's first five tokens), written once to parquet,
+    * then ranked from a pure SQL string via `graft_bm25_topk`. Same
+    * operator, same plan, same oracle as t92. */
+  private def t136SqlBm25(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{normalizeText, tokens}
+    graft.functions.GraftTableFunctions.register(s)
+    val root = scratch("sqlbm25q", dir)
+    t(s, dir, "documents").filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_join(slice(tokens(normalizeText(col("text"))), 1, 5), " ").as("qtext"))
+      .write.mode("overwrite").parquet(s"$root/queries")
+    s.sql(
+      s"""SELECT query_id, doc_id, score_ppm, rank
+          FROM graft_bm25_topk('$dir/documents.parquet', 'doc_id', 'text',
+                               '$root/queries', 'query_id', 'qtext', 5)
+          ORDER BY query_id, rank""")
+  }
+
+  /** SQL surface for the composed curation pipeline: t128's five-stage
+    * first-fail ledger (keep-best near-dup → gram decontamination → LM
+    * quality floor → temperature mix → BFD packing) from a pure SQL
+    * string via `graft_curation_ledger`. The bench split is written to
+    * parquet first (a table function takes table ARGUMENTS as paths —
+    * the view-definition discipline). Oracle: t128's DuckDB twin
+    * verbatim. */
+  private def t137SqlCuration(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftTableFunctions.register(s)
+    val root = scratch("sqlcurbench", dir)
+    t(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+      .write.mode("overwrite").parquet(s"$root/bench")
+    s.sql(
+      s"""SELECT doc_id, n_tokens, verdict
+          FROM graft_curation_ledger('$dir/documents.parquet', 'doc_id', 'text',
+                                     'n_chars', 'source', '$root/bench', 'text')
+          ORDER BY doc_id""")
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2315,6 +2408,10 @@ object SparkEntry {
     "t131_knn_graph_persisted" -> t131KnnGraphPersisted _,
     "t132_ann_drift_recluster" -> t132AnnDriftRecluster _,
     "t133_curation_delta" -> t133CurationDelta _,
+    "t134_curation_replace" -> t134CurationReplace _,
+    "t135_sql_neardup" -> t135SqlNeardup _,
+    "t136_sql_bm25" -> t136SqlBm25 _,
+    "t137_sql_curation" -> t137SqlCuration _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3836,8 +3933,16 @@ object SparkEntry {
     )
     // the incremental form changes what is SCANNED (delta-bounded text
     // compute over persisted state), never the ledger: t133's oracle IS
-    // t128's full-rebuild DuckDB twin, verbatim
-    base + ("t133_curation_delta" -> base("t128_curation_e2e"))
+    // t128's full-rebuild DuckDB twin, verbatim; t134 (replace-semantics
+    // delta) converges on the SAME post-replace corpus = `documents`;
+    // the SQL table-function surface (t135/t136/t137) changes how a
+    // plan is NAMED, never the plan — each reuses its operator's twin
+    base +
+      ("t133_curation_delta" -> base("t128_curation_e2e")) +
+      ("t134_curation_replace" -> base("t128_curation_e2e")) +
+      ("t135_sql_neardup" -> base("t26_jaccard_pairs")) +
+      ("t136_sql_bm25" -> base("t92_bm25_topk")) +
+      ("t137_sql_curation" -> base("t128_curation_e2e"))
   }
 }
 

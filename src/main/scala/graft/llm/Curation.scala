@@ -205,9 +205,22 @@ object Curation {
     * back after each batch. Text compute is delta-bounded: only the
     * delta is shingled, scrubbed and token-censused; `pairs` grows by
     * [[Dedup.jaccardDeltaPairs]] against the persisted shingle index.
-    * Delta ids are assumed NEW (the daily-batch contract; re-uploads
-    * go through the replace semantics of the underlying delta
-    * operators before this layer).
+    *
+    * REPLACE semantics (the reference's whole intake story is
+    * versioned re-uploads — SURVEY.md P3's strict-`>` gate): a delta id
+    * that already exists in the state DISPLACES its old row in every
+    * id-keyed frame (thin scalars, shingle index, clean set, census)
+    * via an anti-join on the delta's ids, and every stored pair
+    * touching a replaced id is dropped before the recomputed pairs
+    * union in — [[Dedup.jaccardDeltaPairs]] already evaluates the
+    * delta's ids at their NEW revision against the post-displacement
+    * corpus (its merged plan anti-joins the same id set), so
+    * mergeState(state, delta) == buildState(corpus-after-replace) for
+    * any mix of new and re-uploaded ids (pinned frame-equal in
+    * CurationSpec; the ledger equality is t134's driver-checked
+    * oracle). New-id deltas take the identical path — the anti-joins
+    * are no-ops. The delta id set is broadcast (a daily batch's
+    * DISTINCT ids — control-plane sized next to the corpus frames).
     *
     * Cache obligation (the [[Dedup.fullPipelineLedger]]-style release
     * contract): the returned `pairs` is backed by a merged shingle plan
@@ -221,18 +234,31 @@ object Curation {
                  scoreCol: String, sourceCol: String,
                  shingleN: Int = 3, jaccardThreshold: Double = 0.8,
                  gramN: Int = 8, minShared: Int = 2): State = {
+    val deltaIds = delta.select(col(idCol)).distinct()
+    // displace the replaced ids' old rows from an id-keyed frame
+    // (no-op for new-id deltas); `key` is the frame's id column name
+    def fresh(df: DataFrame, key: String): DataFrame =
+      df.join(broadcast(deltaIds.toDF(key)), Seq(key), "left_anti")
     val deltaPairs = Dedup.jaccardDeltaPairs(delta, idCol, textCol,
       state.shingles, n = shingleN, threshold = jaccardThreshold)
     State(
-      thin = state.thin.unionByName(delta.select(col(idCol), col(scoreCol),
-        col(sourceCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))),
-      shingles = state.shingles.unionByName(
+      thin = fresh(state.thin, idCol).unionByName(
+        delta.select(col(idCol), col(scoreCol),
+          col(sourceCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))),
+      shingles = fresh(state.shingles, "id").unionByName(
         Dedup.containmentIndex(delta, idCol, textCol, shingleN)),
-      pairs = state.pairs.unionByName(deltaPairs),
-      cleanIds = state.cleanIds.unionByName(
+      // a replaced id's stored pairs reflect its OLD text on both
+      // orientations; jaccardDeltaPairs regenerates every pair touching
+      // a delta id at the new revision, so drop-then-union is exact.
+      // (re-select: a using-column anti-join moves its key first, which
+      // would silently reorder the frame's schema across merges)
+      pairs = fresh(fresh(state.pairs, "a_id"), "b_id")
+        .select(state.pairs.columns.map(col).toIndexedSeq: _*)
+        .unionByName(deltaPairs),
+      cleanIds = fresh(state.cleanIds, idCol).unionByName(
         Decontaminate.scrubAgainstGramIndex(delta, idCol, textCol,
           state.gramIndex, gramN, minShared).select(col(idCol))),
-      census = state.census.unionByName(
+      census = fresh(state.census, "id").unionByName(
         TextAnalysis.unigramCensus(delta, idCol, textCol)),
       gramIndex = state.gramIndex)
   }
@@ -243,10 +269,11 @@ object Curation {
     * corpus (pinned in CurationSpec; t133's oracle IS t128's DuckDB
     * twin), while the per-batch TEXT compute is delta-bounded:
     *
-    *  - stage 1: pairs(old∪delta) = state.pairs ∪
-    *    [[Dedup.jaccardDeltaPairs]] (exact — the prefix filter is
-    *    complete under any global order and verification is exact
-    *    Jaccard); keep-best then re-runs over the THIN pair/score
+    *  - stage 1: pairs(post-delta corpus) = state.pairs minus pairs
+    *    touching re-uploaded ids, ∪ [[Dedup.jaccardDeltaPairs]] (exact
+    *    — the prefix filter is complete under any global order and
+    *    verification is exact Jaccard; see [[mergeState]]'s replace
+    *    contract); keep-best then re-runs over the THIN pair/score
     *    frames (cluster membership can change for old docs — a new doc
     *    may join and win an old cluster — so survivorship is global,
     *    but no text moves);

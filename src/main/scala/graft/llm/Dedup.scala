@@ -1131,6 +1131,25 @@ object Dedup {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
     }
 
+  /** Test-only instrumentation: when a mutable set is installed on the
+    * CALLING thread, [[connectedComponents]] records the RDD id of
+    * every round it localCheckpoints into it. The checkpoint-release
+    * pin needs the ids THIS call created — a global
+    * `getPersistentRDDs` diff is unsound under `testForkedParallel`
+    * (concurrent suites share the SparkContext, so foreign persists
+    * land inside the diff window; observed as the r15 flake). */
+  private[graft] val ccCheckpointIds =
+    new ThreadLocal[scala.collection.mutable.Set[Int]]()
+
+  private def recordCcCheckpoint(df: DataFrame): DataFrame = {
+    Option(ccCheckpointIds.get()).foreach { ids =>
+      df.queryExecution.analyzed.collect {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => ids += lr.rdd.id
+      }
+    }
+    df
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 30): DataFrame = {
     // (count, order-independent content checksum) — one small job, the
@@ -1146,12 +1165,12 @@ object Dedup {
     }
 
     // canonical directed form: u > v (point from larger to smaller)
-    var edges = pairs
+    var edges = recordCcCheckpoint(pairs
       .select(col(aCol).as("a"), col(bCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"), least(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint())
     var prevSig = signature(edges)
     var converged = false
     var it = 0
@@ -1168,12 +1187,12 @@ object Dedup {
       // small-star: every node links its smaller neighbors (and itself)
       // to the minimum of them — edges are already u > v form
       val smallMins = large.groupBy("u").agg(min(col("v")).as("m"))
-      val next = large.join(smallMins, "u")
+      val next = recordCcCheckpoint(large.join(smallMins, "u")
         .filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .unionByName(smallMins.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint())
       val sig = signature(next)
       if (sig == prevSig) {
         // checksum says fixed point — certify exactly, once

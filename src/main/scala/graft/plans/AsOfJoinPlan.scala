@@ -144,6 +144,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
     e.injectOptimizerRule(_ => AsOfLimitPushdown)
     e.injectOptimizerRule(_ => IntervalJoinRewrite)
+    graft.functions.GraftTableFunctions.descriptions.foreach(e.injectTableFunction)
   }
 }
 

@@ -129,12 +129,26 @@ object ParquetMergeSink {
 
   /** Newest modification time across a directory tree (the dir's own
     * mtime for an empty one) — the only staleness signal that keeps
-    * advancing while a long write is still landing nested files. */
-  private def treeMaxMtime(st: org.apache.hadoop.fs.FileStatus): Long = {
-    val children =
-      if (st.isDirectory) Fs.list(st.getPath.toString).map(treeMaxMtime) else Nil
-    (st.getModificationTime +: children).max
-  }
+    * advancing while a long write is still landing nested files.
+    *
+    * A child vanishing mid-walk (a concurrent writer committing its
+    * _temporary dir, or another vacuum racing this one) IS activity:
+    * report "fresh as of now" instead of throwing, so a torn listing
+    * can neither fail the vacuum (it must never throw — the
+    * VacuumReaderPropertySpec contract) nor judge a live dir stale.
+    * Hadoop's local FS surfaces the race as FileNotFoundException or a
+    * bare IOException ("Invalid directory or I/O error") depending on
+    * which syscall loses, so the guard is IOException-wide — an
+    * unreadable subtree defers the sweep to the next vacuum, which is
+    * always safe (debris deletion is best-effort by contract). */
+  private def treeMaxMtime(st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      val children =
+        if (st.isDirectory) Fs.list(st.getPath.toString).map(treeMaxMtime) else Nil
+      (st.getModificationTime +: children).max
+    } catch {
+      case _: java.io.IOException => System.currentTimeMillis()
+    }
 
   // Per-table writer serialization — the engine-side analog of the
   // reference's per-table SQS FIFO groups

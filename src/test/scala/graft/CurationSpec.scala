@@ -154,6 +154,50 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("mergeState replace semantics: a re-upload delta displaces stale rows, frames == buildState on the post-replace corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // the state was built when %4==3 docs carried an obsolete draft and
+    // %8==1 docs had not arrived yet (disjoint residues: 8k+1 ≡ 1 mod 4)
+    val old = d.filter($"doc_id" % 8 =!= 1).withColumn("text",
+      when($"doc_id" % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "), substring($"text", 1, 48)))
+        .otherwise($"text"))
+    // the daily batch re-uploads the draft ids with their true text AND
+    // brings genuinely new ids — both merge paths in one mixed batch
+    val delta = d.filter($"doc_id" % 4 === 3 || $"doc_id" % 8 === 1)
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val st = Curation.buildState(old, "doc_id", "text", "n_chars", "source",
+      bench, "text")
+    val merged = Curation.mergeState(st, delta, "doc_id", "text", "n_chars", "source")
+    val target = Curation.buildState(d, "doc_id", "text", "n_chars", "source",
+      bench, "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    // id-keyed frames: displaced old rows gone, delta revisions in
+    assert(sortedRows(merged.thin) == sortedRows(target.thin))
+    assert(sortedRows(merged.cleanIds) == sortedRows(target.cleanIds))
+    assert(sortedRows(merged.census) == sortedRows(target.census))
+    assert(sortedRows(merged.shingles.select($"id", array_sort($"sh"), $"sz")) ==
+      sortedRows(target.shingles.select($"id", array_sort($"sh"), $"sz")))
+    // pair frame: stale-text pairs dropped, post-replace pairs equal
+    assert(sortedRows(merged.pairs) == sortedRows(target.pairs))
+    // and the ledger over the merged state equals the rebuild on the
+    // TRUE corpus (the t134 driver-checked contract, pinned here too)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"verdict")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val deltaLedger = Curation.fullPipelineLedgerDelta(st, delta,
+      "doc_id", "text", "n_chars", "source")
+    val rebuild = Curation.fullPipelineLedger(d, "doc_id", "text",
+      scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+    assert(rows(deltaLedger).nonEmpty && rows(deltaLedger) == rows(rebuild))
+    graft.llm.Dedup.releaseContainmentDeltaCache(delta, "doc_id", "text",
+      st.shingles, 3)
+    graft.llm.Dedup.releaseShingleSetCache(old, "doc_id", "text")
+    graft.llm.Dedup.releaseShingleSetCache(d, "doc_id", "text")
+    spark.catalog.clearCache()
+  }
+
   test("verdicts and span scrub are partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter($"doc_id" % 50 === 0)

@@ -197,28 +197,37 @@ class DedupSpec extends AnyFunSuite {
     // blocks stay persisted until an eventual JVM GC (measured as a 2×
     // slowdown on repeated large runs in one JVM).
     //
-    // Pin on the SET of RDD ids created DURING the call, not the global
-    // count: releases everywhere in the engine use unpersist(blocking =
-    // false), so under full-suite load async unpersists from OTHER
-    // tests race a global before/after count (observed flaky in the
-    // r15 judge run). Only ids this call created are this call's
-    // responsibility, and the async release gets a short poll window.
+    // Pin on the exact RDD ids THIS call checkpointed, reported by the
+    // call itself (Dedup.ccCheckpointIds, a calling-thread collector):
+    // any flavor of global getPersistentRDDs diff is unsound under
+    // testForkedParallel — concurrent suites share the SparkContext, so
+    // foreign persists land inside the diff window (the r15 flake, and
+    // its set-based rewrite flaked the same way). Only ids this call
+    // created are this call's responsibility; the async round releases
+    // get a short poll window.
     val sc = spark.sparkContext
-    val before = sc.getPersistentRDDs.keySet
-    val pairs = (0 until 200).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
-    val cc = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val created = scala.collection.mutable.Set[Int]()
+    Dedup.ccCheckpointIds.set(created)
+    val cc =
+      try {
+        val pairs = (0 until 200).map(i => (i.toLong, (i + 1).toLong)).toDF("a_id", "b_id")
+        Dedup.connectedComponents(pairs, "a_id", "b_id")
+      } finally Dedup.ccCheckpointIds.remove()
     assert(cc.count() == 201)
-    def createdStillPersisted: Set[Int] = sc.getPersistentRDDs.keySet.diff(before).toSet
+    assert(created.size >= 3, s"harness broken: a 200-node chain must take " +
+      s"several checkpointed rounds, recorded only $created")
+    def stillPersisted: Set[Int] =
+      sc.getPersistentRDDs.keySet.toSet.intersect(created.toSet)
     // only the final converged edge set may remain persisted; poll up
     // to ~5 s for the async unpersists of superseded rounds to land
     val deadline = System.nanoTime() + 5000000000L
-    var leaked = createdStillPersisted
+    var leaked = stillPersisted
     while (leaked.size > 1 && System.nanoTime() < deadline) {
       Thread.sleep(100)
-      leaked = createdStillPersisted
+      leaked = stillPersisted
     }
     assert(leaked.size <= 1,
-      s"leaked checkpoints: RDD ids created during the call still persisted after 5 s: $leaked")
+      s"leaked checkpoints: round RDD ids still persisted after 5 s: $leaked of $created")
   }
 
   test("connectedComponents: reversed/duplicate/self pairs are harmless") {

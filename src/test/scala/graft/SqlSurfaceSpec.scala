@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL table-function surface
+  * ([[graft.functions.GraftTableFunctions]]): an analyst must reach the
+  * flagship LLM operators from a pure SQL string, and the SQL plan must
+  * BE the Scala-API plan — same rows, not a reimplementation.
+  *
+  * Uses an isolated session: table-function registration mutates the
+  * session's function registry (temp functions), which must not bleed
+  * into concurrently running suites. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.isolated
+  import spark.implicits._
+
+  private val docsPath = "/root/testdata/sf0.001/documents.parquet"
+
+  test("graft_neardup_pairs from pure SQL == Dedup.jaccardNearDupPairs") {
+    graft.functions.GraftTableFunctions.register(spark)
+    val sqlRows = spark.sql(
+      s"""SELECT a_id, b_id, CAST(floor(jaccard * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM graft_neardup_pairs('$docsPath', 'doc_id', 'text', 3, 0.8)
+          ORDER BY a_id, b_id""")
+      .as[(Long, Long, Long)].collect().toSeq
+    val d = spark.read.parquet(docsPath)
+    val api = graft.llm.Dedup.jaccardNearDupPairs(d, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id", floor($"jaccard" * 1e6).cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == api)
+    graft.llm.Dedup.releaseShingleSetCache(d, "doc_id", "text")
+    spark.catalog.clearCache()
+  }
+
+  test("graft_bm25_topk from pure SQL == Retrieval.bm25TopK") {
+    graft.functions.GraftTableFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlq").toString
+    val d = spark.read.parquet(docsPath)
+    val q = d.filter($"doc_id" % 100 === 0)
+      .select($"doc_id".as("query_id"),
+        substring($"text", 1, 40).as("qtext"))
+    q.write.mode("overwrite").parquet(s"$root/queries")
+    val sqlRows = spark.sql(
+      s"""SELECT query_id, doc_id, score_ppm, rank
+          FROM graft_bm25_topk('$docsPath', 'doc_id', 'text',
+                               '$root/queries', 'query_id', 'qtext', 3)
+          ORDER BY query_id, rank""")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val api = graft.llm.Retrieval.bm25TopK(d, "doc_id", "text",
+        q, "query_id", "qtext", k = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .sortBy(r => (r._1, r._4)).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == api)
+  }
+
+  test("table functions demand literal arity and builder-time registration works") {
+    graft.functions.GraftTableFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_neardup_pairs('$docsPath', 'doc_id')").collect()
+    }
+    assert(e.getMessage.contains("5 arguments"))
+    // builder-time path: a session built with GraftExtensions resolves
+    // the functions without any runtime register() call
+    assert(graft.functions.GraftTableFunctions.descriptions.map(_._1.funcName) ==
+      Seq("graft_neardup_pairs", "graft_bm25_topk", "graft_curation_ledger"))
+  }
+}
