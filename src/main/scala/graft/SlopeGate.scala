@@ -166,7 +166,20 @@ object SlopeGate {
         "(t92's budget), plus one tiny query-set parquet write"),
     "t137_sql_curation" -> Budget(20.0,
       "t128 reached through the SQL table-function surface: identical " +
-        "plan, same max-of-stages rationale"))
+        "plan, same max-of-stages rationale"),
+    "t138_sql_ann" -> Budget(15.0,
+      "one full store build per run (t131's linear build shape) + a " +
+        "probe-bounded SQL search + the fixed-|Q| x corpus brute " +
+        "grading side — default budget, the build dominates"),
+    "t139_curation_multibatch" -> Budget(20.0,
+      "t133's shape twice over: in-query buildState + TWO merge/ledger " +
+        "passes with parquet round-trips between; each stage is the " +
+        "gated t128-family census-dominated slope"),
+    "t140_neardup_indexed" -> Budget(20.0,
+      "one in-query index BUILD (t26's corpus shingle/df/prefix shape " +
+        "plus two PrunedIndex writes) + the t26 old-pairs self-join + " +
+        "the delta-bounded indexed probe; all linear stages, the " +
+        "build dominates"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

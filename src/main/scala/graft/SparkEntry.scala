@@ -2073,6 +2073,98 @@ object SparkEntry {
           ORDER BY doc_id""")
   }
 
+  /** SQL surface for the persisted graph-ANN deployment path: an
+    * [[graft.llm.AnnIndexStore]] is built once (t129's exact scenario —
+    * nCells=16, iters=2, m=8, efConstruction=48 over the full corpus),
+    * then top-k retrieval runs from a PURE SQL string via
+    * `graft_ann_topk` against the store's CURRENT committed version
+    * (probe-bounded bucket reads, graphs reconstructed from the stored
+    * adjacency). The emitted recall-vs-brute census must equal t129's
+    * literal oracle: the stored-adjacency search is pinned bit-equal to
+    * the one-call [[graft.llm.GraphAnn.nswTopK]] (GraphAnnSpec), and
+    * the SQL surface only renames the plan. */
+  private def t138SqlAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftTableFunctions.register(s)
+    val e = t(s, dir, "embeddings")
+    val root = scratch("sqlann", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    graft.llm.AnnIndexStore.build(s, e, "vec_id", "embedding",
+      s"$root/store", graft.llm.AnnIndexStore.Params())
+    e.filter(col("vec_id") < 20).write.mode("overwrite").parquet(s"$root/queries")
+    val ann = s.sql(
+      s"""SELECT query_id, neighbor_id
+          FROM graft_ann_topk('$root/store', '$root/queries', 'vec_id', 'embedding',
+                              10, 8, 48)""")
+    val brute = Similarity.bruteTopK(e, e.filter(col("vec_id") < 20),
+      "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
+  }
+
+  /** Multi-batch curation state maintenance: the state is built once,
+    * then absorbs TWO daily batches in sequence — each merge landing on
+    * parquet before the next reads it back (exactly how a deployment
+    * composes days) — with the second batch MIXING new ids and
+    * re-uploads (the %9==0 drafts arrive corrected). The final ledger
+    * must equal t128's full rebuild over the true corpus: pins that
+    * [[graft.llm.Curation.mergeState]] composes across batches AND
+    * serialization boundaries — merge(merge(build(b0), d1), d2) ==
+    * build(b0 ∪ d1 ∪ d2-post-replace) — not just the single-merge
+    * contract of t133/t134. */
+  private def t139CurationMultibatch(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val b0 = d.filter(col("doc_id") % 3 === 0).withColumn("text",
+      when(col("doc_id") % 9 === 0,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    val d1 = d.filter(col("doc_id") % 3 === 1)
+    val d2 = d.filter(col("doc_id") % 3 === 2 || col("doc_id") % 9 === 0)
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val root = scratch("curmulti", dir)
+    def rt(st: graft.llm.Curation.State, day: String): graft.llm.Curation.State = {
+      def w(df: DataFrame, name: String): DataFrame = {
+        df.write.mode("overwrite").parquet(s"$root/$day/$name")
+        s.read.parquet(s"$root/$day/$name")
+      }
+      graft.llm.Curation.State(w(st.thin, "thin"), w(st.shingles, "shingles"),
+        w(st.pairs, "pairs"), w(st.cleanIds, "clean"), w(st.census, "census"),
+        w(st.gramIndex, "grams"))
+    }
+    val st0 = rt(graft.llm.Curation.buildState(b0, "doc_id", "text",
+      "n_chars", "source", bench, "text"), "day0")
+    val st1 = rt(graft.llm.Curation.mergeState(st0, d1,
+      "doc_id", "text", "n_chars", "source"), "day1")
+    graft.llm.Curation.fullPipelineLedgerDelta(st1, d2,
+        "doc_id", "text", "n_chars", "source")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The PERSISTED near-dup index end to end
+    * ([[graft.llm.Dedup.writeNearDupIndex]] /
+    * [[graft.llm.Dedup.jaccardDeltaPairsIndexed]]): the %4==3 daily
+    * batch probes a prefix/sets PrunedIndex built over the rest of the
+    * corpus — per-batch work is delta-bounded END TO END (delta text
+    * compute + bucket-pruned index reads + a broadcast candidate join;
+    * no per-batch df re-aggregation, no corpus re-explosion, no
+    * full-index shuffle — the scale gap t133's jaccardDeltaPairs still
+    * had). Build-time pairs ∪ indexed delta pairs must equal the
+    * from-scratch t26 self-join — its DuckDB twin verbatim. */
+  private def t140NeardupIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val old = d.filter(col("doc_id") % 4 =!= 3)
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val root = scratch("ndidx", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    graft.llm.Dedup.writeNearDupIndex(s, old, "doc_id", "text", s"$root/idx")
+    val oldPairs = Dedup.jaccardNearDupPairs(old, "doc_id", "text")
+    val deltaPairs = graft.llm.Dedup.jaccardDeltaPairsIndexed(s, s"$root/idx",
+      delta, "doc_id", "text")
+    oldPairs.unionByName(deltaPairs)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2412,6 +2504,9 @@ object SparkEntry {
     "t135_sql_neardup" -> t135SqlNeardup _,
     "t136_sql_bm25" -> t136SqlBm25 _,
     "t137_sql_curation" -> t137SqlCuration _,
+    "t138_sql_ann" -> t138SqlAnn _,
+    "t139_curation_multibatch" -> t139CurationMultibatch _,
+    "t140_neardup_indexed" -> t140NeardupIndexed _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3942,7 +4037,19 @@ object SparkEntry {
       ("t134_curation_replace" -> base("t128_curation_e2e")) +
       ("t135_sql_neardup" -> base("t26_jaccard_pairs")) +
       ("t136_sql_bm25" -> base("t92_bm25_topk")) +
-      ("t137_sql_curation" -> base("t128_curation_e2e"))
+      ("t137_sql_curation" -> base("t128_curation_e2e")) +
+      // t138: the store build IS t129's scenario (nCells=16, iters=2,
+      // m=8, efC=48; search k=10, nprobe=8, ef=48) and stored-adjacency
+      // search == one-call nswTopK (GraphAnnSpec bit-equality), so the
+      // census equals t129's literal oracle — same reuse as t131
+      ("t138_sql_ann" -> base("t131_knn_graph_persisted")) +
+      // t139: two sequential merges converge on the same post-replace
+      // corpus = `documents`, so the rebuild twin applies verbatim
+      ("t139_curation_multibatch" -> base("t128_curation_e2e")) +
+      // t140: build-time pairs ∪ indexed delta pairs == the full
+      // self-join (exact verification makes the pair SET independent of
+      // the prefix order), so t26's twin applies verbatim
+      ("t140_neardup_indexed" -> base("t26_jaccard_pairs"))
   }
 }
 

@@ -24,6 +24,13 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *     → (id, n_tokens, verdict): the staged first-fail curation
   *       ledger ([[graft.llm.Curation.fullPipelineLedger]] at its
   *       default thresholds)
+  *   graft_ann_topk(storeRoot, queriesParquet, idCol, vecCol,
+  *                  k, nprobe, efSearch)
+  *     → (query_id, rank, neighbor_id, cos_sim): graph-ANN top-k over
+  *       the CURRENT committed version of a persisted
+  *       [[graft.llm.AnnIndexStore]] (probe-bounded bucket reads,
+  *       graphs reconstructed from the stored adjacency — the t131
+  *       deployment path, SQL-reachable)
   *
   * Mechanics: each function is a Catalyst table-function — its builder
   * receives the call's argument expressions at ANALYSIS time, evaluates
@@ -85,10 +92,20 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  private def annTopK(exprs: Seq[Expression]): LogicalPlan = {
+    arity("graft_ann_topk", exprs, 7)
+    val s = SparkSession.active
+    graft.llm.AnnIndexStore.searchGraph(s, str(exprs(0)),
+        s.read.parquet(str(exprs(1))), str(exprs(2)), str(exprs(3)),
+        k = int(exprs(4)), nprobe = int(exprs(5)), efSearch = int(exprs(6)))
+      .queryExecution.logical
+  }
+
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_neardup_pairs" -> (nearDupPairs _),
     "graft_bm25_topk" -> (bm25TopK _),
-    "graft_curation_ledger" -> (curationLedger _))
+    "graft_curation_ledger" -> (curationLedger _),
+    "graft_ann_topk" -> (annTopK _))
 
   /** Runtime registration on a live session (temp, session-scoped). */
   def register(spark: SparkSession): Unit = {

@@ -471,6 +471,195 @@ object Dedup {
     verifyJaccard(candidates, merged, threshold)
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted near-dup index: the 100×-scale form of the delta path.
+  //
+  // [[jaccardDeltaPairs]] is delta-bounded in TEXT compute but still
+  // O(corpus) in per-batch SHUFFLE work: every batch re-aggregates the
+  // df census (explode ALL corpus shingles), re-explodes every stored
+  // doc's prefix, and shuffles the full merged index through the
+  // candidate join and the verify joins. At 100 TB that is the per-day
+  // bottleneck. The indexed form persists the DERIVED artifacts once —
+  //   root/prefix  (shingle, id, sz)  PrunedIndex keyed by shingle
+  //   root/sets    (id, sh, sz)       PrunedIndex keyed by id
+  //   root/dfhead  (shingle, df)      the FROZEN global shingle order
+  //   root/_NEARDUP_META              n, threshold (single source of truth)
+  // — and a batch then costs: delta text compute + a bucket-pruned read
+  // of the prefix index (only buckets the delta's prefix shingles hash
+  // into) + a broadcast candidate join (stored side never shuffles) + a
+  // bucket-pruned read of the partner ids' sets for exact verification.
+  //
+  // Correctness of the FROZEN order: the ICDE'06 prefix bound is a
+  // pigeonhole on set sizes — if J(A,B) ≥ t, the |S|−⌈t·|S|⌉+1 lowest
+  // shingles of each side (under ANY total order shared by both sides)
+  // must intersect the other set's prefix… more precisely completeness
+  // holds for any fixed total order used consistently by both join
+  // sides. The df-descending order is purely a CANDIDATE-COUNT
+  // heuristic, so freezing it at build time keeps the filter complete
+  // forever; it merely drifts toward more candidates as the corpus
+  // grows. [[refreezeNearDupIndex]] is the recluster analog: re-derive
+  // the head and prefix layout from the stored sets — no text touched.
+  // ---------------------------------------------------------------------
+
+  private def nearDupMetaPath(root: String): String =
+    graft.fs.Fs.child(root, "_NEARDUP_META")
+
+  private def readNearDupMeta(root: String): (Int, Double) = {
+    val ls = graft.fs.Fs.readString(nearDupMetaPath(root)).split("\n")
+    (ls(0).trim.toInt, ls(1).trim.toDouble)
+  }
+
+  private def readFrozenHead(spark: org.apache.spark.sql.SparkSession,
+                             root: String): Map[String, Long] =
+    spark.read.parquet(graft.fs.Fs.child(root, "dfhead"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def writeFrozenHead(spark: org.apache.spark.sql.SparkSession,
+                              root: String, head: Map[String, Long]): Unit = {
+    import spark.implicits._
+    head.toSeq.toDF("shingle", "df").coalesce(1)
+      .write.mode("overwrite").parquet(graft.fs.Fs.child(root, "dfhead"))
+  }
+
+  private def prefixRowsOf(sets: DataFrame, threshold: Double,
+                           dfHead: Map[String, Long]): DataFrame =
+    sets.select(
+      explode(graft.functions.expr.PrefixShingles(col("sh"), threshold, dfHead))
+        .as("shingle"),
+      col("id"), col("sz"))
+
+  /** Build the persisted near-dup index for `docs` (one corpus version):
+    * shingle sets land keyed by id (verification side), their prefix
+    * rows keyed by shingle (candidate side), and the df head freezes
+    * the prefix order. Write-once; maintain with
+    * [[appendNearDupIndexDelta]]; probe with
+    * [[jaccardDeltaPairsIndexed]]. */
+  def writeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        root: String, n: Int = 3, threshold: Double = 0.8,
+                        dfHeadSize: Int = 100000, numBuckets: Int = 64): Unit = {
+    val sets = containmentIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dfHead, _) = dfHeadOf(sets, dfHeadSize)
+    writeFrozenHead(spark, root, dfHead)
+    graft.sources.PrunedIndex.write(sets,
+      graft.fs.Fs.child(root, "sets"), Seq("id"), numBuckets)
+    graft.sources.PrunedIndex.write(prefixRowsOf(sets, threshold, dfHead),
+      graft.fs.Fs.child(root, "prefix"), Seq("shingle"), numBuckets)
+    graft.fs.Fs.writeStringAtomic(nearDupMetaPath(root), s"$n\n$threshold")
+    sets.unpersist(false): Unit
+  }
+
+  /** Near-dup pairs of `delta` against the INDEXED corpus ∪ `delta` —
+    * [[jaccardDeltaPairs]]'s contract over the persisted layout:
+    * pairs(post-delta corpus) = stored-pairs-minus-replaced ∪ this.
+    * Per-batch cost is delta-bounded end to end: the delta is shingled
+    * once; the stored prefix index is read bucket-pruned (only the
+    * delta's prefix-shingle buckets) with NO re-explode and NO shuffle
+    * (the delta side broadcasts into the candidate join); exact
+    * verification reads only the candidate partner ids' buckets of the
+    * sets index. Re-uploaded ids count only their delta revision (stale
+    * stored rows anti-joined on both reads), so probing before or after
+    * [[appendNearDupIndexDelta]] gives the same answer. The delta's
+    * shingle-set plan is persisted for the call — release with
+    * [[releaseShingleSetCache]](delta, idCol, textCol, n). */
+  def jaccardDeltaPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                               root: String, delta: DataFrame,
+                               idCol: String, textCol: String): DataFrame = {
+    val (n, threshold) = readNearDupMeta(root)
+    val dfHead = readFrozenHead(spark, root)
+    val deltaSets = containmentIndex(delta, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val dPrefix = prefixRowsOf(deltaSets, threshold, dfHead)
+    val probeShingles = dPrefix.select(col("shingle")).distinct()
+    val oPrefix = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "prefix"), probeShingles)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val oSide = oPrefix.select(col("shingle"), col("id"), col("sz"))
+      .unionByName(dPrefix)
+    val candidates = broadcast(
+        dPrefix.select(col("shingle"), col("id").as("d_id"), col("sz").as("d_sz")))
+      .join(oSide.select(col("shingle"), col("id").as("o_id"), col("sz").as("o_sz")),
+        Seq("shingle"))
+      .filter(col("d_id") =!= col("o_id"))
+      .filter(least(col("d_sz"), col("o_sz")) >=
+        lit(threshold) * greatest(col("d_sz"), col("o_sz")))
+      .select(least(col("d_id"), col("o_id")).as("a_id"),
+        greatest(col("d_id"), col("o_id")).as("b_id"))
+      .distinct()
+      .localCheckpoint()
+    val partnerIds = candidates.select(col("a_id").as("id"))
+      .unionAll(candidates.select(col("b_id").as("id"))).distinct()
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val partnerSets = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "sets"), partnerIds)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    verifyJaccard(candidates,
+      partnerSets.select(col("id"), col("sh"), col("sz"))
+        .unionByName(deltaSets), threshold)
+  }
+
+  /** Absorb `delta` into the persisted near-dup index (REPLACE
+    * semantics for re-uploaded ids, delta-bounded write I/O): the sets
+    * index replace-by-key upserts the delta's rows; the prefix index
+    * rewrites ONLY the buckets of (the delta's prefix shingles ∪ the
+    * replaced ids' OLD prefix shingles — the displaced rows must leave
+    * their buckets even when the new text shares none of them), via
+    * [[graft.sources.PrunedIndex.writeDelta]]'s stitched manifests.
+    * After the call, [[jaccardDeltaPairsIndexed]] for a LATER batch
+    * equals a probe against a from-scratch [[writeNearDupIndex]] over
+    * the post-delta corpus at the SAME frozen head (pinned in
+    * DedupSpec); the head itself stays frozen — [[refreezeNearDupIndex]]
+    * re-derives it when candidate counts drift. */
+  def appendNearDupIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                              root: String, delta: DataFrame,
+                              idCol: String, textCol: String): Unit = {
+    val (n, threshold) = readNearDupMeta(root)
+    val dfHead = readFrozenHead(spark, root)
+    val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
+    val deltaIds = deltaSets.select(col("id")).distinct()
+    val replacedOldSets = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(root, "sets"), deltaIds)
+    val probeShingles = prefixRowsOf(deltaSets, threshold, dfHead)
+      .select(col("shingle"))
+      .unionByName(prefixRowsOf(replacedOldSets, threshold, dfHead)
+        .select(col("shingle")))
+      .distinct().localCheckpoint()
+    val keptOld = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "prefix"), probeShingles)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "prefix"),
+      keptOld.select(col("shingle"), col("id"), col("sz"))
+        .unionByName(prefixRowsOf(deltaSets, threshold, dfHead)),
+      probeShingles)
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "sets"), deltaSets, deltaIds)
+  }
+
+  /** Re-derive the frozen df head and the prefix layout from the STORED
+    * sets — the candidate-count maintenance action (the
+    * [[graft.llm.AnnIndexStore.reclusterIfDrifted]] analog). No text is
+    * read or shingled; the sets index is the only input. Atomic per
+    * component (full [[graft.sources.PrunedIndex.write]] manifest
+    * swaps); also compacts any accumulated prefix delta files flat. */
+  def refreezeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
+                           root: String, dfHeadSize: Int = 100000): Unit = {
+    val (_, threshold) = readNearDupMeta(root)
+    val (_, numBuckets) = graft.sources.PrunedIndex.meta(
+      graft.fs.Fs.child(root, "prefix"))
+    val sets = graft.sources.PrunedIndex.read(spark,
+        graft.fs.Fs.child(root, "sets"))
+      .select(col("id"), col("sh"), col("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dfHead, _) = dfHeadOf(sets, dfHeadSize)
+    writeFrozenHead(spark, root, dfHead)
+    graft.sources.PrunedIndex.write(prefixRowsOf(sets, threshold, dfHead),
+      graft.fs.Fs.child(root, "prefix"), Seq("shingle"), numBuckets)
+    sets.unpersist(false): Unit
+  }
+
   /** Exact-Jaccard verification of candidate (a_id, b_id) pairs.
     * Array-form deliberately — see [[verifyContainment]]'s shape note
     * for the measured comparison against a thin PPJoin-style count. */

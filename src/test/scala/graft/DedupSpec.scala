@@ -317,6 +317,46 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseContainmentDeltaCache(delta, "doc_id", "text", index, 3)
   }
 
+  test("persisted near-dup index: probe == delta path, append == rebuild, replace displaces, refreeze preserves") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // corpus v0: %8==5 docs not yet arrived; %8==1 docs carry a draft
+    import org.apache.spark.sql.functions.{when, concat, substring}
+    val v0 = d.filter(col("doc_id") % 8 =!= 5).withColumn("text",
+      when(col("doc_id") % 8 === 1,
+        concat(lit("obsolete draft placeholder revision "), substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    // batch 1 mixes re-uploads (%8==1, corrected) and new ids (%8==5)
+    val delta1 = d.filter(col("doc_id") % 8 === 1 || col("doc_id") % 8 === 5)
+    val root = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+    Dedup.writeNearDupIndex(spark, v0, "doc_id", "text", root, numBuckets = 16)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val indexed1 = pset(Dedup.jaccardDeltaPairsIndexed(spark, root, delta1, "doc_id", "text"))
+    val v0Index = Dedup.containmentIndex(v0, "doc_id", "text", n = 3)
+    val ref1 = pset(Dedup.jaccardDeltaPairs(delta1, "doc_id", "text", v0Index))
+    assert(indexed1.nonEmpty && indexed1 == ref1)
+
+    // absorb batch 1; a later batch's probe must equal the delta path
+    // over the rebuilt post-replace corpus (= the true `documents`)
+    Dedup.appendNearDupIndexDelta(spark, root, delta1, "doc_id", "text")
+    val delta2 = d.filter(col("doc_id") % 8 === 2)
+    val indexed2 = pset(Dedup.jaccardDeltaPairsIndexed(spark, root, delta2, "doc_id", "text"))
+    val dIndex = Dedup.containmentIndex(d, "doc_id", "text", n = 3)
+    val ref2 = pset(Dedup.jaccardDeltaPairs(delta2, "doc_id", "text", dIndex))
+    assert(indexed2.nonEmpty && indexed2 == ref2)
+    // no stale residue: no pair involves a %8==1 id at its draft text's
+    // signature — equality with ref2 (computed from true text) is the pin
+
+    // refreeze re-derives the head + prefix layout from the stored sets
+    // (different order, same exact pair SET — verification is exact)
+    Dedup.refreezeNearDupIndex(spark, root)
+    assert(pset(Dedup.jaccardDeltaPairsIndexed(spark, root, delta2, "doc_id", "text")) == indexed2)
+
+    Seq(delta1, delta2, v0, d).foreach(Dedup.releaseShingleSetCache(_, "doc_id", "text"))
+    Dedup.releaseContainmentDeltaCache(delta1, "doc_id", "text", v0Index, 3)
+    Dedup.releaseContainmentDeltaCache(delta2, "doc_id", "text", dIndex, 3)
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -213,6 +213,66 @@ class ScaleSpec extends AnyFunSuite {
     assert(local.nonEmpty && local.forall(_.contains("/delta-")), local.mkString(","))
   }
 
+  test("near-dup index: probe reads are bucket-bounded, append rewrites only touched shingle buckets") {
+    import graft.llm.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndscale").toString
+    val root = s"$dir/idx"
+    // disjoint per-doc vocabularies → each doc's prefix shingles land in
+    // a few buckets; doc 7 gets a near-dup partner in the delta
+    def text(i: Int): String =
+      (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(spark, docs, "doc_id", "text", root, numBuckets = 16)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val delta = Seq((1000L, text(7))).toDF("doc_id", "text")
+      val res = Dedup.jaccardDeltaPairsIndexed(spark, root, delta, "doc_id", "text")
+      // collect res ITSELF so its executedPlan's metrics populate
+      assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((7L, 1000L)))
+      // the verify-side sets read is probe-bounded: only the candidate
+      // partner's bucket is scanned, a strict subset of the sets files
+      def scanFiles(frag: String): Long =
+        res.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+            s.metrics("numFiles").value
+        }.sum
+      val setsTotal = graft.fs.Fs.list(s"$root/sets").count { f =>
+        f.isDirectory && f.getPath.getName.startsWith(
+          graft.sources.PrunedIndex.BucketCol + "=")
+      }
+      val setsRead = scanFiles("/sets")
+      assert(setsRead > 0 && setsRead < setsTotal,
+        s"verify read $setsRead of >=$setsTotal sets buckets — not probe-bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // maintenance write I/O is delta-bounded: untouched shingle buckets'
+    // manifest entries are carried over verbatim, new files land only
+    // under a delta-*/ subdir
+    def manifest(p: String): Map[Int, Seq[String]] =
+      graft.fs.Fs.readString(s"$p/_PRUNE_MANIFEST").split("\n").filter(_.nonEmpty)
+        .map { l => val Array(b, f) = l.split("\t", 2); (b.toInt, f) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val before = manifest(s"$root/prefix")
+    Dedup.appendNearDupIndexDelta(spark, root,
+      Seq((2000L, text(31))).toDF("doc_id", "text"), "doc_id", "text")
+    val after = manifest(s"$root/prefix")
+    val changed = after.keySet.filter(b => before.get(b).map(_.map(_.split("/").last))
+      != Some(after(b).map(_.split("/").last)))
+    assert(changed.nonEmpty && changed.size < before.size,
+      s"append touched ${changed.size} of ${before.size} prefix buckets")
+    assert(changed.forall(b => after(b).forall(_.contains("delta-"))),
+      s"touched buckets' files not under delta-*/: ${changed.map(after)}")
+    // and the appended doc is findable afterwards
+    val res2 = Dedup.jaccardDeltaPairsIndexed(spark,
+      root, Seq((3000L, text(31))).toDF("doc_id", "text"), "doc_id", "text")
+    assert(res2.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((2000L, 3000L), (31L, 3000L)))
+  }
+
   test("cell-bucketed ANN probe reads a strict subset of assignment files") {
     import graft.llm.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_annprune").toString
