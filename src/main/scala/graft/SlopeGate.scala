@@ -179,7 +179,12 @@ object SlopeGate {
       "one in-query index BUILD (t26's corpus shingle/df/prefix shape " +
         "plus two PrunedIndex writes) + the t26 old-pairs self-join + " +
         "the delta-bounded indexed probe; all linear stages, the " +
-        "build dominates"))
+        "build dominates"),
+    "t141_curation_indexed" -> Budget(20.0,
+      "t134's shape with the near-dup index built in-query (t140's " +
+        "build stage) feeding the same t128-family census-dominated " +
+        "ledger; the one-time build dominates, the probe is " +
+        "delta-bounded"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

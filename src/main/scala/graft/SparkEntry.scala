@@ -2165,6 +2165,40 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[t134CurationReplace]] over the INDEXED curation state
+    * ([[graft.llm.Curation.IndexedState]] — four THIN parquet frames +
+    * the persisted near-dup index): the same re-upload batch flows
+    * through [[graft.llm.Curation.fullPipelineLedgerDeltaIndexed]],
+    * whose stage-1 pair maintenance probes the index delta-bounded end
+    * to end (t140's path) instead of re-shuffling the merged shingle
+    * frame. Identical ledger semantics — t128's DuckDB twin over the
+    * true corpus applies verbatim; zero stale residue after the replace
+    * is driver-hash-checked. */
+  private def t141CurationIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val old = d.withColumn("text",
+      when(col("doc_id") % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val root = scratch("curidx", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    val st = graft.llm.Curation.buildStateIndexed(s, old, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx")
+    def rt(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$root/$name")
+      s.read.parquet(s"$root/$name")
+    }
+    val persisted = graft.llm.Curation.IndexedState(rt(st.thin, "thin"),
+      rt(st.pairs, "pairs"), rt(st.cleanIds, "clean"),
+      rt(st.census, "census"), rt(st.gramIndex, "grams"))
+    graft.llm.Curation.fullPipelineLedgerDeltaIndexed(s, persisted,
+        s"$root/idx", delta, "doc_id", "text", "n_chars", "source")
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2507,6 +2541,7 @@ object SparkEntry {
     "t138_sql_ann" -> t138SqlAnn _,
     "t139_curation_multibatch" -> t139CurationMultibatch _,
     "t140_neardup_indexed" -> t140NeardupIndexed _,
+    "t141_curation_indexed" -> t141CurationIndexed _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4049,7 +4084,10 @@ object SparkEntry {
       // t140: build-time pairs ∪ indexed delta pairs == the full
       // self-join (exact verification makes the pair SET independent of
       // the prefix order), so t26's twin applies verbatim
-      ("t140_neardup_indexed" -> base("t26_jaccard_pairs"))
+      ("t140_neardup_indexed" -> base("t26_jaccard_pairs")) +
+      // t141: the indexed state converges on the same post-replace
+      // corpus and the ledger stages are identical — t128's twin again
+      ("t141_curation_indexed" -> base("t128_curation_e2e"))
   }
 }
 

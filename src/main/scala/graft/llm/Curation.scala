@@ -300,23 +300,44 @@ object Curation {
                               capacity: Long = 128L, nBuckets: Int = 8): DataFrame = {
     val merged = mergeState(state, delta, idCol, textCol, scoreCol, sourceCol,
       shingleN, jaccardThreshold, gramN, minShared)
+    ledgerFromFrames(merged.thin, merged.pairs, merged.cleanIds, merged.census,
+      idCol, scoreCol, sourceCol, minAvgLogProbPpm, targetPpm, capacity, nBuckets,
+      // survIds is checkpointed at that point — the merged shingle plan
+      // jaccardDeltaPairs persisted inside mergeState has no remaining
+      // consumer; release it THEN so a long-lived session running one
+      // ledger per daily batch does not accumulate one cache pin per
+      // batch
+      afterSurvivors = () =>
+        Dedup.releaseContainmentDeltaCache(delta, idCol, textCol,
+          state.shingles, shingleN))
+  }
+
+  /** Stages 1–5 over already-merged THIN frames — the shared tail of
+    * [[fullPipelineLedgerDelta]] and [[fullPipelineLedgerDeltaIndexed]]
+    * (and semantically of [[fullPipelineLedger]], which fuses the same
+    * stages over in-query frames). `afterSurvivors` runs once stage 1's
+    * survivor set is checkpointed (materialized) — the point where the
+    * pair-generation caches of the merge step have no remaining
+    * consumer. */
+  private def ledgerFromFrames(thin: DataFrame, pairs: DataFrame,
+      clean: DataFrame, census: DataFrame,
+      idCol: String, scoreCol: String, sourceCol: String,
+      minAvgLogProbPpm: Long, targetPpm: Long,
+      capacity: Long, nBuckets: Int,
+      afterSurvivors: () => Unit = () => ()): DataFrame = {
     def checkpointIds(df: DataFrame): DataFrame =
       df.select(col(idCol)).localCheckpoint()
-    val allThin = merged.thin.localCheckpoint()
+    val allThin = thin.localCheckpoint()
     // 1 — keep-best over the merged pair set (thin frames only)
     val survIds = checkpointIds(Dedup.dedupByPairsKeepBest(
-      allThin, idCol, scoreCol, merged.pairs, "a_id", "b_id"))
-    // survIds is checkpointed — the merged shingle plan jaccardDeltaPairs
-    // persisted inside mergeState has no remaining consumer; release it
-    // NOW so a long-lived session running one ledger per daily batch
-    // does not accumulate one cache pin per batch
-    Dedup.releaseContainmentDeltaCache(delta, idCol, textCol, state.shingles, shingleN)
+      allThin, idCol, scoreCol, pairs, "a_id", "b_id"))
+    afterSurvivors()
     // 2 — per-doc contamination: survivors ∩ clean
     val cleanIds = checkpointIds(
-      survIds.join(merged.cleanIds, Seq(idCol), "left_semi"))
+      survIds.join(clean, Seq(idCol), "left_semi"))
     // 3 — quality floor under the post-delta LM (census-scored)
     val qualIds = checkpointIds(
-      TextAnalysis.unigramLogProbPpmFromCensus(merged.census, idCol)
+      TextAnalysis.unigramLogProbPpmFromCensus(census, idCol)
         .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
     val quality = allThin.join(cleanIds, Seq(idCol), "left_semi")
       .join(qualIds, Seq(idCol), "left_semi")
@@ -344,5 +365,107 @@ object Curation {
           .when(col("s_mix").isNull, "not_sampled")
           .when(col("n_assigned") === 1L, "packed")
           .otherwise("pack_lost").as("verdict"))
+  }
+
+  /** [[State]] with the shingle side living in a PERSISTED near-dup
+    * index ([[Dedup.writeNearDupIndex]]'s root) instead of an in-frame
+    * projection — the 100 TB deployment shape: the four remaining
+    * frames are THIN (no array columns), and per-batch pair
+    * maintenance probes the index delta-bounded END TO END
+    * ([[Dedup.jaccardDeltaPairsIndexed]] — no per-batch df
+    * re-aggregation, corpus re-explosion, or full-index shuffle, the
+    * costs [[mergeState]]'s jaccardDeltaPairs still pays at corpus
+    * scale). The index root carries its own durable layout (PrunedIndex
+    * manifests + the frozen df head); the frames parquet-round-trip
+    * like [[State]]'s. */
+  final case class IndexedState(thin: DataFrame, pairs: DataFrame,
+                                cleanIds: DataFrame, census: DataFrame,
+                                gramIndex: DataFrame)
+
+  /** Derive the [[IndexedState]] + write the near-dup index for a
+    * corpus — [[buildState]]'s one-time batch cost plus the index
+    * build. Parameters must match the ledger call's. */
+  def buildStateIndexed(spark: org.apache.spark.sql.SparkSession,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        scoreCol: String, sourceCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        indexRoot: String,
+                        shingleN: Int = 3, jaccardThreshold: Double = 0.8,
+                        gramN: Int = 8, minShared: Int = 2,
+                        numBuckets: Int = 64): IndexedState = {
+    Dedup.writeNearDupIndex(spark, docs, idCol, textCol, indexRoot,
+      shingleN, jaccardThreshold, numBuckets = numBuckets)
+    val idx = Decontaminate.benchGramIndex(bench, benchTextCol, gramN)
+    IndexedState(
+      thin = docs.select(col(idCol), col(scoreCol), col(sourceCol),
+        tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
+        n = shingleN, threshold = jaccardThreshold),
+      cleanIds = Decontaminate.scrubAgainstGramIndex(docs, idCol, textCol,
+        idx, gramN, minShared).select(col(idCol)),
+      census = TextAnalysis.unigramCensus(docs, idCol, textCol),
+      gramIndex = idx)
+  }
+
+  /** Absorb a batch into the indexed state: probes the near-dup index
+    * for the delta's pairs (delta-bounded; the probe is
+    * order-independent with the append — stale/self rows are
+    * anti-joined on the stored side), APPENDS the delta into the index
+    * ([[Dedup.appendNearDupIndexDelta]] — delta-bounded write I/O,
+    * REPLACE semantics for re-uploads), and returns the post-batch thin
+    * frames under [[mergeState]]'s replace contract:
+    * mergeStateIndexed(state, delta) frames == buildStateIndexed on the
+    * post-replace corpus (pinned in CurationSpec). The returned pairs
+    * are materialized (localCheckpoint) before the append lands; the
+    * delta's shingle plan stays persisted for the ledger's verify reads
+    * — release it via [[Dedup.releaseIndexedProbeCache]] when the batch
+    * is done ([[fullPipelineLedgerDeltaIndexed]] does this itself). */
+  def mergeStateIndexed(spark: org.apache.spark.sql.SparkSession,
+                        state: IndexedState, indexRoot: String,
+                        delta: DataFrame,
+                        idCol: String, textCol: String,
+                        scoreCol: String, sourceCol: String,
+                        gramN: Int = 8, minShared: Int = 2): IndexedState = {
+    val deltaIds = delta.select(col(idCol)).distinct()
+    def fresh(df: DataFrame, key: String): DataFrame =
+      df.join(broadcast(deltaIds.toDF(key)), Seq(key), "left_anti")
+    val deltaPairs = Dedup.jaccardDeltaPairsIndexed(spark, indexRoot,
+      delta, idCol, textCol).localCheckpoint()
+    Dedup.appendNearDupIndexDelta(spark, indexRoot, delta, idCol, textCol)
+    IndexedState(
+      thin = fresh(state.thin, idCol).unionByName(
+        delta.select(col(idCol), col(scoreCol),
+          col(sourceCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))),
+      pairs = fresh(fresh(state.pairs, "a_id"), "b_id")
+        .select(state.pairs.columns.map(col).toIndexedSeq: _*)
+        .unionByName(deltaPairs),
+      cleanIds = fresh(state.cleanIds, idCol).unionByName(
+        Decontaminate.scrubAgainstGramIndex(delta, idCol, textCol,
+          state.gramIndex, gramN, minShared).select(col(idCol))),
+      census = fresh(state.census, "id").unionByName(
+        TextAnalysis.unigramCensus(delta, idCol, textCol)),
+      gramIndex = state.gramIndex)
+  }
+
+  /** [[fullPipelineLedgerDelta]] over the INDEXED state — identical
+    * stage semantics and ledger (t128's oracle applies verbatim), with
+    * stage 1's pair maintenance delta-bounded end to end via the
+    * persisted near-dup index. Also advances the index on disk
+    * (the [[mergeStateIndexed]] append). */
+  def fullPipelineLedgerDeltaIndexed(spark: org.apache.spark.sql.SparkSession,
+                              state: IndexedState, indexRoot: String,
+                              delta: DataFrame,
+                              idCol: String, textCol: String,
+                              scoreCol: String, sourceCol: String,
+                              gramN: Int = 8, minShared: Int = 2,
+                              minAvgLogProbPpm: Long = -4930000L,
+                              targetPpm: Long = 300000L,
+                              capacity: Long = 128L, nBuckets: Int = 8): DataFrame = {
+    val merged = mergeStateIndexed(spark, state, indexRoot, delta,
+      idCol, textCol, scoreCol, sourceCol, gramN, minShared)
+    ledgerFromFrames(merged.thin, merged.pairs, merged.cleanIds, merged.census,
+      idCol, scoreCol, sourceCol, minAvgLogProbPpm, targetPpm, capacity, nBuckets,
+      afterSurvivors = () =>
+        Dedup.releaseIndexedProbeCache(indexRoot, delta, idCol, textCol))
   }
 }

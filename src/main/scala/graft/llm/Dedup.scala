@@ -638,6 +638,17 @@ object Dedup {
       graft.fs.Fs.child(root, "sets"), deltaSets, deltaIds)
   }
 
+  /** Release the delta shingle-set cache a prior
+    * [[jaccardDeltaPairsIndexed]] call persisted for these inputs — the
+    * index-aware form of [[releaseShingleSetCache]] (the shingle width
+    * comes from the index meta, so the caller need not know it). Safe
+    * to call even if nothing is cached. */
+  def releaseIndexedProbeCache(root: String, delta: DataFrame,
+                               idCol: String, textCol: String): Unit = {
+    val (n, _) = readNearDupMeta(root)
+    containmentIndex(delta, idCol, textCol, n).unpersist(): Unit
+  }
+
   /** Re-derive the frozen df head and the prefix layout from the STORED
     * sets — the candidate-count maintenance action (the
     * [[graft.llm.AnnIndexStore.reclusterIfDrifted]] analog). No text is

@@ -198,6 +198,58 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("indexed state: mergeStateIndexed == buildStateIndexed on the post-replace corpus; indexed ledger == rebuild") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = d.filter($"doc_id" % 8 =!= 1).withColumn("text",
+      when($"doc_id" % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "), substring($"text", 1, 48)))
+        .otherwise($"text"))
+    val delta = d.filter($"doc_id" % 4 === 3 || $"doc_id" % 8 === 1)
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_curidx").toString
+    val st = Curation.buildStateIndexed(spark, old, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx", numBuckets = 16)
+    val merged = Curation.mergeStateIndexed(spark, st, s"$root/idx", delta,
+      "doc_id", "text", "n_chars", "source")
+    // reference frames: a fresh indexed build over the TRUE corpus
+    val target = Curation.buildStateIndexed(spark, d, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx2", numBuckets = 16)
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(sortedRows(merged.thin) == sortedRows(target.thin))
+    assert(sortedRows(merged.cleanIds) == sortedRows(target.cleanIds))
+    assert(sortedRows(merged.census) == sortedRows(target.census))
+    assert(sortedRows(merged.pairs.select($"a_id", $"b_id")) ==
+      sortedRows(target.pairs.select($"a_id", $"b_id")))
+    // the appended INDEX also equals a fresh build: a later batch's
+    // probe over it matches the from-scratch delta path
+    val delta2 = d.filter($"doc_id" % 8 === 2)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pset(graft.llm.Dedup.jaccardDeltaPairsIndexed(spark, s"$root/idx",
+        delta2, "doc_id", "text")) ==
+      pset(graft.llm.Dedup.jaccardDeltaPairsIndexed(spark, s"$root/idx2",
+        delta2, "doc_id", "text")))
+    // and the indexed delta ledger equals the full rebuild on the true
+    // corpus (the t141 driver-checked contract, pinned here too) —
+    // rebuilt state so the ledger's in-index append works from v1
+    val st2 = Curation.buildStateIndexed(spark, old, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx3", numBuckets = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"verdict")
+        .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val ledger = Curation.fullPipelineLedgerDeltaIndexed(spark, st2,
+      s"$root/idx3", delta, "doc_id", "text", "n_chars", "source")
+    val rebuild = Curation.fullPipelineLedger(d, "doc_id", "text",
+      scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+    assert(rows(ledger).nonEmpty && rows(ledger) == rows(rebuild))
+    Seq(old, d).foreach(graft.llm.Dedup.releaseShingleSetCache(_, "doc_id", "text"))
+    graft.llm.Dedup.releaseIndexedProbeCache(s"$root/idx", delta, "doc_id", "text")
+    Seq(s"$root/idx", s"$root/idx2").foreach(r =>
+      graft.llm.Dedup.releaseIndexedProbeCache(r, delta2, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+
   test("verdicts and span scrub are partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter($"doc_id" % 50 === 0)
