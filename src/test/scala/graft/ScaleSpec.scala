@@ -273,6 +273,44 @@ class ScaleSpec extends AnyFunSuite {
       Set((2000L, 3000L), (31L, 3000L)))
   }
 
+  test("near-dup index retention: refreeze + sweep leaves only live files, probes unchanged") {
+    import graft.llm.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndgc").toString
+    val root = s"$dir/idx"
+    def text(i: Int): String = (0 until 12).map(j => s"v${i}y$j").mkString(" ")
+    val docs = (0 until 40).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    Dedup.writeNearDupIndex(spark, docs, "doc_id", "text", root, numBuckets = 8)
+    // two appends accumulate delta-*/ files in the prefix layout
+    Dedup.appendNearDupIndexDelta(spark, root,
+      Seq((100L, text(3))).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.appendNearDupIndexDelta(spark, root,
+      Seq((101L, text(3))).toDF("doc_id", "text"), "doc_id", "text")
+    val probe = Seq((999L, text(3))).toDF("doc_id", "text")
+    def pairs(): Set[(Long, Long)] =
+      Dedup.jaccardDeltaPairsIndexed(spark, root, probe, "doc_id", "text")
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    assert(before == Set((3L, 999L), (100L, 999L), (101L, 999L)))
+    // refreeze compacts the prefix layout flat; the replaced delta files
+    // become unreferenced and a zero-grace sweep removes them
+    Dedup.refreezeNearDupIndex(spark, root)
+    val swept = graft.sources.PrunedIndex.sweepUnreferenced(s"$root/prefix", 0L) +
+      graft.sources.PrunedIndex.sweepUnreferenced(s"$root/sets", 0L)
+    assert(swept > 0, "expected the superseded delta files to be swept")
+    def dataFiles(p: String): Seq[String] =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map[String](_.toString).toArray.map(_.toString)
+        .filterNot(f => f.contains("_PRUNE") || f.endsWith("_SUCCESS") || f.contains("/."))
+        .toSeq
+    // every surviving prefix data file is referenced by the manifest
+    val manifest = graft.fs.Fs.readString(s"$root/prefix/_PRUNE_MANIFEST")
+    assert(dataFiles(s"$root/prefix").forall(f =>
+      manifest.contains(f.split("/").last)))
+    // and the probe answers are unchanged after compaction + sweep
+    assert(pairs() == before)
+  }
+
   test("cell-bucketed ANN probe reads a strict subset of assignment files") {
     import graft.llm.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_annprune").toString
