@@ -611,7 +611,16 @@ object Dedup {
     * equals a probe against a from-scratch [[writeNearDupIndex]] over
     * the post-delta corpus at the SAME frozen head (pinned in
     * DedupSpec); the head itself stays frozen — [[refreezeNearDupIndex]]
-    * re-derives it when candidate counts drift. */
+    * re-derives it when candidate counts drift.
+    *
+    * Crash contract: the two layout swaps (prefix, then sets) are each
+    * atomic but not jointly — a crash between them leaves a view whose
+    * prefix index is ahead of its sets index (candidates for the
+    * half-landed delta surface but fail verification: missing partner
+    * sets only DROP rows, never corrupt them). Recovery is the
+    * reference's replay story: re-run the batch — the call is
+    * IDEMPOTENT (replace-by-key on both layouts; re-landed rows equal
+    * themselves; pinned in DedupSpec). */
   def appendNearDupIndexDelta(spark: org.apache.spark.sql.SparkSession,
                               root: String, delta: DataFrame,
                               idCol: String, textCol: String): Unit = {

@@ -347,6 +347,12 @@ class DedupSpec extends AnyFunSuite {
     // no stale residue: no pair involves a %8==1 id at its draft text's
     // signature — equality with ref2 (computed from true text) is the pin
 
+    // crash-replay idempotency: re-running the SAME append (the
+    // recovery action after a crash between the two layout swaps)
+    // changes nothing a probe can observe
+    Dedup.appendNearDupIndexDelta(spark, root, delta1, "doc_id", "text")
+    assert(pset(Dedup.jaccardDeltaPairsIndexed(spark, root, delta2, "doc_id", "text")) == indexed2)
+
     // refreeze re-derives the head + prefix layout from the stored sets
     // (different order, same exact pair SET — verification is exact)
     Dedup.refreezeNearDupIndex(spark, root)
