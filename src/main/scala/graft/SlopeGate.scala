@@ -184,7 +184,11 @@ object SlopeGate {
       "t134's shape with the near-dup index built in-query (t140's " +
         "build stage) feeding the same t128-family census-dominated " +
         "ledger; the one-time build dominates, the probe is " +
-        "delta-bounded"))
+        "delta-bounded"),
+    "t142_neardup_store" -> Budget(20.0,
+      "t140's build stage (via the versioned store) + the t26 v1-pairs " +
+        "self-join + two delta-bounded probes and one stitched append; " +
+        "all linear stages, the build dominates"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

@@ -2199,6 +2199,35 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The VERSIONED near-dup index store end to end
+    * ([[graft.llm.NearDupIndexStore]]): v1 builds over half the corpus,
+    * TWO daily batches then flow through probe→append — the second
+    * batch probes a STITCHED version (v2 references v1's untouched
+    * bucket files by absolute path; write I/O was delta-bounded) behind
+    * one atomic `_CURRENT` swap per batch (no torn prefix/sets view,
+    * t140's in-place crash window closed). Build-time pairs ∪ the two
+    * batches' probe pairs = the full self-join — t26's DuckDB twin
+    * verbatim. */
+  private def t142NeardupStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val v1 = d.filter(col("doc_id") % 2 === 0)
+    val b1 = d.filter(col("doc_id") % 4 === 1)
+    val b2 = d.filter(col("doc_id") % 4 === 3)
+    val root = scratch("ndstore", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    NearDupIndexStore.build(s, v1, "doc_id", "text", root)
+    val p0 = Dedup.jaccardNearDupPairs(v1, "doc_id", "text")
+    val p1 = NearDupIndexStore.pairsForDelta(s, root, b1, "doc_id", "text")
+      .localCheckpoint()
+    NearDupIndexStore.appendDelta(s, root, b1, "doc_id", "text")
+    val p2 = NearDupIndexStore.pairsForDelta(s, root, b2, "doc_id", "text")
+    p0.unionByName(p1).unionByName(p2)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2542,6 +2571,7 @@ object SparkEntry {
     "t139_curation_multibatch" -> t139CurationMultibatch _,
     "t140_neardup_indexed" -> t140NeardupIndexed _,
     "t141_curation_indexed" -> t141CurationIndexed _,
+    "t142_neardup_store" -> t142NeardupStore _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4087,7 +4117,10 @@ object SparkEntry {
       ("t140_neardup_indexed" -> base("t26_jaccard_pairs")) +
       // t141: the indexed state converges on the same post-replace
       // corpus and the ledger stages are identical — t128's twin again
-      ("t141_curation_indexed" -> base("t128_curation_e2e"))
+      ("t141_curation_indexed" -> base("t128_curation_e2e")) +
+      // t142: v1-pairs ∪ batch-1 probe ∪ batch-2 probe partitions the
+      // full pair set by each pair's latest-batch member — t26's twin
+      ("t142_neardup_store" -> base("t26_jaccard_pairs"))
   }
 }
 

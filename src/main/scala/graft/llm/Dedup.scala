@@ -501,27 +501,27 @@ object Dedup {
   // the head and prefix layout from the stored sets — no text touched.
   // ---------------------------------------------------------------------
 
-  private def nearDupMetaPath(root: String): String =
+  private[llm] def nearDupMetaPath(root: String): String =
     graft.fs.Fs.child(root, "_NEARDUP_META")
 
-  private def readNearDupMeta(root: String): (Int, Double) = {
+  private[llm] def readNearDupMeta(root: String): (Int, Double) = {
     val ls = graft.fs.Fs.readString(nearDupMetaPath(root)).split("\n")
     (ls(0).trim.toInt, ls(1).trim.toDouble)
   }
 
-  private def readFrozenHead(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def readFrozenHead(spark: org.apache.spark.sql.SparkSession,
                              root: String): Map[String, Long] =
     spark.read.parquet(graft.fs.Fs.child(root, "dfhead"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  private def writeFrozenHead(spark: org.apache.spark.sql.SparkSession,
+  private[llm] def writeFrozenHead(spark: org.apache.spark.sql.SparkSession,
                               root: String, head: Map[String, Long]): Unit = {
     import spark.implicits._
     head.toSeq.toDF("shingle", "df").coalesce(1)
       .write.mode("overwrite").parquet(graft.fs.Fs.child(root, "dfhead"))
   }
 
-  private def prefixRowsOf(sets: DataFrame, threshold: Double,
+  private[llm] def prefixRowsOf(sets: DataFrame, threshold: Double,
                            dfHead: Map[String, Long]): DataFrame =
     sets.select(
       explode(graft.functions.expr.PrefixShingles(col("sh"), threshold, dfHead))
@@ -623,28 +623,50 @@ object Dedup {
     * themselves; pinned in DedupSpec). */
   def appendNearDupIndexDelta(spark: org.apache.spark.sql.SparkSession,
                               root: String, delta: DataFrame,
-                              idCol: String, textCol: String): Unit = {
-    val (n, threshold) = readNearDupMeta(root)
-    val dfHead = readFrozenHead(spark, root)
+                              idCol: String, textCol: String): Unit =
+    appendNearDupIndexDeltaInto(spark, root, root, delta, idCol, textCol)
+
+  /** [[appendNearDupIndexDelta]] landing in a DIFFERENT root: reads
+    * come from `from`, the touched buckets' new files land under `into`
+    * and untouched buckets stitch `from`'s files by absolute path
+    * ([[graft.sources.PrunedIndex.writeDelta]]'s `basePath` form) —
+    * `from` is never modified. The versioned-store building block
+    * ([[NearDupIndexStore.appendDelta]]): both layouts plus the frozen
+    * head and meta land under one new version dir, which the store then
+    * commits with a single atomic pointer swap — closing the in-place
+    * form's torn-view window between the two layout swaps. */
+  private[llm] def appendNearDupIndexDeltaInto(
+      spark: org.apache.spark.sql.SparkSession,
+      from: String, into: String, delta: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (n, threshold) = readNearDupMeta(from)
+    val dfHead = readFrozenHead(spark, from)
     val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
     val deltaIds = deltaSets.select(col("id")).distinct()
     val replacedOldSets = graft.sources.PrunedIndex.readPruned(spark,
-      graft.fs.Fs.child(root, "sets"), deltaIds)
+      graft.fs.Fs.child(from, "sets"), deltaIds)
     val probeShingles = prefixRowsOf(deltaSets, threshold, dfHead)
       .select(col("shingle"))
       .unionByName(prefixRowsOf(replacedOldSets, threshold, dfHead)
         .select(col("shingle")))
       .distinct().localCheckpoint()
     val keptOld = graft.sources.PrunedIndex.readPruned(spark,
-        graft.fs.Fs.child(root, "prefix"), probeShingles)
+        graft.fs.Fs.child(from, "prefix"), probeShingles)
       .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val base = (c: String) =>
+      if (into == from) None else Some(graft.fs.Fs.child(from, c))
     graft.sources.PrunedIndex.writeDelta(spark,
-      graft.fs.Fs.child(root, "prefix"),
+      graft.fs.Fs.child(into, "prefix"),
       keptOld.select(col("shingle"), col("id"), col("sz"))
         .unionByName(prefixRowsOf(deltaSets, threshold, dfHead)),
-      probeShingles)
+      probeShingles, basePath = base("prefix"))
     graft.sources.PrunedIndex.writeDelta(spark,
-      graft.fs.Fs.child(root, "sets"), deltaSets, deltaIds)
+      graft.fs.Fs.child(into, "sets"), deltaSets, deltaIds,
+      basePath = base("sets"))
+    if (into != from) {
+      writeFrozenHead(spark, into, dfHead)
+      graft.fs.Fs.writeStringAtomic(nearDupMetaPath(into), s"$n\n$threshold")
+    }
   }
 
   /** Release the delta shingle-set cache a prior

@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.fs.Fs
+import graft.sources.PrunedIndex
+
+/** Versioned wrapper around the persisted near-dup index
+  * ([[Dedup.writeNearDupIndex]] family) — the [[AnnIndexStore]] idiom
+  * applied to the dedup layout: prefix index + sets index + frozen df
+  * head land together under ONE version dir (`v<N>/`), committed by a
+  * `_SUCCESS` marker and published with a single NIO-atomic `_CURRENT`
+  * pointer swap. This closes the in-place form's only crash window (a
+  * torn view between the two layout swaps,
+  * [[Dedup.appendNearDupIndexDelta]]'s documented replay case): readers
+  * of a store NEVER see a half-landed batch — the pointer flips only
+  * after both layouts, the head and the meta are durable.
+  *
+  * Write I/O stays delta-bounded: [[appendDelta]] lands only the
+  * touched buckets' files under the new version and stitches the
+  * previous version's untouched files by absolute path
+  * ([[graft.sources.PrunedIndex.writeDelta]]'s cross-root form) — so
+  * retention is [[compact]] (fold the current version self-contained)
+  * plus [[vacuum]] (reference-aware drop of old version dirs, sparing
+  * any dir a retained manifest still points into).
+  *
+  * Mirrors the reference's versioned-snapshot storage discipline
+  * (SURVEY.md §2.8's curated store) for the dedup index. */
+object NearDupIndexStore {
+
+  private def ptr(root: String): String = Fs.child(root, "_CURRENT")
+  private def vPath(root: String, v: Long): String = Fs.child(root, s"v$v")
+
+  /** Committed versions, ascending (`_SUCCESS`-gated — an in-flight
+    * build is invisible). */
+  def versions(root: String): Seq[Long] =
+    if (!Fs.exists(root)) Seq.empty
+    else Fs.list(root).map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+          s.drop(1).forall(_.isDigit) &&
+          Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
+      .sorted
+
+  def currentVersion(root: String): Option[Long] =
+    if (Fs.exists(ptr(root))) Some(Fs.readString(ptr(root)).trim.drop(1).toLong)
+    else None
+
+  def currentPath(root: String): Option[String] =
+    currentVersion(root).map(v => vPath(root, v))
+
+  private def current(root: String): String =
+    currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+
+  private def commit(root: String, v: Long): Long = {
+    Fs.writeStringAtomic(Fs.child(vPath(root, v), "_SUCCESS"), "")
+    Fs.writeStringAtomic(ptr(root), s"v$v")
+    v
+  }
+
+  private def nextVersion(root: String): Long =
+    math.max(versions(root).lastOption.getOrElse(0L),
+      currentVersion(root).getOrElse(0L)) + 1
+
+  /** Build the store's first (or next, self-contained) version from a
+    * corpus. Returns the committed version number. */
+  def build(spark: SparkSession, docs: DataFrame,
+            idCol: String, textCol: String, root: String,
+            n: Int = 3, threshold: Double = 0.8,
+            dfHeadSize: Int = 100000, numBuckets: Int = 64): Long = {
+    val v = nextVersion(root)
+    Dedup.writeNearDupIndex(spark, docs, idCol, textCol, vPath(root, v),
+      n, threshold, dfHeadSize, numBuckets)
+    commit(root, v)
+  }
+
+  /** Near-dup pairs of `delta` against the CURRENT version ∪ `delta` —
+    * [[Dedup.jaccardDeltaPairsIndexed]] over the committed view;
+    * order-independent with [[appendDelta]] (probe before or after
+    * absorbing the same batch gives the same answer). Release the
+    * delta's shingle cache with [[releaseProbeCache]]. */
+  def pairsForDelta(spark: SparkSession, root: String, delta: DataFrame,
+                    idCol: String, textCol: String): DataFrame =
+    Dedup.jaccardDeltaPairsIndexed(spark, current(root), delta, idCol, textCol)
+
+  /** Absorb a batch as a NEW committed version (REPLACE semantics for
+    * re-uploaded ids; delta-bounded write I/O — untouched buckets
+    * stitch the previous version's files). The previous version stays
+    * intact and readable until [[vacuum]]. */
+  def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
+                  idCol: String, textCol: String): Long = {
+    val cur = current(root)
+    val v = nextVersion(root)
+    Dedup.appendNearDupIndexDeltaInto(spark, cur, vPath(root, v),
+      delta, idCol, textCol)
+    commit(root, v)
+  }
+
+  /** Re-land the CURRENT version self-contained (every bucket's files
+    * local to the new version dir — no stitched references), under the
+    * SAME frozen head: probes are unchanged, only the layout folds
+    * flat. The step that lets [[vacuum]] drop every older version. */
+  def compact(spark: SparkSession, root: String): Long = {
+    val cur = current(root)
+    val (_, numBuckets) = PrunedIndex.meta(Fs.child(cur, "prefix"))
+    val v = nextVersion(root)
+    val dir = vPath(root, v)
+    import org.apache.spark.sql.functions.col
+    PrunedIndex.write(
+      PrunedIndex.read(spark, Fs.child(cur, "prefix"))
+        .select(col("shingle"), col("id"), col("sz")),
+      Fs.child(dir, "prefix"), Seq("shingle"), numBuckets)
+    PrunedIndex.write(
+      PrunedIndex.read(spark, Fs.child(cur, "sets"))
+        .select(col("id"), col("sh"), col("sz")),
+      Fs.child(dir, "sets"), Seq("id"), numBuckets)
+    Dedup.writeFrozenHead(spark, dir, Dedup.readFrozenHead(spark, cur))
+    val (n, threshold) = Dedup.readNearDupMeta(cur)
+    Fs.writeStringAtomic(Dedup.nearDupMetaPath(dir), s"$n\n$threshold")
+    commit(root, v)
+  }
+
+  /** Retention: drop committed versions beyond the newest `keep`
+    * (always sparing the current pointer's), but NEVER a version dir
+    * whose files a retained version's manifest still references
+    * (delta-stitched chains — sparable only after [[compact]]).
+    * Returns the dropped version numbers. */
+  def vacuum(root: String, keep: Int = 1): Seq[Long] = {
+    val all = versions(root)
+    val cur = currentVersion(root)
+    val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
+    val refs: Set[String] = retained.flatMap { v =>
+      Seq("prefix", "sets").flatMap { comp =>
+        val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
+        if (!Fs.exists(mp)) Nil
+        else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
+          .map(l => l.substring(l.indexOf('\t') + 1))
+          .filter(e => e.startsWith("/") || e.contains("://")).toSeq
+      }
+    }.toSet
+    all.filterNot(retained.contains).filter { v =>
+      val dir = vPath(root, v)
+      val stillReferenced = refs.exists(_.startsWith(dir + "/"))
+      if (!stillReferenced) Fs.deleteRecursive(dir)
+      !stillReferenced
+    }
+  }
+
+  /** Release the delta shingle cache a [[pairsForDelta]] call pinned. */
+  def releaseProbeCache(root: String, delta: DataFrame,
+                        idCol: String, textCol: String): Unit =
+    Dedup.releaseIndexedProbeCache(current(root), delta, idCol, textCol)
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, NearDupIndexStore => Store}
+
+/** The versioned near-dup index store: joint-atomic commits (a reader
+  * never sees one layout ahead of the other), delta-bounded version
+  * footprints, reference-aware retention. */
+class NearDupIndexStoreSpec extends AnyFunSuite {
+  private lazy val spark = GraftSpark.spark
+  import spark.implicits._
+
+  private def text(i: Int): String = (0 until 12).map(j => s"s${i}z$j").mkString(" ")
+
+  test("build -> appendDelta == fresh build; old version serves the pre-delta view; retention") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ndstore").toString
+    // v1 corpus: docs 0..39, doc 5 at a draft revision
+    val v1docs = (0 until 40).map(i =>
+      (i.toLong, if (i == 5) "draft placeholder entirely different words" else text(i)))
+      .toDF("doc_id", "text")
+    val v1 = Store.build(spark, v1docs, "doc_id", "text", root, numBuckets = 8)
+    assert(v1 == 1L && Store.currentVersion(root).contains(1L))
+
+    // the batch mixes a new near-dup of doc 7, a brand-new doc, and the
+    // corrected re-upload of doc 5
+    val delta = Seq((100L, text(7)), (101L, text(41)), (5L, text(5)))
+      .toDF("doc_id", "text")
+    // probe BEFORE absorbing — returns the post-batch truth already
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val before = pset(Store.pairsForDelta(spark, root, delta, "doc_id", "text"))
+    val v2 = Store.appendDelta(spark, root, delta, "doc_id", "text")
+    assert(v2 == 2L && Store.currentVersion(root).contains(2L))
+
+    // post-append probes over the store == a fresh build on the merged
+    // corpus, and == the pre-append probe (order independence)
+    val merged = v1docs.filter($"doc_id" =!= 5L)
+      .unionByName(delta)
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_ndref").toString
+    Store.build(spark, merged, "doc_id", "text", refRoot, numBuckets = 8)
+    val probe2 = Seq((999L, text(7))).toDF("doc_id", "text")
+    assert(pset(Store.pairsForDelta(spark, root, probe2, "doc_id", "text")) ==
+      pset(Store.pairsForDelta(spark, refRoot, probe2, "doc_id", "text")))
+    assert(pset(Store.pairsForDelta(spark, root, delta, "doc_id", "text")) == before)
+
+    // the SUPERSEDED version still serves the pre-delta view (doc 5
+    // still at its draft: no pair with a probe carrying the true text)
+    val probeTrue5 = Seq((998L, text(5))).toDF("doc_id", "text")
+    assert(pset(Dedup.jaccardDeltaPairsIndexed(spark, s"$root/v1",
+      probeTrue5, "doc_id", "text")).isEmpty)
+    assert(pset(Store.pairsForDelta(spark, root, probeTrue5, "doc_id", "text")) ==
+      Set((5L, 998L)))
+
+    // v2 is delta-stitched: its manifests reference v1's files, so
+    // vacuum must SPARE v1 even at keep=1
+    assert(Store.vacuum(root, keep = 1).isEmpty)
+    assert(Store.versions(root) == Seq(1L, 2L))
+    // v2's own data footprint is delta-sized (every local file under a
+    // delta-*/ subdir)
+    val v2Files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$root/v2"))
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map[String](_.toString).toArray.map(_.toString)
+      .filterNot(f => f.contains("_PRUNE") || f.endsWith("_SUCCESS") ||
+        f.contains("/.") || f.contains("dfhead") || f.contains("_NEARDUP"))
+    assert(v2Files.nonEmpty && v2Files.forall(_.contains("/delta-")),
+      v2Files.mkString(","))
+
+    // compact folds v3 self-contained; vacuum then drops v1 and v2 and
+    // probes are unchanged
+    val v3 = Store.compact(spark, root)
+    assert(v3 == 3L)
+    assert(Store.vacuum(root, keep = 1).toSet == Set(1L, 2L))
+    assert(Store.versions(root) == Seq(3L))
+    assert(pset(Store.pairsForDelta(spark, root, probe2, "doc_id", "text")) ==
+      Set((7L, 999L), (100L, 999L)))
+    assert(pset(Store.pairsForDelta(spark, root, probeTrue5, "doc_id", "text")) ==
+      Set((5L, 998L)))
+
+    Seq(delta, probe2, probeTrue5).foreach(d =>
+      Store.releaseProbeCache(root, d, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+}
