@@ -188,7 +188,12 @@ object SlopeGate {
     "t142_neardup_store" -> Budget(20.0,
       "t140's build stage (via the versioned store) + the t26 v1-pairs " +
         "self-join + two delta-bounded probes and one stitched append; " +
-        "all linear stages, the build dominates"))
+        "all linear stages, the build dominates"),
+    "t143_containment_indexed" -> Budget(20.0,
+      "t123's delta scenario (default-budget shape, ~2x measured) plus " +
+        "an in-query unified-index BUILD — the t140 build stage plus " +
+        "postings+census writes, all linear; probe-side work is " +
+        "delta-bounded plus one thin census scan"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

@@ -2228,6 +2228,37 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[t123ContainmentDelta]]'s EXACT scenario (half-prefix quotes +
+    * re-uploaded revisions, maxDf=16) through the persisted UNIFIED
+    * dedup index ([[graft.llm.Dedup.writeContainmentIndex]] /
+    * [[graft.llm.Dedup.containmentDeltaPairsIndexed]]): per-batch cost
+    * drops from t123's corpus-wide df re-aggregation + postings
+    * re-explosion + full-index joins to delta text compute +
+    * bucket-pruned reads + broadcast joins + ONE thin census scan —
+    * and the pair set is bit-for-bit the batch algorithm's (the census
+    * updates to exact post-delta counts, the head re-derives with the
+    * same top-K/ties, the cap applies per probed shingle), so t123's
+    * literal oracle applies verbatim. */
+  private def t143ContainmentIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val corpus = d.select(col("doc_id"), col("text"))
+    val halves = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val revs = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"),
+      concat(col("text"), lit(" containment rev2 trailer")).as("text"))
+    val delta = halves.unionByName(revs)
+    val root = scratch("ctidx", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    graft.llm.Dedup.writeContainmentIndex(s, corpus, "doc_id", "text",
+      s"$root/idx")
+    graft.llm.Dedup.containmentDeltaPairsIndexed(s, s"$root/idx", delta,
+        "doc_id", "text", maxDf = 16)
+      .select(col("a_id"), col("b_id"),
+        floor(col("containment") * 1e6).cast("long").as("containment_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2572,6 +2603,7 @@ object SparkEntry {
     "t140_neardup_indexed" -> t140NeardupIndexed _,
     "t141_curation_indexed" -> t141CurationIndexed _,
     "t142_neardup_store" -> t142NeardupStore _,
+    "t143_containment_indexed" -> t143ContainmentIndexed _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4120,7 +4152,11 @@ object SparkEntry {
       ("t141_curation_indexed" -> base("t128_curation_e2e")) +
       // t142: v1-pairs ∪ batch-1 probe ∪ batch-2 probe partitions the
       // full pair set by each pair's latest-batch member — t26's twin
-      ("t142_neardup_store" -> base("t26_jaccard_pairs"))
+      ("t142_neardup_store" -> base("t26_jaccard_pairs")) +
+      // t143: t123's exact scenario through the unified index — the
+      // indexed path reconstructs the post-delta order and hot set
+      // exactly, so the literal oracle applies verbatim
+      ("t143_containment_indexed" -> base("t123_containment_delta"))
   }
 }
 

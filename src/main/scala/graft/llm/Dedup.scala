@@ -669,6 +669,197 @@ object Dedup {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // Containment over the persisted index: [[containmentDeltaPairs]]'s
+  // per-batch cost profile matches [[jaccardDeltaPairs]]'s — a full df
+  // re-aggregation (corpus explode), a full container-postings
+  // re-explode, and corpus-wide joins, every batch. The indexed form
+  // adds two thin components to the near-dup root:
+  //   root/postings  (shingle, id, sz)  ALL shingles per doc, keyed by shingle
+  //   root/dfcensus  (shingle, df)      the EXACT document-frequency census
+  // and a batch then costs: delta text compute + bucket-pruned reads +
+  // broadcast joins + ONE thin scan of the census (no text, no explode,
+  // no corpus shuffle) to re-derive the global prefix order.
+  //
+  // Unlike the Jaccard path (where a frozen order is a completeness
+  // theorem), the CAPPED containment output is defined by the batch
+  // algorithm's order- and hot-set choices, so the indexed form
+  // reconstructs them EXACTLY: the census updates to post-delta counts
+  // for the touched shingles (delta adds, replaced ids' old revisions
+  // subtract — both delta-bounded), the head re-derives from the
+  // updated census (same top-K, same ties), and the container cap
+  // applies per probed shingle from exact post-delta df. Result:
+  // containmentDeltaPairsIndexed == containmentDeltaPairs for ANY
+  // maxDf — not just the uncapped theorem case (pinned in DedupSpec).
+  // ---------------------------------------------------------------------
+
+  private def allPostingsOf(sets: DataFrame): DataFrame =
+    sets.select(explode(col("sh")).as("shingle"), col("id"), col("sz"))
+
+  /** Extend a [[writeNearDupIndex]] root into the UNIFIED dedup index:
+    * one root serving both Jaccard probes ([[jaccardDeltaPairsIndexed]])
+    * and containment probes ([[containmentDeltaPairsIndexed]]). Writes
+    * prefix+sets+frozen-head (the near-dup components) plus the full
+    * postings and the exact df census. */
+  def writeContainmentIndex(spark: org.apache.spark.sql.SparkSession,
+                            docs: DataFrame, idCol: String, textCol: String,
+                            root: String, n: Int = 3, threshold: Double = 0.8,
+                            dfHeadSize: Int = 100000, numBuckets: Int = 64): Unit = {
+    writeNearDupIndex(spark, docs, idCol, textCol, root, n, threshold,
+      dfHeadSize, numBuckets)
+    // derive from the just-written sets — the text is shingled once
+    val sets = graft.sources.PrunedIndex.read(spark,
+      graft.fs.Fs.child(root, "sets")).select(col("id"), col("sh"), col("sz"))
+    graft.sources.PrunedIndex.write(allPostingsOf(sets),
+      graft.fs.Fs.child(root, "postings"), Seq("shingle"), numBuckets)
+    graft.sources.PrunedIndex.write(
+      allPostingsOf(sets).groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+      graft.fs.Fs.child(root, "dfcensus"), Seq("shingle"), numBuckets)
+  }
+
+  /** The post-delta adjustment of the df census for the TOUCHED
+    * shingles (delta revisions add, replaced ids' old revisions
+    * subtract): (shingle, df) with exact post-delta counts, df > 0
+    * rows only. `touchedKeys`/`dPost`/`replacedPost` are the caller's
+    * delta-bounded frames. */
+  private def adjustedCensus(spark: org.apache.spark.sql.SparkSession,
+                             root: String, touchedKeys: DataFrame,
+                             dPost: DataFrame, replacedPost: DataFrame): DataFrame = {
+    val stored = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(root, "dfcensus"), touchedKeys)
+    touchedKeys
+      .join(stored.select(col("shingle"), col("df").as("d0")), Seq("shingle"), "left")
+      .join(dPost.groupBy(col("shingle")).agg(count(lit(1)).as("dplus")),
+        Seq("shingle"), "left")
+      .join(replacedPost.groupBy(col("shingle")).agg(count(lit(1)).as("dminus")),
+        Seq("shingle"), "left")
+      .select(col("shingle"),
+        (coalesce(col("d0"), lit(0L)) + coalesce(col("dplus"), lit(0L)) -
+          coalesce(col("dminus"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+  }
+
+  /** [[containmentDeltaPairs]] over the persisted unified index —
+    * bit-for-bit the same pair set (any `maxDf`), at delta-bounded
+    * per-batch cost plus one THIN census scan (the global prefix order
+    * re-derives from stored (shingle, df) rows — no text, no explode).
+    * Role 1 (delta as contained): the delta's prefix rows under the
+    * post-delta order probe the capped stored postings. Role 2 (delta
+    * as container): stored docs sharing a non-hot shingle with the
+    * delta — a ≤ maxDf·|delta shingles| superset — re-derive their
+    * prefixes in-query from their pruned sets and probe the delta's
+    * capped postings. Exact-containment verification over pruned
+    * partner sets. Release the delta's shingle cache with
+    * [[releaseIndexedProbeCache]]. */
+  def containmentDeltaPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, delta: DataFrame,
+                                   idCol: String, textCol: String,
+                                   maxDf: Int = Int.MaxValue,
+                                   dfHeadSize: Int = 100000): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val (n, threshold) = readNearDupMeta(root)
+    val deltaSets = containmentIndex(delta, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = deltaSets.select(col("id")).distinct()
+    val dPost = allPostingsOf(deltaSets)
+    val replacedPost = allPostingsOf(graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(root, "sets"), deltaIds))
+    val touchedKeys = dPost.select(col("shingle"))
+      .unionByName(replacedPost.select(col("shingle")))
+      .distinct().localCheckpoint()
+    val adjusted = adjustedCensus(spark, root, touchedKeys, dPost, replacedPost)
+      .localCheckpoint()
+    // the global order: stored census with touched keys updated, top-K
+    // — the ONE corpus-proportional step, and it is a thin column scan
+    val headPost = graft.sources.PrunedIndex.read(spark,
+        graft.fs.Fs.child(root, "dfcensus"))
+      .join(broadcast(touchedKeys), Seq("shingle"), "left_anti")
+      .unionByName(adjusted)
+      .filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("shingle"))
+      .limit(dfHeadSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact post-delta df for every probed shingle lives in `adjusted`
+    // (probe keys ⊆ the delta's shingles ⊆ touched)
+    val hot = adjusted.filter(col("df") > maxDf).select(col("shingle"))
+    // role 1: delta contained — prefix(delta) ⋈ capped postings(all)
+    val aDelta = prefixRowsOf(deltaSets, threshold, headPost)
+      .select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
+    val probe1 = aDelta.select(col("shingle")).distinct()
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .localCheckpoint()
+    val bStored1 = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "postings"), probe1)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val bSide1 = bStored1.select(col("shingle"), col("id"), col("sz"))
+      .unionByName(dPost.join(broadcast(probe1), Seq("shingle"), "left_semi"))
+      .select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))
+    val cand1 = broadcast(aDelta.join(broadcast(probe1), Seq("shingle"), "left_semi"))
+      .join(bSide1, Seq("shingle"))
+    // role 2: delta container — stored docs sharing a non-hot shingle
+    // with the delta re-derive their prefixes in-query
+    val probe2 = dPost.select(col("shingle")).distinct()
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .localCheckpoint()
+    val supersetIds = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "postings"), probe2)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("id")).distinct()
+    val aCandSets = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "sets"), supersetIds)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val aStored2 = prefixRowsOf(aCandSets, threshold, headPost)
+      .select(col("shingle"), col("id").as("a_id"), col("sz").as("a_sz"))
+    val bDelta2 = dPost.join(broadcast(hot), Seq("shingle"), "left_anti")
+      .select(col("shingle"), col("id").as("b_id"), col("sz").as("b_sz"))
+    val cand2 = aStored2.join(broadcast(bDelta2), Seq("shingle"))
+    val candidates = cand1.unionByName(cand2)
+      .filter(col("a_id") =!= col("b_id"))
+      .filter(col("b_sz") >= lit(threshold) * col("a_sz"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+      .localCheckpoint()
+    val partnerIds = candidates.select(col("a_id").as("id"))
+      .unionAll(candidates.select(col("b_id").as("id"))).distinct()
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val partnerSets = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "sets"), partnerIds)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("id"), col("sh"), col("sz"))
+    verifyContainment(candidates, partnerSets.unionByName(deltaSets), threshold)
+  }
+
+  /** Absorb `delta` into the unified index: the near-dup components
+    * via [[appendNearDupIndexDelta]] plus the postings (REPLACE rows
+    * for touched shingle keys) and the census (exact post-delta
+    * counts) — all delta-bounded writeDelta passes; replay-idempotent
+    * like the near-dup append. */
+  def appendContainmentIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                                  root: String, delta: DataFrame,
+                                  idCol: String, textCol: String): Unit = {
+    val (n, _) = readNearDupMeta(root)
+    val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
+    val deltaIds = deltaSets.select(col("id")).distinct()
+    val dPost = allPostingsOf(deltaSets)
+    val replacedPost = allPostingsOf(graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(root, "sets"), deltaIds))
+    val touchedKeys = dPost.select(col("shingle"))
+      .unionByName(replacedPost.select(col("shingle")))
+      .distinct().localCheckpoint()
+    val adjusted = adjustedCensus(spark, root, touchedKeys, dPost, replacedPost)
+      .localCheckpoint()
+    val keptPostings = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "postings"), touchedKeys)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("shingle"), col("id"), col("sz"))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "postings"),
+      keptPostings.unionByName(dPost), touchedKeys)
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "dfcensus"), adjusted, touchedKeys)
+    appendNearDupIndexDelta(spark, root, delta, idCol, textCol)
+  }
+
   /** Release the delta shingle-set cache a prior
     * [[jaccardDeltaPairsIndexed]] call persisted for these inputs — the
     * index-aware form of [[releaseShingleSetCache]] (the shingle width

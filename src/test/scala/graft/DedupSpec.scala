@@ -363,6 +363,58 @@ class DedupSpec extends AnyFunSuite {
     Dedup.releaseContainmentDeltaCache(delta2, "doc_id", "text", dIndex, 3)
   }
 
+  test("unified index: containmentDeltaPairsIndexed == containmentDeltaPairs, capped and uncapped, with re-uploads; append == rebuild") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.select(col("doc_id"), col("text"))
+    // the t123 scenario: half-prefix quotes (contained) + re-uploaded
+    // revisions (the %7 docs get a trailer — their stored rows displace)
+    val halves = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      org.apache.spark.sql.functions.expr(
+        "substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val revs = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"),
+      org.apache.spark.sql.functions.concat(col("text"),
+        lit(" containment rev2 trailer")).as("text"))
+    val delta = halves.unionByName(revs)
+    val root = java.nio.file.Files.createTempDirectory("graft_ctidx").toString
+    Dedup.writeContainmentIndex(spark, corpus, "doc_id", "text", root, numBuckets = 16)
+    val corpusIndex = Dedup.containmentIndex(corpus, "doc_id", "text", n = 3)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id"),
+          org.apache.spark.sql.functions.floor(col("containment") * 1e6).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    // CAPPED: the indexed path reconstructs the post-delta order and
+    // hot set exactly — bit-for-bit the batch algorithm's output
+    val capped = pset(Dedup.containmentDeltaPairsIndexed(spark, root, delta,
+      "doc_id", "text", maxDf = 16))
+    assert(capped.nonEmpty && capped ==
+      pset(Dedup.containmentDeltaPairs(delta, "doc_id", "text", corpusIndex,
+        maxDf = 16)))
+    // UNCAPPED parity too
+    assert(pset(Dedup.containmentDeltaPairsIndexed(spark, root, delta,
+        "doc_id", "text")) ==
+      pset(Dedup.containmentDeltaPairs(delta, "doc_id", "text", corpusIndex)))
+    // absorb, then a SECOND batch probes the advanced index == the
+    // batch path over the rebuilt corpus
+    Dedup.appendContainmentIndexDelta(spark, root, delta, "doc_id", "text")
+    val merged = corpus.filter(col("doc_id") % 7 =!= 0)
+      .unionByName(delta)
+    val delta2 = d.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + 400000).as("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val mergedIndex = Dedup.containmentIndex(merged, "doc_id", "text", n = 3)
+    assert(pset(Dedup.containmentDeltaPairsIndexed(spark, root, delta2,
+        "doc_id", "text", maxDf = 16)) ==
+      pset(Dedup.containmentDeltaPairs(delta2, "doc_id", "text", mergedIndex,
+        maxDf = 16)))
+    Dedup.releaseContainmentDeltaCache(delta, "doc_id", "text", corpusIndex, 3)
+    Dedup.releaseContainmentDeltaCache(delta2, "doc_id", "text", mergedIndex, 3)
+    Seq(delta, delta2).foreach(Dedup.releaseIndexedProbeCache(root, _, "doc_id", "text"))
+    Dedup.releaseShingleSetCache(corpus, "doc_id", "text")
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
