@@ -2259,6 +2259,34 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[t121WinnowingDelta]]'s EXACT scenario through the persisted
+    * winnowing index ([[graft.llm.Dedup.writeWinnowingIndex]] /
+    * [[graft.llm.Dedup.winnowingDeltaPairsIndexed]]) — the r16 verdict's
+    * last O(corpus)-per-batch dedup path closed: t121 anti-joins and
+    * re-unions the FULL fingerprint index every batch and re-aggregates
+    * df over it inside the cap; here a batch costs delta fingerprinting
+    * + bucket-pruned reads of ONLY the delta's fp buckets + a broadcast
+    * candidate join, with the df-cap evaluated from the exact persisted
+    * census (delta-adjusted). Shared-fp counting is order-free, so the
+    * pair set is identical for any cap (pinned in SketchSpec) and
+    * t121's literal oracle applies verbatim. Operational path only
+    * (build → probe); rebuild-parity lives in the spec. */
+  private def t144WinnowingIndexed(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val revText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" winnowing rev2 trailer"))).otherwise(col("text"))
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .withColumn("text", revText)
+    val root = scratch("widx", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    graft.llm.Dedup.writeWinnowingIndex(s, corpus, "doc_id", "text",
+      s"$root/idx", k = 16, w = 8)
+    graft.llm.Dedup.winnowingDeltaPairsIndexed(s, s"$root/idx", delta,
+        "doc_id", "text", minShared = 8, maxDf = 16)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2604,6 +2632,7 @@ object SparkEntry {
     "t141_curation_indexed" -> t141CurationIndexed _,
     "t142_neardup_store" -> t142NeardupStore _,
     "t143_containment_indexed" -> t143ContainmentIndexed _,
+    "t144_winnowing_indexed" -> t144WinnowingIndexed _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4156,7 +4185,12 @@ object SparkEntry {
       // t143: t123's exact scenario through the unified index — the
       // indexed path reconstructs the post-delta order and hot set
       // exactly, so the literal oracle applies verbatim
-      ("t143_containment_indexed" -> base("t123_containment_delta"))
+      ("t143_containment_indexed" -> base("t123_containment_delta")) +
+      // t144: t121's exact scenario through the persisted winnowing
+      // index — shared-fp counting is order-free and the cap evaluates
+      // from the exact delta-adjusted census, so the pair set (and the
+      // literal oracle) applies verbatim
+      ("t144_winnowing_indexed" -> base("t121_winnowing_delta"))
   }
 }
 

@@ -831,33 +831,66 @@ object Dedup {
 
   /** Absorb `delta` into the unified index: the near-dup components
     * via [[appendNearDupIndexDelta]] plus the postings (REPLACE rows
-    * for touched shingle keys) and the census (exact post-delta
-    * counts) — all delta-bounded writeDelta passes; replay-idempotent
-    * like the near-dup append. */
+    * for touched shingle keys) and the census — all delta-bounded
+    * writeDelta passes.
+    *
+    * Crash contract — replay-idempotent in EVERY window: the census
+    * rows landed for the touched keys are DERIVED from the same
+    * post-replacement postings frames being written ((kept stored
+    * postings ∪ delta postings) counted per shingle), never by
+    * incrementally adjusting the stored census. An adjustment anchored
+    * to the stored census double-applies on replay when a crash lands
+    * the census but not the sets index (the r16-ADVICE window: the
+    * replay reads an already-adjusted census while the replaced-old
+    * subtraction side still reads pre-delta sets rows); the derived
+    * form recomputes the identical value from pre- or post-crash state
+    * alike, because the kept side anti-joins the delta ids regardless
+    * of which layouts landed. Pinned in DedupSpec, including a
+    * simulated postings+census-landed / prefix+sets-not-landed crash
+    * state. */
   def appendContainmentIndexDelta(spark: org.apache.spark.sql.SparkSession,
                                   root: String, delta: DataFrame,
-                                  idCol: String, textCol: String): Unit = {
-    val (n, _) = readNearDupMeta(root)
+                                  idCol: String, textCol: String): Unit =
+    appendContainmentIndexDeltaInto(spark, root, root, delta, idCol, textCol)
+
+  /** [[appendContainmentIndexDelta]] landing in a DIFFERENT root —
+    * the [[appendNearDupIndexDeltaInto]] cross-root form for the
+    * containment components: reads come from `from`, touched buckets'
+    * new files land under `into`, untouched buckets stitch `from`'s
+    * files by absolute path. The versioned-store building block: all
+    * FIVE unified-index components land under one new version dir
+    * ([[NearDupIndexStore.appendDelta]]), committed with a single
+    * atomic pointer swap. */
+  private[llm] def appendContainmentIndexDeltaInto(
+      spark: org.apache.spark.sql.SparkSession,
+      from: String, into: String, delta: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (n, _) = readNearDupMeta(from)
     val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
     val deltaIds = deltaSets.select(col("id")).distinct()
     val dPost = allPostingsOf(deltaSets)
     val replacedPost = allPostingsOf(graft.sources.PrunedIndex.readPruned(spark,
-      graft.fs.Fs.child(root, "sets"), deltaIds))
+      graft.fs.Fs.child(from, "sets"), deltaIds))
     val touchedKeys = dPost.select(col("shingle"))
       .unionByName(replacedPost.select(col("shingle")))
       .distinct().localCheckpoint()
-    val adjusted = adjustedCensus(spark, root, touchedKeys, dPost, replacedPost)
-      .localCheckpoint()
     val keptPostings = graft.sources.PrunedIndex.readPruned(spark,
-        graft.fs.Fs.child(root, "postings"), touchedKeys)
+        graft.fs.Fs.child(from, "postings"), touchedKeys)
       .join(broadcast(deltaIds), Seq("id"), "left_anti")
       .select(col("shingle"), col("id"), col("sz"))
+    // materialized BEFORE the postings swap: the census derives from
+    // this frame, not from a lazy re-read of the index mid-landing
+    val newRows = keptPostings.unionByName(dPost).localCheckpoint()
+    val base = (c: String) =>
+      if (into == from) None else Some(graft.fs.Fs.child(from, c))
     graft.sources.PrunedIndex.writeDelta(spark,
-      graft.fs.Fs.child(root, "postings"),
-      keptPostings.unionByName(dPost), touchedKeys)
+      graft.fs.Fs.child(into, "postings"), newRows, touchedKeys,
+      basePath = base("postings"))
     graft.sources.PrunedIndex.writeDelta(spark,
-      graft.fs.Fs.child(root, "dfcensus"), adjusted, touchedKeys)
-    appendNearDupIndexDelta(spark, root, delta, idCol, textCol)
+      graft.fs.Fs.child(into, "dfcensus"),
+      newRows.groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+      touchedKeys, basePath = base("dfcensus"))
+    appendNearDupIndexDeltaInto(spark, from, into, delta, idCol, textCol)
   }
 
   /** Release the delta shingle-set cache a prior
@@ -1787,6 +1820,165 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+  }
+
+  // ---------------------------------------------------------------------
+  // Winnowing over a persisted index — the [[writeNearDupIndex]] /
+  // [[writeContainmentIndex]] recipe applied to the fingerprint family,
+  // closing the last O(corpus)-per-batch dedup path:
+  // [[winnowingDeltaPairs]] anti-joins and re-unions the FULL
+  // fingerprint index every batch, re-aggregates df over it inside
+  // dropHotFps, and shuffles the whole merged frame through the
+  // candidate join on `fp`. The indexed form persists three thin
+  // components
+  //   root/byid      (id, fp)  keyed by id — displacement + census math
+  //   root/postings  (fp, id)  keyed by fp — the candidate side
+  //   root/dfcensus  (fp, df)  keyed by fp — the exact df census
+  // and a batch then costs: delta fingerprinting + bucket-pruned reads
+  // of ONLY the delta's fp buckets + a broadcast candidate join (the
+  // stored side never shuffles). Unlike Jaccard there is no frozen
+  // order to carry (no prefix heuristic) and unlike containment no
+  // capped-output order to reconstruct: shared-fp counting is
+  // order-free, so [[winnowingDeltaPairsIndexed]] ==
+  // [[winnowingDeltaPairs]] for ANY `maxDf` directly — every shared
+  // fingerprint of a delta-touching pair is a delta fingerprint, hence
+  // probed, and hotness is evaluated on the exact post-delta df for
+  // exactly those fingerprints (pinned in SketchSpec).
+  // ---------------------------------------------------------------------
+
+  private[llm] def winnowMetaPath(root: String): String =
+    graft.fs.Fs.child(root, "_WINNOW_META")
+
+  private[llm] def readWinnowMeta(root: String): (Int, Int) = {
+    val ls = graft.fs.Fs.readString(winnowMetaPath(root)).split("\n")
+    (ls(0).trim.toInt, ls(1).trim.toInt)
+  }
+
+  /** Build the persisted winnowing index for `docs` (one corpus
+    * version). Write-once; maintain with [[appendWinnowingIndexDelta]];
+    * probe with [[winnowingDeltaPairsIndexed]]. */
+  def writeWinnowingIndex(spark: org.apache.spark.sql.SparkSession,
+                          docs: DataFrame, idCol: String, textCol: String,
+                          root: String, k: Int = 12, w: Int = 8,
+                          numBuckets: Int = 64): Unit = {
+    val fps = winnowingIndex(docs, idCol, textCol, k, w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.sources.PrunedIndex.write(fps,
+      graft.fs.Fs.child(root, "byid"), Seq("id"), numBuckets)
+    graft.sources.PrunedIndex.write(fps.select(col("fp"), col("id")),
+      graft.fs.Fs.child(root, "postings"), Seq("fp"), numBuckets)
+    graft.sources.PrunedIndex.write(
+      fps.groupBy(col("fp")).agg(count(lit(1)).as("df")),
+      graft.fs.Fs.child(root, "dfcensus"), Seq("fp"), numBuckets)
+    graft.fs.Fs.writeStringAtomic(winnowMetaPath(root), s"$k\n$w")
+    fps.unpersist(false): Unit
+  }
+
+  /** [[winnowingDeltaPairs]] over the persisted index — the same pair
+    * set for ANY `maxDf`, at delta-bounded per-batch cost. The exact
+    * post-delta df for each probed fingerprint derives from three
+    * delta-bounded frames: the stored census (pruned), the delta's own
+    * counts, and the replaced ids' old-revision rows (pruned `byid`
+    * read) — the adjustment self-cancels when probing AFTER
+    * [[appendWinnowingIndexDelta]] absorbed the same batch, so probe
+    * order is immaterial, matching the other indexed probes. (The torn
+    * in-place window — census landed, `byid` not — is the documented
+    * replay-first case, closed by the versioned store.) */
+  def winnowingDeltaPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                 root: String, delta: DataFrame,
+                                 idCol: String, textCol: String,
+                                 minShared: Int = 3,
+                                 maxDf: Int = Int.MaxValue): DataFrame = {
+    val (k, w) = readWinnowMeta(root)
+    val deltaFps = winnowingIndex(delta, idCol, textCol, k, w).localCheckpoint()
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val probeKeys = deltaFps.select(col("fp")).distinct().localCheckpoint()
+    val hot =
+      if (maxDf == Int.MaxValue) probeKeys.limit(0)
+      else {
+        val replacedOld = graft.sources.PrunedIndex.readPruned(spark,
+          graft.fs.Fs.child(root, "byid"), deltaIds)
+        val d0 = graft.sources.PrunedIndex.readPruned(spark,
+          graft.fs.Fs.child(root, "dfcensus"), probeKeys)
+        probeKeys
+          .join(d0.select(col("fp"), col("df").as("d0")), Seq("fp"), "left")
+          .join(deltaFps.groupBy(col("fp")).agg(count(lit(1)).as("dplus")),
+            Seq("fp"), "left")
+          .join(replacedOld.groupBy(col("fp")).agg(count(lit(1)).as("dminus")),
+            Seq("fp"), "left")
+          .select(col("fp"),
+            (coalesce(col("d0"), lit(0L)) + coalesce(col("dplus"), lit(0L)) -
+              coalesce(col("dminus"), lit(0L))).as("df"))
+          .filter(col("df") > maxDf)
+          .select(col("fp"))
+      }
+    val live = deltaFps.join(broadcast(hot), Seq("fp"), "left_anti")
+    val probeLive = probeKeys.join(broadcast(hot), Seq("fp"), "left_anti")
+    val stored = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "postings"), probeLive)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val merged = stored.select(col("fp"), col("id"))
+      .unionByName(live.select(col("fp"), col("id")))
+    // least/greatest + distinct collapses the within-delta symmetric
+    // duplicates to one row per (fp, pair) — [[winnowingDeltaPairs]]'s
+    // exact shape, over pruned reads instead of the full index
+    broadcast(live.select(col("fp"), col("id").as("x")))
+      .join(merged.select(col("fp"), col("id").as("y")), Seq("fp"))
+      .filter(col("x") =!= col("y"))
+      .select(col("fp"), least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
+  /** Absorb `delta` into the persisted winnowing index (REPLACE
+    * semantics for re-uploaded ids, delta-bounded write I/O,
+    * replay-idempotent in every crash window — the census derives from
+    * the post-replacement postings frame being landed, the
+    * [[appendContainmentIndexDelta]] contract). */
+  def appendWinnowingIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                                root: String, delta: DataFrame,
+                                idCol: String, textCol: String): Unit =
+    appendWinnowingIndexDeltaInto(spark, root, root, delta, idCol, textCol)
+
+  /** [[appendWinnowingIndexDelta]] landing in a DIFFERENT root — the
+    * versioned-store building block: reads from `from`, touched
+    * buckets land under `into`, untouched buckets stitch `from`'s
+    * files by absolute path. */
+  private[llm] def appendWinnowingIndexDeltaInto(
+      spark: org.apache.spark.sql.SparkSession,
+      from: String, into: String, delta: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (k, w) = readWinnowMeta(from)
+    val deltaFps = winnowingIndex(delta, idCol, textCol, k, w).localCheckpoint()
+    val deltaIds = delta.select(col(idCol).as("id")).distinct().localCheckpoint()
+    val replacedOld = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(from, "byid"), deltaIds)
+    val touchedKeys = deltaFps.select(col("fp"))
+      .unionByName(replacedOld.select(col("fp")))
+      .distinct().localCheckpoint()
+    val keptPostings = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(from, "postings"), touchedKeys)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("fp"), col("id"))
+    val newRows = keptPostings
+      .unionByName(deltaFps.select(col("fp"), col("id"))).localCheckpoint()
+    val base = (c: String) =>
+      if (into == from) None else Some(graft.fs.Fs.child(from, c))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(into, "postings"), newRows, touchedKeys,
+      basePath = base("postings"))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(into, "dfcensus"),
+      newRows.groupBy(col("fp")).agg(count(lit(1)).as("df")),
+      touchedKeys, basePath = base("dfcensus"))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(into, "byid"), deltaFps, deltaIds,
+      basePath = base("byid"))
+    if (into != from)
+      graft.fs.Fs.writeStringAtomic(winnowMetaPath(into), s"$k\n$w")
   }
 
   /** Cross-document repeated-substring spans (the substring-level dedup

@@ -415,6 +415,79 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("appendContainmentIndexDelta replay converges from the torn census-landed crash window") {
+    // The r16-ADVICE scenario: a crash lands postings+dfcensus but not
+    // prefix+sets; the documented recovery (re-run the batch) must
+    // leave the index byte-equivalent to a crash-free append. The old
+    // incremental census adjustment double-applied here (the replay
+    // read an already-adjusted census while the replaced-old
+    // subtraction still read pre-delta sets rows); the derived census
+    // recomputes the same value from either state.
+    import org.apache.spark.sql.functions.{concat, expr, floor}
+    import graft.fs.Fs
+    // plain-nio copy skipping dot-files: Hadoop's FileUtil.copy drags
+    // `.crc` sidecars along, which go stale when a later atomic write
+    // replaces their data file
+    def copyDir(src: String, dst: String): Unit = {
+      import java.nio.file.{Files, Paths, Path => JPath}
+      val s = Paths.get(src); val t = Paths.get(dst)
+      Files.walk(s).filter(p => !Files.isDirectory(p) &&
+          !p.getFileName.toString.startsWith(".")).forEach { (p: JPath) =>
+        val d = t.resolve(s.relativize(p))
+        Files.createDirectories(d.getParent)
+        Files.copy(p, d): Unit
+      }
+    }
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus0 = d.filter(col("doc_id") % 6 =!= 5).select(col("doc_id"), col("text"))
+    // re-uploaded revisions (stored rows must leave the census exactly
+    // once) + new half-prefix quotes (contained)
+    val revs = d.filter(col("doc_id") % 9 === 0 && col("doc_id") % 6 =!= 5)
+      .select(col("doc_id"), concat(col("text"), lit(" torn-window rev2")).as("text"))
+    val halves = d.filter(col("doc_id") % 6 === 5 && col("doc_id") < 240).select(
+      (col("doc_id") + 300000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val delta = revs.unionByName(halves)
+    val base = java.nio.file.Files.createTempDirectory("graft_ctreplay").toString
+    val root = Fs.child(base, "idx"); val twin = Fs.child(base, "twin")
+    Dedup.writeContainmentIndex(spark, corpus0, "doc_id", "text", root, numBuckets = 16)
+    copyDir(root, twin)
+    // stash the near-dup components; append fully; restore the stash →
+    // on-disk state is EXACTLY the crash window (containment components
+    // landed, near-dup components not)
+    val stash = Fs.child(base, "stash")
+    val nearDup = Seq("prefix", "sets", "dfhead")
+    nearDup.foreach(c => copyDir(Fs.child(root, c), Fs.child(stash, c)))
+    Dedup.appendContainmentIndexDelta(spark, root, delta, "doc_id", "text")
+    nearDup.foreach { c =>
+      Fs.deleteRecursive(Fs.child(root, c))
+      copyDir(Fs.child(stash, c), Fs.child(root, c))
+    }
+    // documented recovery: replay the batch; clean twin appends once
+    Dedup.appendContainmentIndexDelta(spark, root, delta, "doc_id", "text")
+    Dedup.appendContainmentIndexDelta(spark, twin, delta, "doc_id", "text")
+    // direct pin of the advisory's corruption: the census VALUES match
+    // the crash-free twin's (a double-applied adjustment diverges here)
+    def censusOf(r: String) = graft.sources.PrunedIndex.read(spark,
+        Fs.child(r, "dfcensus")).select(col("shingle"), col("df"))
+      .as[(String, Long)].collect().toSet
+    assert(censusOf(root) == censusOf(twin))
+    // and the capped probe (df-order- and hot-set-sensitive) agrees
+    val delta2 = d.filter(col("doc_id") % 10 === 7)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id"),
+          floor(col("containment") * 1e6).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val got = pset(Dedup.containmentDeltaPairsIndexed(spark, root, delta2,
+      "doc_id", "text", maxDf = 16))
+    assert(got.nonEmpty && got == pset(Dedup.containmentDeltaPairsIndexed(
+      spark, twin, delta2, "doc_id", "text", maxDf = 16)))
+    Seq(delta, delta2).foreach(Dedup.releaseIndexedProbeCache(root, _, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -273,6 +273,72 @@ class ScaleSpec extends AnyFunSuite {
       Set((2000L, 3000L), (31L, 3000L)))
   }
 
+  test("winnowing index: probe reads are bucket-bounded, append rewrites only touched fp buckets") {
+    import graft.llm.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_wscale").toString
+    val root = s"$dir/idx"
+    // disjoint per-doc vocabularies → each doc's fingerprints land in a
+    // few buckets; doc 7 gets a near-copy partner in the delta
+    def text(i: Int): String =
+      (0 until 24).map(j => s"w${i}word$j").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    // 64 buckets: a doc yields ~25 uniformly-hashed fingerprints, so
+    // its bucket set is a strict subset only when buckets >> fps-per-doc
+    Dedup.writeWinnowingIndex(spark, docs, "doc_id", "text", root, numBuckets = 64)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val delta = Seq((1000L, text(7))).toDF("doc_id", "text")
+      val res = Dedup.winnowingDeltaPairsIndexed(spark, root, delta,
+        "doc_id", "text", minShared = 2, maxDf = 50)
+      // collect res ITSELF so its executedPlan's metrics populate
+      assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((7L, 1000L)))
+      // the candidate-side postings read is probe-bounded: only the
+      // delta's fp buckets are scanned, a strict subset of the files
+      def scanFiles(frag: String): Long =
+        res.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+            s.metrics("numFiles").value
+        }.sum
+      def bucketDirs(p: String): Int = graft.fs.Fs.list(p).count { f =>
+        f.isDirectory && f.getPath.getName.startsWith(
+          graft.sources.PrunedIndex.BucketCol + "=")
+      }
+      val postRead = scanFiles("/postings")
+      assert(postRead > 0 && postRead < bucketDirs(s"$root/postings"),
+        s"probe read $postRead of >=${bucketDirs(s"$root/postings")} postings buckets — not probe-bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // maintenance write I/O is delta-bounded: untouched fp buckets'
+    // manifest entries carry over verbatim, new files land only under
+    // a delta-*/ subdir
+    def manifest(p: String): Map[Int, Seq[String]] =
+      graft.fs.Fs.readString(s"$p/_PRUNE_MANIFEST").split("\n").filter(_.nonEmpty)
+        .map { l => val Array(b, f) = l.split("\t", 2); (b.toInt, f) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    for (comp <- Seq("postings", "dfcensus")) {
+      val before = manifest(s"$root/$comp")
+      Dedup.appendWinnowingIndexDelta(spark, root,
+        Seq((2000L, text(31))).toDF("doc_id", "text"), "doc_id", "text")
+      val after = manifest(s"$root/$comp")
+      val changed = after.keySet.filter(b => before.get(b).map(_.map(_.split("/").last))
+        != Some(after(b).map(_.split("/").last)))
+      assert(changed.nonEmpty && changed.size < before.size,
+        s"append touched ${changed.size} of ${before.size} $comp buckets")
+      assert(changed.forall(b => after(b).forall(_.contains("delta-"))),
+        s"touched $comp buckets' files not under delta-*/")
+    }
+    // and the appended doc is findable afterwards
+    val res2 = Dedup.winnowingDeltaPairsIndexed(spark, root,
+      Seq((3000L, text(31))).toDF("doc_id", "text"), "doc_id", "text",
+      minShared = 2, maxDf = 50)
+    assert(res2.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((2000L, 3000L), (31L, 3000L)))
+  }
+
   test("near-dup index retention: refreeze + sweep leaves only live files, probes unchanged") {
     import graft.llm.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft_ndgc").toString

@@ -92,6 +92,60 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed winnowing: probe == winnowingDeltaPairs for any cap; append == rebuild; replay idempotent") {
+    import org.apache.spark.sql.functions.{col, concat, lit, when}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val revText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" indexed winnowing revision trailer"))).otherwise(col("text"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val delta = docs.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .withColumn("text", revText)
+    val root = java.nio.file.Files.createTempDirectory("graft_widx").toString + "/idx"
+    Dedup.writeWinnowingIndex(spark, corpus, "doc_id", "text", root, numBuckets = 16)
+    val corpusIndex = Dedup.winnowingIndex(corpus, "doc_id", "text", k = 12, w = 8)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    for (cap <- Seq(Int.MaxValue, 12)) {
+      val want = pset(Dedup.winnowingDeltaPairs(delta, "doc_id", "text",
+        corpusIndex, k = 12, w = 8, minShared = 2, maxDf = cap))
+      val got = pset(Dedup.winnowingDeltaPairsIndexed(spark, root, delta,
+        "doc_id", "text", minShared = 2, maxDf = cap))
+      assert(got.nonEmpty && got == want, s"cap=$cap")
+    }
+    // absorb; a second batch probes the advanced index == the delta
+    // path over the rebuilt post-replace corpus
+    Dedup.appendWinnowingIndexDelta(spark, root, delta, "doc_id", "text")
+    val updated = docs.withColumn("text", revText)
+    val updatedIndex = Dedup.winnowingIndex(updated, "doc_id", "text", k = 12, w = 8)
+    // every component equals its from-scratch rebuild (content pin —
+    // the derived census especially)
+    def cset(p: String) = graft.sources.PrunedIndex.read(spark, p)
+      .as[(Long, Long)].collect().toSet
+    assert(cset(graft.fs.Fs.child(root, "byid")) ==
+      updatedIndex.as[(Long, Long)].collect().toSet)
+    assert(cset(graft.fs.Fs.child(root, "dfcensus")) ==
+      updatedIndex.groupBy(col("fp")).count()
+        .as[(Long, Long)].collect().toSet)
+    val delta2 = docs.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 700000).as("doc_id"), col("text"))
+    for (cap <- Seq(Int.MaxValue, 12)) {
+      assert(pset(Dedup.winnowingDeltaPairsIndexed(spark, root, delta2,
+          "doc_id", "text", minShared = 2, maxDf = cap)) ==
+        pset(Dedup.winnowingDeltaPairs(delta2, "doc_id", "text", updatedIndex,
+          k = 12, w = 8, minShared = 2, maxDf = cap)), s"cap=$cap (post-append)")
+    }
+    // crash-replay idempotency: re-running the same append (the
+    // documented recovery) changes nothing a probe can observe
+    Dedup.appendWinnowingIndexDelta(spark, root, delta, "doc_id", "text")
+    assert(cset(graft.fs.Fs.child(root, "dfcensus")) ==
+      updatedIndex.groupBy(col("fp")).count()
+        .as[(Long, Long)].collect().toSet)
+    assert(pset(Dedup.winnowingDeltaPairsIndexed(spark, root, delta2,
+        "doc_id", "text", minShared = 2, maxDf = 12)) ==
+      pset(Dedup.winnowingDeltaPairs(delta2, "doc_id", "text", updatedIndex,
+        k = 12, w = 8, minShared = 2, maxDf = 12)))
+  }
+
   test("streaming winnowing: accumulated micro-batch pairs equal the batch run; index == rebuilt") {
     import java.nio.file.Files
     import org.apache.spark.sql.functions.col
