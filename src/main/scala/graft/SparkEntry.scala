@@ -2259,6 +2259,47 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Containment probing ACROSS committed versions of the UNIFIED
+    * dedup store ([[graft.llm.NearDupIndexStore]] with
+    * `withContainment = true` — r16 verdict item #2: one store, one
+    * atomic commit, one retention story for every dedup family): v1
+    * indexes the corpus with the %7 docs at an obsolete draft; batch 1
+    * re-uploads their true text (appendDelta → a STITCHED v2 whose
+    * containment postings + census + near-dup layouts all flip behind
+    * ONE `_CURRENT` swap); batch 2 then probes v2 — whose logical
+    * corpus is exactly `documents` — with t123's delta (half-prefix
+    * quotes + rev2-trailer re-uploads, maxDf=16), so t123's literal
+    * oracle applies verbatim while the probe exercises cross-version
+    * stitched reads and the exact derived census. Operational path
+    * only (build → append → probe); rebuild-parity lives in
+    * NearDupIndexStoreSpec/DedupSpec. */
+  private def t145ContainmentStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val corpus0 = d.select(col("doc_id"),
+      when(col("doc_id") % 7 === 0,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")).as("text"))
+    val b1 = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
+    val halves = d.filter(col("doc_id") < 50).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+    val revs = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"),
+      concat(col("text"), lit(" containment rev2 trailer")).as("text"))
+    val b2 = halves.unionByName(revs)
+    val root = scratch("ctstore", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    NearDupIndexStore.build(s, corpus0, "doc_id", "text", root,
+      withContainment = true)
+    NearDupIndexStore.appendDelta(s, root, b1, "doc_id", "text")
+    NearDupIndexStore.containmentPairsForDelta(s, root, b2, "doc_id", "text",
+        maxDf = 16)
+      .select(col("a_id"), col("b_id"),
+        floor(col("containment") * 1e6).cast("long").as("containment_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** [[t121WinnowingDelta]]'s EXACT scenario through the persisted
     * winnowing index ([[graft.llm.Dedup.writeWinnowingIndex]] /
     * [[graft.llm.Dedup.winnowingDeltaPairsIndexed]]) — the r16 verdict's
@@ -2633,6 +2674,7 @@ object SparkEntry {
     "t142_neardup_store" -> t142NeardupStore _,
     "t143_containment_indexed" -> t143ContainmentIndexed _,
     "t144_winnowing_indexed" -> t144WinnowingIndexed _,
+    "t145_containment_store" -> t145ContainmentStore _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4190,7 +4232,13 @@ object SparkEntry {
       // index — shared-fp counting is order-free and the cap evaluates
       // from the exact delta-adjusted census, so the pair set (and the
       // literal oracle) applies verbatim
-      ("t144_winnowing_indexed" -> base("t121_winnowing_delta"))
+      ("t144_winnowing_indexed" -> base("t121_winnowing_delta")) +
+      // t145: after batch 1's re-uploads land, v2's logical corpus is
+      // exactly `documents`, and batch 2 is t123's delta — the
+      // cross-version stitched probe reconstructs the batch algorithm
+      // bit-for-bit (census exact, head re-derived, cap per shingle),
+      // so t123's literal oracle applies verbatim
+      ("t145_containment_store" -> base("t123_containment_delta"))
   }
 }
 

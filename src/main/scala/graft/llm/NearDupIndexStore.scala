@@ -62,15 +62,40 @@ object NearDupIndexStore {
     math.max(versions(root).lastOption.getOrElse(0L),
       currentVersion(root).getOrElse(0L)) + 1
 
+  /** The winnowing family's components live under a `win/` subdir of
+    * each version (their `postings`/`dfcensus` names clash with the
+    * containment components' at the version root). */
+  private def winDir(versionDir: String): String = Fs.child(versionDir, "win")
+
   /** Build the store's first (or next, self-contained) version from a
-    * corpus. Returns the committed version number. */
+    * corpus. Returns the committed version number.
+    *
+    * `withContainment` extends the version into the UNIFIED dedup
+    * index (full postings + exact df census —
+    * [[Dedup.writeContainmentIndex]]) so [[containmentPairsForDelta]]
+    * probes work; `winnowing = Some((k, w))` additionally lands the
+    * winnowing fingerprint index under `win/` for
+    * [[winnowingPairsForDelta]]. All components of a version commit
+    * under the SAME `_SUCCESS` + `_CURRENT` swap — one store, one
+    * commit, one retention story for all three dedup families. */
   def build(spark: SparkSession, docs: DataFrame,
             idCol: String, textCol: String, root: String,
             n: Int = 3, threshold: Double = 0.8,
-            dfHeadSize: Int = 100000, numBuckets: Int = 64): Long = {
+            dfHeadSize: Int = 100000, numBuckets: Int = 64,
+            withContainment: Boolean = false,
+            winnowing: Option[(Int, Int)] = None): Long = {
     val v = nextVersion(root)
-    Dedup.writeNearDupIndex(spark, docs, idCol, textCol, vPath(root, v),
-      n, threshold, dfHeadSize, numBuckets)
+    val dir = vPath(root, v)
+    if (withContainment)
+      Dedup.writeContainmentIndex(spark, docs, idCol, textCol, dir,
+        n, threshold, dfHeadSize, numBuckets)
+    else
+      Dedup.writeNearDupIndex(spark, docs, idCol, textCol, dir,
+        n, threshold, dfHeadSize, numBuckets)
+    winnowing.foreach { case (k, w) =>
+      Dedup.writeWinnowingIndex(spark, docs, idCol, textCol, winDir(dir),
+        k, w, numBuckets)
+    }
     commit(root, v)
   }
 
@@ -83,16 +108,49 @@ object NearDupIndexStore {
                     idCol: String, textCol: String): DataFrame =
     Dedup.jaccardDeltaPairsIndexed(spark, current(root), delta, idCol, textCol)
 
+  /** Containment pairs of `delta` against the CURRENT version ∪
+    * `delta` — [[Dedup.containmentDeltaPairsIndexed]] over the
+    * committed view (requires a `withContainment = true` build). */
+  def containmentPairsForDelta(spark: SparkSession, root: String,
+                               delta: DataFrame, idCol: String,
+                               textCol: String,
+                               maxDf: Int = Int.MaxValue,
+                               dfHeadSize: Int = 100000): DataFrame =
+    Dedup.containmentDeltaPairsIndexed(spark, current(root), delta,
+      idCol, textCol, maxDf, dfHeadSize)
+
+  /** Winnowing near-copy pairs of `delta` against the CURRENT version
+    * ∪ `delta` — [[Dedup.winnowingDeltaPairsIndexed]] over the
+    * committed view (requires a `winnowing = Some(...)` build). */
+  def winnowingPairsForDelta(spark: SparkSession, root: String,
+                             delta: DataFrame, idCol: String,
+                             textCol: String, minShared: Int = 3,
+                             maxDf: Int = Int.MaxValue): DataFrame =
+    Dedup.winnowingDeltaPairsIndexed(spark, winDir(current(root)), delta,
+      idCol, textCol, minShared, maxDf)
+
   /** Absorb a batch as a NEW committed version (REPLACE semantics for
     * re-uploaded ids; delta-bounded write I/O — untouched buckets
-    * stitch the previous version's files). The previous version stays
-    * intact and readable until [[vacuum]]. */
+    * stitch the previous version's files). Every family present in the
+    * current version is advanced — near-dup always, containment and
+    * winnowing when their components exist — and the new version
+    * commits atomically for all of them at once, so no reader can see
+    * one family ahead of another. The previous version stays intact
+    * and readable until [[vacuum]]. */
   def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
                   idCol: String, textCol: String): Long = {
     val cur = current(root)
     val v = nextVersion(root)
-    Dedup.appendNearDupIndexDeltaInto(spark, cur, vPath(root, v),
-      delta, idCol, textCol)
+    val dir = vPath(root, v)
+    if (Fs.exists(Fs.child(cur, "postings")))
+      Dedup.appendContainmentIndexDeltaInto(spark, cur, dir, delta,
+        idCol, textCol)
+    else
+      Dedup.appendNearDupIndexDeltaInto(spark, cur, dir, delta,
+        idCol, textCol)
+    if (Fs.exists(winDir(cur)))
+      Dedup.appendWinnowingIndexDeltaInto(spark, winDir(cur), winDir(dir),
+        delta, idCol, textCol)
     commit(root, v)
   }
 
@@ -106,31 +164,65 @@ object NearDupIndexStore {
     val v = nextVersion(root)
     val dir = vPath(root, v)
     import org.apache.spark.sql.functions.col
-    PrunedIndex.write(
-      PrunedIndex.read(spark, Fs.child(cur, "prefix"))
-        .select(col("shingle"), col("id"), col("sz")),
-      Fs.child(dir, "prefix"), Seq("shingle"), numBuckets)
-    PrunedIndex.write(
-      PrunedIndex.read(spark, Fs.child(cur, "sets"))
-        .select(col("id"), col("sh"), col("sz")),
-      Fs.child(dir, "sets"), Seq("id"), numBuckets)
+    // re-land a component flat under the new version, preserving the
+    // stored key columns and schema
+    def fold(comp: String, keyCols: Seq[String]): Unit = {
+      val src = Fs.child(cur, comp)
+      if (Fs.exists(src)) {
+        val df = PrunedIndex.read(spark, src)
+        PrunedIndex.write(df.select(df.columns.map(col).toIndexedSeq: _*),
+          Fs.child(dir, comp), keyCols, numBuckets)
+      }
+    }
+    fold("prefix", Seq("shingle"))
+    fold("sets", Seq("id"))
+    fold("postings", Seq("shingle"))
+    fold("dfcensus", Seq("shingle"))
     Dedup.writeFrozenHead(spark, dir, Dedup.readFrozenHead(spark, cur))
     val (n, threshold) = Dedup.readNearDupMeta(cur)
     Fs.writeStringAtomic(Dedup.nearDupMetaPath(dir), s"$n\n$threshold")
+    if (Fs.exists(winDir(cur))) {
+      def foldWin(comp: String, keyCols: Seq[String]): Unit = {
+        val df = PrunedIndex.read(spark, Fs.child(winDir(cur), comp))
+        PrunedIndex.write(df.select(df.columns.map(col).toIndexedSeq: _*),
+          Fs.child(winDir(dir), comp), keyCols, numBuckets)
+      }
+      foldWin("byid", Seq("id"))
+      foldWin("postings", Seq("fp"))
+      foldWin("dfcensus", Seq("fp"))
+      val (k, w) = Dedup.readWinnowMeta(winDir(cur))
+      Fs.writeStringAtomic(Dedup.winnowMetaPath(winDir(dir)), s"$k\n$w")
+    }
     commit(root, v)
   }
+
+  /** Every PrunedIndex component a version dir can hold, as paths
+    * relative to the version dir — the manifest scan set for
+    * reference-aware retention. */
+  private val AllComponents: Seq[String] =
+    Seq("prefix", "sets", "postings", "dfcensus",
+      "win/byid", "win/postings", "win/dfcensus")
 
   /** Retention: drop committed versions beyond the newest `keep`
     * (always sparing the current pointer's), but NEVER a version dir
     * whose files a retained version's manifest still references
-    * (delta-stitched chains — sparable only after [[compact]]).
-    * Returns the dropped version numbers. */
+    * (delta-stitched chains — sparable only after [[compact]]). All
+    * families' manifests are scanned — containment and winnowing
+    * components stitch across versions exactly like prefix/sets do.
+    *
+    * Also sweeps ORPHANED version dirs: a crashed build/appendDelta
+    * leaves an uncommitted `v<N>` (no `_SUCCESS`) that [[versions]]
+    * hides and [[nextVersion]] would reuse — without this sweep its
+    * stale files would never be garbage-collected (the retry writes a
+    * fresh manifest that does not reference them). Single-writer
+    * contract: do not run vacuum concurrently with an in-flight build.
+    * Returns the dropped version numbers (orphans included). */
   def vacuum(root: String, keep: Int = 1): Seq[Long] = {
     val all = versions(root)
     val cur = currentVersion(root)
     val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
     val refs: Set[String] = retained.flatMap { v =>
-      Seq("prefix", "sets").flatMap { comp =>
+      AllComponents.flatMap { comp =>
         val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
         if (!Fs.exists(mp)) Nil
         else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
@@ -138,7 +230,15 @@ object NearDupIndexStore {
           .filter(e => e.startsWith("/") || e.contains("://")).toSeq
       }
     }.toSet
-    all.filterNot(retained.contains).filter { v =>
+    val orphans =
+      if (!Fs.exists(root)) Seq.empty[Long]
+      else Fs.list(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+            s.drop(1).forall(_.isDigit) &&
+            !Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
+        .filterNot(v => cur.contains(v))
+    val dropped = all.filterNot(retained.contains) ++ orphans
+    dropped.filter { v =>
       val dir = vPath(root, v)
       val stillReferenced = refs.exists(_.startsWith(dir + "/"))
       if (!stillReferenced) Fs.deleteRecursive(dir)

@@ -82,4 +82,73 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
       Store.releaseProbeCache(root, d, "doc_id", "text"))
     spark.catalog.clearCache()
   }
+
+  test("unified store: containment + winnowing families commit, stitch, compact and vacuum together") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ustore").toString
+    val v1docs = (0 until 40).map(i =>
+      (i.toLong, if (i == 5) "draft placeholder entirely different words" else text(i)))
+      .toDF("doc_id", "text")
+    Store.build(spark, v1docs, "doc_id", "text", root, numBuckets = 8,
+      withContainment = true, winnowing = Some((12, 8)))
+    val delta = Seq((100L, text(7)), (101L, text(41)), (5L, text(5)))
+      .toDF("doc_id", "text")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    def cProbe(r: String, d: org.apache.spark.sql.DataFrame) =
+      pset(Store.containmentPairsForDelta(spark, r, d, "doc_id", "text", maxDf = 16))
+    def wProbe(r: String, d: org.apache.spark.sql.DataFrame) =
+      pset(Store.winnowingPairsForDelta(spark, r, d, "doc_id", "text",
+        minShared = 2, maxDf = 16))
+    def jProbe(r: String, d: org.apache.spark.sql.DataFrame) =
+      pset(Store.pairsForDelta(spark, r, d, "doc_id", "text"))
+    // all three families answer the delta BEFORE absorbing
+    val (cB, wB, jB) = (cProbe(root, delta), wProbe(root, delta), jProbe(root, delta))
+    assert(cB.nonEmpty && wB.nonEmpty && jB.nonEmpty)
+    Store.appendDelta(spark, root, delta, "doc_id", "text")
+    assert(Store.currentVersion(root).contains(2L))
+    // order independence per family: probe after == probe before
+    assert(cProbe(root, delta) == cB && wProbe(root, delta) == wB &&
+      jProbe(root, delta) == jB)
+    // the stitched v2 == a fresh unified build on the merged corpus,
+    // for every family
+    val merged = v1docs.filter($"doc_id" =!= 5L).unionByName(delta)
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_uref").toString
+    Store.build(spark, merged, "doc_id", "text", refRoot, numBuckets = 8,
+      withContainment = true, winnowing = Some((12, 8)))
+    val probe2 = Seq((999L, text(7)), (998L, text(5))).toDF("doc_id", "text")
+    assert(cProbe(root, probe2) == cProbe(refRoot, probe2))
+    assert(wProbe(root, probe2) == wProbe(refRoot, probe2))
+    assert(jProbe(root, probe2) == jProbe(refRoot, probe2))
+    val (c2, w2, j2) = (cProbe(root, probe2), wProbe(root, probe2), jProbe(root, probe2))
+    assert(j2 == Set((7L, 999L), (100L, 999L), (5L, 998L)))
+    // compact folds ALL families flat; vacuum then drops v1+v2; probes
+    // unchanged across the three
+    Store.compact(spark, root)
+    assert(Store.vacuum(root, keep = 1).toSet == Set(1L, 2L))
+    assert(Store.versions(root) == Seq(3L))
+    assert(cProbe(root, probe2) == c2 && wProbe(root, probe2) == w2 &&
+      jProbe(root, probe2) == j2)
+    Seq(delta, probe2).foreach(d => Store.releaseProbeCache(root, d, "doc_id", "text"))
+    Seq(delta, probe2).foreach(d => Store.releaseProbeCache(refRoot, d, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+
+  test("vacuum sweeps orphaned uncommitted version dirs (crashed build/append debris)") {
+    import graft.fs.Fs
+    val root = java.nio.file.Files.createTempDirectory("graft_ostore").toString
+    val docs = (0 until 20).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    Store.build(spark, docs, "doc_id", "text", root, numBuckets = 8)
+    // simulate a crashed appendDelta: v2 exists with data but NO _SUCCESS
+    Fs.mkdirs(Fs.child(root, "v2/prefix"))
+    Fs.writeStringAtomic(Fs.child(root, "v2/prefix/stale-file"), "debris")
+    assert(Store.versions(root) == Seq(1L), "uncommitted dir must stay invisible")
+    // the orphan is swept even though keep would retain it by number
+    assert(Store.vacuum(root, keep = 2).toSet == Set(2L))
+    assert(!Fs.exists(Fs.child(root, "v2")))
+    // the committed version and its probes are untouched
+    val p = Seq((999L, text(7))).toDF("doc_id", "text")
+    assert(Store.pairsForDelta(spark, root, p, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet == Set((7L, 999L)))
+    Store.releaseProbeCache(root, p, "doc_id", "text")
+  }
 }
