@@ -98,7 +98,17 @@ final class Engine(
       .getOrElse(throw new NoSuchElementException(s"table $name not loaded"))
 
   /** Registered-view SQL over every curated table + the engine's native
-    * functions — the analyst surface. */
+    * functions — the analyst surface.
+    *
+    * Trust assumption: callers are TRUSTED analysts. The registered
+    * table functions ([[graft.functions.GraftTableFunctions]]) take
+    * index/corpus PATH arguments resolved at analysis time, so SQL
+    * submitted here can read any parquet path the Spark process can —
+    * the same power `spark.read.parquet` gives any Scala caller of
+    * this library, surfaced in SQL. Do NOT serve untrusted SQL through
+    * this method; a multi-tenant deployment must front it with its own
+    * path allow-listing (e.g. rewrite/validate string literals against
+    * a configured data root before submission). */
   def sql(query: String): DataFrame = {
     functions.GraftFunctions.register(spark)
     functions.GraftTableFunctions.register(spark)

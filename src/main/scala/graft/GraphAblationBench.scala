@@ -5,30 +5,39 @@ import org.apache.spark.sql.functions._
 
 /** Recall-vs-cost ablation over the PERSISTED graph-ANN path (the t131
   * deployment: [[graft.llm.AnnIndexStore]] build →
-  * [[graft.llm.AnnIndexStore.searchGraph]] from stored adjacency) —
-  * the evidence behind the index defaults (m, efSearch, nprobe), which
-  * until this run were inherited from the literature rather than
-  * measured on this engine's corpus shape.
+  * [[graft.llm.AnnIndexStore.searchGraph]] from stored adjacency).
   *
-  * Sweep: m ∈ {4, 8, 16} (one store build each — m is baked into the
-  * stored adjacency), × nprobe ∈ {2, 4, 8} × efSearch ∈ {16, 48, 96}
-  * (search-time knobs over the same store), at ×1 and ×`factor` corpus
-  * scale ([[ScaleBench.scaledEmbeddingsDf]]'s norm-preserving rotation
-  * — the SlopeGate corpus). Recall@10 grades against in-query brute
-  * force over the same corpus; the query set is the 20 base vectors
-  * (copy-0 rows carry the identity rotation, so the queries are
-  * IDENTICAL vectors at both scales — recall moves because the corpus
-  * grows, not because the probes changed).
+  * r16 swept m × nprobe × efSearch at fixed nCells=16 and found recall
+  * ROUTING-BOUND: ~0.78 ceiling at ×10 regardless of m/ef, because the
+  * coarse quantizer — not the per-cell graph — loses the true
+  * neighbors (they live in unprobed cells). This round sweeps the two
+  * standard IVF routing fixes against the same grid:
   *
-  * Statistic: min-of-`reps` wall per cell (a stall cannot produce a
-  * min — the SlopeGate convention); recall is deterministic per cell
-  * (decimal-exact centroids, id-ordered inserts, total-order
-  * comparisons), so it is read once. Store builds are timed separately
-  * (build cost amortizes over every later query batch; folding it into
-  * the search wall would bias the sweep toward small m).
+  *  - `nCells` ∈ {16, 64, 256}: finer cells at fixed nprobe probe a
+  *    smaller corpus fraction but a better-targeted one;
+  *  - soft multi-assignment `multiAssign` ∈ {1, 2}
+  *    ([[graft.llm.Similarity.ivfAssignedIndexMulti]]): boundary
+  *    vectors land in BOTH near-equal cells, so a query probing either
+  *    finds them — storage ×2, routing loss recovered.
   *
-  * Prints one JSON line per (scale, m, nprobe, efSearch) cell plus a
-  * `_summary` line; the committed artifact is `ABLATION_r{N}.json`.
+  * m is fixed at 8 (r16 showed recall insensitive to m here), search
+  * sweeps nprobe ∈ {8, 16} × efSearch ∈ {48, 96}; nCells=16 × nprobe=16
+  * is a FULL probe — its recall is the graph+ef ceiling, separating
+  * routing loss from graph loss in the same table. Corpus at ×1 and
+  * ×`factor` ([[ScaleBench.scaledEmbeddingsDf]]'s norm-preserving
+  * rotation); queries are the 20 base vectors (identity rotation —
+  * identical probes at both scales). Recall@10 grades against in-query
+  * brute force.
+  *
+  * Statistic: min-of-`reps` wall per search cell; recall is
+  * deterministic per cell, read once. Store builds are timed separately
+  * and ALWAYS from scratch — the store root is deleted before the timed
+  * build (a warm workDir would otherwise time a no-op and record a
+  * near-zero build cost, skewing the build-vs-search tradeoff).
+  *
+  * Prints one JSON line per (scale, nCells, multiAssign, nprobe,
+  * efSearch) cell plus `_summary` lines; the committed artifact is
+  * `ABLATION_r{N}.json`.
   *
   * Usage: `runMain graft.GraphAblationBench [baseSfDir] [workDir]
   *   [factor] [reps]`
@@ -64,9 +73,11 @@ object GraphAblationBench {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val mValues = Seq(4, 8, 16)
-    val nprobeValues = Seq(2, 4, 8)
-    val efValues = Seq(16, 48, 96)
+    val cellValues = Seq(16, 64, 256)
+    val assignValues = Seq(1, 2)
+    val nprobeValues = Seq(8, 16)
+    val efValues = Seq(48, 96)
+    val m = 8
     val k = 10
 
     val results = scala.collection.mutable.ArrayBuffer[Map[String, Any]]()
@@ -88,13 +99,15 @@ object GraphAblationBench {
       val brute = Similarity0.bruteTopK(corpus, queries, "vec_id", "embedding", k)
         .localCheckpoint()
 
-      mValues.foreach { m =>
-        val root = s"$workDir/store_x${scale}_m$m"
+      for (nCells <- cellValues; ma <- assignValues) {
+        val root = s"$workDir/store_x${scale}_c${nCells}_a$ma"
+        // ALWAYS build fresh: a surviving store would make the timed
+        // body a no-op and record a near-zero build cost
+        if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
         val (buildSec, _) = timeMin(1) {
-          if (graft.llm.AnnIndexStore.currentVersion(root).isEmpty)
-            graft.llm.AnnIndexStore.build(spark, corpus, "vec_id", "embedding",
-              root, graft.llm.AnnIndexStore.Params(nCells = 16, m = m,
-                efConstruction = 48))
+          graft.llm.AnnIndexStore.build(spark, corpus, "vec_id", "embedding",
+            root, graft.llm.AnnIndexStore.Params(nCells = nCells, m = m,
+              efConstruction = 48, multiAssign = ma))
         }
         nprobeValues.foreach { nprobe =>
           efValues.foreach { ef =>
@@ -108,7 +121,8 @@ object GraphAblationBench {
               }
               (w, rec)
             }
-            val cell = Map[String, Any]("scale" -> scale, "m" -> m,
+            val cell = Map[String, Any]("scale" -> scale, "nCells" -> nCells,
+              "multiAssign" -> ma, "m" -> m,
               "nprobe" -> nprobe, "efSearch" -> ef,
               "build_sec" -> f"$buildSec%.2f".toDouble,
               "search_sec" -> f"$wall%.3f".toDouble,
@@ -117,20 +131,28 @@ object GraphAblationBench {
             println(js(cell))
           }
         }
+        // the sweep builds 6 stores per scale; drop each when its
+        // cells are done so peak disk stays one-store-sized
+        graft.fs.Fs.deleteRecursive(root)
       }
     }
 
-    // summary: per scale, the cheapest cell reaching >= 0.9 recall, and
-    // the defaults' (m=8, nprobe=8, ef=48) position
+    // summary: per scale, the cheapest cell reaching >= 0.9 recall, the
+    // r16 defaults' position (nCells=16, single assign, nprobe=8,
+    // ef=48), and the full-probe graph ceiling (nCells=16, nprobe=16)
     Seq(1, factor).foreach { scale =>
       val cells = results.filter(_("scale") == scale)
       val good = cells.filter(_("recall_at_10").asInstanceOf[Double] >= 0.9)
       val cheapest = if (good.nonEmpty)
         Some(good.minBy(_("search_sec").asInstanceOf[Double])) else None
-      val defaults = cells.find(c => c("m") == 8 && c("nprobe") == 8 && c("efSearch") == 48)
+      val defaults = cells.find(c => c("nCells") == 16 && c("multiAssign") == 1 &&
+        c("nprobe") == 8 && c("efSearch") == 48)
+      val ceiling = cells.filter(c => c("nCells") == 16 && c("nprobe") == 16)
+        .map(_("recall_at_10").asInstanceOf[Double]).maxOption
       println(js(Map("_summary" -> s"x$scale",
         "cheapest_recall_ge_090" -> cheapest.map(js).getOrElse("none"),
-        "defaults_m8_np8_ef48" -> defaults.map(js).getOrElse("none"))))
+        "r16_defaults_c16_a1_np8_ef48" -> defaults.map(js).getOrElse("none"),
+        "full_probe_graph_ceiling" -> ceiling.map(r => f"$r%.4f").getOrElse("none"))))
     }
     spark.stop()
   }

@@ -66,11 +66,16 @@ object AnnIndexStore {
   /** Index hyper-parameters, recorded once at [[build]] and reused by
     * every maintenance step (a delta merged under different (m, ef)
     * would silently break the delta==rebuild contract).
-    * `nCells` <= 0 ⇒ auto-size from `cellTarget` at (re)build time. */
+    * `nCells` <= 0 ⇒ auto-size from `cellTarget` at (re)build time.
+    * `multiAssign` > 1 soft-assigns every vector to its that-many
+    * nearest cells ([[Similarity.ivfAssignedIndexMulti]]) — storage
+    * ×multiAssign, boundary-vector recall recovered; searches dedup by
+    * (query, neighbor) so output semantics are unchanged. */
   final case class Params(nCells: Int = 16, cellTarget: Long = 10000L,
                           iters: Int = 2, numBuckets: Int = 16,
                           m: Int = 8, efConstruction: Int = 48,
-                          maxRecordsPerFile: Long = 0L)
+                          maxRecordsPerFile: Long = 0L,
+                          multiAssign: Int = 1)
 
   /** Recluster decision: what [[reclusterIfDrifted]] saw and did. */
   final case class Decision(driftPpm: Long, reclustered: Boolean, version: Long)
@@ -135,7 +140,8 @@ object AnnIndexStore {
   def build(spark: SparkSession, corpus: DataFrame,
             idCol: String, vecCol: String, root: String, p: Params): Long = {
     val cents = Similarity.kMeansCentroids(corpus, idCol, vecCol, resolveCells(corpus, p), p.iters)
-    val assignedDf = Similarity.ivfAssignedIndex(corpus, idCol, vecCol, cents)
+    val assignedDf = Similarity.ivfAssignedIndexMulti(corpus, idCol, vecCol,
+      cents, p.multiAssign)
     val edges = GraphAnn.buildGraphEdges(assignedDf, idCol, vecCol, p.m, p.efConstruction)
     writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
       cents, assignedDf, edges, idCol, vecCol, p)
@@ -159,7 +165,8 @@ object AnnIndexStore {
       throw new IllegalStateException(s"no committed version under $root"))
     val cents = centroids(spark, root)
     val oldAssigned = assigned(spark, root)
-    val deltaAssigned = Similarity.ivfAssignedIndex(delta, idCol, vecCol, cents)
+    val deltaAssigned = Similarity.ivfAssignedIndexMulti(delta, idCol, vecCol,
+      cents, p.multiAssign)
     // touched = the delta's cells plus any re-uploaded id's OLD cell
     // (the displaced row must leave its bucket) — the same set the
     // graph recompute derives
@@ -288,8 +295,12 @@ object AnnIndexStore {
     if (drift <= thresholdPpm)
       Decision(drift, reclustered = false, currentVersion(root).get)
     else {
+      // multi-assigned stores hold ×multiAssign rows per id; the
+      // retrain corpus is one row per id (copies carry the same vector,
+      // so the collapse is deterministic)
       val mergedCorpus = graft.operators.Relational.mergeReplaceGroups(
-        assigned(spark, root).select(col(idCol), col(vecCol)),
+        assigned(spark, root).select(col(idCol), col(vecCol))
+          .dropDuplicates(idCol),
         delta.select(col(idCol), col(vecCol)), Seq(idCol))
       val v = build(spark, mergedCorpus, idCol, vecCol, root, p)
       Decision(drift, reclustered = true, v)

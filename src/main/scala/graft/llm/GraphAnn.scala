@@ -108,6 +108,12 @@ object GraphAnn {
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     hits.filter(col("query_id") =!= col("neighbor_id"))
+      // a soft-multi-assigned vector lives in several cells' graphs; a
+      // query probing two of them must not rank it twice. Duplicate
+      // hits are identical triples (same vector ⇒ same cos), so the
+      // collapse is deterministic — and a no-op under single
+      // assignment, where cells partition the corpus.
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
@@ -345,6 +351,12 @@ object GraphAnn {
 
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     hits.filter(col("query_id") =!= col("neighbor_id"))
+      // a soft-multi-assigned vector lives in several cells' graphs; a
+      // query probing two of them must not rank it twice. Duplicate
+      // hits are identical triples (same vector ⇒ same cos), so the
+      // collapse is deterministic — and a no-op under single
+      // assignment, where cells partition the corpus.
+      .dropDuplicates("query_id", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank").cast("long").as("rank"),

@@ -140,6 +140,36 @@ object Similarity {
         transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
       .select(col(idCol), col(vecCol), col("cell"))
 
+  /** [[ivfAssignedIndex]] with SOFT multi-assignment: each vector lands
+    * in its `assign` nearest cells (one row per cell, storage ×assign)
+    * — the standard IVF recall fix for boundary vectors, which a fixed
+    * single assignment routes into exactly one of several near-equal
+    * cells and a query probing the others never sees. `assign = 1`
+    * reduces to [[ivfAssignedIndex]] exactly (same struct-ordered
+    * argmin, same ties). Downstream search dedups by (query, neighbor)
+    * before ranking, so recall rises at unchanged output semantics. */
+  def ivfAssignedIndexMulti(corpus: DataFrame, idCol: String, vecCol: String,
+                            centroids: Array[(Int, Array[Double])],
+                            assign: Int): DataFrame = {
+    require(assign >= 1, s"assign must be >= 1, got $assign")
+    if (assign == 1) ivfAssignedIndex(corpus, idCol, vecCol, centroids)
+    else {
+      import graft.functions.VectorFunctions.dot
+      val dv = corpus.select(col(idCol), col(vecCol),
+        transform(col(vecCol), x => x.cast("double")).as("v"))
+      val v2 = dot(col("v"), col("v"))
+      val scored = centroids.map { case (cell, c) =>
+        val cCol = array(c.map(lit): _*)
+        val d2 = v2 - lit(2.0) * dot(col("v"), cCol) + lit(c.map(x => x * x).sum)
+        struct(d2.as("d2"), lit(cell).as("cell"))
+      }
+      dv.withColumn("cell",
+          explode(slice(array_sort(array(scored.toIndexedSeq: _*)),
+            1, assign).getField("cell")))
+        .select(col(idCol), col(vecCol), col("cell"))
+    }
+  }
+
   /** Per-cell assignment-quality statistics under a FIXED centroid set:
     * (cell, n, mean_d2_ppm) with each vector's squared L2 distance to
     * its assigned centroid ppm-floored BEFORE the integer mean
@@ -189,6 +219,12 @@ object Similarity {
     val scored = a.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("q_v"), col("c_v")))
+      // a soft-multi-assigned vector ([[ivfAssignedIndexMulti]]) lives
+      // in several cells; a query probing two of them must not rank it
+      // twice. The duplicate rows are identical (same vector ⇒ same
+      // cos), so the collapse is deterministic — and a no-op under
+      // single assignment, where cells partition the corpus.
+      .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

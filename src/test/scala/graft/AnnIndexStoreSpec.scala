@@ -58,6 +58,57 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(rows(store) == rows(fresh))
   }
 
+  test("multiAssign=2: no duplicate neighbors, recall >= single-assign, append == rebuild") {
+    val P2 = P.copy(multiAssign = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_annstore_ma").toString + "/s"
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P2)
+    // every id holds exactly 2 assignment rows, in 2 DISTINCT cells
+    val perId = AnnIndexStore.assigned(spark, root)
+      .groupBy($"vec_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct($"cell").as("nc"))
+      .select("n", "nc").distinct().as[(Long, Long)].collect().toSet
+    assert(perId == Set((2L, 2L)))
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", P2)
+    val q = embs.filter($"vec_id" < 8)
+    val res = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12)
+    // no neighbor ranked twice for any query
+    val dupes = res.groupBy($"query_id", $"neighbor_id")
+      .count().filter($"count" > 1).count()
+    assert(dupes == 0L)
+    // append == a fresh multi-assign build at the same centroids
+    val cents = AnnIndexStore.centroids(spark, root)
+    val fresh = GraphAnn.nswSearchAssigned(
+      Similarity.ivfAssignedIndexMulti(embs, "vec_id", "embedding", cents, 2),
+      cents, q, "vec_id", "embedding", k = 4, nprobe = 2, m = 4,
+      efConstruction = 12, efSearch = 12)
+    assert(rows(res).nonEmpty && rows(res) == rows(fresh))
+    // recall at fixed nprobe is >= the single-assign store's (the
+    // boundary-vector argument; equality allowed)
+    val rootS = java.nio.file.Files.createTempDirectory("graft_annstore_sa").toString + "/s"
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", rootS, P)
+    val brute = Similarity.bruteTopK(embs, q, "vec_id", "embedding", 4)
+    def rec(df: org.apache.spark.sql.DataFrame): Double =
+      Similarity.recallAtK(df, brute)
+        .agg(org.apache.spark.sql.functions.avg($"recall_ppm")).head().getDouble(0)
+    val rootM = java.nio.file.Files.createTempDirectory("graft_annstore_ma2").toString + "/s"
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", rootM, P2)
+    val rSingle = rec(AnnIndexStore.searchGraph(spark, rootS, q, "vec_id",
+      "embedding", k = 4, nprobe = 2, efSearch = 12))
+    val rMulti = rec(AnnIndexStore.searchGraph(spark, rootM, q, "vec_id",
+      "embedding", k = 4, nprobe = 2, efSearch = 12))
+    assert(rMulti >= rSingle, s"multi-assign recall $rMulti < single $rSingle")
+    // ivfAssignedIndexMulti(1) == ivfAssignedIndex exactly
+    val c2 = AnnIndexStore.centroids(spark, rootS)
+    assert(Similarity.ivfAssignedIndexMulti(embs, "vec_id", "embedding", c2, 1)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toSet ==
+      Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", c2)
+        .select("vec_id", "cell").as[(Long, Int)].collect().toSet)
+  }
+
   test("appendDelta with re-uploads: stale rows displaced end to end == fresh search") {
     val root = java.nio.file.Files.createTempDirectory("graft_annstore5").toString + "/s"
     AnnIndexStore.build(spark, embs, "vec_id", "embedding", root, P)
