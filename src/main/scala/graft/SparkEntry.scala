@@ -999,14 +999,19 @@ object SparkEntry {
     * frozen-centroid [[graft.llm.AnnIndexStore.appendDelta]]; the
     * shifted delta (+3.0 per float — out of distribution) drives drift
     * past threshold, triggering retrain + full rebuild + atomic
-    * `_CURRENT` swap. `parity` re-derives, IN the query, that the
-    * store's post-maintenance graph search equals the from-scratch
-    * reference (frozen-centroid merged search after append; one-call
-    * [[graft.llm.GraphAnn.nswTopK]] on the merged corpus after
-    * recluster) — so the hash pins both the integer drift census and
-    * the rebuilt-equals-fresh contract. Deterministic throughout
-    * (decimal centroids, integer ppm, total-order ties) → literal
-    * oracle. */
+    * `_CURRENT` swap.
+    *
+    * OPERATIONAL path only (build → measure → recluster-or-append →
+    * search) — the r17 bench-hygiene split: the rebuilt-equals-fresh
+    * parity this query used to re-derive with a from-scratch rebuild
+    * IN the query lives in AnnIndexStoreSpec ("recluster fires, new
+    * version == fresh build on the merged corpus"; "appendDelta under
+    * frozen centroids == fresh assignment search"). The literal oracle
+    * instead pins the post-maintenance search OUTPUT itself via two
+    * integer checksums (Σ rank·neighbor_id, Σ floor(cos·10⁶) — both
+    * deterministic: decimal centroids, total-order ties), so a search
+    * regression still breaks the driver hash without the bench paying
+    * a rebuild per run. */
   private def t132AnnDriftRecluster(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.llm.AnnIndexStore
@@ -1019,12 +1024,9 @@ object SparkEntry {
     val p = AnnIndexStore.Params(nCells = 16, iters = 2, numBuckets = 16,
       m = 8, efConstruction = 48)
     val q = e.filter(col("vec_id") < 20)
-    def parity(a: DataFrame, b: DataFrame): Long =
-      a.exceptAll(b).unionByName(b.exceptAll(a)).count()
-    def scenario(name: String, delta: DataFrame): (String, Long, Int, Long, Long, Int) = {
+    def scenario(name: String, delta: DataFrame): (String, Long, Int, Long, Long, Long, Long) = {
       val r = s"$root/$name"
       AnnIndexStore.build(s, v1, "vec_id", "embedding", r, p)
-      val cents1 = AnnIndexStore.centroids(s, r)
       val d = AnnIndexStore.reclusterIfDrifted(s, r, delta, "vec_id", "embedding",
         thresholdPpm = 2000000L, p)
       val vAfter =
@@ -1032,23 +1034,16 @@ object SparkEntry {
         else AnnIndexStore.appendDelta(s, r, delta, "vec_id", "embedding", p)
       val store = AnnIndexStore.searchGraph(s, r, q, "vec_id", "embedding",
         k = 10, nprobe = 8, efSearch = 48)
-      val fresh =
-        if (d.reclustered)
-          graft.llm.GraphAnn.nswTopK(v1.unionByName(delta), q, "vec_id", "embedding",
-            k = 10, nCells = 16, nprobe = 8, iters = 2, m = 8,
-            efConstruction = 48, efSearch = 48)
-        else
-          graft.llm.GraphAnn.nswSearchAssigned(
-            Similarity.ivfAssignedIndex(v1.unionByName(delta), "vec_id", "embedding", cents1),
-            cents1, q, "vec_id", "embedding", k = 10, nprobe = 8,
-            m = 8, efConstruction = 48, efSearch = 48)
-      val mismatches = parity(store, fresh)
+      val (nbrCk, cosCk) = store.select(
+          sum(col("rank") * col("neighbor_id")).cast("long"),
+          sum(floor(col("cos_sim") * 1e6)).cast("long"))
+        .as[(Long, Long)].head()
       val nIndex = AnnIndexStore.assigned(s, r).count()
-      (name, d.driftPpm, if (d.reclustered) 1 else 0, vAfter, nIndex,
-        if (mismatches == 0L) 1 else 0)
+      (name, d.driftPpm, if (d.reclustered) 1 else 0, vAfter, nIndex, nbrCk, cosCk)
     }
     Seq(scenario("in_dist", deltaSame), scenario("shifted", deltaShift))
-      .toDF("scenario", "drift_ppm", "reclustered", "version_after", "n_index", "parity")
+      .toDF("scenario", "drift_ppm", "reclustered", "version_after", "n_index",
+        "nbr_ck", "cos_ck")
       .orderBy(col("scenario"))
   }
 
@@ -2205,9 +2200,16 @@ object SparkEntry {
     * batch probes a STITCHED version (v2 references v1's untouched
     * bucket files by absolute path; write I/O was delta-bounded) behind
     * one atomic `_CURRENT` swap per batch (no torn prefix/sets view,
-    * t140's in-place crash window closed). Build-time pairs ∪ the two
-    * batches' probe pairs = the full self-join — t26's DuckDB twin
-    * verbatim. */
+    * t140's in-place crash window closed).
+    *
+    * OPERATIONAL path only (r17 bench hygiene): the output is the two
+    * batches' probe pairs — exactly the pairs touching a batch id
+    * (probe 1's pairs live inside v1∪b1, so the two sets are disjoint)
+    * — against t26's DuckDB twin RESTRICTED to odd-id-touching pairs.
+    * The r16 form also re-ran the v1 corpus self-join in-query to
+    * reconstruct the full t26 set; that build-time pair computation
+    * happens once per corpus version operationally, and its semantics
+    * are already t26's own gate. */
   private def t142NeardupStore(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.NearDupIndexStore
     val d = t(s, dir, "documents")
@@ -2217,12 +2219,11 @@ object SparkEntry {
     val root = scratch("ndstore", dir)
     if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
     NearDupIndexStore.build(s, v1, "doc_id", "text", root)
-    val p0 = Dedup.jaccardNearDupPairs(v1, "doc_id", "text")
     val p1 = NearDupIndexStore.pairsForDelta(s, root, b1, "doc_id", "text")
       .localCheckpoint()
     NearDupIndexStore.appendDelta(s, root, b1, "doc_id", "text")
     val p2 = NearDupIndexStore.pairsForDelta(s, root, b2, "doc_id", "text")
-    p0.unionByName(p1).unionByName(p2)
+    p1.unionByName(p2)
       .select(col("a_id"), col("b_id"),
         floor(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
       .orderBy(col("a_id"), col("b_id"))
@@ -4221,9 +4222,12 @@ object SparkEntry {
       // t141: the indexed state converges on the same post-replace
       // corpus and the ledger stages are identical — t128's twin again
       ("t141_curation_indexed" -> base("t128_curation_e2e")) +
-      // t142: v1-pairs ∪ batch-1 probe ∪ batch-2 probe partitions the
-      // full pair set by each pair's latest-batch member — t26's twin
-      ("t142_neardup_store" -> base("t26_jaccard_pairs")) +
+      // t142: batch-1 probe ∪ batch-2 probe = exactly the pairs with an
+      // odd-id (batch) member — t26's twin with that one restriction
+      // spliced into its WHERE (the self-join clause appears once)
+      ("t142_neardup_store" -> base("t26_jaccard_pairs").replace(
+        "WHERE a.doc_id < b.doc_id",
+        "WHERE a.doc_id < b.doc_id AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)")) +
       // t143: t123's exact scenario through the unified index — the
       // indexed path reconstructs the post-delta order and hot set
       // exactly, so the literal oracle applies verbatim
