@@ -309,10 +309,19 @@ object AnnIndexStore {
 
   /** Graph search over the CURRENT version — probe-bounded reads of
     * the assignment and edge buckets, graphs reconstructed from stored
-    * edges ([[GraphAnn.nswSearchGraph]]). */
+    * edges ([[GraphAnn.nswSearchGraph]]).
+    *
+    * Defaults (nprobe=8, efSearch=96) are the ABLATION_r17 sweep's
+    * reading at ×10 corpus scale: efSearch 96 beat 48 on BOTH recall
+    * and wall (wider beams converge in fewer re-expansions here), and
+    * recall is routing-bound, so nprobe — not ef — is the recall knob.
+    * For recall ≥ 0.9 at these defaults build the store with
+    * `Params(multiAssign = 2)` (0.93 measured vs 0.70 single-assign);
+    * the full-probe graph ceiling measured 0.995, so routing fixes,
+    * not graph ones, are where further recall lives. */
   def searchGraph(spark: SparkSession, root: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nprobe: Int = 4, efSearch: Int = 48): DataFrame = {
+                  nprobe: Int = 8, efSearch: Int = 96): DataFrame = {
     val cur = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     GraphAnn.nswSearchGraph(spark, Fs.child(cur, "assigned"), Fs.child(cur, "graph"),
