@@ -66,4 +66,48 @@ object ContainmentStream {
         }
       }
       .start()
+
+  /** Store-backed variant: probes and maintains the VERSIONED unified
+    * dedup store ([[graft.llm.NearDupIndexStore]] built
+    * `withContainment`) instead of a flat shingle-set table — the
+    * [[WinnowingStream.startIndexed]] shape for the containment
+    * family. Per-batch cost drops to the indexed probe's (bucket-pruned
+    * postings/census reads, broadcast joins, one thin census scan for
+    * the global order) and every component — postings, census, prefix,
+    * sets, head — flips behind ONE atomic `_CURRENT` swap per batch,
+    * closing the torn window the in-place containment append documents.
+    * First non-empty batch builds the store; crash replay converges
+    * (order-independent probe, replace-by-key idempotent append). */
+  def startIndexed(docsStream: DataFrame, idCol: String, textCol: String,
+                   storeRoot: String, checkpoint: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   dfHeadSize: Int = 100000, maxDf: Int = Int.MaxValue)
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.llm.NearDupIndexStore
+        val spark = batch.sparkSession
+        val cached = batch.localCheckpoint()
+        if (NearDupIndexStore.currentVersion(storeRoot).isEmpty) {
+          if (!cached.isEmpty) {
+            NearDupIndexStore.build(spark, cached, idCol, textCol, storeRoot,
+              n = n, threshold = threshold, dfHeadSize = dfHeadSize,
+              withContainment = true): Unit
+            sink(NearDupIndexStore.containmentPairsForDelta(spark, storeRoot,
+              cached, idCol, textCol, maxDf, dfHeadSize), id)
+          } else sink(Dedup.containmentDeltaPairs(cached, idCol, textCol,
+            Dedup.containmentIndex(cached, idCol, textCol, n),
+            n, threshold, dfHeadSize, maxDf).limit(0), id)
+        } else {
+          sink(NearDupIndexStore.containmentPairsForDelta(spark, storeRoot,
+            cached, idCol, textCol, maxDf, dfHeadSize), id)
+          NearDupIndexStore.appendDelta(spark, storeRoot, cached,
+            idCol, textCol): Unit
+        }
+        NearDupIndexStore.currentPath(storeRoot).foreach(p =>
+          Dedup.releaseIndexedProbeCache(p, cached, idCol, textCol))
+      }
+      .start()
 }

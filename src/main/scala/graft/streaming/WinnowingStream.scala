@@ -62,4 +62,48 @@ object WinnowingStream {
         }
       }
       .start()
+
+  /** Store-backed variant: probes and maintains the VERSIONED unified
+    * dedup store ([[graft.llm.NearDupIndexStore]] with a winnowing
+    * family) instead of a flat thin-index table. Batches inherit the
+    * store's committed-read contract — every component flips behind
+    * ONE atomic `_CURRENT` swap per batch, so no reader (this stream
+    * included) can observe a torn view — and per-batch cost drops to
+    * the indexed probe's (bucket-pruned reads of only the batch's fp
+    * buckets, broadcast candidate join) instead of
+    * [[graft.llm.Dedup.winnowingDeltaPairs]]' full-index shuffle. The
+    * first non-empty batch builds the store (probe-after-build equals
+    * the within-batch pairs, by probe/append order independence).
+    * Mid-batch crash replay converges: the probe is order-independent
+    * with the append, and the append is replace-by-key idempotent —
+    * a replayed batch lands a new version with identical content. */
+  def startIndexed(docsStream: DataFrame, idCol: String, textCol: String,
+                   storeRoot: String, checkpoint: String,
+                   k: Int = 12, w: Int = 8, minShared: Int = 3,
+                   maxDf: Int = Int.MaxValue)
+                  (sink: (DataFrame, Long) => Unit): StreamingQuery =
+    docsStream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        import graft.llm.NearDupIndexStore
+        val spark = batch.sparkSession
+        val cached = batch.localCheckpoint()
+        if (NearDupIndexStore.currentVersion(storeRoot).isEmpty) {
+          if (!cached.isEmpty) {
+            NearDupIndexStore.build(spark, cached, idCol, textCol, storeRoot,
+              winnowing = Some((k, w))): Unit
+            sink(NearDupIndexStore.winnowingPairsForDelta(spark, storeRoot,
+              cached, idCol, textCol, minShared, maxDf), id)
+          } else sink(Dedup.winnowingDeltaPairs(cached, idCol, textCol,
+            Dedup.winnowingIndex(cached, idCol, textCol, k, w),
+            k, w, minShared, maxDf).limit(0), id)
+        } else {
+          sink(NearDupIndexStore.winnowingPairsForDelta(spark, storeRoot,
+            cached, idCol, textCol, minShared, maxDf), id)
+          NearDupIndexStore.appendDelta(spark, storeRoot, cached,
+            idCol, textCol): Unit
+        }
+      }
+      .start()
 }

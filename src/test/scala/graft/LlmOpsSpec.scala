@@ -270,6 +270,67 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(next.contains((0L, 6L)) && next.forall(p => p._1 == 6L || p._2 == 6L))
   }
 
+  test("store-backed streaming containment: pairs == batch across a RESTART; store == unified rebuild") {
+    import java.nio.file.Files
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val snippet = "winnowing and containment indexes maintain themselves incrementally"
+    val docs = Seq(
+      (0L, quote),
+      (1L, s"alpha opening salad words around here $quote beta closing salad words follow now"),
+      (2L, "gamma text sharing nothing with any other document in this corpus at all"),
+      (3L, s"delta batch lead-in salad content $quote epsilon trailing salad content here"),
+      (4L, snippet),
+      (5L, s"zeta prefix salad tokens before $snippet eta suffix salad tokens after")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_cstream_idx").toString
+    val root = s"$dir/store"
+    def run(): Unit = {
+      val schema = docs.schema
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+      val q = graft.streaming.ContainmentStream.startIndexed(
+        stream, "doc_id", "text", root, s"$dir/ckpt", n = 3, threshold = 0.8) {
+        (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
+      }
+      q.awaitTermination(60000): Unit
+    }
+    // run 1 drains batch 1; the process then "restarts" — run 2 with the
+    // SAME checkpoint must process only the new file (exactly-once) and
+    // probe the STORE's committed v1 for cross-batch pairs
+    docs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
+    run()
+    // one version per drained micro-batch (a parquet write may span
+    // several part files → several batches); what matters is that a
+    // version committed and the restart ADVANCES it
+    val v1 = graft.llm.NearDupIndexStore.currentVersion(root)
+    assert(v1.nonEmpty)
+    docs.filter($"doc_id" >= 3).write.parquet(s"$dir/in2")
+    run()
+    assert(graft.llm.NearDupIndexStore.currentVersion(root).exists(_ > v1.get))
+    val streamed = spark.read.parquet(s"$dir/out")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val batch = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.contains((0L, 3L)), "expected a cross-batch containment pair")
+    // the committed store answers a fresh delta == the unified-rebuild
+    // reference (doc 6 contains the quote)
+    val d6 = Seq((6L, s"theta salad opening words $quote iota salad closing words"))
+      .toDF("doc_id", "text")
+    val next = graft.llm.NearDupIndexStore.containmentPairsForDelta(
+        spark, root, d6, "doc_id", "text")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    val refRoot = s"$dir/ref"
+    graft.llm.Dedup.writeContainmentIndex(spark, docs, "doc_id", "text",
+      refRoot, numBuckets = 16)
+    val want = Dedup.containmentDeltaPairsIndexed(spark, refRoot, d6,
+        "doc_id", "text")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(next == want && next.contains((0L, 6L)))
+    Seq(d6).foreach(d => graft.llm.NearDupIndexStore.releaseProbeCache(root, d, "doc_id", "text"))
+    Dedup.releaseIndexedProbeCache(refRoot, d6, "doc_id", "text")
+  }
+
   // ---- URL hosts ----------------------------------------------------------
 
   test("urlHosts extracts hosts only, path and bare domains excluded") {

@@ -191,6 +191,66 @@ class SketchSpec extends AnyFunSuite {
     assert(next.exists(_._2 == 6L) && next.forall(_._2 == 6L))
   }
 
+  test("store-backed streaming winnowing: pairs == batch across a RESTART; store census == rebuild") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions.col
+    val common = "spark structured streaming watermarks and stateful aggregation semantics"
+    val other = "distributed inverted index maintenance with versioned parquet snapshots"
+    val docs = Seq(
+      (0L, s"alpha opening words $common and an alpha ending here"),
+      (1L, s"beta preamble text $common plus a beta conclusion now"),
+      (2L, "gamma text with nothing shared across any other document at all"),
+      (3L, s"delta lead-in $common delta trailing words follow here"),
+      (4L, s"epsilon starts $other and epsilon closes the text"),
+      (5L, s"zeta begins $other with zeta finishing the passage")
+    ).toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("graft_wstream_idx").toString
+    val root = s"$dir/store"
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+      val q = graft.streaming.WinnowingStream.startIndexed(
+        stream, "doc_id", "text", root, s"$dir/ckpt",
+        k = 12, w = 8, minShared = 2) {
+        (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
+      }
+      q.awaitTermination(60000): Unit
+    }
+    docs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
+    run()
+    // one version per drained micro-batch (a parquet write may span
+    // several part files → several batches); what matters is that a
+    // version committed and the restart ADVANCES it
+    val v1 = graft.llm.NearDupIndexStore.currentVersion(root)
+    assert(v1.nonEmpty)
+    docs.filter($"doc_id" >= 3).write.parquet(s"$dir/in2")
+    run()  // restart, same checkpoint: only the new file processes
+    assert(graft.llm.NearDupIndexStore.currentVersion(root).exists(_ > v1.get))
+    val streamed = spark.read.parquet(s"$dir/out")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = Dedup.winnowingPairs(docs, "doc_id", "text",
+        k = 12, w = 8, minShared = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(batch.exists(p => p._2 == 3L), "expected a cross-batch pair")
+    // committed winnowing components equal a from-scratch rebuild
+    val winRoot = graft.fs.Fs.child(
+      graft.llm.NearDupIndexStore.currentPath(root).get, "win")
+    val rebuilt = Dedup.winnowingIndex(docs, "doc_id", "text", k = 12, w = 8)
+    assert(graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(winRoot, "byid"))
+        .as[(Long, Long)].collect().toSet ==
+      rebuilt.as[(Long, Long)].collect().toSet)
+    assert(graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(winRoot, "dfcensus"))
+        .as[(Long, Long)].collect().toSet ==
+      rebuilt.groupBy(col("fp")).count().as[(Long, Long)].collect().toSet)
+    // and the store answers a fresh delta
+    val d6 = Seq((6L, s"eta prefix $common eta suffix closes")).toDF("doc_id", "text")
+    val next = graft.llm.NearDupIndexStore.winnowingPairsForDelta(
+        spark, root, d6, "doc_id", "text", minShared = 2)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+    assert(next.exists(_._2 == 6L) && next.forall(_._2 == 6L))
+  }
+
   test("winnowing guarantee: shared substring >= w+k-1 chars yields a shared fingerprint") {
     import graft.functions.expr.Winnowing
     import org.apache.spark.sql.functions.col
