@@ -157,8 +157,21 @@ object NearDupIndexStore {
   /** Re-land the CURRENT version self-contained (every bucket's files
     * local to the new version dir — no stitched references), under the
     * SAME frozen head: probes are unchanged, only the layout folds
-    * flat. The step that lets [[vacuum]] drop every older version. */
-  def compact(spark: SparkSession, root: String): Long = {
+    * flat. The step that lets [[vacuum]] drop every older version.
+    *
+    * `refreeze = true` additionally re-derives the frozen df head and
+    * the prefix layout from the folded sets
+    * ([[Dedup.refreezeNearDupIndex]]) — the periodic maintenance for a
+    * store whose df distribution has drifted across many appends. The
+    * frozen order is a candidate-count heuristic, never a correctness
+    * input (the prefix pigeonhole holds for ANY total order used
+    * consistently by both sides), so refreezing changes probe COST,
+    * not probe answers (pinned in NearDupIndexStoreSpec). Fold it into
+    * the same compaction cadence that bounds the reference-chain
+    * depth — both are O(index) passes, and sharing the pass means one
+    * retention story. */
+  def compact(spark: SparkSession, root: String,
+              refreeze: Boolean = false): Long = {
     val cur = current(root)
     val (_, numBuckets) = PrunedIndex.meta(Fs.child(cur, "prefix"))
     val v = nextVersion(root)
@@ -193,6 +206,10 @@ object NearDupIndexStore {
       val (k, w) = Dedup.readWinnowMeta(winDir(cur))
       Fs.writeStringAtomic(Dedup.winnowMetaPath(winDir(dir)), s"$k\n$w")
     }
+    // after the folds: head + prefix re-derive from the folded sets
+    // (winnowing and containment need nothing — their probe order
+    // re-derives from the exact census every batch)
+    if (refreeze) Dedup.refreezeNearDupIndex(spark, dir)
     commit(root, v)
   }
 

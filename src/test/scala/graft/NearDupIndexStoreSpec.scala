@@ -133,6 +133,35 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("compact(refreeze = true): head + prefix re-derive from folded sets; probes unchanged") {
+    val root = java.nio.file.Files.createTempDirectory("graft_rfstore").toString
+    val docs = (0 until 40).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    Store.build(spark, docs, "doc_id", "text", root, numBuckets = 8)
+    Store.appendDelta(spark, root,
+      Seq((100L, text(3))).toDF("doc_id", "text"), "doc_id", "text")
+    Store.appendDelta(spark, root,
+      Seq((101L, text(3))).toDF("doc_id", "text"), "doc_id", "text")
+    val probe = Seq((999L, text(3))).toDF("doc_id", "text")
+    def pairs() = Store.pairsForDelta(spark, root, probe, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    assert(before == Set((3L, 999L), (100L, 999L), (101L, 999L)))
+    Store.compact(spark, root, refreeze = true)
+    assert(Store.vacuum(root, keep = 1).nonEmpty)
+    // the refrozen order changes candidate COST only — answers identical
+    assert(pairs() == before)
+    // the re-derived head equals a fresh build's over the merged corpus
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_rfref").toString
+    val merged = docs.unionByName(
+      Seq((100L, text(3)), (101L, text(3))).toDF("doc_id", "text"))
+    Store.build(spark, merged, "doc_id", "text", refRoot, numBuckets = 8)
+    def head(r: String) = spark.read.parquet(
+        graft.fs.Fs.child(Store.currentPath(r).get, "dfhead"))
+      .as[(String, Long)].collect().toSet
+    assert(head(root) == head(refRoot))
+    Seq(root, refRoot).foreach(r => Store.releaseProbeCache(r, probe, "doc_id", "text"))
+  }
+
   test("vacuum sweeps orphaned uncommitted version dirs (crashed build/append debris)") {
     import graft.fs.Fs
     val root = java.nio.file.Files.createTempDirectory("graft_ostore").toString
