@@ -143,13 +143,13 @@ object SlopeGate {
         "fixed-|Q| x corpus linear — default budget, entry documents the " +
         "two-builds-per-query scenario"),
     "t132_ann_drift_recluster" -> Budget(20.0,
-      "the maintenance SCENARIO runs ~5 index builds in one query (two " +
+      "the maintenance SCENARIO runs ~4 index builds in one query (two " +
         "independent stores, one full recluster retrain, one frozen-" +
-        "centroid append, two in-query parity references); every stage " +
-        "is an individually-gated linear shape (t49 k-means fixed " +
-        "iterations, t129/t131 graph builds), so the slope is the max " +
-        "of its stages plus multi-build fixed costs that do not all " +
-        "scale with n"),
+        "centroid append; the r17 hygiene split dropped the two " +
+        "in-query parity references); every stage is an individually-" +
+        "gated linear shape (t49 k-means fixed iterations, t129/t131 " +
+        "graph builds), so the slope is the max of its stages plus " +
+        "multi-build fixed costs that do not all scale with n"),
     "t133_curation_delta" -> Budget(20.0,
       "t128's stage composition (budget 20, token-census-dominated) " +
         "with the one-time buildState INSIDE the query: the ledger's " +
@@ -186,14 +186,26 @@ object SlopeGate {
         "ledger; the one-time build dominates, the probe is " +
         "delta-bounded"),
     "t142_neardup_store" -> Budget(20.0,
-      "t140's build stage (via the versioned store) + the t26 v1-pairs " +
-        "self-join + two delta-bounded probes and one stitched append; " +
-        "all linear stages, the build dominates"),
+      "t140's build stage (via the versioned store) + two delta-bounded " +
+        "probes and one stitched append (the r17 hygiene split dropped " +
+        "the in-query v1 self-join); all linear stages, the build " +
+        "dominates"),
     "t143_containment_indexed" -> Budget(20.0,
       "t123's delta scenario (default-budget shape, ~2x measured) plus " +
         "an in-query unified-index BUILD — the t140 build stage plus " +
         "postings+census writes, all linear; probe-side work is " +
-        "delta-bounded plus one thin census scan"))
+        "delta-bounded plus one thin census scan"),
+    "t144_winnowing_indexed" -> Budget(20.0,
+      "one in-query winnowing-index BUILD (corpus fingerprinting + " +
+        "three PrunedIndex writes, linear) + the delta-bounded indexed " +
+        "probe with its census-adjusted cap; the build dominates — the " +
+        "t140 shape for the fingerprint family"),
+    "t145_containment_store" -> Budget(25.0,
+      "t143's unified-index build (via the versioned store) + a " +
+        "stitched re-upload append + the cross-version containment " +
+        "probe; build + append are linear index passes, the probe " +
+        "delta-bounded — one stage more than t143, hence the wider " +
+        "budget"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,
