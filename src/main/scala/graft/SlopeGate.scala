@@ -205,7 +205,11 @@ object SlopeGate {
         "stitched re-upload append + the cross-version containment " +
         "probe; build + append are linear index passes, the probe " +
         "delta-bounded — one stage more than t143, hence the wider " +
-        "budget"))
+        "budget"),
+    "t146_winnowing_store" -> Budget(25.0,
+      "t144's winnowing-index build PLUS the near-dup components (the " +
+        "unified store builds every family in the version dir) + the " +
+        "delta-bounded winnowing probe; two linear builds dominate"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

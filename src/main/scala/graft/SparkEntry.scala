@@ -2329,6 +2329,31 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[t144WinnowingIndexed]]'s EXACT scenario through the UNIFIED
+    * versioned store ([[graft.llm.NearDupIndexStore]] built with
+    * `winnowing = (16, 8)`): the winnowing components land beside the
+    * near-dup layouts under one `v1/` dir and one `_CURRENT` swap, and
+    * the probe reads only the COMMITTED view — the third dedup family
+    * driver-gated through the store (t142 Jaccard, t145 containment,
+    * this winnowing). Same delta scenario as t121/t144, so the literal
+    * oracle applies verbatim. */
+  private def t146WinnowingStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val revText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" winnowing rev2 trailer"))).otherwise(col("text"))
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .withColumn("text", revText)
+    val root = scratch("wstore", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    NearDupIndexStore.build(s, corpus, "doc_id", "text", root,
+      winnowing = Some((16, 8)))
+    NearDupIndexStore.winnowingPairsForDelta(s, root, delta, "doc_id", "text",
+        minShared = 8, maxDf = 16)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2676,6 +2701,7 @@ object SparkEntry {
     "t143_containment_indexed" -> t143ContainmentIndexed _,
     "t144_winnowing_indexed" -> t144WinnowingIndexed _,
     "t145_containment_store" -> t145ContainmentStore _,
+    "t146_winnowing_store" -> t146WinnowingStore _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4242,7 +4268,11 @@ object SparkEntry {
       // cross-version stitched probe reconstructs the batch algorithm
       // bit-for-bit (census exact, head re-derived, cap per shingle),
       // so t123's literal oracle applies verbatim
-      ("t145_containment_store" -> base("t123_containment_delta"))
+      ("t145_containment_store" -> base("t123_containment_delta")) +
+      // t146: t144's exact scenario through the unified store — the
+      // committed view's winnowing components equal the plain index's
+      // (one build, no appends), so t121's literal oracle applies
+      ("t146_winnowing_store" -> base("t121_winnowing_delta"))
   }
 }
 

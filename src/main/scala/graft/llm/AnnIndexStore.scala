@@ -243,14 +243,28 @@ object AnnIndexStore {
     * (always sparing the current pointer's), but NEVER a version dir
     * whose files a retained version's manifest still references
     * (delta-stitched chains) — those are sparable only after a
-    * [[compact]] folds the current version flat. Returns the dropped
-    * version numbers. */
+    * [[compact]] folds the current version flat.
+    *
+    * Also sweeps ORPHANED version dirs (the
+    * [[NearDupIndexStore.vacuum]] contract): a crashed build/append
+    * leaves an uncommitted `v<N>` (no `_SUCCESS`) that [[versions]]
+    * hides — without the sweep its files are never garbage-collected.
+    * Single-writer contract: do not run vacuum concurrently with an
+    * in-flight build. Returns the dropped version numbers (orphans
+    * included). */
   def vacuum(root: String, keep: Int = 1): Seq[Long] = {
     val all = versions(root)
     val cur = currentVersion(root)
     val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
     val refs = referencedEntries(root, retained)
-    val dropped = all.filterNot(retained.contains).filter { v =>
+    val orphans =
+      if (!Fs.exists(root)) Seq.empty[Long]
+      else Fs.list(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+            s.drop(1).forall(_.isDigit) &&
+            !Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
+        .filterNot(v => cur.contains(v))
+    val dropped = (all.filterNot(retained.contains) ++ orphans).filter { v =>
       val dir = vPath(root, v)
       val stillReferenced = refs.exists(_.startsWith(dir + "/"))
       if (!stillReferenced) Fs.deleteRecursive(dir)

@@ -209,6 +209,15 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     // now vacuum can drop v1 and v2; the store still serves every search
     assert(AnnIndexStore.vacuum(root, keep = 1) == Seq(1L, 2L))
     assert(AnnIndexStore.versions(root) == Seq(3L) && storeRows() == fresh)
+    // orphan sweep: a crashed build's uncommitted dir (no _SUCCESS) is
+    // invisible to versions() but vacuum removes it
+    graft.fs.Fs.mkdirs(graft.fs.Fs.child(root, "v9/assigned"))
+    graft.fs.Fs.writeStringAtomic(
+      graft.fs.Fs.child(root, "v9/assigned/stale-file"), "debris")
+    assert(AnnIndexStore.versions(root) == Seq(3L))
+    assert(AnnIndexStore.vacuum(root, keep = 2).toSet == Set(9L))
+    assert(!graft.fs.Fs.exists(graft.fs.Fs.child(root, "v9")))
+    assert(storeRows() == fresh)
   }
 
   test("autoCells keeps MEAN cell size bounded as the corpus scales (nCells grows, not cells)") {
