@@ -107,6 +107,34 @@ class AnnIndexStoreSpec extends AnyFunSuite {
         .select("vec_id", "cell").as[(Long, Int)].collect().toSet ==
       Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", c2)
         .select("vec_id", "cell").as[(Long, Int)].collect().toSet)
+    // re-uploads under multi-assign: a changed vector displaces BOTH of
+    // its old rows (they live in two cells) — append == fresh build
+    val reup = embs.filter($"vec_id" < 12).select($"vec_id",
+      org.apache.spark.sql.functions.transform($"embedding",
+        x => (x * lit(-1.0f)).cast("float")).as("embedding"))
+    AnnIndexStore.appendDelta(spark, root, reup, "vec_id", "embedding", P2)
+    val mergedCorpus = embs.filter($"vec_id" >= 12)
+      .select($"vec_id", $"embedding").unionByName(reup)
+    val centsR = AnnIndexStore.centroids(spark, root)
+    val freshR = GraphAnn.nswSearchAssigned(
+      Similarity.ivfAssignedIndexMulti(mergedCorpus, "vec_id", "embedding", centsR, 2),
+      centsR, q, "vec_id", "embedding", k = 4, nprobe = 2, m = 4,
+      efConstruction = 12, efSearch = 12)
+    val storeR = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 2, efSearch = 12)
+    assert(rows(storeR).nonEmpty && rows(storeR) == rows(freshR))
+    // every id still holds exactly 2 rows in 2 distinct cells
+    val perIdR = AnnIndexStore.assigned(spark, root)
+      .groupBy($"vec_id")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.countDistinct($"cell").as("nc"))
+      .select("n", "nc").distinct().as[(Long, Long)].collect().toSet
+    assert(perIdR == Set((2L, 2L)))
+    // the IVF (exhaustive-in-cell) search path dedups too
+    val ivf = AnnIndexStore.searchIvf(spark, root, q, "vec_id", "embedding",
+      k = 4, minProbe = 2, maxProbe = 4)
+    assert(ivf.groupBy($"query_id", $"neighbor_id").count()
+      .filter($"count" > 1).count() == 0L)
   }
 
   test("appendDelta with re-uploads: stale rows displaced end to end == fresh search") {
