@@ -209,7 +209,12 @@ object SlopeGate {
     "t146_winnowing_store" -> Budget(25.0,
       "t144's winnowing-index build PLUS the near-dup components (the " +
         "unified store builds every family in the version dir) + the " +
-        "delta-bounded winnowing probe; two linear builds dominate"))
+        "delta-bounded winnowing probe; two linear builds dominate"),
+    "t147_minhash_store" -> Budget(25.0,
+      "the t140 near-dup build + the band component derived from the " +
+        "stored sets (one more linear index pass, no text) + the " +
+        "delta-bounded banded probe with pruned partner-set " +
+        "verification; the builds dominate"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

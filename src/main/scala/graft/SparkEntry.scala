@@ -2354,6 +2354,33 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** [[t65IncrementalMinhash]]'s EXACT scenario through the unified
+    * versioned store ([[graft.llm.NearDupIndexStore]] built with
+    * `minhash = (64, 16)`): t65's [[graft.llm.Dedup.minHashDeltaPairs]]
+    * re-shingles the FULL corpus text every batch for verification and
+    * full-scans the band index for candidates; the indexed form probes
+    * bucket-pruned band buckets and verifies against bucket-pruned
+    * partner SETS (the store's existing component — the corpus text is
+    * never re-read), with the band component derived from the stored
+    * sets at build (no second text pass). Same candidates (identical
+    * signature function over identical shingle sets) and same exact
+    * verification, so t65's literal oracle applies verbatim. */
+  private def t147MinhashStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val corpus = d.filter(col("doc_id") % 5 =!= 0)
+    val root = scratch("mhstore", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    NearDupIndexStore.build(s, corpus, "doc_id", "text", root,
+      minhash = Some((64, 16)))
+    NearDupIndexStore.minhashPairsForDelta(s, root, delta, "doc_id", "text",
+        threshold = 0.8)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 1e6).cast("long").as("jac_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2702,6 +2729,7 @@ object SparkEntry {
     "t144_winnowing_indexed" -> t144WinnowingIndexed _,
     "t145_containment_store" -> t145ContainmentStore _,
     "t146_winnowing_store" -> t146WinnowingStore _,
+    "t147_minhash_store" -> t147MinhashStore _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4272,7 +4300,11 @@ object SparkEntry {
       // t146: t144's exact scenario through the unified store — the
       // committed view's winnowing components equal the plain index's
       // (one build, no appends), so t121's literal oracle applies
-      ("t146_winnowing_store" -> base("t121_winnowing_delta"))
+      ("t146_winnowing_store" -> base("t121_winnowing_delta")) +
+      // t147: t65's exact scenario through the unified store — same
+      // signatures over the same stored shingle sets, same exact
+      // verification, so t65's literal oracle applies verbatim
+      ("t147_minhash_store" -> base("t65_incremental_minhash"))
   }
 }
 

@@ -1108,6 +1108,142 @@ object Dedup {
     verifyJaccard(candidates, withSets, threshold)
   }
 
+  // ---------------------------------------------------------------------
+  // MinHash-LSH over the persisted unified index — the same recipe as
+  // the indexed Jaccard/containment/winnowing paths, closing this
+  // family's two remaining per-batch corpus costs: [[minHashDeltaPairs]]
+  // takes the corpus TEXT as an argument and re-shingles ALL of it for
+  // verification every batch, and its candidate probe scans the full
+  // band index (broadcast join — no shuffle, but a full read). The
+  // indexed form adds ONE thin component to a [[writeNearDupIndex]]
+  // root:
+  //   root/bands  (id, band, bkey)  keyed by (band, bkey)
+  // derived from the STORED sets (signatures are a pure function of
+  // the shingle array — [[graft.functions.expr.MinHashSig]] hashes set
+  // elements, so stored-array signatures equal text-derived ones), and
+  // a batch then costs: delta shingling + bucket-pruned reads of only
+  // the delta's band-key buckets + a broadcast candidate join + exact
+  // verification against bucket-pruned partner SETS (the near-dup
+  // root's existing component — no text ever re-read).
+  // ---------------------------------------------------------------------
+
+  private[llm] def minHashMetaPath(root: String): String =
+    graft.fs.Fs.child(root, "_MINHASH_META")
+
+  private[llm] def readMinHashMeta(root: String): (Int, Int) = {
+    val ls = graft.fs.Fs.readString(minHashMetaPath(root)).split("\n")
+    (ls(0).trim.toInt, ls(1).trim.toInt)
+  }
+
+  private def bandRowsOfSets(sets: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame =
+    bandKeys(sets.select(col("id"),
+      graft.functions.expr.MinHashSig(col("sh"), numHashes).as("sig")),
+      numHashes, bands)
+
+  /** Extend a [[writeNearDupIndex]] root with the banded MinHash
+    * component (signatures derived from the stored sets — the text is
+    * NOT re-read). Probe with [[minHashDeltaPairsIndexed]]; maintain
+    * with [[appendMinHashIndexDelta]]. */
+  def writeMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                        root: String, numHashes: Int = 64, bands: Int = 16,
+                        numBuckets: Int = 64): Unit = {
+    val sets = graft.sources.PrunedIndex.read(spark,
+      graft.fs.Fs.child(root, "sets")).select(col("id"), col("sh"), col("sz"))
+    graft.sources.PrunedIndex.write(bandRowsOfSets(sets, numHashes, bands),
+      graft.fs.Fs.child(root, "bands"), Seq("band", "bkey"), numBuckets)
+    graft.fs.Fs.writeStringAtomic(minHashMetaPath(root), s"$numHashes\n$bands")
+  }
+
+  /** [[minHashDeltaPairs]] over the persisted unified index — the same
+    * pair set, at delta-bounded per-batch cost: bucket-pruned band
+    * probes (only the delta's band-key buckets are read), a broadcast
+    * candidate join, and exact verification against bucket-pruned
+    * partner sets. Re-uploaded ids count only their delta revision
+    * (stale band and set rows anti-joined), so probing before or after
+    * [[appendMinHashIndexDelta]] gives the same answer. Release the
+    * delta's shingle cache with [[releaseIndexedProbeCache]]. */
+  def minHashDeltaPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                               root: String, delta: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double = 0.8): DataFrame = {
+    val (n, _) = readNearDupMeta(root)
+    val (numHashes, bands) = readMinHashMeta(root)
+    val deltaSets = containmentIndex(delta, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deltaIds = deltaSets.select(col("id")).distinct()
+    val deltaKeys = bandRowsOfSets(deltaSets, numHashes, bands).localCheckpoint()
+    val stored = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "bands"),
+        deltaKeys.select(col("band"), col("bkey")))
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val dk = broadcast(deltaKeys)
+    val crossPairs = dk.select(col("band"), col("bkey"), col("id").as("d_id"))
+      .join(stored.select(col("band"), col("bkey"), col("id").as("c_id")),
+        Seq("band", "bkey"))
+      .select(least(col("d_id"), col("c_id")).as("a_id"),
+        greatest(col("d_id"), col("c_id")).as("b_id"))
+    val deltaPairs = dk.select(col("band"), col("bkey"), col("id").as("a_id"))
+      .join(dk.select(col("band"), col("bkey"), col("id").as("b_id")),
+        Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+    val candidates = crossPairs.unionAll(deltaPairs).distinct().localCheckpoint()
+    val partnerIds = candidates.select(col("a_id").as("id"))
+      .unionAll(candidates.select(col("b_id").as("id"))).distinct()
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val partnerSets = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "sets"), partnerIds)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("id"), col("sh"), col("sz"))
+    verifyJaccard(candidates, partnerSets.unionByName(deltaSets), threshold)
+  }
+
+  /** Absorb `delta` into the persisted band component (REPLACE
+    * semantics; delta-bounded write I/O; replay-idempotent — the kept
+    * side anti-joins delta ids regardless of which layouts landed).
+    * Touched keys include the re-uploaded ids' OLD band keys, derived
+    * from the stored sets (no text re-read), so displaced rows leave
+    * their buckets even when the new revision shares none of them.
+    * Call BEFORE [[appendNearDupIndexDelta]] absorbs the same batch
+    * into the sets (the old-revision read anchors to `from`'s sets) —
+    * [[NearDupIndexStore.appendDelta]] sequences this correctly. */
+  def appendMinHashIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                              root: String, delta: DataFrame,
+                              idCol: String, textCol: String): Unit =
+    appendMinHashIndexDeltaInto(spark, root, root, delta, idCol, textCol)
+
+  /** [[appendMinHashIndexDelta]] landing in a DIFFERENT root — the
+    * versioned-store building block (cross-root stitching). */
+  private[llm] def appendMinHashIndexDeltaInto(
+      spark: org.apache.spark.sql.SparkSession,
+      from: String, into: String, delta: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (n, _) = readNearDupMeta(from)
+    val (numHashes, bands) = readMinHashMeta(from)
+    val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
+    val deltaIds = deltaSets.select(col("id")).distinct()
+    val deltaKeys = bandRowsOfSets(deltaSets, numHashes, bands)
+    val replacedOldSets = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(from, "sets"), deltaIds)
+    val oldKeys = bandRowsOfSets(
+      replacedOldSets.select(col("id"), col("sh")), numHashes, bands)
+    val touchedKeys = deltaKeys.select(col("band"), col("bkey"))
+      .unionByName(oldKeys.select(col("band"), col("bkey")))
+      .distinct().localCheckpoint()
+    val kept = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(from, "bands"), touchedKeys)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(into, "bands"),
+      kept.select(col("id"), col("band"), col("bkey"))
+        .unionByName(deltaKeys.select(col("id"), col("band"), col("bkey"))),
+      touchedKeys,
+      basePath = if (into == from) None else Some(graft.fs.Fs.child(from, "bands")))
+    if (into != from)
+      graft.fs.Fs.writeStringAtomic(minHashMetaPath(into), s"$numHashes\n$bands")
+  }
+
   /** 64-bit SimHash of the whitespace-token multiset — one narrow scan
     * through the native [[graft.functions.expr.SimHash64]] expression
     * (no explode, no shuffle, stays in WholeStageCodegen). */

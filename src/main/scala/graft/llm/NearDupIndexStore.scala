@@ -75,15 +75,19 @@ object NearDupIndexStore {
     * [[Dedup.writeContainmentIndex]]) so [[containmentPairsForDelta]]
     * probes work; `winnowing = Some((k, w))` additionally lands the
     * winnowing fingerprint index under `win/` for
-    * [[winnowingPairsForDelta]]. All components of a version commit
-    * under the SAME `_SUCCESS` + `_CURRENT` swap — one store, one
-    * commit, one retention story for all three dedup families. */
+    * [[winnowingPairsForDelta]]; `minhash = Some((numHashes, bands))`
+    * lands the banded MinHash component (derived from the version's
+    * sets — no second text pass) for [[minhashPairsForDelta]]. All
+    * components of a version commit under the SAME `_SUCCESS` +
+    * `_CURRENT` swap — one store, one commit, one retention story for
+    * every dedup family. */
   def build(spark: SparkSession, docs: DataFrame,
             idCol: String, textCol: String, root: String,
             n: Int = 3, threshold: Double = 0.8,
             dfHeadSize: Int = 100000, numBuckets: Int = 64,
             withContainment: Boolean = false,
-            winnowing: Option[(Int, Int)] = None): Long = {
+            winnowing: Option[(Int, Int)] = None,
+            minhash: Option[(Int, Int)] = None): Long = {
     val v = nextVersion(root)
     val dir = vPath(root, v)
     if (withContainment)
@@ -95,6 +99,9 @@ object NearDupIndexStore {
     winnowing.foreach { case (k, w) =>
       Dedup.writeWinnowingIndex(spark, docs, idCol, textCol, winDir(dir),
         k, w, numBuckets)
+    }
+    minhash.foreach { case (numHashes, bands) =>
+      Dedup.writeMinHashIndex(spark, dir, numHashes, bands, numBuckets)
     }
     commit(root, v)
   }
@@ -129,6 +136,16 @@ object NearDupIndexStore {
     Dedup.winnowingDeltaPairsIndexed(spark, winDir(current(root)), delta,
       idCol, textCol, minShared, maxDf)
 
+  /** MinHash-LSH near-dup pairs of `delta` against the CURRENT version
+    * ∪ `delta` — [[Dedup.minHashDeltaPairsIndexed]] over the committed
+    * view (requires a `minhash = Some(...)` build). */
+  def minhashPairsForDelta(spark: SparkSession, root: String,
+                           delta: DataFrame, idCol: String,
+                           textCol: String,
+                           threshold: Double = 0.8): DataFrame =
+    Dedup.minHashDeltaPairsIndexed(spark, current(root), delta,
+      idCol, textCol, threshold)
+
   /** Absorb a batch as a NEW committed version (REPLACE semantics for
     * re-uploaded ids; delta-bounded write I/O — untouched buckets
     * stitch the previous version's files). Every family present in the
@@ -142,6 +159,12 @@ object NearDupIndexStore {
     val cur = current(root)
     val v = nextVersion(root)
     val dir = vPath(root, v)
+    // the minhash append reads the OLD revisions from `cur`'s sets —
+    // safe in any order here because every cross-root read anchors to
+    // `cur`, never the half-written `dir`
+    if (Fs.exists(Fs.child(cur, "bands")))
+      Dedup.appendMinHashIndexDeltaInto(spark, cur, dir, delta,
+        idCol, textCol)
     if (Fs.exists(Fs.child(cur, "postings")))
       Dedup.appendContainmentIndexDeltaInto(spark, cur, dir, delta,
         idCol, textCol)
@@ -191,9 +214,14 @@ object NearDupIndexStore {
     fold("sets", Seq("id"))
     fold("postings", Seq("shingle"))
     fold("dfcensus", Seq("shingle"))
+    fold("bands", Seq("band", "bkey"))
     Dedup.writeFrozenHead(spark, dir, Dedup.readFrozenHead(spark, cur))
     val (n, threshold) = Dedup.readNearDupMeta(cur)
     Fs.writeStringAtomic(Dedup.nearDupMetaPath(dir), s"$n\n$threshold")
+    if (Fs.exists(Dedup.minHashMetaPath(cur))) {
+      val (numHashes, bands) = Dedup.readMinHashMeta(cur)
+      Fs.writeStringAtomic(Dedup.minHashMetaPath(dir), s"$numHashes\n$bands")
+    }
     if (Fs.exists(winDir(cur))) {
       def foldWin(comp: String, keyCols: Seq[String]): Unit = {
         val df = PrunedIndex.read(spark, Fs.child(winDir(cur), comp))
@@ -217,7 +245,7 @@ object NearDupIndexStore {
     * relative to the version dir — the manifest scan set for
     * reference-aware retention. */
   private val AllComponents: Seq[String] =
-    Seq("prefix", "sets", "postings", "dfcensus",
+    Seq("prefix", "sets", "postings", "dfcensus", "bands",
       "win/byid", "win/postings", "win/dfcensus")
 
   /** Retention: drop committed versions beyond the newest `keep`

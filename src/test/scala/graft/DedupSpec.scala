@@ -488,6 +488,59 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("indexed minhash: probe == minHashDeltaPairs incl. re-uploads; append == rebuild; replay idempotent") {
+    import org.apache.spark.sql.functions.{concat, when}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val revText = when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" indexed minhash revision trailer"))).otherwise(col("text"))
+    val corpus0 = d.filter(col("doc_id") % 5 =!= 0).select(col("doc_id"), col("text"))
+    val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("text")).withColumn("text", revText)
+    val root = java.nio.file.Files.createTempDirectory("graft_mhidx").toString + "/idx"
+    Dedup.writeNearDupIndex(spark, corpus0, "doc_id", "text", root, numBuckets = 16)
+    Dedup.writeMinHashIndex(spark, root, numHashes = 64, bands = 32, numBuckets = 16)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id"),
+          org.apache.spark.sql.functions.floor(col("jaccard") * 1e6).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val got = pset(Dedup.minHashDeltaPairsIndexed(spark, root, delta,
+      "doc_id", "text", threshold = 0.5))
+    val want = pset(Dedup.minHashDeltaPairs(delta, corpus0,
+      Dedup.minHashBandIndex(corpus0, "doc_id", "text", n = 3, numHashes = 64, bands = 32),
+      "doc_id", "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5))
+    assert(got.nonEmpty && got == want)
+    // absorb (band component BEFORE the sets — the old-revision band
+    // keys derive from the pre-append sets), then a second batch probes
+    // the advanced index == the delta path over the rebuilt corpus
+    Dedup.appendMinHashIndexDelta(spark, root, delta, "doc_id", "text")
+    Dedup.appendNearDupIndexDelta(spark, root, delta, "doc_id", "text")
+    val updated = d.select(col("doc_id"), col("text")).withColumn("text", revText)
+    // band component content == a from-scratch banding of the corpus
+    def bandsOf(p: String) = graft.sources.PrunedIndex.read(spark, p)
+      .select(col("id"), col("band"), col("bkey"))
+      .as[(Long, Int, Int)].collect().toSet
+    assert(bandsOf(graft.fs.Fs.child(root, "bands")) ==
+      Dedup.minHashBandIndex(updated, "doc_id", "text", n = 3, numHashes = 64, bands = 32)
+        .select(col("id"), col("band"), col("bkey"))
+        .as[(Long, Int, Int)].collect().toSet)
+    val delta2 = d.filter(col("doc_id") % 11 === 3)
+      .select((col("doc_id") + 800000).as("doc_id"), col("text"))
+    def secondProbe() = pset(Dedup.minHashDeltaPairsIndexed(spark, root, delta2,
+      "doc_id", "text", threshold = 0.5))
+    val want2 = pset(Dedup.minHashDeltaPairs(delta2, updated,
+      Dedup.minHashBandIndex(updated, "doc_id", "text", n = 3, numHashes = 64, bands = 32),
+      "doc_id", "text", n = 3, numHashes = 64, bands = 32, threshold = 0.5))
+    assert(secondProbe().nonEmpty && secondProbe() == want2)
+    // crash-replay idempotency: re-running the same appends (recovery)
+    // changes nothing a probe can observe
+    Dedup.appendMinHashIndexDelta(spark, root, delta, "doc_id", "text")
+    Dedup.appendNearDupIndexDelta(spark, root, delta, "doc_id", "text")
+    assert(secondProbe() == want2)
+    Seq(delta, delta2).foreach(Dedup.releaseIndexedProbeCache(root, _, "doc_id", "text"))
+    Seq(corpus0, updated).foreach(Dedup.releaseShingleSetCache(_, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+
   test("embedding near-dup pairs on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -339,6 +339,81 @@ class ScaleSpec extends AnyFunSuite {
       Set((2000L, 3000L), (31L, 3000L)))
   }
 
+  test("minhash band index: probe reads are bucket-bounded, append rewrites only touched band buckets") {
+    import graft.llm.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhscale").toString
+    val root = s"$dir/idx"
+    def text(i: Int): String =
+      (0 until 24).map(j => s"m${i}tok$j").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    // 16 band keys per doc over 64 buckets → strict-subset bucket sets
+    Dedup.writeNearDupIndex(spark, docs, "doc_id", "text", root, numBuckets = 64)
+    Dedup.writeMinHashIndex(spark, root, numHashes = 64, bands = 16, numBuckets = 64)
+
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val delta = Seq((1000L, text(7))).toDF("doc_id", "text")
+      val res = Dedup.minHashDeltaPairsIndexed(spark, root, delta,
+        "doc_id", "text", threshold = 0.5)
+      // collect res ITSELF so its executedPlan's metrics populate
+      assert(res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        Set((7L, 1000L)))
+      def scanFiles(df: org.apache.spark.sql.DataFrame, frag: String): Long =
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+            s.metrics("numFiles").value
+        }.sum
+      def bucketDirs(p: String): Int = graft.fs.Fs.list(p).count { f =>
+        f.isDirectory && f.getPath.getName.startsWith(
+          graft.sources.PrunedIndex.BucketCol + "=")
+      }
+      // the verify-side sets read sits in the final plan (the candidate
+      // side lands behind an eager localCheckpoint, same as the jaccard
+      // probe): strict subset
+      val setsRead = scanFiles(res, "/sets")
+      assert(setsRead > 0 && setsRead < bucketDirs(s"$root/sets"),
+        s"verify read $setsRead of >=${bucketDirs(s"$root/sets")} sets buckets — not probe-bounded")
+      // the band read happens inside the checkpointed candidate stage;
+      // gate it through the identical pruned-read path with the same
+      // probe keys (one band-key row per (band, slice-hash) of the doc)
+      val deltaBandKeys = graft.llm.Dedup
+        .minHashBandIndex(delta, "doc_id", "text", n = 3, numHashes = 64, bands = 16)
+        .select($"band", $"bkey")
+      val pruned = graft.sources.PrunedIndex.readPruned(spark,
+        s"$root/bands", deltaBandKeys)
+      pruned.collect(): Unit
+      val bandsRead = scanFiles(pruned, "/bands")
+      assert(bandsRead > 0 && bandsRead < bucketDirs(s"$root/bands"),
+        s"probe read $bandsRead of >=${bucketDirs(s"$root/bands")} band buckets — not probe-bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+
+    // maintenance write I/O is delta-bounded on the band component
+    def manifest(p: String): Map[Int, Seq[String]] =
+      graft.fs.Fs.readString(s"$p/_PRUNE_MANIFEST").split("\n").filter(_.nonEmpty)
+        .map { l => val Array(b, f) = l.split("\t", 2); (b.toInt, f) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val before = manifest(s"$root/bands")
+    Dedup.appendMinHashIndexDelta(spark, root,
+      Seq((2000L, text(31))).toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.appendNearDupIndexDelta(spark, root,
+      Seq((2000L, text(31))).toDF("doc_id", "text"), "doc_id", "text")
+    val after = manifest(s"$root/bands")
+    val changed = after.keySet.filter(b => before.get(b).map(_.map(_.split("/").last))
+      != Some(after(b).map(_.split("/").last)))
+    assert(changed.nonEmpty && changed.size < before.size,
+      s"append touched ${changed.size} of ${before.size} band buckets")
+    assert(changed.forall(b => after(b).forall(_.contains("delta-"))),
+      s"touched band buckets' files not under delta-*/")
+    // and the appended doc is findable afterwards
+    val res3 = Dedup.minHashDeltaPairsIndexed(spark, root,
+      Seq((3000L, text(31))).toDF("doc_id", "text"), "doc_id", "text",
+      threshold = 0.5)
+    assert(res3.select("a_id", "b_id").as[(Long, Long)].collect().toSet ==
+      Set((2000L, 3000L), (31L, 3000L)))
+  }
+
   test("near-dup index retention: refreeze + sweep leaves only live files, probes unchanged") {
     import graft.llm.Dedup
     val dir = java.nio.file.Files.createTempDirectory("graft_ndgc").toString
