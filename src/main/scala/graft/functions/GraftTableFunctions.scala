@@ -31,6 +31,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *       [[graft.llm.AnnIndexStore]] (probe-bounded bucket reads,
   *       graphs reconstructed from the stored adjacency — the t131
   *       deployment path, SQL-reachable)
+  *   graft_neardup_delta(storeRoot, deltaParquet, idCol, textCol)
+  *     → (a_id, b_id, jaccard): near-dup pairs of a DELTA batch
+  *       against the CURRENT committed version of a persisted
+  *       [[graft.llm.NearDupIndexStore]] ∪ the delta — the
+  *       delta-bounded daily-batch probe (bucket-pruned reads,
+  *       broadcast candidate join), SQL-reachable
   *
   * Mechanics: each function is a Catalyst table-function — its builder
   * receives the call's argument expressions at ANALYSIS time, evaluates
@@ -101,11 +107,20 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  private def neardupDelta(exprs: Seq[Expression]): LogicalPlan = {
+    arity("graft_neardup_delta", exprs, 4)
+    val s = SparkSession.active
+    graft.llm.NearDupIndexStore.pairsForDelta(s, str(exprs(0)),
+        s.read.parquet(str(exprs(1))), str(exprs(2)), str(exprs(3)))
+      .queryExecution.logical
+  }
+
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_neardup_pairs" -> (nearDupPairs _),
     "graft_bm25_topk" -> (bm25TopK _),
     "graft_curation_ledger" -> (curationLedger _),
-    "graft_ann_topk" -> (annTopK _))
+    "graft_ann_topk" -> (annTopK _),
+    "graft_neardup_delta" -> (neardupDelta _))
 
   /** Runtime registration on a live session (temp, session-scoped). */
   def register(spark: SparkSession): Unit = {

@@ -85,6 +85,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // the functions without any runtime register() call
     assert(graft.functions.GraftTableFunctions.descriptions.map(_._1.funcName) ==
       Seq("graft_neardup_pairs", "graft_bm25_topk", "graft_curation_ledger",
-        "graft_ann_topk"))
+        "graft_ann_topk", "graft_neardup_delta"))
+  }
+
+  test("graft_neardup_delta from pure SQL == NearDupIndexStore.pairsForDelta") {
+    graft.functions.GraftTableFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlnd").toString
+    val d = spark.read.parquet(docsPath)
+    val corpus = d.filter($"doc_id" % 4 =!= 3)
+    val delta = d.filter($"doc_id" % 4 === 3)
+    delta.select($"doc_id", $"text").write.mode("overwrite")
+      .parquet(s"$root/delta")
+    graft.llm.NearDupIndexStore.build(spark, corpus, "doc_id", "text",
+      s"$root/store", numBuckets = 16)
+    val sqlRows = spark.sql(
+      s"""SELECT a_id, b_id, CAST(floor(jaccard * 1000000.0) AS BIGINT) AS jaccard_ppm
+          FROM graft_neardup_delta('$root/store', '$root/delta', 'doc_id', 'text')
+          ORDER BY a_id, b_id""")
+      .as[(Long, Long, Long)].collect().toSeq
+    val api = graft.llm.NearDupIndexStore.pairsForDelta(spark, s"$root/store",
+        spark.read.parquet(s"$root/delta"), "doc_id", "text")
+      .select($"a_id", $"b_id", floor($"jaccard" * 1e6).cast("long"))
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == api)
+    spark.catalog.clearCache()
   }
 }
