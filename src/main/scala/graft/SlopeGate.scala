@@ -214,7 +214,13 @@ object SlopeGate {
       "the t140 near-dup build + the band component derived from the " +
         "stored sets (one more linear index pass, no text) + the " +
         "delta-bounded banded probe with pruned partner-set " +
-        "verification; the builds dominate"))
+        "verification; the builds dominate"),
+    "t148_fuzzy_store" -> Budget(30.0,
+      "the t140 near-dup build + the thin fuzzy segment index (two " +
+        "linear passes) + a bucket-pruned probe whose pair OUTPUT is " +
+        "the t100-family near-dup count — output grows with the " +
+        "scaled corpus's copy structure (t100's measured ~2-3x family " +
+        "shape rides on top of the build)"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

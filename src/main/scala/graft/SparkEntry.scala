@@ -2381,6 +2381,27 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Fuzzy-key delta dedup through the unified versioned store
+    * ([[graft.llm.NearDupIndexStore]] built with `fuzzyKey = (64, 3)`):
+    * the %3==0 daily batch probes the committed segment index
+    * bucket-pruned — closing [[graft.llm.Dedup.fuzzyKeyDeltaPairs]]'
+    * per-batch full-index scan (it reads the whole segment frame every
+    * batch; keys never ride text, but the scan grows with the corpus).
+    * Output = exactly the delta-touching pairs, so t100's DuckDB twin
+    * applies with one restriction clause. */
+  private def t148FuzzyStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val delta = d.filter(col("doc_id") % 3 === 0)
+    val root = scratch("fzstore", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    NearDupIndexStore.build(s, corpus, "doc_id", "text", root,
+      fuzzyKey = Some((64, 3)))
+    NearDupIndexStore.fuzzyPairsForDelta(s, root, delta, "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2730,6 +2751,7 @@ object SparkEntry {
     "t145_containment_store" -> t145ContainmentStore _,
     "t146_winnowing_store" -> t146WinnowingStore _,
     "t147_minhash_store" -> t147MinhashStore _,
+    "t148_fuzzy_store" -> t148FuzzyStore _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -4304,7 +4326,12 @@ object SparkEntry {
       // t147: t65's exact scenario through the unified store — same
       // signatures over the same stored shingle sets, same exact
       // verification, so t65's literal oracle applies verbatim
-      ("t147_minhash_store" -> base("t65_incremental_minhash"))
+      ("t147_minhash_store" -> base("t65_incremental_minhash")) +
+      // t148: the delta-touching restriction of t100's twin — probe-1
+      // pairs are exactly the pairs with a %3==0 member
+      ("t148_fuzzy_store" -> base("t100_fuzzy_key_pairs").replace(
+        "WHERE hamming(ak, bk) <= 3",
+        "WHERE hamming(ak, bk) <= 3 AND (a_id % 3 = 0 OR b_id % 3 = 0)"))
   }
 }
 

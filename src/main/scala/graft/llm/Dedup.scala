@@ -2343,6 +2343,117 @@ object Dedup {
     verifyFuzzyCandidates(cross.unionAll(within), keyLen, maxDist)
   }
 
+  // ---------------------------------------------------------------------
+  // Fuzzy-key over a persisted bucket-pruned index — the last thin-frame
+  // delta path that full-scanned its index per batch:
+  // [[fuzzyKeyDeltaPairs]] takes the segment index as a DataFrame and
+  // reads ALL of it every batch (broadcast join — no shuffle, but a full
+  // scan that grows with the corpus). The indexed form persists
+  //   root/segs  (id, key, seg_i, seg)  keyed by (seg_i, seg)
+  //   root/byid  (id, key, seg_i, seg)  keyed by id
+  // and a batch reads only the delta's segment buckets plus the replaced
+  // ids' byid buckets. No text ever rides: keys live in the index.
+  // ---------------------------------------------------------------------
+
+  private[llm] def fuzzyMetaPath(root: String): String =
+    graft.fs.Fs.child(root, "_FUZZY_META")
+
+  private[llm] def readFuzzyMeta(root: String): (Int, Int) = {
+    val ls = graft.fs.Fs.readString(fuzzyMetaPath(root)).split("\n")
+    (ls(0).trim.toInt, ls(1).trim.toInt)
+  }
+
+  /** Build the persisted fuzzy-key index for `docs` (one corpus
+    * version). Probe with [[fuzzyKeyDeltaPairsIndexed]]; maintain with
+    * [[appendFuzzyKeyIndexDelta]]. */
+  def writeFuzzyKeyIndex(spark: org.apache.spark.sql.SparkSession,
+                         docs: DataFrame, idCol: String, textCol: String,
+                         root: String, keyLen: Int = 64, maxDist: Int = 3,
+                         numBuckets: Int = 64): Unit = {
+    val segs = fuzzyKeyIndex(docs, idCol, textCol, keyLen, maxDist)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.sources.PrunedIndex.write(segs,
+      graft.fs.Fs.child(root, "segs"), Seq("seg_i", "seg"), numBuckets)
+    graft.sources.PrunedIndex.write(segs,
+      graft.fs.Fs.child(root, "byid"), Seq("id"), numBuckets)
+    graft.fs.Fs.writeStringAtomic(fuzzyMetaPath(root), s"$keyLen\n$maxDist")
+    segs.unpersist(false): Unit
+  }
+
+  /** [[fuzzyKeyDeltaPairs]] over the persisted index — the same pair
+    * set, reading only the delta's segment buckets (the corpus index is
+    * never fully scanned). Stale re-upload rows anti-joined on the
+    * probe, matching the delta-frame form's contract. */
+  def fuzzyKeyDeltaPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                root: String, delta: DataFrame,
+                                idCol: String, textCol: String): DataFrame = {
+    val (keyLen, maxDist) = readFuzzyMeta(root)
+    val dSegs = fuzzyKeySegs(delta, idCol, textCol, keyLen, maxDist)
+      .localCheckpoint()
+    val deltaIds = dSegs.select(col("__id").as("id")).distinct()
+    val stored = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "segs"),
+        dSegs.select(col("seg_i"), col("seg")))
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val dB = broadcast(dSegs)
+    val cross = dB
+      .select(col("seg_i"), col("seg"), col("__id").as("d_id"), col("__key").as("d_key"))
+      .join(stored.select(col("seg_i"), col("seg"),
+        col("id").as("c_id"), col("key").as("c_key")), Seq("seg_i", "seg"))
+      .filter(col("d_id") =!= col("c_id"))
+      .select(least(col("d_id"), col("c_id")).as("a_id"),
+        greatest(col("d_id"), col("c_id")).as("b_id"),
+        when(col("d_id") < col("c_id"), col("d_key")).otherwise(col("c_key")).as("__ak"),
+        when(col("d_id") < col("c_id"), col("c_key")).otherwise(col("d_key")).as("__bk"))
+    val within = dB.as("a").join(dB.as("b"),
+        col("a.seg_i") === col("b.seg_i") && col("a.seg") === col("b.seg") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"),
+        col("a.__key").as("__ak"), col("b.__key").as("__bk"))
+    verifyFuzzyCandidates(cross.unionAll(within), keyLen, maxDist)
+  }
+
+  /** Absorb `delta` into the persisted fuzzy-key index (REPLACE
+    * semantics, delta-bounded write I/O, replay-idempotent — the kept
+    * side anti-joins delta ids in every crash window). */
+  def appendFuzzyKeyIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                               root: String, delta: DataFrame,
+                               idCol: String, textCol: String): Unit =
+    appendFuzzyKeyIndexDeltaInto(spark, root, root, delta, idCol, textCol)
+
+  /** [[appendFuzzyKeyIndexDelta]] landing in a DIFFERENT root — the
+    * versioned-store building block (cross-root stitching). */
+  private[llm] def appendFuzzyKeyIndexDeltaInto(
+      spark: org.apache.spark.sql.SparkSession,
+      from: String, into: String, delta: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val (keyLen, maxDist) = readFuzzyMeta(from)
+    val dSegs = fuzzyKeySegs(delta, idCol, textCol, keyLen, maxDist)
+      .select(col("__id").as("id"), col("__key").as("key"),
+        col("seg_i"), col("seg"))
+      .localCheckpoint()
+    val deltaIds = dSegs.select(col("id")).distinct()
+    val replacedOld = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(from, "byid"), deltaIds)
+    val touchedKeys = dSegs.select(col("seg_i"), col("seg"))
+      .unionByName(replacedOld.select(col("seg_i"), col("seg")))
+      .distinct().localCheckpoint()
+    val kept = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(from, "segs"), touchedKeys)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("id"), col("key"), col("seg_i"), col("seg"))
+    val base = (c: String) =>
+      if (into == from) None else Some(graft.fs.Fs.child(from, c))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(into, "segs"), kept.unionByName(dSegs), touchedKeys,
+      basePath = base("segs"))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(into, "byid"), dSegs, deltaIds,
+      basePath = base("byid"))
+    if (into != from)
+      graft.fs.Fs.writeStringAtomic(fuzzyMetaPath(into), s"$keyLen\n$maxDist")
+  }
+
   /** Collapse repeated lines WITHIN each document, keeping the first
     * occurrence in original order (the intra-page half of line-level
     * dedup — RefinedWeb arXiv:2306.01116 §3.3 removes the cross-doc

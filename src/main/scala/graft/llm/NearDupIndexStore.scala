@@ -67,6 +67,10 @@ object NearDupIndexStore {
     * containment components' at the version root). */
   private def winDir(versionDir: String): String = Fs.child(versionDir, "win")
 
+  /** The fuzzy-key family's components under `fuzzy/` — same
+    * namespacing discipline. */
+  private def fuzzyDir(versionDir: String): String = Fs.child(versionDir, "fuzzy")
+
   /** Build the store's first (or next, self-contained) version from a
     * corpus. Returns the committed version number.
     *
@@ -87,7 +91,8 @@ object NearDupIndexStore {
             dfHeadSize: Int = 100000, numBuckets: Int = 64,
             withContainment: Boolean = false,
             winnowing: Option[(Int, Int)] = None,
-            minhash: Option[(Int, Int)] = None): Long = {
+            minhash: Option[(Int, Int)] = None,
+            fuzzyKey: Option[(Int, Int)] = None): Long = {
     val v = nextVersion(root)
     val dir = vPath(root, v)
     if (withContainment)
@@ -102,6 +107,10 @@ object NearDupIndexStore {
     }
     minhash.foreach { case (numHashes, bands) =>
       Dedup.writeMinHashIndex(spark, dir, numHashes, bands, numBuckets)
+    }
+    fuzzyKey.foreach { case (keyLen, maxDist) =>
+      Dedup.writeFuzzyKeyIndex(spark, docs, idCol, textCol, fuzzyDir(dir),
+        keyLen, maxDist, numBuckets)
     }
     commit(root, v)
   }
@@ -146,6 +155,15 @@ object NearDupIndexStore {
     Dedup.minHashDeltaPairsIndexed(spark, current(root), delta,
       idCol, textCol, threshold)
 
+  /** Fuzzy-key Hamming pairs of `delta` against the CURRENT version ∪
+    * `delta` — [[Dedup.fuzzyKeyDeltaPairsIndexed]] over the committed
+    * view (requires a `fuzzyKey = Some(...)` build). */
+  def fuzzyPairsForDelta(spark: SparkSession, root: String,
+                         delta: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    Dedup.fuzzyKeyDeltaPairsIndexed(spark, fuzzyDir(current(root)), delta,
+      idCol, textCol)
+
   /** Absorb a batch as a NEW committed version (REPLACE semantics for
     * re-uploaded ids; delta-bounded write I/O — untouched buckets
     * stitch the previous version's files). Every family present in the
@@ -173,6 +191,9 @@ object NearDupIndexStore {
         idCol, textCol)
     if (Fs.exists(winDir(cur)))
       Dedup.appendWinnowingIndexDeltaInto(spark, winDir(cur), winDir(dir),
+        delta, idCol, textCol)
+    if (Fs.exists(fuzzyDir(cur)))
+      Dedup.appendFuzzyKeyIndexDeltaInto(spark, fuzzyDir(cur), fuzzyDir(dir),
         delta, idCol, textCol)
     commit(root, v)
   }
@@ -234,6 +255,17 @@ object NearDupIndexStore {
       val (k, w) = Dedup.readWinnowMeta(winDir(cur))
       Fs.writeStringAtomic(Dedup.winnowMetaPath(winDir(dir)), s"$k\n$w")
     }
+    if (Fs.exists(fuzzyDir(cur))) {
+      def foldFz(comp: String, keyCols: Seq[String]): Unit = {
+        val df = PrunedIndex.read(spark, Fs.child(fuzzyDir(cur), comp))
+        PrunedIndex.write(df.select(df.columns.map(col).toIndexedSeq: _*),
+          Fs.child(fuzzyDir(dir), comp), keyCols, numBuckets)
+      }
+      foldFz("segs", Seq("seg_i", "seg"))
+      foldFz("byid", Seq("id"))
+      val (keyLen, maxDist) = Dedup.readFuzzyMeta(fuzzyDir(cur))
+      Fs.writeStringAtomic(Dedup.fuzzyMetaPath(fuzzyDir(dir)), s"$keyLen\n$maxDist")
+    }
     // after the folds: head + prefix re-derive from the folded sets
     // (winnowing and containment need nothing — their probe order
     // re-derives from the exact census every batch)
@@ -246,7 +278,8 @@ object NearDupIndexStore {
     * reference-aware retention. */
   private val AllComponents: Seq[String] =
     Seq("prefix", "sets", "postings", "dfcensus", "bands",
-      "win/byid", "win/postings", "win/dfcensus")
+      "win/byid", "win/postings", "win/dfcensus",
+      "fuzzy/segs", "fuzzy/byid")
 
   /** Retention: drop committed versions beyond the newest `keep`
     * (always sparing the current pointer's), but NEVER a version dir

@@ -846,6 +846,48 @@ class DedupSpec extends AnyFunSuite {
       s"stale revision of doc 4 leaked into pairs: $got")
   }
 
+  test("indexed fuzzy-key: probe == fuzzyKeyDeltaPairs incl. re-uploads; append == rebuild; replay idempotent") {
+    val corpus = fuzzyDocs.filter($"doc_id" <= 3)
+    val root = java.nio.file.Files.createTempDirectory("graft_fzidx").toString + "/idx"
+    Dedup.writeFuzzyKeyIndex(spark, corpus, "doc_id", "text", root,
+      keyLen = 64, maxDist = 3, numBuckets = 16)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Long)].collect().toSet
+    val delta = fuzzyDocs.filter($"doc_id" >= 4)
+    val want = pset(Dedup.fuzzyKeyDeltaPairs(delta, "doc_id", "text",
+      Dedup.fuzzyKeyIndex(corpus, "doc_id", "text", 64, 3), 64, 3))
+    val got = pset(Dedup.fuzzyKeyDeltaPairsIndexed(spark, root, delta,
+      "doc_id", "text"))
+    assert(got.nonEmpty && got == want)
+    assert(got.contains((0L, 4L, 0L)) && got.contains((5L, 6L, 1L)))
+    // absorb; the re-upload batch (doc 4 rewritten + doc 9 matching 4's
+    // OLD key) must displace the stale rows — the delta-frame form's
+    // contract, over the store
+    Dedup.appendFuzzyKeyIndexDelta(spark, root, delta, "doc_id", "text")
+    val delta2 = Seq(
+      (4L, "a completely rewritten document with nothing in common anymore"),
+      (9L, "the quick brown fox jumps over the lazy dog near the river today")
+    ).toDF("doc_id", "text")
+    val want2 = pset(Dedup.fuzzyKeyDeltaPairs(delta2, "doc_id", "text",
+      Dedup.fuzzyKeyIndex(fuzzyDocs, "doc_id", "text", 64, 3), 64, 3))
+    def probe2() = pset(Dedup.fuzzyKeyDeltaPairsIndexed(spark, root, delta2,
+      "doc_id", "text"))
+    assert(probe2() == want2 && want2.contains((0L, 9L, 0L)))
+    assert(!probe2().exists(p => p._1 == 4L || p._2 == 4L))
+    // append delta2, probe unchanged (order independence), replay
+    // idempotent, components == rebuild over the post-replace corpus
+    Dedup.appendFuzzyKeyIndexDelta(spark, root, delta2, "doc_id", "text")
+    assert(probe2() == want2)
+    Dedup.appendFuzzyKeyIndexDelta(spark, root, delta2, "doc_id", "text")
+    assert(probe2() == want2)
+    val post = fuzzyDocs.filter($"doc_id" =!= 4L).unionByName(delta2)
+    val rebuilt = Dedup.fuzzyKeyIndex(post, "doc_id", "text", 64, 3)
+      .as[(Long, String, Int, String)].collect().toSet
+    for (comp <- Seq("segs", "byid"))
+      assert(graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(root, comp))
+        .as[(Long, String, Int, String)].collect().toSet == rebuilt, comp)
+  }
+
   test("streaming fuzzy-key dedup: accumulated micro-batch pairs equal the batch run") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_fstream").toString

@@ -89,7 +89,8 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
       (i.toLong, if (i == 5) "draft placeholder entirely different words" else text(i)))
       .toDF("doc_id", "text")
     Store.build(spark, v1docs, "doc_id", "text", root, numBuckets = 8,
-      withContainment = true, winnowing = Some((12, 8)), minhash = Some((64, 32)))
+      withContainment = true, winnowing = Some((12, 8)), minhash = Some((64, 32)),
+      fuzzyKey = Some((64, 3)))
     val delta = Seq((100L, text(7)), (101L, text(41)), (5L, text(5)))
       .toDF("doc_id", "text")
     def pset(df: org.apache.spark.sql.DataFrame) =
@@ -103,37 +104,44 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
       pset(Store.pairsForDelta(spark, r, d, "doc_id", "text"))
     def mProbe(r: String, d: org.apache.spark.sql.DataFrame) =
       pset(Store.minhashPairsForDelta(spark, r, d, "doc_id", "text"))
-    // all four families answer the delta BEFORE absorbing
-    val (cB, wB, jB, mB) = (cProbe(root, delta), wProbe(root, delta),
-      jProbe(root, delta), mProbe(root, delta))
-    assert(cB.nonEmpty && wB.nonEmpty && jB.nonEmpty && mB.nonEmpty)
+    def fProbe(r: String, d: org.apache.spark.sql.DataFrame) =
+      pset(Store.fuzzyPairsForDelta(spark, r, d, "doc_id", "text"))
+    // all five families answer the delta BEFORE absorbing
+    val (cB, wB, jB, mB, fB) = (cProbe(root, delta), wProbe(root, delta),
+      jProbe(root, delta), mProbe(root, delta), fProbe(root, delta))
+    assert(cB.nonEmpty && wB.nonEmpty && jB.nonEmpty && mB.nonEmpty && fB.nonEmpty)
     Store.appendDelta(spark, root, delta, "doc_id", "text")
     assert(Store.currentVersion(root).contains(2L))
     // order independence per family: probe after == probe before
     assert(cProbe(root, delta) == cB && wProbe(root, delta) == wB &&
-      jProbe(root, delta) == jB && mProbe(root, delta) == mB)
+      jProbe(root, delta) == jB && mProbe(root, delta) == mB &&
+      fProbe(root, delta) == fB)
     // the stitched v2 == a fresh unified build on the merged corpus,
     // for every family
     val merged = v1docs.filter($"doc_id" =!= 5L).unionByName(delta)
     val refRoot = java.nio.file.Files.createTempDirectory("graft_uref").toString
     Store.build(spark, merged, "doc_id", "text", refRoot, numBuckets = 8,
-      withContainment = true, winnowing = Some((12, 8)), minhash = Some((64, 32)))
+      withContainment = true, winnowing = Some((12, 8)), minhash = Some((64, 32)),
+      fuzzyKey = Some((64, 3)))
     val probe2 = Seq((999L, text(7)), (998L, text(5))).toDF("doc_id", "text")
     assert(cProbe(root, probe2) == cProbe(refRoot, probe2))
     assert(wProbe(root, probe2) == wProbe(refRoot, probe2))
     assert(jProbe(root, probe2) == jProbe(refRoot, probe2))
     assert(mProbe(root, probe2) == mProbe(refRoot, probe2))
-    val (c2, w2, j2, m2) = (cProbe(root, probe2), wProbe(root, probe2),
-      jProbe(root, probe2), mProbe(root, probe2))
+    assert(fProbe(root, probe2) == fProbe(refRoot, probe2))
+    val (c2, w2, j2, m2, f2) = (cProbe(root, probe2), wProbe(root, probe2),
+      jProbe(root, probe2), mProbe(root, probe2), fProbe(root, probe2))
     assert(j2 == Set((7L, 999L), (100L, 999L), (5L, 998L)))
     assert(m2 == j2) // identical-text probes band-collide and verify at 1.0
+    assert(f2.contains((7L, 999L)) && f2.contains((100L, 999L)))
     // compact folds ALL families flat; vacuum then drops v1+v2; probes
-    // unchanged across the four
+    // unchanged across the five
     Store.compact(spark, root)
     assert(Store.vacuum(root, keep = 1).toSet == Set(1L, 2L))
     assert(Store.versions(root) == Seq(3L))
     assert(cProbe(root, probe2) == c2 && wProbe(root, probe2) == w2 &&
-      jProbe(root, probe2) == j2 && mProbe(root, probe2) == m2)
+      jProbe(root, probe2) == j2 && mProbe(root, probe2) == m2 &&
+      fProbe(root, probe2) == f2)
     Seq(delta, probe2).foreach(d => Store.releaseProbeCache(root, d, "doc_id", "text"))
     Seq(delta, probe2).foreach(d => Store.releaseProbeCache(refRoot, d, "doc_id", "text"))
     spark.catalog.clearCache()
