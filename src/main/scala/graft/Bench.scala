@@ -102,11 +102,22 @@ object Bench {
     // The driver never sets this env, so the sf0.1 contract run times
     // every query, baselines included.
     val scaleProfile = sys.env.contains("SPARK_GRAFT_SCALE_PROFILE")
+    // Fixture builds run UNTIMED before a query's reps (r17 verdict
+    // item #1): the one-time O(corpus) store/state build is reported
+    // separately (fixture_build_sec), so the per-rep statistic — and
+    // the cross-round suspect compare — sees only the operational
+    // delta-probe path the query exists to gate.
+    val fixtureSecs = scala.collection.mutable.Map.empty[String, Double]
     val results = SparkEntry.queries.toSeq
       .filter { case (name, _) =>
         (!scaleProfile || !SparkEntry.oracleOnly.contains(name)) &&
           only.forall(_.contains(name)) }
       .sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.benchFixtures.get(name).foreach { f =>
+        val t0 = System.nanoTime()
+        try f(spark, sfDir) catch { case _: Throwable => }
+        fixtureSecs(name) = (System.nanoTime() - t0) / 1e9
+      }
       val runs = (1 to reps).map { _ =>
         val startMs = System.currentTimeMillis()
         val loadBefore = load1()
@@ -151,9 +162,12 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val totalMin =
       if (results.nonEmpty) results.map(_._3.map(_._1).min).sum else 0.0
+    val fixJson = fixtureSecs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","total_min_sec":$totalMin,""" +
         s""""queries":$qs,"queries_min":$qmins,"runs":$rs,"rep_meta":$meta,""" +
+        s""""fixture_build_sec":$fixJson,""" +
         s""""prior":"$priorFile","prior_captured_at_ms":$priorAtMs,""" +
         s""""suspects":$suspectsJson,"sf":"$sfDir"}"""
     println(line)

@@ -52,6 +52,34 @@ object SparkEntry {
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xFFFFFFFFL)}_t${
       Thread.currentThread().getId}"
 
+  /** Bench-hygiene fixture guard (r17 verdict item #1): the store-backed
+    * queries (t139/t141/t145–t148, plus t149) need O(corpus) state —
+    * a versioned index or persisted curation frames — to exist before
+    * their OPERATIONAL delta probe can run. Building that state inside
+    * the timed query re-pays the one-time corpus cost on every bench
+    * capture (~70 s/round) and drowns the probe signal the cross-round
+    * suspect detector compares. The build is therefore an idempotent
+    * fixture: first call per JVM builds and drops a marker, later calls
+    * are no-ops. Query functions call it INLINE (Verify and ad-hoc
+    * callers stay fully self-contained); [[Bench]] additionally invokes
+    * it through [[benchFixtures]] BEFORE the timed reps and reports the
+    * build wall separately (`fixture_build_sec`), so the per-rep
+    * statistic is the probe path only. Probing the post-append store
+    * state is answer-identical to the old build-probe-append-probe
+    * sequence by the probe/append order independence every family pins
+    * in its spec (re-proved by the unchanged oracles). */
+  private val FixtureEpoch = "r18a"
+  private def ensureFixture(root: String)(build: => Unit): Unit = {
+    val marker = s"$root/_FIXTURE_OK"
+    val ok = graft.fs.Fs.exists(marker) &&
+      graft.fs.Fs.readString(marker).trim == FixtureEpoch
+    if (!ok) {
+      if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+      build
+      graft.fs.Fs.writeStringAtomic(marker, FixtureEpoch)
+    }
+  }
+
   /** Money math: the source doubles have ≤ `scale` decimal digits, so
     * accumulating `round(x·10^scale)` as BIGINT is exact and
     * order-independent (double sums are not — their value depends on
@@ -2105,7 +2133,7 @@ object SparkEntry {
     * serialization boundaries — merge(merge(build(b0), d1), d2) ==
     * build(b0 ∪ d1 ∪ d2-post-replace) — not just the single-merge
     * contract of t133/t134. */
-  private def t139CurationMultibatch(s: SparkSession, dir: String): DataFrame = {
+  private def t139Frames(s: SparkSession, dir: String) = {
     val d = t(s, dir, "documents")
     val b0 = d.filter(col("doc_id") % 3 === 0).withColumn("text",
       when(col("doc_id") % 9 === 0,
@@ -2115,20 +2143,41 @@ object SparkEntry {
     val d1 = d.filter(col("doc_id") % 3 === 1)
     val d2 = d.filter(col("doc_id") % 3 === 2 || col("doc_id") % 9 === 0)
     val bench = d.filter(col("doc_id") % 50 === 0)
+    (b0, d1, d2, bench)
+  }
+
+  private def t139ReadState(s: SparkSession, day: String): graft.llm.Curation.State =
+    graft.llm.Curation.State(s.read.parquet(s"$day/thin"),
+      s.read.parquet(s"$day/shingles"), s.read.parquet(s"$day/pairs"),
+      s.read.parquet(s"$day/clean"), s.read.parquet(s"$day/census"),
+      s.read.parquet(s"$day/grams"))
+
+  /** Fixture: day-0 build + day-1 merge persisted under the scratch
+    * root — the ledger state a deployment carries into the day-2 batch. */
+  private def t139Fixture(s: SparkSession, dir: String): Unit = {
+    val (b0, d1, _, bench) = t139Frames(s, dir)
     val root = scratch("curmulti", dir)
-    def rt(st: graft.llm.Curation.State, day: String): graft.llm.Curation.State = {
-      def w(df: DataFrame, name: String): DataFrame = {
-        df.write.mode("overwrite").parquet(s"$root/$day/$name")
-        s.read.parquet(s"$root/$day/$name")
+    ensureFixture(root) {
+      def rt(st: graft.llm.Curation.State, day: String): graft.llm.Curation.State = {
+        def w(df: DataFrame, name: String): DataFrame = {
+          df.write.mode("overwrite").parquet(s"$root/$day/$name")
+          s.read.parquet(s"$root/$day/$name")
+        }
+        graft.llm.Curation.State(w(st.thin, "thin"), w(st.shingles, "shingles"),
+          w(st.pairs, "pairs"), w(st.cleanIds, "clean"), w(st.census, "census"),
+          w(st.gramIndex, "grams"))
       }
-      graft.llm.Curation.State(w(st.thin, "thin"), w(st.shingles, "shingles"),
-        w(st.pairs, "pairs"), w(st.cleanIds, "clean"), w(st.census, "census"),
-        w(st.gramIndex, "grams"))
+      val st0 = rt(graft.llm.Curation.buildState(b0, "doc_id", "text",
+        "n_chars", "source", bench, "text"), "day0")
+      rt(graft.llm.Curation.mergeState(st0, d1,
+        "doc_id", "text", "n_chars", "source"), "day1"): Unit
     }
-    val st0 = rt(graft.llm.Curation.buildState(b0, "doc_id", "text",
-      "n_chars", "source", bench, "text"), "day0")
-    val st1 = rt(graft.llm.Curation.mergeState(st0, d1,
-      "doc_id", "text", "n_chars", "source"), "day1")
+  }
+
+  private def t139CurationMultibatch(s: SparkSession, dir: String): DataFrame = {
+    t139Fixture(s, dir)
+    val (_, _, d2, _) = t139Frames(s, dir)
+    val st1 = t139ReadState(s, s"${scratch("curmulti", dir)}/day1")
     graft.llm.Curation.fullPipelineLedgerDelta(st1, d2,
         "doc_id", "text", "n_chars", "source")
       .orderBy(col("doc_id"))
@@ -2169,26 +2218,41 @@ object SparkEntry {
     * frame. Identical ledger semantics — t128's DuckDB twin over the
     * true corpus applies verbatim; zero stale residue after the replace
     * is driver-hash-checked. */
-  private def t141CurationIndexed(s: SparkSession, dir: String): DataFrame = {
+  /** Fixture: the indexed curation state (four thin frames + the
+    * persisted near-dup index) built over the pre-delta corpus. The
+    * timed path's in-place index append is replace-by-key idempotent
+    * and the probe is order-independent with it, so re-running the
+    * batch against the already-advanced index yields the identical
+    * ledger (the replay contract CurationSpec pins). */
+  private def t141Fixture(s: SparkSession, dir: String): Unit = {
     val d = t(s, dir, "documents")
     val old = d.withColumn("text",
       when(col("doc_id") % 4 === 3,
         concat(lit("obsolete draft placeholder revision "),
           substring(col("text"), 1, 48)))
         .otherwise(col("text")))
-    val delta = d.filter(col("doc_id") % 4 === 3)
     val bench = d.filter(col("doc_id") % 50 === 0)
     val root = scratch("curidx", dir)
-    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
-    val st = graft.llm.Curation.buildStateIndexed(s, old, "doc_id", "text",
-      "n_chars", "source", bench, "text", s"$root/idx")
-    def rt(df: DataFrame, name: String): DataFrame = {
-      df.write.mode("overwrite").parquet(s"$root/$name")
-      s.read.parquet(s"$root/$name")
+    ensureFixture(root) {
+      val st = graft.llm.Curation.buildStateIndexed(s, old, "doc_id", "text",
+        "n_chars", "source", bench, "text", s"$root/idx")
+      def rt(df: DataFrame, name: String): Unit = {
+        df.write.mode("overwrite").parquet(s"$root/$name"): Unit
+      }
+      rt(st.thin, "thin"); rt(st.pairs, "pairs"); rt(st.cleanIds, "clean")
+      rt(st.census, "census"); rt(st.gramIndex, "grams")
     }
-    val persisted = graft.llm.Curation.IndexedState(rt(st.thin, "thin"),
-      rt(st.pairs, "pairs"), rt(st.cleanIds, "clean"),
-      rt(st.census, "census"), rt(st.gramIndex, "grams"))
+  }
+
+  private def t141CurationIndexed(s: SparkSession, dir: String): DataFrame = {
+    t141Fixture(s, dir)
+    val d = t(s, dir, "documents")
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val root = scratch("curidx", dir)
+    val persisted = graft.llm.Curation.IndexedState(
+      s.read.parquet(s"$root/thin"), s.read.parquet(s"$root/pairs"),
+      s.read.parquet(s"$root/clean"), s.read.parquet(s"$root/census"),
+      s.read.parquet(s"$root/grams"))
     graft.llm.Curation.fullPipelineLedgerDeltaIndexed(s, persisted,
         s"$root/idx", delta, "doc_id", "text", "n_chars", "source")
       .orderBy(col("doc_id"))
@@ -2210,18 +2274,32 @@ object SparkEntry {
     * reconstruct the full t26 set; that build-time pair computation
     * happens once per corpus version operationally, and its semantics
     * are already t26's own gate. */
-  private def t142NeardupStore(s: SparkSession, dir: String): DataFrame = {
+  /** Fixture: v1 over the even half + batch 1 absorbed (the stitched
+    * v2 the second probe reads). Probing batch 1 AFTER its own append
+    * is answer-identical to probing before it (order independence,
+    * pinned in NearDupIndexStoreSpec), so the timed path is the two
+    * operational probes only. */
+  private def t142Fixture(s: SparkSession, dir: String): Unit = {
     import graft.llm.NearDupIndexStore
     val d = t(s, dir, "documents")
-    val v1 = d.filter(col("doc_id") % 2 === 0)
+    val root = scratch("ndstore", dir)
+    ensureFixture(root) {
+      NearDupIndexStore.build(s,
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      NearDupIndexStore.appendDelta(s, root,
+        d.filter(col("doc_id") % 4 === 1), "doc_id", "text"): Unit
+    }
+  }
+
+  private def t142NeardupStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    t142Fixture(s, dir)
+    val d = t(s, dir, "documents")
     val b1 = d.filter(col("doc_id") % 4 === 1)
     val b2 = d.filter(col("doc_id") % 4 === 3)
     val root = scratch("ndstore", dir)
-    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
-    NearDupIndexStore.build(s, v1, "doc_id", "text", root)
     val p1 = NearDupIndexStore.pairsForDelta(s, root, b1, "doc_id", "text")
       .localCheckpoint()
-    NearDupIndexStore.appendDelta(s, root, b1, "doc_id", "text")
     val p2 = NearDupIndexStore.pairsForDelta(s, root, b2, "doc_id", "text")
     p1.unionByName(p2)
       .select(col("a_id"), col("b_id"),
@@ -2274,15 +2352,32 @@ object SparkEntry {
     * stitched reads and the exact derived census. Operational path
     * only (build → append → probe); rebuild-parity lives in
     * NearDupIndexStoreSpec/DedupSpec. */
-  private def t145ContainmentStore(s: SparkSession, dir: String): DataFrame = {
+  /** Fixture: v1 (the %7 docs at an obsolete draft) + batch 1's
+    * re-uploads absorbed — v2 is the STITCHED cross-version state whose
+    * logical corpus is exactly `documents`; the timed path is batch 2's
+    * containment probe over it. */
+  private def t145Fixture(s: SparkSession, dir: String): Unit = {
     import graft.llm.NearDupIndexStore
     val d = t(s, dir, "documents")
-    val corpus0 = d.select(col("doc_id"),
-      when(col("doc_id") % 7 === 0,
-        concat(lit("obsolete draft placeholder revision "),
-          substring(col("text"), 1, 48)))
-        .otherwise(col("text")).as("text"))
-    val b1 = d.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
+    val root = scratch("ctstore", dir)
+    ensureFixture(root) {
+      val corpus0 = d.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("obsolete draft placeholder revision "),
+            substring(col("text"), 1, 48)))
+          .otherwise(col("text")).as("text"))
+      NearDupIndexStore.build(s, corpus0, "doc_id", "text", root,
+        withContainment = true)
+      NearDupIndexStore.appendDelta(s, root,
+        d.filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text")),
+        "doc_id", "text"): Unit
+    }
+  }
+
+  private def t145ContainmentStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    t145Fixture(s, dir)
+    val d = t(s, dir, "documents")
     val halves = d.filter(col("doc_id") < 50).select(
       (col("doc_id") + 200000).as("doc_id"),
       expr("substring(text, 1, cast(n_chars div 2 as int))").as("text"))
@@ -2290,10 +2385,6 @@ object SparkEntry {
       concat(col("text"), lit(" containment rev2 trailer")).as("text"))
     val b2 = halves.unionByName(revs)
     val root = scratch("ctstore", dir)
-    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
-    NearDupIndexStore.build(s, corpus0, "doc_id", "text", root,
-      withContainment = true)
-    NearDupIndexStore.appendDelta(s, root, b1, "doc_id", "text")
     NearDupIndexStore.containmentPairsForDelta(s, root, b2, "doc_id", "text",
         maxDf = 16)
       .select(col("a_id"), col("b_id"),
@@ -2337,18 +2428,25 @@ object SparkEntry {
     * driver-gated through the store (t142 Jaccard, t145 containment,
     * this winnowing). Same delta scenario as t121/t144, so the literal
     * oracle applies verbatim. */
+  private def t146Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val root = scratch("wstore", dir)
+    ensureFixture(root) {
+      NearDupIndexStore.build(s, d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", root, winnowing = Some((16, 8))): Unit
+    }
+  }
+
   private def t146WinnowingStore(s: SparkSession, dir: String): DataFrame = {
     import graft.llm.NearDupIndexStore
+    t146Fixture(s, dir)
     val d = t(s, dir, "documents")
     val revText = when(col("doc_id") % 7 === 0,
       concat(col("text"), lit(" winnowing rev2 trailer"))).otherwise(col("text"))
-    val corpus = d.filter(col("doc_id") % 5 =!= 0)
     val delta = d.filter(col("doc_id") % 5 === 0 || col("doc_id") % 7 === 0)
       .withColumn("text", revText)
     val root = scratch("wstore", dir)
-    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
-    NearDupIndexStore.build(s, corpus, "doc_id", "text", root,
-      winnowing = Some((16, 8)))
     NearDupIndexStore.winnowingPairsForDelta(s, root, delta, "doc_id", "text",
         minShared = 8, maxDf = 16)
       .orderBy(col("a_id"), col("b_id"))
@@ -2365,15 +2463,22 @@ object SparkEntry {
     * sets at build (no second text pass). Same candidates (identical
     * signature function over identical shingle sets) and same exact
     * verification, so t65's literal oracle applies verbatim. */
-  private def t147MinhashStore(s: SparkSession, dir: String): DataFrame = {
+  private def t147Fixture(s: SparkSession, dir: String): Unit = {
     import graft.llm.NearDupIndexStore
     val d = t(s, dir, "documents")
-    val delta = d.filter(col("doc_id") % 5 === 0)
-    val corpus = d.filter(col("doc_id") % 5 =!= 0)
     val root = scratch("mhstore", dir)
-    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
-    NearDupIndexStore.build(s, corpus, "doc_id", "text", root,
-      minhash = Some((64, 16)))
+    ensureFixture(root) {
+      NearDupIndexStore.build(s, d.filter(col("doc_id") % 5 =!= 0),
+        "doc_id", "text", root, minhash = Some((64, 16))): Unit
+    }
+  }
+
+  private def t147MinhashStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    t147Fixture(s, dir)
+    val d = t(s, dir, "documents")
+    val delta = d.filter(col("doc_id") % 5 === 0)
+    val root = scratch("mhstore", dir)
     NearDupIndexStore.minhashPairsForDelta(s, root, delta, "doc_id", "text",
         threshold = 0.8)
       .select(col("a_id"), col("b_id"),
@@ -2389,16 +2494,66 @@ object SparkEntry {
     * batch; keys never ride text, but the scan grows with the corpus).
     * Output = exactly the delta-touching pairs, so t100's DuckDB twin
     * applies with one restriction clause. */
-  private def t148FuzzyStore(s: SparkSession, dir: String): DataFrame = {
+  private def t148Fixture(s: SparkSession, dir: String): Unit = {
     import graft.llm.NearDupIndexStore
     val d = t(s, dir, "documents")
-    val corpus = d.filter(col("doc_id") % 3 =!= 0)
+    val root = scratch("fzstore", dir)
+    ensureFixture(root) {
+      NearDupIndexStore.build(s, d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", root, fuzzyKey = Some((64, 3))): Unit
+    }
+  }
+
+  private def t148FuzzyStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    t148Fixture(s, dir)
+    val d = t(s, dir, "documents")
     val delta = d.filter(col("doc_id") % 3 === 0)
     val root = scratch("fzstore", dir)
-    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
-    NearDupIndexStore.build(s, corpus, "doc_id", "text", root,
-      fuzzyKey = Some((64, 3)))
     NearDupIndexStore.fuzzyPairsForDelta(s, root, delta, "doc_id", "text")
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** [[t142NeardupStore]]'s probe scenario across an AUTO-TRIGGERED
+    * maintenance pass ([[graft.llm.NearDupIndexStore.maybeMaintain]] —
+    * r17 verdict item #3): the fixture builds v1 over the even half,
+    * absorbs batch 1, then lets the store maintain ITSELF — the chain
+    * depth (2 > 1) and the head staleness (1.5× ≥ 1.2) both cross their
+    * thresholds, so maybeMaintain runs compact(refreeze = true). The
+    * timed probes read the maintained (folded + refrozen) store and
+    * must hash-match t142's oracle EXACTLY: maintenance changes
+    * candidate cost, never answers (the frozen order is a heuristic,
+    * not a correctness input — NearDupIndexStoreSpec pins the same
+    * invariant plus trigger hysteresis). */
+  private def t149Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.NearDupIndexStore
+    val d = t(s, dir, "documents")
+    val root = scratch("mtstore", dir)
+    ensureFixture(root) {
+      NearDupIndexStore.build(s,
+        d.filter(col("doc_id") % 2 === 0), "doc_id", "text", root)
+      NearDupIndexStore.appendDelta(s, root,
+        d.filter(col("doc_id") % 4 === 1), "doc_id", "text")
+      val maintained = NearDupIndexStore.maybeMaintain(s, root,
+        maxChainDepth = 1, headStaleRatio = 1.2)
+      require(maintained.nonEmpty,
+        "t149 fixture: maintenance must auto-trigger (chain depth 2 > 1)")
+    }
+  }
+
+  private def t149StoreMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.NearDupIndexStore
+    t149Fixture(s, dir)
+    val d = t(s, dir, "documents")
+    val b1 = d.filter(col("doc_id") % 4 === 1)
+    val b2 = d.filter(col("doc_id") % 4 === 3)
+    val root = scratch("mtstore", dir)
+    val p1 = NearDupIndexStore.pairsForDelta(s, root, b1, "doc_id", "text")
+      .localCheckpoint()
+    val p2 = NearDupIndexStore.pairsForDelta(s, root, b2, "doc_id", "text")
+    p1.unionByName(p2)
+      .select(col("a_id"), col("b_id"),
+        floor(col("jaccard") * 1e6).cast("long").as("jaccard_ppm"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -2752,6 +2907,7 @@ object SparkEntry {
     "t146_winnowing_store" -> t146WinnowingStore _,
     "t147_minhash_store" -> t147MinhashStore _,
     "t148_fuzzy_store" -> t148FuzzyStore _,
+    "t149_store_maintenance" -> t149StoreMaintenance _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2771,6 +2927,26 @@ object SparkEntry {
     "t30_simhash" -> t30SimHash _,
     "t31_knn_ivf" -> t31KnnIvf _,
     "t32_text_analyze" -> t32TextAnalyze _,
+  )
+
+  /** The store/state builds the fixture-backed queries need before
+    * their timed probe path — [[Bench]] runs these UNTIMED before a
+    * query's reps and reports the build wall as `fixture_build_sec`
+    * (r17 verdict item #1: the operational delta probe is the signal
+    * the cross-round suspect detector should compare, not the O(corpus)
+    * build it used to share a wall-clock with). Each fixture is
+    * idempotent (marker-guarded), and every query function ALSO calls
+    * its fixture inline, so Verify and ad-hoc callers need no special
+    * sequencing. */
+  def benchFixtures: Map[String, (SparkSession, String) => Unit] = Map(
+    "t139_curation_multibatch" -> t139Fixture _,
+    "t141_curation_indexed" -> t141Fixture _,
+    "t142_neardup_store" -> t142Fixture _,
+    "t145_containment_store" -> t145Fixture _,
+    "t146_winnowing_store" -> t146Fixture _,
+    "t147_minhash_store" -> t147Fixture _,
+    "t148_fuzzy_store" -> t148Fixture _,
+    "t149_store_maintenance" -> t149Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -4331,7 +4507,13 @@ object SparkEntry {
       // pairs are exactly the pairs with a %3==0 member
       ("t148_fuzzy_store" -> base("t100_fuzzy_key_pairs").replace(
         "WHERE hamming(ak, bk) <= 3",
-        "WHERE hamming(ak, bk) <= 3 AND (a_id % 3 = 0 OR b_id % 3 = 0)"))
+        "WHERE hamming(ak, bk) <= 3 AND (a_id % 3 = 0 OR b_id % 3 = 0)")) +
+      // t149: t142's exact probe scenario across an auto-triggered
+      // compact(refreeze) — maintenance changes candidate cost, never
+      // answers, so t142's oracle applies verbatim
+      ("t149_store_maintenance" -> base("t26_jaccard_pairs").replace(
+        "WHERE a.doc_id < b.doc_id",
+        "WHERE a.doc_id < b.doc_id AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)"))
   }
 }
 

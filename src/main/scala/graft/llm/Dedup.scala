@@ -504,9 +504,27 @@ object Dedup {
   private[llm] def nearDupMetaPath(root: String): String =
     graft.fs.Fs.child(root, "_NEARDUP_META")
 
+  /** Meta lines: n, threshold, and (since r18) the build/refreeze
+    * dfHeadSize plus the doc count the head was frozen over. The first
+    * two are the semantic parameters; line 3 keeps a refreeze from
+    * silently resetting a non-default head size (r17 advice); line 4 is
+    * the staleness denominator [[NearDupIndexStore.maybeMaintain]]
+    * compares the current doc count against. */
   private[llm] def readNearDupMeta(root: String): (Int, Double) = {
     val ls = graft.fs.Fs.readString(nearDupMetaPath(root)).split("\n")
     (ls(0).trim.toInt, ls(1).trim.toDouble)
+  }
+
+  /** The persisted head size (line 3), defaulting for legacy roots. */
+  private[llm] def readNearDupHeadSize(root: String): Int = {
+    val ls = graft.fs.Fs.readString(nearDupMetaPath(root)).split("\n")
+    if (ls.length >= 3 && ls(2).trim.nonEmpty) ls(2).trim.toInt else 100000
+  }
+
+  /** The doc count the frozen head was derived over (line 4). */
+  private[llm] def readFrozenDocs(root: String): Option[Long] = {
+    val ls = graft.fs.Fs.readString(nearDupMetaPath(root)).split("\n")
+    if (ls.length >= 4 && ls(3).trim.nonEmpty) Some(ls(3).trim.toLong) else None
   }
 
   private[llm] def readFrozenHead(spark: org.apache.spark.sql.SparkSession,
@@ -546,7 +564,8 @@ object Dedup {
       graft.fs.Fs.child(root, "sets"), Seq("id"), numBuckets)
     graft.sources.PrunedIndex.write(prefixRowsOf(sets, threshold, dfHead),
       graft.fs.Fs.child(root, "prefix"), Seq("shingle"), numBuckets)
-    graft.fs.Fs.writeStringAtomic(nearDupMetaPath(root), s"$n\n$threshold")
+    graft.fs.Fs.writeStringAtomic(nearDupMetaPath(root),
+      s"$n\n$threshold\n$dfHeadSize\n${sets.count()}")
     sets.unpersist(false): Unit
   }
 
@@ -635,16 +654,41 @@ object Dedup {
     * head and meta land under one new version dir, which the store then
     * commits with a single atomic pointer swap — closing the in-place
     * form's torn-view window between the two layout swaps. */
+  /** The per-batch probe frames every shingle-family appender needs:
+    * the delta's shingle sets, its distinct ids, and the re-uploaded
+    * ids' OLD stored sets. [[NearDupIndexStore.appendDelta]] computes
+    * them ONCE and threads them into each family's `*Into` appender —
+    * without this a minhash+containment store re-shingled the same
+    * delta (and re-read the replaced-old sets) up to three times per
+    * batch. */
+  private[llm] final case class DeltaProbe(sets: DataFrame, ids: DataFrame,
+                                           replacedOld: DataFrame)
+
+  private[llm] def deltaProbeOf(spark: org.apache.spark.sql.SparkSession,
+                                from: String, delta: DataFrame,
+                                idCol: String, textCol: String): DeltaProbe = {
+    val (n, _) = readNearDupMeta(from)
+    val sets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
+    val ids = sets.select(col("id")).distinct().localCheckpoint()
+    val replacedOld = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(from, "sets"), ids).localCheckpoint()
+    DeltaProbe(sets, ids, replacedOld)
+  }
+
   private[llm] def appendNearDupIndexDeltaInto(
       spark: org.apache.spark.sql.SparkSession,
       from: String, into: String, delta: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      pre: Option[DeltaProbe] = None): Unit = {
     val (n, threshold) = readNearDupMeta(from)
     val dfHead = readFrozenHead(spark, from)
-    val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
-    val deltaIds = deltaSets.select(col("id")).distinct()
-    val replacedOldSets = graft.sources.PrunedIndex.readPruned(spark,
-      graft.fs.Fs.child(from, "sets"), deltaIds)
+    val deltaSets = pre.map(_.sets).getOrElse(
+      containmentIndex(delta, idCol, textCol, n).localCheckpoint())
+    val deltaIds = pre.map(_.ids).getOrElse(
+      deltaSets.select(col("id")).distinct())
+    val replacedOldSets = pre.map(_.replacedOld).getOrElse(
+      graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(from, "sets"), deltaIds))
     val probeShingles = prefixRowsOf(deltaSets, threshold, dfHead)
       .select(col("shingle"))
       .unionByName(prefixRowsOf(replacedOldSets, threshold, dfHead)
@@ -665,7 +709,9 @@ object Dedup {
       basePath = base("sets"))
     if (into != from) {
       writeFrozenHead(spark, into, dfHead)
-      graft.fs.Fs.writeStringAtomic(nearDupMetaPath(into), s"$n\n$threshold")
+      // raw copy — preserves the optional dfHeadSize/frozenDocs lines
+      graft.fs.Fs.writeStringAtomic(nearDupMetaPath(into),
+        graft.fs.Fs.readString(nearDupMetaPath(from)))
     }
   }
 
@@ -700,7 +746,10 @@ object Dedup {
     * one root serving both Jaccard probes ([[jaccardDeltaPairsIndexed]])
     * and containment probes ([[containmentDeltaPairsIndexed]]). Writes
     * prefix+sets+frozen-head (the near-dup components) plus the full
-    * postings and the exact df census. */
+    * postings, the exact df census, and the MAINTAINED census head
+    * (`cthead` — the census top-K under (df desc, shingle), the state
+    * that lets a probe batch re-derive the global prefix order without
+    * scanning the full census). */
   def writeContainmentIndex(spark: org.apache.spark.sql.SparkSession,
                             docs: DataFrame, idCol: String, textCol: String,
                             root: String, n: Int = 3, threshold: Double = 0.8,
@@ -712,9 +761,96 @@ object Dedup {
       graft.fs.Fs.child(root, "sets")).select(col("id"), col("sh"), col("sz"))
     graft.sources.PrunedIndex.write(allPostingsOf(sets),
       graft.fs.Fs.child(root, "postings"), Seq("shingle"), numBuckets)
-    graft.sources.PrunedIndex.write(
-      allPostingsOf(sets).groupBy(col("shingle")).agg(count(lit(1)).as("df")),
+    val census = allPostingsOf(sets)
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    graft.sources.PrunedIndex.write(census,
       graft.fs.Fs.child(root, "dfcensus"), Seq("shingle"), numBuckets)
+    val headRows = census.filter(col("df") >= 2)
+      .orderBy(col("df").desc, col("shingle")).limit(dfHeadSize)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    writeCtHead(spark, root, headRows, dfHeadSize,
+      complete = headRows.length < dfHeadSize)
+  }
+
+  // ---- the maintained census head (`cthead`) --------------------------
+  //
+  // The containment probe's global prefix order is the census top-K
+  // under (df desc, shingle). Re-deriving it from the full census every
+  // batch is the one corpus-proportional step the indexed path used to
+  // pay (r17 verdict item #2: at 100 TB the census is billions of thin
+  // rows). The head is therefore PERSISTED (≤ headK rows, bounded
+  // driver state) and maintained incrementally: the stored head minus
+  // the batch's touched keys plus their exact post-delta counts covers
+  // every possible top-K member as long as the new K-th entry does not
+  // sink below the stored floor — every untouched non-head shingle
+  // orders strictly after that floor and its df is unchanged, so
+  // nothing unseen can qualify. A batch that crosses the floor (mass
+  // deletion demoting enough head entries) falls back to the full thin
+  // census scan — correctness never depends on the shortcut.
+
+  private[llm] def ctHeadMetaPath(root: String): String =
+    graft.fs.Fs.child(root, "_CTHEAD_META")
+
+  private[llm] def hasCtHead(root: String): Boolean =
+    graft.fs.Fs.exists(ctHeadMetaPath(root))
+
+  /** (headK, complete): the K the head was maintained at, and whether
+    * it holds EVERY df ≥ 2 census shingle (census fits under K). */
+  private[llm] def readCtHeadMeta(root: String): (Int, Boolean) = {
+    val ls = graft.fs.Fs.readString(ctHeadMetaPath(root)).split("\n")
+    (ls(0).trim.toInt, ls(1).trim == "1")
+  }
+
+  /** The head's total order: df desc, shingle asc — identical to the
+    * census `orderBy(col("df").desc, col("shingle"))`, so an
+    * incremental top-K under this comparator equals the full scan's. */
+  private def ctHeadOrd(e: (String, Long)): (Long, String) = (-e._2, e._1)
+
+  private[llm] def readCtHeadRows(spark: org.apache.spark.sql.SparkSession,
+                                  root: String): Seq[(String, Long)] =
+    spark.read.parquet(graft.fs.Fs.child(root, "cthead"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+      .sortBy(ctHeadOrd)
+
+  private[llm] def writeCtHead(spark: org.apache.spark.sql.SparkSession,
+                               root: String, rows: Seq[(String, Long)],
+                               headK: Int, complete: Boolean): Unit = {
+    import spark.implicits._
+    rows.toDF("shingle", "df").coalesce(1)
+      .write.mode("overwrite").parquet(graft.fs.Fs.child(root, "cthead"))
+    graft.fs.Fs.writeStringAtomic(ctHeadMetaPath(root),
+      s"$headK\n${if (complete) 1 else 0}")
+  }
+
+  /** The post-delta census head (top `k` under (df desc, shingle)),
+    * derived from the persisted head + the batch's touched keys — cost
+    * O(head + touched), never O(census). Returns
+    * Some((head, complete')) when the floor bound certifies exactness;
+    * None when the caller must fall back to the full census scan:
+    * no persisted head, `k` beyond the stored head's coverage, or the
+    * candidate floor crossed the stored floor. `touched` is the batch's
+    * touched shingle keys (delta ∪ replaced-old); `adj` their exact
+    * post-delta counts (df > 0 rows — keys dropping to 0 are absent,
+    * their exclusion rides `touched`). Replay-safe: re-running with an
+    * already-updated head yields the same head (the update only
+    * replaces touched entries and drops out-of-top-K rows — a subset
+    * that still contains the true top-K). */
+  private def incrementalCtHead(spark: org.apache.spark.sql.SparkSession,
+                                root: String, k: Int,
+                                touched: Set[String],
+                                adj: Seq[(String, Long)]): Option[(Seq[(String, Long)], Boolean)] = {
+    if (!hasCtHead(root)) return None
+    val (storedK, storedComplete) = readCtHeadMeta(root)
+    if (k > storedK && !storedComplete) return None
+    val stored = readCtHeadRows(spark, root)
+    val cand = (stored.filterNot(e => touched(e._1)) ++ adj.filter(_._2 >= 2L))
+      .sortBy(ctHeadOrd)
+    val head = cand.take(k)
+    val exact = storedComplete ||
+      (head.length == k && stored.nonEmpty &&
+        Ordering[(Long, String)].lteq(ctHeadOrd(head.last), ctHeadOrd(stored.last)))
+    if (exact) Some((head, storedComplete && cand.length <= k)) else None
   }
 
   /** The post-delta adjustment of the df census for the TOUCHED
@@ -769,16 +905,29 @@ object Dedup {
       .distinct().localCheckpoint()
     val adjusted = adjustedCensus(spark, root, touchedKeys, dPost, replacedPost)
       .localCheckpoint()
-    // the global order: stored census with touched keys updated, top-K
-    // — the ONE corpus-proportional step, and it is a thin column scan
-    val headPost = graft.sources.PrunedIndex.read(spark,
-        graft.fs.Fs.child(root, "dfcensus"))
-      .join(broadcast(touchedKeys), Seq("shingle"), "left_anti")
-      .unionByName(adjusted)
-      .filter(col("df") >= 2)
-      .orderBy(col("df").desc, col("shingle"))
-      .limit(dfHeadSize)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the global order: the maintained census head with touched keys
+    // updated — O(head + touched) driver work, NO census scan (the last
+    // corpus-proportional step of the indexed path, removed r18). Falls
+    // back to the full thin census scan only when the floor bound can't
+    // certify exactness (mass-deletion batches, k beyond the stored
+    // head, legacy roots without a cthead component) — either path
+    // yields the identical top-K (same comparator), so the pair set is
+    // unchanged.
+    val touchedSet = touchedKeys.collect().map(_.getString(0)).toSet
+    val adjRows = adjusted.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val headPost: Map[String, Long] =
+      incrementalCtHead(spark, root, dfHeadSize, touchedSet, adjRows) match {
+        case Some((h, _)) => h.toMap
+        case None => graft.sources.PrunedIndex.read(spark,
+            graft.fs.Fs.child(root, "dfcensus"))
+          .join(broadcast(touchedKeys), Seq("shingle"), "left_anti")
+          .unionByName(adjusted)
+          .filter(col("df") >= 2)
+          .orderBy(col("df").desc, col("shingle"))
+          .limit(dfHeadSize)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
     // exact post-delta df for every probed shingle lives in `adjusted`
     // (probe keys ⊆ the delta's shingles ⊆ touched)
     val hot = adjusted.filter(col("df") > maxDf).select(col("shingle"))
@@ -864,13 +1013,17 @@ object Dedup {
   private[llm] def appendContainmentIndexDeltaInto(
       spark: org.apache.spark.sql.SparkSession,
       from: String, into: String, delta: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      pre: Option[DeltaProbe] = None): Unit = {
     val (n, _) = readNearDupMeta(from)
-    val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
-    val deltaIds = deltaSets.select(col("id")).distinct()
+    val deltaSets = pre.map(_.sets).getOrElse(
+      containmentIndex(delta, idCol, textCol, n).localCheckpoint())
+    val deltaIds = pre.map(_.ids).getOrElse(
+      deltaSets.select(col("id")).distinct())
     val dPost = allPostingsOf(deltaSets)
-    val replacedPost = allPostingsOf(graft.sources.PrunedIndex.readPruned(spark,
-      graft.fs.Fs.child(from, "sets"), deltaIds))
+    val replacedPost = allPostingsOf(pre.map(_.replacedOld).getOrElse(
+      graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(from, "sets"), deltaIds)))
     val touchedKeys = dPost.select(col("shingle"))
       .unionByName(replacedPost.select(col("shingle")))
       .distinct().localCheckpoint()
@@ -890,7 +1043,34 @@ object Dedup {
       graft.fs.Fs.child(into, "dfcensus"),
       newRows.groupBy(col("shingle")).agg(count(lit(1)).as("df")),
       touchedKeys, basePath = base("dfcensus"))
-    appendNearDupIndexDeltaInto(spark, from, into, delta, idCol, textCol)
+    // census-head maintenance: stored head ∪ touched keys' post-delta
+    // counts, re-sorted driver-side — O(head + touched); a full census
+    // re-scan happens only when the floor is crossed (mass deletion) or
+    // the root predates the cthead component. Replay-idempotent like
+    // the census itself: the touched counts derive from the landed
+    // newRows frame, and re-merging an already-updated head yields the
+    // same head (see [[incrementalCtHead]]).
+    val touchedSet = touchedKeys.collect().map(_.getString(0)).toSet
+    val touchedCensus = newRows.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val headK = if (hasCtHead(from)) readCtHeadMeta(from)._1 else 100000
+    val (headRows, complete) =
+      incrementalCtHead(spark, from, headK, touchedSet, touchedCensus) match {
+        case Some(hc) => hc
+        case None =>
+          val full = graft.sources.PrunedIndex.read(spark,
+              graft.fs.Fs.child(into, "dfcensus"))
+            .filter(col("df") >= 2)
+            .orderBy(col("df").desc, col("shingle")).limit(headK)
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+          (full, full.length < headK)
+      }
+    writeCtHead(spark, into, headRows, headK, complete)
+    appendNearDupIndexDeltaInto(spark, from, into, delta, idCol, textCol,
+      pre.orElse(Some(DeltaProbe(deltaSets, deltaIds,
+        graft.sources.PrunedIndex.readPruned(spark,
+          graft.fs.Fs.child(from, "sets"), deltaIds)))))
   }
 
   /** Release the delta shingle-set cache a prior
@@ -911,18 +1091,27 @@ object Dedup {
     * component (full [[graft.sources.PrunedIndex.write]] manifest
     * swaps); also compacts any accumulated prefix delta files flat. */
   def refreezeNearDupIndex(spark: org.apache.spark.sql.SparkSession,
-                           root: String, dfHeadSize: Int = 100000): Unit = {
-    val (_, threshold) = readNearDupMeta(root)
+                           root: String, dfHeadSize: Int = -1): Unit = {
+    val (n, threshold) = readNearDupMeta(root)
+    // the build-time head size persists in the meta (r17 advice: a
+    // refreeze must not silently reset a non-default head size); an
+    // explicit dfHeadSize > 0 overrides it
+    val headK = if (dfHeadSize > 0) dfHeadSize else readNearDupHeadSize(root)
+    // bucket count from the SETS meta — always present, and the prefix
+    // layout may be absent when a refreeze rides a compaction that
+    // skipped the (about-to-be-replaced) prefix fold
     val (_, numBuckets) = graft.sources.PrunedIndex.meta(
-      graft.fs.Fs.child(root, "prefix"))
+      graft.fs.Fs.child(root, "sets"))
     val sets = graft.sources.PrunedIndex.read(spark,
         graft.fs.Fs.child(root, "sets"))
       .select(col("id"), col("sh"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dfHead, _) = dfHeadOf(sets, dfHeadSize)
+    val (dfHead, _) = dfHeadOf(sets, headK)
     writeFrozenHead(spark, root, dfHead)
     graft.sources.PrunedIndex.write(prefixRowsOf(sets, threshold, dfHead),
       graft.fs.Fs.child(root, "prefix"), Seq("shingle"), numBuckets)
+    graft.fs.Fs.writeStringAtomic(nearDupMetaPath(root),
+      s"$n\n$threshold\n$headK\n${sets.count()}")
     sets.unpersist(false): Unit
   }
 
@@ -1218,14 +1407,18 @@ object Dedup {
   private[llm] def appendMinHashIndexDeltaInto(
       spark: org.apache.spark.sql.SparkSession,
       from: String, into: String, delta: DataFrame,
-      idCol: String, textCol: String): Unit = {
+      idCol: String, textCol: String,
+      pre: Option[DeltaProbe] = None): Unit = {
     val (n, _) = readNearDupMeta(from)
     val (numHashes, bands) = readMinHashMeta(from)
-    val deltaSets = containmentIndex(delta, idCol, textCol, n).localCheckpoint()
-    val deltaIds = deltaSets.select(col("id")).distinct()
+    val deltaSets = pre.map(_.sets).getOrElse(
+      containmentIndex(delta, idCol, textCol, n).localCheckpoint())
+    val deltaIds = pre.map(_.ids).getOrElse(
+      deltaSets.select(col("id")).distinct())
     val deltaKeys = bandRowsOfSets(deltaSets, numHashes, bands)
-    val replacedOldSets = graft.sources.PrunedIndex.readPruned(spark,
-      graft.fs.Fs.child(from, "sets"), deltaIds)
+    val replacedOldSets = pre.map(_.replacedOld).getOrElse(
+      graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(from, "sets"), deltaIds))
     val oldKeys = bandRowsOfSets(
       replacedOldSets.select(col("id"), col("sh")), numHashes, bands)
     val touchedKeys = deltaKeys.select(col("band"), col("bkey"))

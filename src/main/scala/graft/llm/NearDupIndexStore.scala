@@ -84,7 +84,14 @@ object NearDupIndexStore {
     * sets — no second text pass) for [[minhashPairsForDelta]]. All
     * components of a version commit under the SAME `_SUCCESS` +
     * `_CURRENT` swap — one store, one commit, one retention story for
-    * every dedup family. */
+    * every dedup family.
+    *
+    * `jaccard = false` skips the near-dup (prefix/sets/dfhead) family
+    * entirely — for winnowing- or fuzzy-only stores (e.g. a
+    * [[graft.streaming.WinnowingStream]] that never probes Jaccard),
+    * whose appends would otherwise pay the unused family's per-batch
+    * shingle + write cost forever. Containment and minhash DERIVE from
+    * the sets component, so they require `jaccard = true`. */
   def build(spark: SparkSession, docs: DataFrame,
             idCol: String, textCol: String, root: String,
             n: Int = 3, threshold: Double = 0.8,
@@ -92,13 +99,18 @@ object NearDupIndexStore {
             withContainment: Boolean = false,
             winnowing: Option[(Int, Int)] = None,
             minhash: Option[(Int, Int)] = None,
-            fuzzyKey: Option[(Int, Int)] = None): Long = {
+            fuzzyKey: Option[(Int, Int)] = None,
+            jaccard: Boolean = true): Long = {
+    require(jaccard || (!withContainment && minhash.isEmpty),
+      "containment and minhash families derive from the sets component — build them with jaccard = true")
+    require(jaccard || winnowing.nonEmpty || fuzzyKey.nonEmpty,
+      "a store needs at least one family")
     val v = nextVersion(root)
     val dir = vPath(root, v)
     if (withContainment)
       Dedup.writeContainmentIndex(spark, docs, idCol, textCol, dir,
         n, threshold, dfHeadSize, numBuckets)
-    else
+    else if (jaccard)
       Dedup.writeNearDupIndex(spark, docs, idCol, textCol, dir,
         n, threshold, dfHeadSize, numBuckets)
     winnowing.foreach { case (k, w) =>
@@ -177,18 +189,27 @@ object NearDupIndexStore {
     val cur = current(root)
     val v = nextVersion(root)
     val dir = vPath(root, v)
+    val hasJaccard = Fs.exists(Fs.child(cur, "prefix"))
+    val hasContainment = Fs.exists(Fs.child(cur, "postings"))
+    val hasBands = Fs.exists(Fs.child(cur, "bands"))
+    // ONE shingling pass + ONE replaced-old read per batch, threaded
+    // into every shingle-family appender (r17 advice: a
+    // minhash+containment store re-shingled the delta up to 3× here)
+    val pre = if (hasJaccard || hasContainment || hasBands)
+      Some(Dedup.deltaProbeOf(spark, cur, delta, idCol, textCol))
+    else None
     // the minhash append reads the OLD revisions from `cur`'s sets —
     // safe in any order here because every cross-root read anchors to
     // `cur`, never the half-written `dir`
-    if (Fs.exists(Fs.child(cur, "bands")))
+    if (hasBands)
       Dedup.appendMinHashIndexDeltaInto(spark, cur, dir, delta,
-        idCol, textCol)
-    if (Fs.exists(Fs.child(cur, "postings")))
+        idCol, textCol, pre)
+    if (hasContainment)
       Dedup.appendContainmentIndexDeltaInto(spark, cur, dir, delta,
-        idCol, textCol)
-    else
+        idCol, textCol, pre)
+    else if (hasJaccard)
       Dedup.appendNearDupIndexDeltaInto(spark, cur, dir, delta,
-        idCol, textCol)
+        idCol, textCol, pre)
     if (Fs.exists(winDir(cur)))
       Dedup.appendWinnowingIndexDeltaInto(spark, winDir(cur), winDir(dir),
         delta, idCol, textCol)
@@ -217,7 +238,14 @@ object NearDupIndexStore {
   def compact(spark: SparkSession, root: String,
               refreeze: Boolean = false): Long = {
     val cur = current(root)
-    val (_, numBuckets) = PrunedIndex.meta(Fs.child(cur, "prefix"))
+    // bucket count from whichever component exists (a winnowing- or
+    // fuzzy-only store has no prefix layout)
+    val numBuckets = Seq("prefix", "sets", "postings", "win/byid",
+        "fuzzy/segs")
+      .map(c => Fs.child(cur, c)).find(Fs.exists)
+      .map(p => PrunedIndex.meta(p)._2)
+      .getOrElse(throw new IllegalStateException(
+        s"no PrunedIndex component under $cur"))
     val v = nextVersion(root)
     val dir = vPath(root, v)
     import org.apache.spark.sql.functions.col
@@ -231,14 +259,25 @@ object NearDupIndexStore {
           Fs.child(dir, comp), keyCols, numBuckets)
       }
     }
-    fold("prefix", Seq("shingle"))
+    val hasJaccard = Fs.exists(Fs.child(cur, "sets"))
+    // refreeze re-lands the prefix layout and the frozen head itself —
+    // folding/copying them here would be a wasted O(index) write
+    // (r17 advice)
+    if (!(refreeze && hasJaccard)) fold("prefix", Seq("shingle"))
     fold("sets", Seq("id"))
     fold("postings", Seq("shingle"))
     fold("dfcensus", Seq("shingle"))
     fold("bands", Seq("band", "bkey"))
-    Dedup.writeFrozenHead(spark, dir, Dedup.readFrozenHead(spark, cur))
-    val (n, threshold) = Dedup.readNearDupMeta(cur)
-    Fs.writeStringAtomic(Dedup.nearDupMetaPath(dir), s"$n\n$threshold")
+    if (Dedup.hasCtHead(cur)) {
+      val (headK, headComplete) = Dedup.readCtHeadMeta(cur)
+      Dedup.writeCtHead(spark, dir, Dedup.readCtHeadRows(spark, cur),
+        headK, headComplete)
+    }
+    if (hasJaccard && !refreeze)
+      Dedup.writeFrozenHead(spark, dir, Dedup.readFrozenHead(spark, cur))
+    if (Fs.exists(Dedup.nearDupMetaPath(cur)))
+      Fs.writeStringAtomic(Dedup.nearDupMetaPath(dir),
+        Fs.readString(Dedup.nearDupMetaPath(cur)))
     if (Fs.exists(Dedup.minHashMetaPath(cur))) {
       val (numHashes, bands) = Dedup.readMinHashMeta(cur)
       Fs.writeStringAtomic(Dedup.minHashMetaPath(dir), s"$numHashes\n$bands")
@@ -267,19 +306,76 @@ object NearDupIndexStore {
       Fs.writeStringAtomic(Dedup.fuzzyMetaPath(fuzzyDir(dir)), s"$keyLen\n$maxDist")
     }
     // after the folds: head + prefix re-derive from the folded sets
-    // (winnowing and containment need nothing — their probe order
-    // re-derives from the exact census every batch)
-    if (refreeze) Dedup.refreezeNearDupIndex(spark, dir)
+    // (winnowing and containment need nothing — the containment head
+    // is EXACT maintained state, never stale)
+    if (refreeze && hasJaccard) Dedup.refreezeNearDupIndex(spark, dir)
     commit(root, v)
   }
 
   /** Every PrunedIndex component a version dir can hold, as paths
     * relative to the version dir — the manifest scan set for
-    * reference-aware retention. */
+    * reference-aware retention. (`cthead` is not listed: it is a plain
+    * parquet landed whole under every version, never stitched.) */
   private val AllComponents: Seq[String] =
     Seq("prefix", "sets", "postings", "dfcensus", "bands",
       "win/byid", "win/postings", "win/dfcensus",
       "fuzzy/segs", "fuzzy/byid")
+
+  /** Reference-chain depth of the CURRENT version: 1 + the number of
+    * OTHER version dirs its component manifests still stitch files
+    * from. Manifest entries absolutize on every append (no history
+    * walk), so one manifest scan sees the whole chain. A freshly built
+    * or compacted version reports 1. */
+  def chainDepth(root: String): Int = {
+    val cur = current(root)
+    val referenced = AllComponents.flatMap { comp =>
+      val mp = Fs.child(Fs.child(cur, comp), "_PRUNE_MANIFEST")
+      if (!Fs.exists(mp)) Nil
+      else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
+        .map(l => l.substring(l.indexOf('\t') + 1))
+        .filter(e => (e.startsWith("/") || e.contains("://")) &&
+          e.startsWith(root + "/"))
+        .map(_.stripPrefix(root + "/").takeWhile(_ != '/'))
+        .toSeq
+    }.toSet
+    1 + (referenced - new java.io.File(cur).getName).size
+  }
+
+  /** How far the frozen df head has drifted: current doc count ÷ the
+    * count the head was frozen over (recorded in the near-dup meta at
+    * build/refreeze). None for stores without the Jaccard family or
+    * with a legacy meta. The count reads parquet FOOTERS only (Spark's
+    * metadata-only count), so the check is not an index scan. */
+  def headStaleness(spark: SparkSession, root: String): Option[Double] = {
+    val cur = current(root)
+    if (!Fs.exists(Dedup.nearDupMetaPath(cur)) ||
+        !Fs.exists(Fs.child(cur, "sets"))) None
+    else Dedup.readFrozenDocs(cur).filter(_ > 0L).map { frozen =>
+      PrunedIndex.read(spark, Fs.child(cur, "sets")).count().toDouble / frozen
+    }
+  }
+
+  /** Self-triggering maintenance — the
+    * [[AnnIndexStore.reclusterIfDrifted]] analog for the dedup store:
+    * compact when the stitched reference chain exceeds `maxChainDepth`
+    * versions, and fold a head refreeze into the same pass when the
+    * corpus has grown `headStaleRatio`× past the frozen head's census
+    * (RefreezeBench: 23 % probe-wall payoff at 2× staleness, zero
+    * answer change — the head is a candidate-cost heuristic, never a
+    * correctness input). Hysteresis is structural: a compaction resets
+    * the chain depth to 1, and a refreeze resets the staleness
+    * denominator to the current doc count, so the next call below the
+    * thresholds is a no-op. Returns the new committed version when
+    * maintenance ran, None when nothing crossed a threshold.
+    * Single-writer contract like [[compact]]/[[vacuum]]. */
+  def maybeMaintain(spark: SparkSession, root: String,
+                    maxChainDepth: Int = 8,
+                    headStaleRatio: Double = 1.5): Option[Long] = {
+    val stale = headStaleness(spark, root).exists(_ >= headStaleRatio)
+    if (stale || chainDepth(root) > maxChainDepth)
+      Some(compact(spark, root, refreeze = stale))
+    else None
+  }
 
   /** Retention: drop committed versions beyond the newest `keep`
     * (always sparing the current pointer's), but NEVER a version dir
@@ -292,10 +388,14 @@ object NearDupIndexStore {
     * leaves an uncommitted `v<N>` (no `_SUCCESS`) that [[versions]]
     * hides and [[nextVersion]] would reuse — without this sweep its
     * stale files would never be garbage-collected (the retry writes a
-    * fresh manifest that does not reference them). Single-writer
-    * contract: do not run vacuum concurrently with an in-flight build.
-    * Returns the dropped version numbers (orphans included). */
-  def vacuum(root: String, keep: Int = 1): Seq[Long] = {
+    * fresh manifest that does not reference them). An orphan is only
+    * swept once its newest file is older than `orphanGraceMs`, so an
+    * accidentally concurrent vacuum cannot race a LIVE writer's
+    * in-flight version (the single-writer contract still holds for
+    * builds vs vacuum of committed versions). Returns the dropped
+    * version numbers (orphans included). */
+  def vacuum(root: String, keep: Int = 1,
+             orphanGraceMs: Long = 3600000L): Seq[Long] = {
     val all = versions(root)
     val cur = currentVersion(root)
     val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
@@ -308,6 +408,13 @@ object NearDupIndexStore {
           .filter(e => e.startsWith("/") || e.contains("://")).toSeq
       }
     }.toSet
+    val cutoffMs = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
+    def newestMtime(dir: String): Long = {
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try s.filter(java.nio.file.Files.isRegularFile(_))
+        .mapToLong(p => p.toFile.lastModified()).max.orElse(0L)
+      finally s.close()
+    }
     val orphans =
       if (!Fs.exists(root)) Seq.empty[Long]
       else Fs.list(root).map(_.getPath.getName)
@@ -315,6 +422,7 @@ object NearDupIndexStore {
             s.drop(1).forall(_.isDigit) &&
             !Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
         .filterNot(v => cur.contains(v))
+        .filter(v => newestMtime(vPath(root, v)) <= cutoffMs)
     val dropped = all.filterNot(retained.contains) ++ orphans
     dropped.filter { v =>
       val dir = vPath(root, v)

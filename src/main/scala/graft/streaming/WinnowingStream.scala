@@ -76,7 +76,14 @@ object WinnowingStream {
     * the within-batch pairs, by probe/append order independence).
     * Mid-batch crash replay converges: the probe is order-independent
     * with the append, and the append is replace-by-key idempotent —
-    * a replayed batch lands a new version with identical content. */
+    * a replayed batch lands a new version with identical content.
+    * The store carries ONLY the winnowing family (`jaccard = false`) —
+    * this stream never probes Jaccard, so building the near-dup
+    * prefix/sets layouts would pay their per-batch shingle + write cost
+    * forever for an index nothing reads (r17 advice). Point other
+    * consumers that DO need the Jaccard family at their own store (or
+    * build this one with [[graft.llm.NearDupIndexStore.build]]
+    * directly — appendDelta advances whatever families exist). */
   def startIndexed(docsStream: DataFrame, idCol: String, textCol: String,
                    storeRoot: String, checkpoint: String,
                    k: Int = 12, w: Int = 8, minShared: Int = 3,
@@ -92,7 +99,7 @@ object WinnowingStream {
         if (NearDupIndexStore.currentVersion(storeRoot).isEmpty) {
           if (!cached.isEmpty) {
             NearDupIndexStore.build(spark, cached, idCol, textCol, storeRoot,
-              winnowing = Some((k, w))): Unit
+              winnowing = Some((k, w)), jaccard = false): Unit
             sink(NearDupIndexStore.winnowingPairsForDelta(spark, storeRoot,
               cached, idCol, textCol, minShared, maxDf), id)
           } else sink(Dedup.winnowingDeltaPairs(cached, idCol, textCol,

@@ -415,6 +415,76 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("containment census head: truncated-head probes == batch, append head == rebuild head, mass-deletion falls back exactly") {
+    // The r17 verdict item #2: the indexed containment probe must not
+    // scan the full census per batch. The maintained head (cthead) is
+    // the replacement state; this pins its three regimes against the
+    // batch algorithm / a from-scratch rebuild: (a) truncated head
+    // (census >> K) on a growth batch — the incremental merge's floor
+    // bound holds; (b) append-side maintenance — the persisted head
+    // equals a fresh build's over the merged corpus, ORDER included;
+    // (c) a mass-deletion batch that demotes head entries past the
+    // floor — the full-scan fallback engages and stays exact.
+    import org.apache.spark.sql.functions.floor
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = d.filter(col("doc_id") % 4 =!= 3).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_cthead").toString
+    val K = 64
+    Dedup.writeContainmentIndex(spark, corpus, "doc_id", "text", root,
+      dfHeadSize = K, numBuckets = 16)
+    // the head really is truncated at this K (meta line 2 == 0)
+    assert(graft.fs.Fs.readString(s"$root/_CTHEAD_META").split("\n")(1).trim == "0")
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("a_id"), col("b_id"),
+          floor(col("containment") * 1e6).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    // (a) growth batch: new quotes + re-uploads, probed at the same K
+    val grow = d.filter(col("doc_id") % 4 === 3)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        org.apache.spark.sql.functions.expr(
+          "substring(text, 1, cast(n_chars div 2 as int))").as("text"))
+      .unionByName(d.filter(col("doc_id") % 8 === 0).select(col("doc_id"),
+        org.apache.spark.sql.functions.concat(col("text"),
+          lit(" cthead rev2 trailer")).as("text")))
+    val corpusIndex = Dedup.containmentIndex(corpus, "doc_id", "text", n = 3)
+    val got = pset(Dedup.containmentDeltaPairsIndexed(spark, root, grow,
+      "doc_id", "text", maxDf = 16, dfHeadSize = K))
+    assert(got.nonEmpty && got == pset(Dedup.containmentDeltaPairs(grow,
+      "doc_id", "text", corpusIndex, dfHeadSize = K, maxDf = 16)))
+    // (b) append: the maintained head == a from-scratch build's head
+    Dedup.appendContainmentIndexDelta(spark, root, grow, "doc_id", "text")
+    val merged = corpus.filter(col("doc_id") % 8 =!= 0).unionByName(grow)
+    val refRoot = java.nio.file.Files.createTempDirectory("graft_ctheadref").toString
+    Dedup.writeContainmentIndex(spark, merged, "doc_id", "text", refRoot,
+      dfHeadSize = K, numBuckets = 16)
+    def headOf(r: String) = spark.read.parquet(s"$r/cthead")
+      .as[(String, Long)].collect().toSet
+    assert(headOf(root) == headOf(refRoot) && headOf(root).nonEmpty)
+    assert(graft.fs.Fs.readString(s"$root/_CTHEAD_META") ==
+      graft.fs.Fs.readString(s"$refRoot/_CTHEAD_META"))
+    // (c) mass deletion: re-upload half the corpus as one-token stubs —
+    // enough head shingles demote that the floor bound cannot certify
+    // the merge; the fallback full scan must keep the head (and the
+    // capped pairs) exactly equal to the batch algorithm's
+    val kill = merged.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), lit("stub").as("text"))
+    val mergedIndex = Dedup.containmentIndex(merged, "doc_id", "text", n = 3)
+    assert(pset(Dedup.containmentDeltaPairsIndexed(spark, root, kill,
+        "doc_id", "text", maxDf = 16, dfHeadSize = K)) ==
+      pset(Dedup.containmentDeltaPairs(kill, "doc_id", "text", mergedIndex,
+        dfHeadSize = K, maxDf = 16)))
+    Dedup.appendContainmentIndexDelta(spark, root, kill, "doc_id", "text")
+    val killed = merged.filter(col("doc_id") % 2 =!= 0).unionByName(kill)
+    val refRoot2 = java.nio.file.Files.createTempDirectory("graft_ctheadref2").toString
+    Dedup.writeContainmentIndex(spark, killed, "doc_id", "text", refRoot2,
+      dfHeadSize = K, numBuckets = 16)
+    assert(headOf(root) == headOf(refRoot2))
+    Seq(grow, kill).foreach(Dedup.releaseIndexedProbeCache(root, _, "doc_id", "text"))
+    Dedup.releaseContainmentDeltaCache(grow, "doc_id", "text", corpusIndex, 3)
+    Dedup.releaseContainmentDeltaCache(kill, "doc_id", "text", mergedIndex, 3)
+    spark.catalog.clearCache()
+  }
+
   test("appendContainmentIndexDelta replay converges from the torn census-landed crash window") {
     // The r16-ADVICE scenario: a crash lands postings+dfcensus but not
     // prefix+sets; the documented recovery (re-run the batch) must

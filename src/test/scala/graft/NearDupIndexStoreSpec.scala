@@ -176,6 +176,54 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
     Seq(root, refRoot).foreach(r => Store.releaseProbeCache(r, probe, "doc_id", "text"))
   }
 
+  test("maybeMaintain: no-op below thresholds, auto-compacts past chain depth, auto-refreezes past staleness, hysteresis") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mstore").toString
+    val docs = (0 until 40).map(i => (i.toLong, text(i))).toDF("doc_id", "text")
+    Store.build(spark, docs, "doc_id", "text", root, numBuckets = 8)
+    assert(Store.chainDepth(root) == 1)
+    assert(Store.headStaleness(spark, root).exists(s => s > 0.99 && s < 1.01))
+    // fresh store: nothing crosses a threshold
+    assert(Store.maybeMaintain(spark, root).isEmpty)
+
+    // two small appends: chain depth 3, staleness ~1.05 — still below
+    Store.appendDelta(spark, root,
+      Seq((100L, text(3))).toDF("doc_id", "text"), "doc_id", "text")
+    Store.appendDelta(spark, root,
+      Seq((101L, text(3))).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Store.chainDepth(root) == 3)
+    assert(Store.maybeMaintain(spark, root).isEmpty,
+      "below both thresholds must be a no-op")
+
+    // chain-depth trigger: depth 3 > maxChainDepth 2 → compaction (no
+    // refreeze: staleness 42/40 < 1.5), answers unchanged
+    val probe = Seq((999L, text(3))).toDF("doc_id", "text")
+    def pairs() = Store.pairsForDelta(spark, root, probe, "doc_id", "text")
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val before = pairs()
+    assert(before == Set((3L, 999L), (100L, 999L), (101L, 999L)))
+    val maintained = Store.maybeMaintain(spark, root, maxChainDepth = 2)
+    assert(maintained.nonEmpty)
+    assert(Store.chainDepth(root) == 1, "compaction must reset the chain")
+    assert(pairs() == before, "maintenance must never change answers")
+    // hysteresis: an immediate second call is a no-op
+    assert(Store.maybeMaintain(spark, root, maxChainDepth = 2).isEmpty)
+
+    // staleness trigger: double the corpus → 84/40 ≥ 1.5 → refreeze
+    // rides the compaction; the frozen head re-derives over the merged
+    // corpus and the staleness denominator resets
+    Store.appendDelta(spark, root,
+      (200 until 242).map(i => (i.toLong, text(i))).toDF("doc_id", "text"),
+      "doc_id", "text")
+    assert(Store.headStaleness(spark, root).exists(_ >= 1.5))
+    val before2 = pairs()
+    assert(Store.maybeMaintain(spark, root).nonEmpty)
+    assert(Store.headStaleness(spark, root).exists(s => s > 0.99 && s < 1.01),
+      "refreeze must reset the staleness denominator")
+    assert(pairs() == before2, "refreeze changes candidate cost, never answers")
+    assert(Store.maybeMaintain(spark, root).isEmpty)
+    Store.releaseProbeCache(root, probe, "doc_id", "text")
+  }
+
   test("vacuum sweeps orphaned uncommitted version dirs (crashed build/append debris)") {
     import graft.fs.Fs
     val root = java.nio.file.Files.createTempDirectory("graft_ostore").toString
@@ -185,8 +233,14 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
     Fs.mkdirs(Fs.child(root, "v2/prefix"))
     Fs.writeStringAtomic(Fs.child(root, "v2/prefix/stale-file"), "debris")
     assert(Store.versions(root) == Seq(1L), "uncommitted dir must stay invisible")
-    // the orphan is swept even though keep would retain it by number
-    assert(Store.vacuum(root, keep = 2).toSet == Set(2L))
+    // a FRESH orphan is spared — the grace window keeps an accidentally
+    // concurrent vacuum from racing a live writer's in-flight version
+    assert(Store.vacuum(root, keep = 2).isEmpty)
+    assert(Fs.exists(Fs.child(root, "v2")))
+    // past the grace window, the orphan is swept even though keep would
+    // retain it by number
+    Thread.sleep(20)
+    assert(Store.vacuum(root, keep = 2, orphanGraceMs = 10L).toSet == Set(2L))
     assert(!Fs.exists(Fs.child(root, "v2")))
     // the committed version and its probes are untouched
     val p = Seq((999L, text(7))).toDF("doc_id", "text")

@@ -452,6 +452,51 @@ class ScaleSpec extends AnyFunSuite {
     assert(pairs() == before)
   }
 
+  test("containment probe derives the post-delta order WITHOUT a census scan (untouched census buckets never opened)") {
+    import graft.llm.Dedup
+    import graft.fs.Fs
+    import org.apache.spark.sql.functions.{col, explode, hash, lit, pmod}
+    val dir = java.nio.file.Files.createTempDirectory("graft_cthscale").toString
+    val root = s"$dir/idx"
+    // paired vocabularies: docs i and i+30 share text(i%30), so every
+    // shingle has df = 2 and the maintained head is non-trivial
+    def text(i: Int): String = (0 until 12).map(j => s"c${i}q$j").mkString(" ")
+    val docs = (0 until 60).map(i => (i.toLong, text(i % 30))).toDF("doc_id", "text")
+    Dedup.writeContainmentIndex(spark, docs, "doc_id", "text", root, numBuckets = 64)
+    // the probe's only census I/O is the delta's touched buckets plus
+    // the tiny cthead parquet — PROVE it behaviorally: delete every
+    // untouched census bucket's data files; a full-scan head derivation
+    // (the pre-r18 path) would now throw FileNotFound, the incremental
+    // path never opens them
+    val delta = Seq((1000L, text(7))).toDF("doc_id", "text")
+    val touched = Dedup.containmentIndex(delta, "doc_id", "text", 3)
+      .select(explode(col("sh")).as("shingle"))
+      .select(pmod(hash(col("shingle")), lit(64)).as("b"))
+      .distinct().as[Int].collect().toSet
+    val bucketPrefix = graft.sources.PrunedIndex.BucketCol + "="
+    var deleted = 0
+    Fs.list(s"$root/dfcensus").filter(f => f.isDirectory &&
+        f.getPath.getName.startsWith(bucketPrefix))
+      .foreach { f =>
+        val b = f.getPath.getName.stripPrefix(bucketPrefix).toInt
+        if (!touched(b)) {
+          Fs.list(f.getPath.toString).filterNot(_.getPath.getName.startsWith("_"))
+            .foreach { df => Fs.deleteRecursive(df.getPath.toString); deleted += 1 }
+        }
+      }
+    assert(deleted > 0, "scenario must actually remove untouched census files")
+    // the deletion is REAL: a full census read now fails...
+    intercept[Exception] {
+      graft.sources.PrunedIndex.read(spark, s"$root/dfcensus").collect()
+    }
+    // ...yet the probe answers exactly (doc 1000 == docs 7 and 37)
+    val res = Dedup.containmentDeltaPairsIndexed(spark, root, delta,
+        "doc_id", "text", maxDf = 16)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(res == Set((1000L, 7L), (1000L, 37L), (7L, 1000L), (37L, 1000L)))
+    Dedup.releaseIndexedProbeCache(root, delta, "doc_id", "text")
+  }
+
   test("cell-bucketed ANN probe reads a strict subset of assignment files") {
     import graft.llm.Similarity
     val dir = java.nio.file.Files.createTempDirectory("graft_annprune").toString
