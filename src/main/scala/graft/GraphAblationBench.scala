@@ -135,6 +135,46 @@ object GraphAblationBench {
         // cells are done so peak disk stays one-store-sized
         graft.fs.Fs.deleteRecursive(root)
       }
+
+      // r18: the TWO-LEVEL router ([[graft.llm.HierarchicalRouting]])
+      // against the same grid — fine-cell counts mirror the flat
+      // sweep's (16/64/256 = coarse×sub), efSearch fixed at 96 (r17:
+      // dominant on both recall and wall), nprobeCoarse ∈ {2, 4}
+      // coarse cells resolve the fine probe set
+      val hierConfigs = Seq((4, 4), (8, 8), (16, 16))
+      for ((kc, ks) <- hierConfigs; ma <- assignValues) {
+        val root = s"$workDir/hstore_x${scale}_c${kc}s${ks}_a$ma"
+        if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+        val (buildSec, _) = timeMin(1) {
+          graft.llm.AnnIndexStore.build(spark, corpus, "vec_id", "embedding",
+            root, graft.llm.AnnIndexStore.Params(nCells = kc, m = m,
+              efConstruction = 48, multiAssign = ma, subCells = ks))
+        }
+        for (npc <- Seq(2, 4); nprobe <- nprobeValues) {
+          val ef = 96
+          val (wall, recall) = {
+            var rec = 0.0
+            val (w, _) = timeMin(reps) {
+              val ann = graft.llm.AnnIndexStore.searchGraph(spark, root,
+                queries, "vec_id", "embedding", k, nprobe, ef,
+                nprobeCoarse = npc)
+              rec = Similarity0.recallAtK(ann, brute)
+                .agg(avg(col("recall_ppm"))).head().getDouble(0) / 1e6
+            }
+            (w, rec)
+          }
+          val cell = Map[String, Any]("scale" -> scale,
+            "coarse" -> kc, "sub" -> ks, "fine_cells" -> (kc * ks),
+            "multiAssign" -> ma, "m" -> m, "nprobeCoarse" -> npc,
+            "nprobe" -> nprobe, "efSearch" -> ef,
+            "build_sec" -> f"$buildSec%.2f".toDouble,
+            "search_sec" -> f"$wall%.3f".toDouble,
+            "recall_at_10" -> f"$recall%.4f".toDouble)
+          results += cell
+          println(js(cell))
+        }
+        graft.fs.Fs.deleteRecursive(root)
+      }
     }
 
     // summary: per scale, the cheapest cell reaching >= 0.9 recall, the
@@ -142,15 +182,20 @@ object GraphAblationBench {
     // ef=48), and the full-probe graph ceiling (nCells=16, nprobe=16)
     Seq(1, factor).foreach { scale =>
       val cells = results.filter(_("scale") == scale)
-      val good = cells.filter(_("recall_at_10").asInstanceOf[Double] >= 0.9)
+      val (hier, flat) = cells.partition(_.contains("coarse"))
+      val good = flat.filter(_("recall_at_10").asInstanceOf[Double] >= 0.9)
       val cheapest = if (good.nonEmpty)
         Some(good.minBy(_("search_sec").asInstanceOf[Double])) else None
-      val defaults = cells.find(c => c("nCells") == 16 && c("multiAssign") == 1 &&
+      val defaults = flat.find(c => c("nCells") == 16 && c("multiAssign") == 1 &&
         c("nprobe") == 8 && c("efSearch") == 48)
-      val ceiling = cells.filter(c => c("nCells") == 16 && c("nprobe") == 16)
+      val ceiling = flat.filter(c => c("nCells") == 16 && c("nprobe") == 16)
         .map(_("recall_at_10").asInstanceOf[Double]).maxOption
+      val goodHier = hier.filter(_("recall_at_10").asInstanceOf[Double] >= 0.9)
+      val cheapestHier = if (goodHier.nonEmpty)
+        Some(goodHier.minBy(_("search_sec").asInstanceOf[Double])) else None
       println(js(Map("_summary" -> s"x$scale",
         "cheapest_recall_ge_090" -> cheapest.map(js).getOrElse("none"),
+        "cheapest_hier_recall_ge_090" -> cheapestHier.map(js).getOrElse("none"),
         "r16_defaults_c16_a1_np8_ef48" -> defaults.map(js).getOrElse("none"),
         "full_probe_graph_ceiling" -> ceiling.map(r => f"$r%.4f").getOrElse("none"))))
     }

@@ -2111,8 +2111,11 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
     val root = scratch("sqlann", dir)
     if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    // multiAssign = 1 EXPLICITLY: this query pins t129's exact
+    // single-assign scenario through the SQL surface (its oracle is
+    // t129's literal); the store default is 2
     graft.llm.AnnIndexStore.build(s, e, "vec_id", "embedding",
-      s"$root/store", graft.llm.AnnIndexStore.Params())
+      s"$root/store", graft.llm.AnnIndexStore.Params(multiAssign = 1))
     e.filter(col("vec_id") < 20).write.mode("overwrite").parquet(s"$root/queries")
     val ann = s.sql(
       s"""SELECT query_id, neighbor_id
@@ -2557,6 +2560,78 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** The STREAMING winnowing loop over the versioned dedup store,
+    * driver-gated end to end (r17 verdict item #8 — the restart-safe
+    * micro-batch path lived only in specs): the full documents corpus
+    * arrives as a bounded two-file micro-stream
+    * (`Trigger.AvailableNow`, maxFilesPerTrigger = 1);
+    * [[graft.streaming.WinnowingStream.startIndexed]]'s first batch
+    * BUILDS the winnowing-only store, every later batch probes the
+    * committed view bucket-pruned and appends behind one atomic
+    * `_CURRENT` swap. Accumulated emissions telescope to the batch
+    * algorithm's full pair set for ANY micro-batch partition of the
+    * corpus (each pair is emitted exactly once — by the batch that
+    * completes it; shared-fp counts are pure pair functions, so no
+    * value depends on batch boundaries) — t46's literal oracle applies
+    * verbatim. NOT fixture-backed: the build-probe-append loop IS the
+    * operational path this query gates, so the timed body keeps it. */
+  private def t150WinnowingStream(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val root = scratch("wstream", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    d.filter(col("doc_id") % 2 === 0).write.parquet(s"$root/in1")
+    d.filter(col("doc_id") % 2 =!= 0).write.parquet(s"$root/in2")
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in*")
+    val q = graft.streaming.WinnowingStream.startIndexed(stream,
+      "doc_id", "text", s"$root/store", s"$root/ckpt",
+      k = 16, w = 8, minShared = 8) { (pairs, _) =>
+      pairs.write.mode("append").parquet(s"$root/out")
+    }
+    q.awaitTermination(300000): Unit
+    s.read.parquet(s"$root/out").orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The TWO-LEVEL-routed ANN store end to end (r17 verdict item #4 —
+    * [[graft.llm.HierarchicalRouting]] via `Params.subCells`): 8 coarse
+    * × 4 sub-cells (32 fine), multiAssign 2 (the measured default),
+    * built over the %5≠0 corpus and advanced by the %5==0 delta under
+    * FROZEN two-level state. Only k₁ = 8 coarse centroids are
+    * driver-resident; query routing reads ONLY the probed coarse
+    * cells' sub-centroid buckets and the search probes ONLY the routed
+    * fine cells' assignment/edge buckets (strict-subset reads at both
+    * levels pinned in ScaleSpec) — the structure that scales routing
+    * past the flat driver-side centroid matrix. The emitted
+    * recall-vs-brute census is deterministic (decimal coarse
+    * centroids, id-ordered sub-seeds and samples, (d², cell) ties,
+    * integer ppm floors) → literal oracle; ABLATION_r18 carries the
+    * ×10 recall sweep. */
+  private def t151Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings")
+    val root = scratch("hierann", dir)
+    ensureFixture(root) {
+      val p = AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 16,
+        m = 8, efConstruction = 48, subCells = 4)
+      AnnIndexStore.build(s, e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", root, p)
+      AnnIndexStore.appendDelta(s, root, e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", p): Unit
+    }
+  }
+
+  private def t151AnnHierarchical(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.AnnIndexStore
+    t151Fixture(s, dir)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val root = scratch("hierann", dir)
+    val ann = AnnIndexStore.searchGraph(s, root, q, "vec_id", "embedding",
+      k = 10, nprobe = 8, efSearch = 96, nprobeCoarse = 4)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -2908,6 +2983,8 @@ object SparkEntry {
     "t147_minhash_store" -> t147MinhashStore _,
     "t148_fuzzy_store" -> t148FuzzyStore _,
     "t149_store_maintenance" -> t149StoreMaintenance _,
+    "t150_winnowing_stream" -> t150WinnowingStream _,
+    "t151_ann_hierarchical" -> t151AnnHierarchical _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -2947,6 +3024,7 @@ object SparkEntry {
     "t147_minhash_store" -> t147Fixture _,
     "t148_fuzzy_store" -> t148Fixture _,
     "t149_store_maintenance" -> t149Fixture _,
+    "t151_ann_hierarchical" -> t151Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -3425,6 +3503,11 @@ object SparkEntry {
       // answer: t131 must equal t129's independent literal byte-for-byte
       "t131_knn_graph_persisted" -> LiteralOracles.t129,
       "t132_ann_drift_recluster" -> LiteralOracles.t132,
+      // the streamed winnowing emissions telescope to the batch
+      // algorithm's full pair set (see t150's Scaladoc) — t46's
+      // independent literal byte-for-byte
+      "t150_winnowing_stream" -> LiteralOracles.t46,
+      "t151_ann_hierarchical" -> LiteralOracles.t151,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

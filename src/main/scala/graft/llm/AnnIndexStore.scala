@@ -70,12 +70,24 @@ object AnnIndexStore {
     * `multiAssign` > 1 soft-assigns every vector to its that-many
     * nearest cells ([[Similarity.ivfAssignedIndexMulti]]) — storage
     * ×multiAssign, boundary-vector recall recovered; searches dedup by
-    * (query, neighbor) so output semantics are unchanged. */
+    * (query, neighbor) so output semantics are unchanged. The DEFAULT
+    * is 2 (r17 verdict item #5): ABLATION_r17 measured recall@10 0.93
+    * vs 0.775 at equal probe cost on the ×10 corpus — the storage ×2 is
+    * the price, reported by [[build]]'s log line. Pass 1 explicitly for
+    * storage-bound deployments (or when pinning single-assign parity).
+    * `subCells` > 0 switches the store to TWO-LEVEL routing
+    * ([[HierarchicalRouting]]): `nCells` coarse cells drive the
+    * driver-resident level, each split into `subCells` locally-trained
+    * sub-cells (fine cells = nCells·subCells; sub-centroids live in a
+    * coarse-keyed pruned layout, never driver-side); `subTrainCap`
+    * bounds each coarse cell's sub-training sample. */
   final case class Params(nCells: Int = 16, cellTarget: Long = 10000L,
                           iters: Int = 2, numBuckets: Int = 16,
                           m: Int = 8, efConstruction: Int = 48,
                           maxRecordsPerFile: Long = 0L,
-                          multiAssign: Int = 1)
+                          multiAssign: Int = 2,
+                          subCells: Int = 0,
+                          subTrainCap: Int = 100000)
 
   /** Recluster decision: what [[reclusterIfDrifted]] saw and did. */
   final case class Decision(driftPpm: Long, reclustered: Boolean, version: Long)
@@ -116,11 +128,14 @@ object AnnIndexStore {
   private def writeVersion(spark: SparkSession, root: String, v: Long,
                            cents: Array[(Int, Array[Double])],
                            assignedDf: DataFrame, edges: DataFrame,
-                           idCol: String, vecCol: String, p: Params): Long = {
+                           idCol: String, vecCol: String, p: Params,
+                           subCents: Option[DataFrame] = None): Long = {
     import spark.implicits._
     val dir = vPath(root, v)
     cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids"))
+    subCents.foreach(sc => HierarchicalRouting.writeSubCentroids(sc,
+      Fs.child(dir, "subcents"), p.numBuckets))
     graft.sources.PrunedIndex.write(
       assignedDf.select(col(idCol), col(vecCol), col("cell")),
       Fs.child(dir, "assigned"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
@@ -135,16 +150,64 @@ object AnnIndexStore {
   private def resolveCells(corpus: DataFrame, p: Params): Int =
     if (p.nCells > 0) p.nCells else autoCells(corpus.count(), p.cellTarget)
 
+  private def subCentsPath(versionDir: String): String =
+    Fs.child(versionDir, "subcents")
+
+  /** Whether the CURRENT version routes through two levels. */
+  def isHierarchical(root: String): Boolean =
+    currentPath(root).exists(cur => Fs.exists(subCentsPath(cur)))
+
+  /** The corpus with its coarse cell resolved (the shared k₁-way argmin
+    * rule), as [[HierarchicalRouting]] expects it. */
+  private def coarseAssigned(df: DataFrame, idCol: String, vecCol: String,
+                             cents: Array[(Int, Array[Double])]): DataFrame =
+    Similarity.assignCells(df.select(col(idCol), col(vecCol),
+        transform(col(vecCol), x => x.cast("double")).as("v")), cents)
+      .withColumnRenamed("cell", "coarse")
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Train + assign + graph + persist as the store's first (or next)
-    * version. Returns the committed version number. */
+    * version. Returns the committed version number. With
+    * `p.subCells > 0` the version lands hierarchical: coarse centroids
+    * in the driver-visible component, sub-centroids in a coarse-keyed
+    * pruned layout, assignment/graph keyed by GLOBAL fine cell. */
   def build(spark: SparkSession, corpus: DataFrame,
             idCol: String, vecCol: String, root: String, p: Params): Long = {
     val cents = Similarity.kMeansCentroids(corpus, idCol, vecCol, resolveCells(corpus, p), p.iters)
-    val assignedDf = Similarity.ivfAssignedIndexMulti(corpus, idCol, vecCol,
-      cents, p.multiAssign)
+    val (assignedDf, subCents) =
+      if (p.subCells > 0) {
+        import spark.implicits._
+        val cc = coarseAssigned(corpus, idCol, vecCol, cents)
+        val trained = HierarchicalRouting.trainSubCentroids(cc, idCol,
+          p.subCells, p.iters, p.subTrainCap).localCheckpoint()
+        // a coarse cell EMPTY at build (a stranded k-means seed) trains
+        // no sub-centroids, yet a later delta's argmin can still route
+        // there — seed it with its coarse centroid as the single
+        // sub-cell so assignment and query routing never lose vectors
+        val present = trained.select(col("coarse")).distinct()
+          .collect().map(_.getInt(0)).toSet
+        val missing = cents.filterNot(c => present(c._1))
+        val sc =
+          if (missing.isEmpty) trained
+          else trained.unionByName(missing.toSeq
+            .map { case (c, v) => (c, c * p.subCells, v.toSeq) }
+            .toDF("coarse", "cell", "centroid"))
+        (HierarchicalRouting.assignFine(cc, sc, idCol, vecCol, p.multiAssign),
+          Some(sc))
+      } else
+        (Similarity.ivfAssignedIndexMulti(corpus, idCol, vecCol,
+          cents, p.multiAssign), None)
     val edges = GraphAnn.buildGraphEdges(assignedDf, idCol, vecCol, p.m, p.efConstruction)
-    writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
-      cents, assignedDf, edges, idCol, vecCol, p)
+    val v = writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
+      cents, assignedDf, edges, idCol, vecCol, p, subCents)
+    // the build report: multiAssign's storage factor is the recall
+    // knob's explicit price (r17 verdict item #5)
+    log.info(s"AnnIndexStore.build $root v$v: multiAssign=${p.multiAssign} " +
+      s"(assignment storage x${p.multiAssign}), cells=" +
+      (if (p.subCells > 0) s"${cents.length} coarse x ${p.subCells} sub"
+       else s"${cents.length} flat"))
+    v
   }
 
   /** Absorb a delta under FROZEN centroids: assignment group-merges
@@ -165,8 +228,19 @@ object AnnIndexStore {
       throw new IllegalStateException(s"no committed version under $root"))
     val cents = centroids(spark, root)
     val oldAssigned = assigned(spark, root)
-    val deltaAssigned = Similarity.ivfAssignedIndexMulti(delta, idCol, vecCol,
-      cents, p.multiAssign)
+    // hierarchical stores route the delta through the frozen two-level
+    // state: coarse argmin, then ONLY the delta's coarse cells'
+    // sub-centroid buckets are read — delta-bounded, like everything
+    // else in this method
+    val deltaAssigned =
+      if (Fs.exists(subCentsPath(cur))) {
+        val cc = coarseAssigned(delta, idCol, vecCol, cents).localCheckpoint()
+        HierarchicalRouting.assignFine(cc,
+          graft.sources.PrunedIndex.readPruned(spark, subCentsPath(cur),
+            cc.select(col("coarse")).distinct()),
+          idCol, vecCol, p.multiAssign)
+      } else Similarity.ivfAssignedIndexMulti(delta, idCol, vecCol,
+        cents, p.multiAssign)
     // touched = the delta's cells plus any re-uploaded id's OLD cell
     // (the displaced row must leave its bucket) — the same set the
     // graph recompute derives
@@ -198,6 +272,16 @@ object AnnIndexStore {
     // [[vacuum]]/[[compact]], never a bare directory delete.
     cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids"))
+    if (Fs.exists(subCentsPath(cur))) {
+      // sub-centroids are FROZEN control state like the coarse matrix,
+      // but live in a pruned layout — carry them into the new version
+      // as a zero-touched-bucket stitch (manifest-only write: every
+      // bucket's files reference `cur`'s by absolute path)
+      val empty = graft.sources.PrunedIndex.read(spark, subCentsPath(cur)).limit(0)
+      graft.sources.PrunedIndex.writeDelta(spark, subCentsPath(dir),
+        empty, empty.select(col("coarse")),
+        basePath = Some(subCentsPath(cur)))
+    }
     graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
       touchedAssigned.select(col(idCol), col(vecCol), col("cell")),
       touchedCells, basePath = Some(Fs.child(cur, "assigned")), p.maxRecordsPerFile)
@@ -213,7 +297,7 @@ object AnnIndexStore {
     * reference — the retention dependency set [[vacuum]] honors. */
   private def referencedEntries(root: String, vs: Seq[Long]): Set[String] =
     vs.flatMap { v =>
-      Seq("assigned", "graph").flatMap { comp =>
+      Seq("assigned", "graph", "subcents").flatMap { comp =>
         val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
         if (!Fs.exists(mp)) Nil
         else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
@@ -234,9 +318,14 @@ object AnnIndexStore {
     val cur = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val edges = graft.sources.PrunedIndex.read(spark, Fs.child(cur, "graph"))
+    val subCents =
+      if (Fs.exists(subCentsPath(cur)))
+        Some(graft.sources.PrunedIndex.read(spark, subCentsPath(cur)))
+      else None
     writeVersion(spark, root,
       math.max(versions(root).lastOption.getOrElse(0L), currentVersion(root).get) + 1,
-      centroids(spark, root), assigned(spark, root), edges, idCol, vecCol, p)
+      centroids(spark, root), assigned(spark, root), edges, idCol, vecCol, p,
+      subCents)
   }
 
   /** Retention: drop committed versions beyond the newest `keep`
@@ -329,17 +418,30 @@ object AnnIndexStore {
     * reading at ×10 corpus scale: efSearch 96 beat 48 on BOTH recall
     * and wall (wider beams converge in fewer re-expansions here), and
     * recall is routing-bound, so nprobe — not ef — is the recall knob.
-    * For recall ≥ 0.9 at these defaults build the store with
-    * `Params(multiAssign = 2)` (0.93 measured vs 0.70 single-assign);
-    * the full-probe graph ceiling measured 0.995, so routing fixes,
-    * not graph ones, are where further recall lives. */
+    * For recall ≥ 0.9 at these defaults, `Params`' multiAssign = 2
+    * default is the measured setting (0.93 vs 0.70 single-assign at
+    * unchanged probe cost); the full-probe graph ceiling measured
+    * 0.995, so routing, not the graph, is where further recall lives.
+    *
+    * Hierarchical stores (`Params.subCells > 0`) route through the two
+    * levels: `nprobeCoarse` coarse cells driver-side, then only those
+    * cells' sub-centroid buckets resolve the query's global-best
+    * `nprobe` FINE cells — whose graphs are probed exactly like the
+    * flat store's. `nprobeCoarse` is ignored for flat stores. */
   def searchGraph(spark: SparkSession, root: String, queries: DataFrame,
                   idCol: String, vecCol: String, k: Int,
-                  nprobe: Int = 8, efSearch: Int = 96): DataFrame = {
+                  nprobe: Int = 8, efSearch: Int = 96,
+                  nprobeCoarse: Int = 4): DataFrame = {
     val cur = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
-    GraphAnn.nswSearchGraph(spark, Fs.child(cur, "assigned"), Fs.child(cur, "graph"),
-      centroids(spark, root), queries, idCol, vecCol, k, nprobe, efSearch)
+    if (Fs.exists(subCentsPath(cur))) {
+      val probes = HierarchicalRouting.routeQueries(spark, subCentsPath(cur),
+        centroids(spark, root), queries, idCol, vecCol, nprobeCoarse, nprobe)
+      GraphAnn.nswSearchGraphRouted(spark, Fs.child(cur, "assigned"),
+        Fs.child(cur, "graph"), probes, idCol, vecCol, k, efSearch)
+    } else
+      GraphAnn.nswSearchGraph(spark, Fs.child(cur, "assigned"), Fs.child(cur, "graph"),
+        centroids(spark, root), queries, idCol, vecCol, k, nprobe, efSearch)
   }
 
   /** IVF (exhaustive-within-probed-cells) search over the CURRENT
@@ -351,6 +453,9 @@ object AnnIndexStore {
                 ratioPpm: Long = 2000000L): DataFrame = {
     val cur = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
+    require(!Fs.exists(subCentsPath(cur)),
+      "searchIvf routes on the flat centroid matrix — use searchGraph " +
+        "for a hierarchical (subCells > 0) store")
     Similarity.ivfSearchPrunedAdaptive(spark, Fs.child(cur, "assigned"),
       centroids(spark, root), queries, idCol, vecCol, k, minProbe, maxProbe, ratioPpm)
   }

@@ -305,12 +305,30 @@ object GraphAnn {
                      centroids: Array[(Int, Array[Double])],
                      queries: DataFrame, idCol: String, vecCol: String,
                      k: Int, nprobe: Int = 4, efSearch: Int = 48): DataFrame = {
-    require(k >= 1 && efSearch >= 1, s"need positive (k, efSearch); got ($k, $efSearch)")
     import spark.implicits._
     val dvQ = queries.select(col(idCol).cast("long").as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
-    val probeRows = Similarity.probeCells(dvQ, centroids, nprobe)
-      .select(col("qid"), col("v"), col("cell"))
+    nswSearchGraphRouted(spark, assignedPath, graphPath,
+      Similarity.probeCells(dvQ, centroids, nprobe)
+        .select(col("qid"), col("v"), col("cell")),
+      idCol, vecCol, k, efSearch)
+  }
+
+  /** [[nswSearchGraph]] with an EXPLICIT probe frame (qid, v double
+    * array, cell) instead of flat-centroid routing — the entry point
+    * the two-level router ([[HierarchicalRouting.routeQueries]]) feeds.
+    * The probe frame is query-sized (|Q|·nprobe rows) and is collected
+    * to the driver exactly like the flat router's; (idCol, vecCol) name
+    * the stored assignment component's columns. */
+  def nswSearchGraphRouted(spark: org.apache.spark.sql.SparkSession,
+                           assignedPath: String, graphPath: String,
+                           probes: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           efSearch: Int = 48): DataFrame = {
+    require(k >= 1 && efSearch >= 1, s"need positive (k, efSearch); got ($k, $efSearch)")
+    import spark.implicits._
+    val probeRows = probes.select(col("qid").cast("long"), col("v"),
+        col("cell").cast("int"))
       .as[(Long, Seq[Double], Int)].collect()
     val byCell: Map[Int, Array[(Long, Array[Double])]] = probeRows
       .groupBy(_._3).map { case (c, xs) =>

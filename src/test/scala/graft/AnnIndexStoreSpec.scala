@@ -11,7 +11,15 @@ class AnnIndexStoreSpec extends AnyFunSuite {
   import spark.implicits._
 
   private def embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-  private val P = Params(nCells = 4, iters = 2, numBuckets = 4, m = 4, efConstruction = 12)
+  // multiAssign = 1 EXPLICITLY: these tests pin single-assign parity
+  // against single-assign references (nswTopK / ivfAssignedIndex); the
+  // recall-critical DEFAULT is 2 (pinned below, ABLATION_r17's reading)
+  private val P = Params(nCells = 4, iters = 2, numBuckets = 4, m = 4,
+    efConstruction = 12, multiAssign = 1)
+
+  test("the recall-critical default: Params().multiAssign == 2 (ABLATION_r17)") {
+    assert(Params().multiAssign == 2)
+  }
 
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.select("query_id", "rank", "neighbor_id", "cos_sim")
@@ -198,7 +206,8 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     val root = base + "/s"
     // 16 cells/buckets and a 5-vector delta: the delta can touch at most
     // 5 buckets, so stitched (untouched) buckets MUST exist — guarded below
-    val P16 = Params(nCells = 16, iters = 2, numBuckets = 16, m = 4, efConstruction = 12)
+    val P16 = Params(nCells = 16, iters = 2, numBuckets = 16, m = 4,
+      efConstruction = 12, multiAssign = 1)
     val v1 = embs.filter($"vec_id" < 400)
     val delta = embs.filter($"vec_id" >= 400 && $"vec_id" < 405)
     val corpus = embs.filter($"vec_id" < 405)
@@ -246,6 +255,76 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(AnnIndexStore.vacuum(root, keep = 2).toSet == Set(9L))
     assert(!graft.fs.Fs.exists(graft.fs.Fs.child(root, "v9")))
     assert(storeRows() == fresh)
+  }
+
+  test("hierarchical store (subCells): full-probe == brute, append == batch-split + direct construction, lifecycle") {
+    import org.apache.spark.sql.functions.{col, transform => sqlTransform}
+    val PH = Params(nCells = 3, iters = 2, numBuckets = 4, m = 4,
+      efConstruction = 12, subCells = 2) // multiAssign default (2)
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400)
+    val root = java.nio.file.Files.createTempDirectory("graft_hstore").toString + "/s"
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, PH)
+    assert(AnnIndexStore.isHierarchical(root))
+    // only the 3 COARSE centroids are driver-visible; fine cells span
+    // [0, nCells·subCells) and more than nCells of them are populated
+    assert(AnnIndexStore.centroids(spark, root).length == 3)
+    val fineCells = AnnIndexStore.assigned(spark, root)
+      .select($"cell").distinct().as[Int].collect().toSet
+    assert(fineCells.forall(c => c >= 0 && c < 6) && fineCells.size > 3,
+      s"fine cells $fineCells")
+    val q = embs.filter($"vec_id" < 6)
+    def search(r: String, nprobe: Int, ef: Int, npc: Int) =
+      rows(AnnIndexStore.searchGraph(spark, r, q, "vec_id", "embedding",
+        k = 4, nprobe = nprobe, efSearch = ef, nprobeCoarse = npc))
+    // the exactness escalation holds THROUGH the two-level router:
+    // probing every coarse and fine cell with a beam wider than any
+    // cell degrades to exact brute force
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", PH)
+    val brute = rows(Similarity.bruteTopK(embs, q, "vec_id", "embedding", 4))
+    assert(search(root, nprobe = 6, ef = 600, npc = 3) == brute && brute.nonEmpty)
+    // a realistic probe finds most of them, deterministically
+    val r1 = search(root, nprobe = 3, ef = 32, npc = 2)
+    assert(r1.nonEmpty && r1 == search(root, nprobe = 3, ef = 32, npc = 2))
+    // no neighbor ranked twice despite multiAssign = 2
+    assert(r1.groupBy(r => (r._1, r._3)).forall(_._2.length == 1))
+    // append parity 1 — batch-split invariance at frozen two-level
+    // state (build is deterministic, so root2 froze identical state)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_hstore2").toString + "/s"
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root2, PH)
+    AnnIndexStore.appendDelta(spark, root2,
+      delta.filter($"vec_id" % 2 === 0), "vec_id", "embedding", PH)
+    AnnIndexStore.appendDelta(spark, root2,
+      delta.filter($"vec_id" % 2 === 1), "vec_id", "embedding", PH)
+    assert(search(root2, 3, 32, 2) == r1)
+    // append parity 2 — content equality against a DIRECT construction
+    // from the frozen state: assignFine over the merged corpus + a
+    // from-scratch graph build
+    val cents = AnnIndexStore.centroids(spark, root)
+    val subCents = graft.sources.PrunedIndex.read(spark,
+      graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "subcents"))
+    val ccExp = Similarity.ivfAssignedIndex(embs, "vec_id", "embedding", cents)
+      .withColumnRenamed("cell", "coarse")
+      .withColumn("v", sqlTransform(col("embedding"), x => x.cast("double")))
+    val expAssigned = graft.llm.HierarchicalRouting.assignFine(
+      ccExp, subCents, "vec_id", "embedding", multiAssign = 2)
+    assert(AnnIndexStore.assigned(spark, root)
+        .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet ==
+      expAssigned.select($"vec_id", $"cell").as[(Long, Int)].collect().toSet)
+    val expEdges = GraphAnn.buildGraphEdges(expAssigned, "vec_id", "embedding",
+      m = 4, efConstruction = 12)
+    assert(graft.sources.PrunedIndex.read(spark,
+        graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "graph"))
+        .as[(Int, Long, Long, Int)].collect().toSet ==
+      expEdges.as[(Int, Long, Long, Int)].collect().toSet)
+    // lifecycle: compact folds subcents self-contained; vacuum then
+    // drops the stitched ancestors; searches unchanged throughout
+    assert(AnnIndexStore.vacuum(root, keep = 1).isEmpty,
+      "stitched ancestors must be spared before compaction")
+    AnnIndexStore.compact(spark, root, "vec_id", "embedding", PH)
+    assert(AnnIndexStore.vacuum(root, keep = 1).nonEmpty)
+    assert(search(root, 3, 32, 2) == r1)
+    assert(AnnIndexStore.isHierarchical(root))
   }
 
   test("autoCells keeps MEAN cell size bounded as the corpus scales (nCells grows, not cells)") {

@@ -529,6 +529,52 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("hierarchical ANN probe reads a strict subset at BOTH routing levels (subcents and assignment)") {
+    import graft.llm.AnnIndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_hierprune").toString
+    val root = s"$dir/s"
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // 8 coarse × 2 sub = 16 fine cells over 8 buckets per component
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", root,
+      AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 8, m = 4,
+        efConstruction = 12, subCells = 2))
+    val q = embs.filter($"vec_id" < 2)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def filesRead(df: org.apache.spark.sql.DataFrame, frag: String): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+            s.metrics("numFiles").value
+        }.sum
+      }
+      val cur = AnnIndexStore.currentPath(root).get
+      // level 1: routing reads only the probed coarse cells' subcent
+      // buckets — a strict subset of the component's files
+      val routed = graft.llm.HierarchicalRouting.routeQueries(spark,
+        graft.fs.Fs.child(cur, "subcents"), AnnIndexStore.centroids(spark, root),
+        q, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 3)
+      val subRead = filesRead(routed, "/subcents")
+      val subTotal = filesRead(
+        graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(cur, "subcents")),
+        "/subcents")
+      assert(subRead > 0 && subRead < subTotal,
+        s"routing read $subRead of $subTotal subcent files — not probe-bounded")
+      // level 2: the graph search reads only the routed FINE cells'
+      // assignment/edge buckets
+      val res = AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+        k = 3, nprobe = 3, efSearch = 16, nprobeCoarse = 2)
+      val asgRead = filesRead(res, "/assigned")
+      val asgTotal = filesRead(
+        graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(cur, "assigned")),
+        "/assigned")
+      assert(asgRead > 0 && asgRead < asgTotal,
+        s"search read $asgRead of $asgTotal assignment files — not probe-bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed join plans without an exchange on either side") {
     // warehouse dir is a static conf; tables land in ./spark-warehouse
     // (gitignored) — fine for a plan-shape check

@@ -87,4 +87,21 @@ for name in names:
 
 print()
 print(f"{len(names) - len(fails)}/{len(names)} pass; fails: {fails}")
+
+# Optional third arg: write a committable JSON artifact of this gate run
+# (the builder's own correctness evidence — r17 verdict item #6: the
+# round's headline claim must not depend on the driver-side artifact
+# alone).
+if len(sys.argv) > 3:
+    import time
+    with open(sys.argv[3], "w") as f:
+        json.dump({
+            "gate": "tools/verify_local.py",
+            "sfdir": sfdir,
+            "captured_at_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "queries_total": len(names),
+            "queries_pass": len(names) - len(fails),
+            "fails": fails,
+        }, f, indent=1)
+        f.write("\n")
 sys.exit(1 if fails else 0)
