@@ -220,7 +220,24 @@ object SlopeGate {
         "linear passes) + a bucket-pruned probe whose pair OUTPUT is " +
         "the t100-family near-dup count — output grows with the " +
         "scaled corpus's copy structure (t100's measured ~2-3x family " +
-        "shape rides on top of the build)"))
+        "shape rides on top of the build). Since r18 the build is an " +
+        "untimed fixture (first rep only); min-of-reps times the probe"),
+    "t149_store_maintenance" -> Budget(20.0,
+      "t142's two delta-bounded probes over an auto-maintained " +
+        "(compact+refreeze) store; the build/append/maintain sequence " +
+        "is an untimed fixture since r18 — min-of-reps times the " +
+        "probes, t142's budget applies"),
+    "t152_ann_ivfpq" -> Budget(8.0,
+      "fixture-backed store (untimed build); the timed path is the " +
+        "IVF-PQ probe (codes-only shortlist + k*refine exact re-rank, " +
+        "probe-bounded reads) plus the in-query brute grading side — " +
+        "t112's harness-bound shape and budget"),
+    "t150_winnowing_stream" -> Skip(
+      "the streamed twin of t46's UNCAPPED winnowing over the full " +
+        "corpus — df^2-output-quadratic by contract on the scaled " +
+        "layout's hot fingerprints (t46's documented Skip); the capped " +
+        "production path is gated via t120/t144/t146, and the " +
+        "stream's per-batch indexed cost is gated by t146's shape"))
 
   private case class Entry(name: String, status: String, baseSec: Double,
                            scaledSec: Double, ratio: Double, budget: Double,

@@ -2316,7 +2316,8 @@ object SparkEntry {
     * [[graft.llm.Dedup.containmentDeltaPairsIndexed]]): per-batch cost
     * drops from t123's corpus-wide df re-aggregation + postings
     * re-explosion + full-index joins to delta text compute +
-    * bucket-pruned reads + broadcast joins + ONE thin census scan —
+    * bucket-pruned reads + broadcast joins + an O(head + touched)
+    * driver-side census-head merge (no census scan since r18) —
     * and the pair set is bit-for-bit the batch algorithm's (the census
     * updates to exact post-delta counts, the head re-derives with the
     * same top-K/ties, the cap applies per probed shingle), so t123's
@@ -2628,6 +2629,44 @@ object SparkEntry {
     val root = scratch("hierann", dir)
     val ann = AnnIndexStore.searchGraph(s, root, q, "vec_id", "embedding",
       k = 10, nprobe = 8, efSearch = 96, nprobeCoarse = 4)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
+  }
+
+  /** The IVF-PQ COMPOSED search through the versioned store
+    * ([[graft.llm.AnnIndexStore.searchPq]] — the r17 verdict's second
+    * routing-scale suggestion, composed from the t83 PQ machinery and
+    * the t130 cell routing): the %5≠0 corpus builds a store carrying a
+    * product-quantized codes component (8 subquantizers × 16 codes —
+    * 8 small ints per row where the raw vector is 64 floats), the
+    * %5==0 delta lands under FROZEN codebooks, and the search routes
+    * to nprobe cells, SHORTLISTS them by asymmetric distance over the
+    * codes (raw vectors never scanned at this stage), then
+    * exact-re-ranks only the k·refine shortlist. Deterministic
+    * (decimal codebooks, (d², id) ties, exact cosine re-rank) →
+    * literal recall-census oracle. */
+  private def t152Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings")
+    val root = scratch("pqann", dir)
+    ensureFixture(root) {
+      val p = AnnIndexStore.Params(nCells = 16, iters = 2, numBuckets = 16,
+        m = 8, efConstruction = 48, pqM = 8, pqKsub = 16)
+      AnnIndexStore.build(s, e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", root, p)
+      AnnIndexStore.appendDelta(s, root, e.filter(col("vec_id") % 5 === 0),
+        "vec_id", "embedding", p): Unit
+    }
+  }
+
+  private def t152AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.AnnIndexStore
+    t152Fixture(s, dir)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val root = scratch("pqann", dir)
+    val ann = AnnIndexStore.searchPq(s, root, q, "vec_id", "embedding",
+      k = 10, nprobe = 8, refine = 4)
     val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
     Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
   }
@@ -2985,6 +3024,7 @@ object SparkEntry {
     "t149_store_maintenance" -> t149StoreMaintenance _,
     "t150_winnowing_stream" -> t150WinnowingStream _,
     "t151_ann_hierarchical" -> t151AnnHierarchical _,
+    "t152_ann_ivfpq" -> t152AnnIvfPq _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3025,6 +3065,7 @@ object SparkEntry {
     "t148_fuzzy_store" -> t148Fixture _,
     "t149_store_maintenance" -> t149Fixture _,
     "t151_ann_hierarchical" -> t151Fixture _,
+    "t152_ann_ivfpq" -> t152Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -3508,6 +3549,7 @@ object SparkEntry {
       // independent literal byte-for-byte
       "t150_winnowing_stream" -> LiteralOracles.t46,
       "t151_ann_hierarchical" -> LiteralOracles.t151,
+      "t152_ann_ivfpq" -> LiteralOracles.t152,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

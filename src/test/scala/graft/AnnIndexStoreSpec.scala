@@ -327,6 +327,54 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(AnnIndexStore.isHierarchical(root))
   }
 
+  test("IVF-PQ composed search: full-probe full-shortlist == brute (flat AND hierarchical), frozen-codebook appends, lifecycle") {
+    val PP = P.copy(pqM = 8, pqKsub = 16)
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400)
+    val root = java.nio.file.Files.createTempDirectory("graft_pqstore").toString + "/s"
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, PP)
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", PP)
+    val q = embs.filter($"vec_id" < 6)
+    val brute = rows(Similarity.bruteTopK(embs, q, "vec_id", "embedding", 4))
+    // probing every cell with a shortlist wider than the corpus makes
+    // the ADC stage a no-op filter and the exact re-rank IS brute force
+    // — the composition's exactness-escalation pin
+    def pq(r: String, nprobe: Int, refine: Int, npc: Int = 4) =
+      rows(AnnIndexStore.searchPq(spark, r, q, "vec_id", "embedding",
+        k = 4, nprobe = nprobe, refine = refine, nprobeCoarse = npc))
+    assert(pq(root, nprobe = 4, refine = 200) == brute && brute.nonEmpty)
+    // realistic shortlist: deterministic, no duplicate neighbors, k rows
+    val r1 = pq(root, nprobe = 2, refine = 4)
+    assert(r1.nonEmpty && r1 == pq(root, nprobe = 2, refine = 4))
+    assert(r1.groupBy(x => (x._1, x._3)).forall(_._2.length == 1))
+    // the codes component equals a from-scratch encode of the merged
+    // corpus under the FROZEN codebooks, fanned to the assignment cells
+    val cur = AnnIndexStore.currentPath(root).get
+    val cbs = Similarity.codebooksOf3(spark.read.parquet(
+      graft.fs.Fs.child(cur, "pqbooks")))
+    val expCodes = graft.sources.PrunedIndex.read(spark,
+        graft.fs.Fs.child(cur, "assigned")).select($"vec_id", $"cell")
+      .join(Similarity.pqEncode(embs, "vec_id", "embedding", cbs), Seq("vec_id"))
+      .select($"vec_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    val gotCodes = graft.sources.PrunedIndex.read(spark,
+        graft.fs.Fs.child(cur, "codes"))
+      .select($"vec_id", $"cell", $"codes")
+      .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(gotCodes == expCodes && gotCodes.nonEmpty)
+    // compact folds codes + books; vacuum drops ancestors; unchanged
+    AnnIndexStore.compact(spark, root, "vec_id", "embedding", PP)
+    assert(AnnIndexStore.vacuum(root, keep = 1).nonEmpty)
+    assert(pq(root, nprobe = 2, refine = 4) == r1)
+    // the FULL composition — two-level routing + ADC shortlist + exact
+    // re-rank — degrades to brute under full probes too
+    val PH = Params(nCells = 3, iters = 2, numBuckets = 4, m = 4,
+      efConstruction = 12, subCells = 2, pqM = 8, pqKsub = 16)
+    val rootH = java.nio.file.Files.createTempDirectory("graft_pqhier").toString + "/s"
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", rootH, PH)
+    assert(pq(rootH, nprobe = 6, refine = 200, npc = 3) == brute)
+  }
+
   test("autoCells keeps MEAN cell size bounded as the corpus scales (nCells grows, not cells)") {
     assert(AnnIndexStore.autoCells(100L, 50L) == 2)
     assert(AnnIndexStore.autoCells(101L, 50L) == 3)
