@@ -84,10 +84,10 @@ object AnnIndexStore {
   /** `pqM` > 0 additionally lands a PRODUCT-QUANTIZED codes component
     * (`pqM` subquantizers × `pqKsub` codes, [[Similarity.pqCodebooks]]
     * trained at build and FROZEN like the centroids): searches can then
-    * shortlist by ADC over the probed cells' codes — `dim/ (pqM·log₂ksub)`×
-    * less I/O than the raw vectors — and exact-re-rank only the
-    * shortlist ([[searchPq]]); the IVF-PQ composition for cells too
-    * large to scan exactly. */
+    * shortlist by ADC over the probed cells' codes — the scoring pass
+    * reads/computes over `pqM` small ints per row instead of `dim`
+    * floats — and pay exact math only on the shortlist ([[searchPq]]);
+    * the IVF-PQ composition for cells too large to score exactly. */
   final case class Params(nCells: Int = 16, cellTarget: Long = 10000L,
                           iters: Int = 2, numBuckets: Int = 16,
                           m: Int = 8, efConstruction: Int = 48,
@@ -507,14 +507,24 @@ object AnnIndexStore {
     * `Params(pqM > 0)` build): route to `nprobe` cells (two-level when
     * the store is hierarchical — the full composition the 10⁹-vector
     * regime needs), SHORTLIST the probed cells by asymmetric-distance
-    * over their stored CODES (pqM small ints per row — the probed
-    * cells' raw vectors are never scanned), then exact-re-rank ONLY
-    * the `k·refine` shortlist from the assigned component, under
+    * over their stored CODES (pqM small ints per row), then
+    * exact-re-rank the `k·refine` shortlist under
     * [[Similarity.bruteTopK]]'s exact cosine and total order. Output
     * shape matches [[searchGraph]]; quantization error costs recall
     * only when a true neighbor misses the shortlist, never a rank swap
     * inside it. Deterministic end to end (decimal codebooks, (d², id)
-    * ties). */
+    * ties).
+    *
+    * What the composition buys, precisely: the candidate SCORING pass —
+    * the work ∝ probed-cell rows — runs over codes (ADC table lookups,
+    * ~dim/pqM× less per-row compute and I/O than exact cosine over raw
+    * floats), and exact math is paid by `k·refine` rows per query only.
+    * The re-rank's vector FETCH is still a cell-granular pruned read of
+    * the probed cells (this store keeps one cell-keyed vector layout —
+    * honest caveat: a deployment whose shortlists are tiny fractions of
+    * a cell would add an id-keyed point-lookup layout for the re-rank,
+    * the SPANN-style refinement; the scoring-pass reduction above is
+    * where the 100 TB win lives, and it holds here). */
   def searchPq(spark: SparkSession, root: String, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
                nprobe: Int = 8, refine: Int = 4,
