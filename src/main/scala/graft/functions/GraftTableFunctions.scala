@@ -31,6 +31,14 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *       [[graft.llm.AnnIndexStore]] (probe-bounded bucket reads,
   *       graphs reconstructed from the stored adjacency — the t131
   *       deployment path, SQL-reachable)
+  *   graft_ann_pq_topk(storeRoot, queriesParquet, idCol, vecCol,
+  *                     k, nprobe, refine)
+  *     → (query_id, rank, neighbor_id, cos_sim): IVF-PQ composed top-k
+  *       over the CURRENT committed version of a persisted
+  *       [[graft.llm.AnnIndexStore]] built with `Params(pqM > 0)` —
+  *       codes-only ADC shortlist over the probed cells + exact
+  *       re-rank of the k·refine shortlist (two-level routing when the
+  *       store is hierarchical), SQL-reachable
   *   graft_neardup_delta(storeRoot, deltaParquet, idCol, textCol)
   *     → (a_id, b_id, jaccard): near-dup pairs of a DELTA batch
   *       against the CURRENT committed version of a persisted
@@ -107,6 +115,15 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  private def annPqTopK(exprs: Seq[Expression]): LogicalPlan = {
+    arity("graft_ann_pq_topk", exprs, 7)
+    val s = SparkSession.active
+    graft.llm.AnnIndexStore.searchPq(s, str(exprs(0)),
+        s.read.parquet(str(exprs(1))), str(exprs(2)), str(exprs(3)),
+        k = int(exprs(4)), nprobe = int(exprs(5)), refine = int(exprs(6)))
+      .queryExecution.logical
+  }
+
   private def neardupDelta(exprs: Seq[Expression]): LogicalPlan = {
     arity("graft_neardup_delta", exprs, 4)
     val s = SparkSession.active
@@ -120,6 +137,7 @@ object GraftTableFunctions {
     "graft_bm25_topk" -> (bm25TopK _),
     "graft_curation_ledger" -> (curationLedger _),
     "graft_ann_topk" -> (annTopK _),
+    "graft_ann_pq_topk" -> (annPqTopK _),
     "graft_neardup_delta" -> (neardupDelta _))
 
   /** Runtime registration on a live session (temp, session-scoped). */

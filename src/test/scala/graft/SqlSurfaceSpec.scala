@@ -75,6 +75,27 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(sqlRows.nonEmpty && sqlRows == api)
   }
 
+  test("graft_ann_pq_topk from pure SQL == AnnIndexStore.searchPq") {
+    graft.functions.GraftTableFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlpq").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    graft.llm.AnnIndexStore.build(spark, e, "vec_id", "embedding",
+      s"$root/store", graft.llm.AnnIndexStore.Params(nCells = 4, pqM = 8))
+    val q = e.filter($"vec_id" < 8)
+    q.write.mode("overwrite").parquet(s"$root/queries")
+    val sqlRows = spark.sql(
+      s"""SELECT query_id, rank, neighbor_id
+          FROM graft_ann_pq_topk('$root/store', '$root/queries', 'vec_id', 'embedding',
+                                 5, 2, 4)
+          ORDER BY query_id, rank""")
+      .as[(Long, Long, Long)].collect().toSeq
+    val api = graft.llm.AnnIndexStore.searchPq(spark, s"$root/store",
+        q, "vec_id", "embedding", k = 5, nprobe = 2, refine = 4)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == api)
+  }
+
   test("table functions demand literal arity and builder-time registration works") {
     graft.functions.GraftTableFunctions.register(spark)
     val e = intercept[Exception] {
@@ -85,7 +106,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // the functions without any runtime register() call
     assert(graft.functions.GraftTableFunctions.descriptions.map(_._1.funcName) ==
       Seq("graft_neardup_pairs", "graft_bm25_topk", "graft_curation_ledger",
-        "graft_ann_topk", "graft_neardup_delta"))
+        "graft_ann_topk", "graft_ann_pq_topk", "graft_neardup_delta"))
   }
 
   test("graft_neardup_delta from pure SQL == NearDupIndexStore.pairsForDelta") {
