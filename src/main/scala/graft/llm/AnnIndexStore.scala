@@ -87,7 +87,16 @@ object AnnIndexStore {
     * shortlist by ADC over the probed cells' codes — the scoring pass
     * reads/computes over `pqM` small ints per row instead of `dim`
     * floats — and pay exact math only on the shortlist ([[searchPq]]);
-    * the IVF-PQ composition for cells too large to score exactly. */
+    * the IVF-PQ composition for cells too large to score exactly.
+    * PQ builds also land a `vecsbyid` component — the raw (id, vec)
+    * rows in an ID-keyed pruned layout (`idBuckets` buckets) — so the
+    * re-rank's vector fetch is a point lookup of the shortlist's id
+    * buckets, not a cell-granular read (the SPANN-style refinement
+    * layout; see [[searchPq]]). Size `idBuckets` like any
+    * [[graft.sources.PrunedIndex]]: ≳ the component's file count at the
+    * target SF, ≤ the shortlist cardinality above which pruning stops
+    * helping. Storage price: one extra raw-vector copy (×1/multiAssign
+    * of the assignment component's vector bytes). */
   final case class Params(nCells: Int = 16, cellTarget: Long = 10000L,
                           iters: Int = 2, numBuckets: Int = 16,
                           m: Int = 8, efConstruction: Int = 48,
@@ -96,7 +105,8 @@ object AnnIndexStore {
                           subCells: Int = 0,
                           subTrainCap: Int = 100000,
                           pqM: Int = 0,
-                          pqKsub: Int = 16)
+                          pqKsub: Int = 16,
+                          idBuckets: Int = 64)
 
   /** Recluster decision: what [[reclusterIfDrifted]] saw and did. */
   final case class Decision(driftPpm: Long, reclustered: Boolean, version: Long)
@@ -139,7 +149,8 @@ object AnnIndexStore {
                            assignedDf: DataFrame, edges: DataFrame,
                            idCol: String, vecCol: String, p: Params,
                            subCents: Option[DataFrame] = None,
-                           pq: Option[(DataFrame, DataFrame)] = None): Long = {
+                           pq: Option[(DataFrame, DataFrame)] = None,
+                           vecsById: Option[DataFrame] = None): Long = {
     import spark.implicits._
     val dir = vPath(root, v)
     cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
@@ -153,6 +164,9 @@ object AnnIndexStore {
         codeRows.select(col(idCol), col("codes"), col("cell")),
         Fs.child(dir, "codes"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
     }
+    vecsById.foreach(v2 => graft.sources.PrunedIndex.write(
+      v2.select(col(idCol), col(vecCol)),
+      vecsByIdPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile))
     graft.sources.PrunedIndex.write(
       assignedDf.select(col(idCol), col(vecCol), col("cell")),
       Fs.child(dir, "assigned"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
@@ -168,6 +182,8 @@ object AnnIndexStore {
     Fs.child(versionDir, "pqbooks")
   private def codesPath(versionDir: String): String =
     Fs.child(versionDir, "codes")
+  private def vecsByIdPath(versionDir: String): String =
+    Fs.child(versionDir, "vecsbyid")
 
   private def resolveCells(corpus: DataFrame, p: Params): Int =
     if (p.nCells > 0) p.nCells else autoCells(corpus.count(), p.cellTarget)
@@ -236,14 +252,20 @@ object AnnIndexStore {
           .join(Similarity.pqEncode(corpus, idCol, vecCol, cbs), Seq(idCol))
         (Some((books, codeRows)), cbs.length)
       } else (None, 0)
+    // the PQ composition's re-rank fetches vectors BY ID — land the
+    // id-keyed point-lookup layout alongside the codes
+    val vecsById =
+      if (p.pqM > 0) Some(corpus.select(col(idCol), col(vecCol))) else None
     val v = writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
-      cents, assignedDf, edges, idCol, vecCol, p, subCents, pq._1)
+      cents, assignedDf, edges, idCol, vecCol, p, subCents, pq._1, vecsById)
     // the build report: multiAssign's storage factor is the recall
     // knob's explicit price (r17 verdict item #5)
     log.info(s"AnnIndexStore.build $root v$v: multiAssign=${p.multiAssign} " +
       s"(assignment storage x${p.multiAssign}), cells=" +
       (if (p.subCells > 0) s"${cents.length} coarse x ${p.subCells} sub"
-       else s"${cents.length} flat"))
+       else s"${cents.length} flat") +
+      (if (p.pqM > 0) s", pqM=${p.pqM} + vecsbyid (${p.idBuckets} id " +
+        "buckets; one extra raw-vector copy)" else ""))
     v
   }
 
@@ -336,6 +358,14 @@ object AnnIndexStore {
       spark.read.parquet(pqBooksPath(cur)).coalesce(1)
         .write.mode("overwrite").parquet(pqBooksPath(dir))
     }
+    if (Fs.exists(vecsByIdPath(cur))) {
+      // the id-keyed vector layout advances by key: the delta's id
+      // buckets land new files (re-uploads displace by writeDelta's
+      // replace-by-key), every other bucket stitches forward
+      graft.sources.PrunedIndex.writeDelta(spark, vecsByIdPath(dir),
+        delta.select(col(idCol), col(vecCol)), deltaIds,
+        basePath = Some(vecsByIdPath(cur)), p.maxRecordsPerFile)
+    }
     graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
       touchedAssigned.select(col(idCol), col(vecCol), col("cell")),
       touchedCells, basePath = Some(Fs.child(cur, "assigned")), p.maxRecordsPerFile)
@@ -351,7 +381,7 @@ object AnnIndexStore {
     * reference — the retention dependency set [[vacuum]] honors. */
   private def referencedEntries(root: String, vs: Seq[Long]): Set[String] =
     vs.flatMap { v =>
-      Seq("assigned", "graph", "subcents", "codes").flatMap { comp =>
+      Seq("assigned", "graph", "subcents", "codes", "vecsbyid").flatMap { comp =>
         val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
         if (!Fs.exists(mp)) Nil
         else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
@@ -381,10 +411,14 @@ object AnnIndexStore {
         Some((spark.read.parquet(pqBooksPath(cur)),
           graft.sources.PrunedIndex.read(spark, codesPath(cur))))
       else None
+    val vecsById =
+      if (Fs.exists(vecsByIdPath(cur)))
+        Some(graft.sources.PrunedIndex.read(spark, vecsByIdPath(cur)))
+      else None
     writeVersion(spark, root,
       math.max(versions(root).lastOption.getOrElse(0L), currentVersion(root).get) + 1,
       centroids(spark, root), assigned(spark, root), edges, idCol, vecCol, p,
-      subCents, pq)
+      subCents, pq, vecsById)
   }
 
   /** Retention: drop committed versions beyond the newest `keep`
@@ -519,12 +553,13 @@ object AnnIndexStore {
     * the work ∝ probed-cell rows — runs over codes (ADC table lookups,
     * ~dim/pqM× less per-row compute and I/O than exact cosine over raw
     * floats), and exact math is paid by `k·refine` rows per query only.
-    * The re-rank's vector FETCH is still a cell-granular pruned read of
-    * the probed cells (this store keeps one cell-keyed vector layout —
-    * honest caveat: a deployment whose shortlists are tiny fractions of
-    * a cell would add an id-keyed point-lookup layout for the re-rank,
-    * the SPANN-style refinement; the scoring-pass reduction above is
-    * where the 100 TB win lives, and it holds here). */
+    * The re-rank's vector FETCH is a point lookup of the shortlist's
+    * ids against the store's `vecsbyid` component (the SPANN-style
+    * refinement layout PQ builds land — id-keyed pruned buckets, so the
+    * fetch reads O(shortlist id buckets), never the probed cells' raw
+    * vectors; gated file-level in ScaleSpec). Stores built before the
+    * component existed fall back to the cell-granular read of the
+    * probed cells — same answers, coarser fetch I/O. */
   def searchPq(spark: SparkSession, root: String, queries: DataFrame,
                idCol: String, vecCol: String, k: Int,
                nprobe: Int = 8, refine: Int = 4,
@@ -569,12 +604,19 @@ object AnnIndexStore {
       .filter(col("__rn") <= k * refine)
       .select(col("qid").as("query_id"), col("neighbor_id"))
       .localCheckpoint()
-    // exact re-rank from the probed cells' raw vectors — the same cos
-    // expression and total order as bruteTopK/searchGraph
-    val vecs = graft.sources.PrunedIndex.readPruned(spark,
-        Fs.child(cur, "assigned"), probes.select(col("cell")))
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
-      .dropDuplicates("neighbor_id")
+    // exact re-rank — the same cos expression and total order as
+    // bruteTopK/searchGraph. Vector fetch: id-keyed point lookup of the
+    // shortlist (one row per id — no dedup shuffle); legacy stores
+    // without the component read the probed cells' vectors instead
+    val vecs =
+      if (Fs.exists(vecsByIdPath(cur)))
+        graft.sources.PrunedIndex.readPruned(spark, vecsByIdPath(cur),
+            shortlist.select(col("neighbor_id").as(idCol)))
+          .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
+      else graft.sources.PrunedIndex.readPruned(spark,
+          Fs.child(cur, "assigned"), probes.select(col("cell")))
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("c_v"))
+        .dropDuplicates("neighbor_id")
     val qv = queries.select(col(idCol).cast("long").as("query_id"),
       col(vecCol).as("q_v"), norm(col(vecCol)).as("q_n"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))

@@ -187,13 +187,77 @@ object HierarchicalRouting {
     * those cells' sub-centroid buckets read (pruned), ranked by
     * (d² asc, cell asc) per query. Returns (qid, v, cell) — the probe
     * frame the graph search collects and broadcasts (|Q|·nprobe rows,
-    * the same bound as the flat router's). */
+    * the same bound as the flat router's).
+    *
+    * Routing is CONTROL-PLANE work: the consumer
+    * ([[GraphAnn.nswSearchGraphRouted]]) collects the probe frame
+    * driver-side anyway, so when the probed coarse cells' sub-centroid
+    * rows fit under `driverRouteCap` (|touched coarse| · k₂ rows — the
+    * pruned read is the SAME either way), the fine ranking runs
+    * driver-side too, skipping two distributed jobs (the broadcast
+    * join + the per-qid window shuffle) — the constant extra hop
+    * ABLATION_r18 measured against the flat router. Past the cap (a
+    * huge query batch fanning over many coarse cells) the ranking runs
+    * distributed, bit-identically: both paths evaluate the same d²
+    * (sequential left-to-right double dot products — FloatVecDot's
+    * contract) under the same (d² asc, cell asc) total order, pinned
+    * equal in AnnIndexStoreSpec. `driverRouteCap = 0` forces the
+    * distributed shape (ScaleSpec's file-gate uses it). */
   def routeQueries(spark: SparkSession, subCentsPath: String,
                    coarse: Array[(Int, Array[Double])],
                    queries: DataFrame, idCol: String, vecCol: String,
-                   nprobeCoarse: Int, nprobe: Int): DataFrame = {
+                   nprobeCoarse: Int, nprobe: Int,
+                   driverRouteCap: Int = 65536): DataFrame = {
     require(nprobeCoarse >= 1 && nprobe >= 1,
       s"need positive (nprobeCoarse, nprobe); got ($nprobeCoarse, $nprobe)")
+    import spark.implicits._
+    if (driverRouteCap > 0) {
+      // -0.0 orders below 0.0 in java.lang.Double.compare but equal in
+      // SQL comparisons — normalize so both paths share one total order
+      def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+      def dotd(a: Array[Double], b: Array[Double]): Double = {
+        val n = math.min(a.length, b.length)
+        var acc = 0.0; var i = 0
+        while (i < n) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      val qRows = queries.select(col(idCol).cast("long").as("qid"),
+          transform(col(vecCol), x => x.cast("double")).as("v"))
+        .as[(Long, Seq[Double])].collect()
+      // coarse level: the same d² formulation as Similarity.probeCells
+      // (v·v − 2 v·c + Σc²; sums sequential left-to-right)
+      val byQuery = qRows.map { case (qid, vSeq) =>
+        val v = vSeq.toArray
+        val v2 = dotd(v, v)
+        val probed = coarse.map { case (cell, c) =>
+          (norm(v2 - 2.0 * dotd(v, c) + c.map(x => x * x).sum), cell)
+        }.sorted.take(nprobeCoarse).map(_._2)
+        (qid, vSeq, v, v2, probed)
+      }
+      val touched = byQuery.flatMap(_._5).distinct.sorted
+      val subRows = graft.sources.PrunedIndex.readPruned(spark, subCentsPath,
+          touched.toSeq.toDF("coarse"))
+        .select(col("coarse").cast("int"), col("cell").cast("int"),
+          transform(col("centroid"), x => x.cast("double")).as("c"))
+        .as[(Int, Int, Seq[Double])]
+        .limit(driverRouteCap + 1).collect()
+      if (subRows.length <= driverRouteCap) {
+        val byCoarse = subRows.groupBy(_._1)
+          .map { case (co, xs) => co -> xs.map(t => (t._2, t._3.toArray)) }
+        val out = byQuery.iterator.flatMap { case (qid, vSeq, v, v2, probed) =>
+          probed.iterator.flatMap(co =>
+              byCoarse.getOrElse(co, Array.empty[(Int, Array[Double])]).iterator
+                .map { case (cell, c) =>
+                  (norm(v2 - 2.0 * dotd(v, c) + dotd(c, c)), cell)
+                })
+            .toArray.sorted.take(nprobe)
+            .iterator.map { case (_, cell) => (qid, vSeq, cell) }
+        }.toSeq
+        return out.toDF("qid", "v", "cell")
+      }
+      // fell past the cap: fall through to the distributed ranking
+      // (the pruned read below re-reads the same touched buckets)
+    }
     import graft.functions.VectorFunctions.dot
     val dvQ = queries.select(col(idCol).cast("long").as("qid"),
       transform(col(vecCol), x => x.cast("double")).as("v"))

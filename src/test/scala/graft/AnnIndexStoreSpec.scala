@@ -327,6 +327,32 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(AnnIndexStore.isHierarchical(root))
   }
 
+  test("two-level routing: driver-side fast path == distributed ranking, row for row") {
+    val PH = Params(nCells = 3, iters = 2, numBuckets = 4, m = 4,
+      efConstruction = 12, subCells = 2)
+    val root = java.nio.file.Files.createTempDirectory("graft_hroute").toString + "/s"
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", root, PH)
+    val subPath = graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "subcents")
+    val cents = AnnIndexStore.centroids(spark, root)
+    val q = embs.filter($"vec_id" < 8)
+    def routed(cap: Int): Set[(Long, Seq[Double], Int)] =
+      graft.llm.HierarchicalRouting.routeQueries(spark, subPath, cents,
+          q, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 3,
+          driverRouteCap = cap)
+        .as[(Long, Seq[Double], Int)].collect().toSet
+    val dist = routed(0) // forced distributed ranking
+    assert(dist.nonEmpty && routed(65536) == dist)
+    // a cap SMALLER than the touched sub-centroid rows falls through to
+    // the distributed path — same rows again
+    assert(routed(1) == dist)
+    // both downstream searches agree with themselves through the fast
+    // path (exactness pins live in the hierarchical/PQ tests above)
+    val s1 = rows(AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 3, efSearch = 32, nprobeCoarse = 2))
+    assert(s1.nonEmpty && s1 == rows(AnnIndexStore.searchGraph(spark, root, q,
+      "vec_id", "embedding", k = 4, nprobe = 3, efSearch = 32, nprobeCoarse = 2)))
+  }
+
   test("IVF-PQ composed search: full-probe full-shortlist == brute (flat AND hierarchical), frozen-codebook appends, lifecycle") {
     val PP = P.copy(pqM = 8, pqKsub = 16)
     val v1 = embs.filter($"vec_id" < 400)
@@ -373,6 +399,43 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     val rootH = java.nio.file.Files.createTempDirectory("graft_pqhier").toString + "/s"
     AnnIndexStore.build(spark, embs, "vec_id", "embedding", rootH, PH)
     assert(pq(rootH, nprobe = 6, refine = 200, npc = 3) == brute)
+  }
+
+  test("PQ re-rank fetch: vecsbyid tracks appends + re-upload displacement; legacy stores fall back to the cell read") {
+    val PP = P.copy(pqM = 8, pqKsub = 16, idBuckets = 16)
+    val root = java.nio.file.Files.createTempDirectory("graft_pqvecs").toString + "/s"
+    AnnIndexStore.build(spark, embs.filter($"vec_id" < 400), "vec_id", "embedding", root, PP)
+    // one delta carrying both a re-upload (displaced vectors) and new ids
+    val moved = embs.filter($"vec_id" < 5)
+      .select($"vec_id", transform($"embedding", x => x * lit(0.5f)).as("embedding"))
+    val rest = embs.select($"vec_id", $"embedding")
+    val delta = moved.unionByName(rest.filter($"vec_id" >= 400))
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", PP)
+    val merged = moved.unionByName(rest.filter($"vec_id" >= 5))
+    // the id-keyed component equals the post-replace corpus exactly:
+    // one row per id, displaced ids carrying their NEW vectors
+    def vecsById(): Map[Long, Seq[Float]] =
+      graft.sources.PrunedIndex.read(spark,
+          graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "vecsbyid"))
+        .as[(Long, Seq[Float])].collect().toMap
+    val exp = merged.as[(Long, Seq[Float])].collect().toMap
+    assert(vecsById() == exp && exp.size == 500)
+    // exactness through the point-lookup fetch: full probe + a
+    // shortlist wider than the corpus == brute over the merged corpus
+    val q = embs.filter($"vec_id" < 6)
+    def pq() = rows(AnnIndexStore.searchPq(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 4, refine = 200))
+    val brute = rows(Similarity.bruteTopK(merged, q, "vec_id", "embedding", 4))
+    assert(pq() == brute && brute.nonEmpty)
+    // compact folds the component self-contained; answers unchanged
+    AnnIndexStore.compact(spark, root, "vec_id", "embedding", PP)
+    assert(AnnIndexStore.vacuum(root, keep = 1).nonEmpty)
+    assert(vecsById() == exp && pq() == brute)
+    // legacy stores (built before the component existed): removing the
+    // dir flips searchPq to the cell-granular fallback — same answers
+    graft.fs.Fs.deleteRecursive(graft.fs.Fs.child(
+      AnnIndexStore.currentPath(root).get, "vecsbyid"))
+    assert(pq() == brute)
   }
 
   test("autoCells keeps MEAN cell size bounded as the corpus scales (nCells grows, not cells)") {

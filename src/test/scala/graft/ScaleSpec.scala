@@ -553,9 +553,14 @@ class ScaleSpec extends AnyFunSuite {
       val cur = AnnIndexStore.currentPath(root).get
       // level 1: routing reads only the probed coarse cells' subcent
       // buckets — a strict subset of the component's files
+      // driverRouteCap = 0 forces the DISTRIBUTED ranking shape — this
+      // gate pins the scale path's file-level pruning (the driver-side
+      // fast path reads the same pruned buckets; parity is pinned in
+      // AnnIndexStoreSpec)
       val routed = graft.llm.HierarchicalRouting.routeQueries(spark,
         graft.fs.Fs.child(cur, "subcents"), AnnIndexStore.centroids(spark, root),
-        q, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 3)
+        q, "vec_id", "embedding", nprobeCoarse = 2, nprobe = 3,
+        driverRouteCap = 0)
       val subRead = filesRead(routed, "/subcents")
       val subTotal = filesRead(
         graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(cur, "subcents")),
@@ -572,6 +577,42 @@ class ScaleSpec extends AnyFunSuite {
         "/assigned")
       assert(asgRead > 0 && asgRead < asgTotal,
         s"search read $asgRead of $asgTotal assignment files — not probe-bounded")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("PQ re-rank vector fetch reads a strict subset of the id-keyed vecsbyid buckets") {
+    import graft.llm.AnnIndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqfetch").toString
+    val root = s"$dir/s"
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", root,
+      AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 8, m = 4,
+        efConstruction = 12, multiAssign = 1, pqM = 8, pqKsub = 16,
+        idBuckets = 64))
+    val q = embs.filter($"vec_id" < 2)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def filesRead(df: org.apache.spark.sql.DataFrame, frag: String): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+            s.metrics("numFiles").value
+        }.sum
+      }
+      val cur = AnnIndexStore.currentPath(root).get
+      // the re-rank fetches k·refine = 6 ids per query: at 64 id
+      // buckets that is a handful of files, never the probed cells'
+      // raw vectors (let alone the component's full file set)
+      val res = AnnIndexStore.searchPq(spark, root, q, "vec_id", "embedding",
+        k = 3, nprobe = 2, refine = 2)
+      val vRead = filesRead(res, "/vecsbyid")
+      val vTotal = filesRead(
+        graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(cur, "vecsbyid")),
+        "/vecsbyid")
+      assert(vRead > 0 && vRead < vTotal,
+        s"re-rank read $vRead of $vTotal vecsbyid files — not shortlist-bounded")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
