@@ -185,6 +185,11 @@ object SlopeGate {
         "build stage) feeding the same t128-family census-dominated " +
         "ledger; the one-time build dominates, the probe is " +
         "delta-bounded"),
+    "t153_ledger_changed" -> Budget(20.0,
+      "t141's exact batch (fixture-backed indexed state + delta ledger) " +
+        "with the output diffed against the persisted pre-ledger — the " +
+        "same t128-family census-dominated compute plus one thin-frame " +
+        "EXCEPT; t141's budget applies"),
     "t142_neardup_store" -> Budget(20.0,
       "t140's build stage (via the versioned store) + two delta-bounded " +
         "probes and one stitched append (the r17 hygiene split dropped " +

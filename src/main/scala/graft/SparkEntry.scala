@@ -2671,6 +2671,65 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
   }
 
+  /** [[t141CurationIndexed]]'s exact batch (indexed curation state +
+    * the re-upload delta), emitting ONLY the ledger rows the batch
+    * CHANGED ([[graft.llm.Curation.ledgerChangedRows]]) — the
+    * operational OUTPUT form at 100 TB: the full ledger is Ω(corpus)
+    * per batch, the diff is churn-sized (the re-uploads' moved stats
+    * plus every old doc whose verdict flipped through keep-best
+    * clusters, the LM shift, or the re-derived quotas). Deletion is
+    * not an intake event (re-uploads displace — P3's strict-`>`
+    * gate), so the one-sided post∖pre diff is the complete delta.
+    * Oracle: the post-replace rebuild twin EXCEPT the pre-batch
+    * rebuild twin over the placeholder corpus — two nested t128 twins
+    * (post == t141's convergence pin; pre == t128's twin on any
+    * corpus, the t133/t134 rationale). */
+  /** Fixture: the indexed curation state over the pre-delta corpus
+    * (t141's shape, own root) PLUS the pre-batch ledger the deployment
+    * wrote yesterday — the `prev` side of the diff. Replay-idempotent
+    * like t141's (the index append is replace-by-key; the diff's both
+    * sides are deterministic frames). */
+  private def t153Fixture(s: SparkSession, dir: String): Unit = {
+    val d = t(s, dir, "documents")
+    val old = d.withColumn("text",
+      when(col("doc_id") % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val root = scratch("curchg", dir)
+    ensureFixture(root) {
+      val st = graft.llm.Curation.buildStateIndexed(s, old, "doc_id", "text",
+        "n_chars", "source", bench, "text", s"$root/idx")
+      def rt(df: DataFrame, name: String): Unit = {
+        df.write.mode("overwrite").parquet(s"$root/$name"): Unit
+      }
+      rt(st.thin, "thin"); rt(st.pairs, "pairs"); rt(st.cleanIds, "clean")
+      rt(st.census, "census"); rt(st.gramIndex, "grams")
+      // yesterday's ledger — (bench docs are never %4==3: doc_id ≡ 0
+      // mod 50 is even, so the placeholder rewrite misses them and the
+      // bench gram index is identical on both corpora)
+      rt(graft.llm.Curation.fullPipelineLedger(old, "doc_id", "text",
+        scoreCol = "n_chars", sourceCol = "source",
+        bench = bench, benchTextCol = "text"), "preledger")
+    }
+  }
+
+  private def t153LedgerChanged(s: SparkSession, dir: String): DataFrame = {
+    t153Fixture(s, dir)
+    val d = t(s, dir, "documents")
+    val delta = d.filter(col("doc_id") % 4 === 3)
+    val root = scratch("curchg", dir)
+    val persisted = graft.llm.Curation.IndexedState(
+      s.read.parquet(s"$root/thin"), s.read.parquet(s"$root/pairs"),
+      s.read.parquet(s"$root/clean"), s.read.parquet(s"$root/census"),
+      s.read.parquet(s"$root/grams"))
+    val post = graft.llm.Curation.fullPipelineLedgerDeltaIndexed(s, persisted,
+      s"$root/idx", delta, "doc_id", "text", "n_chars", "source")
+    graft.llm.Curation.ledgerChangedRows(s.read.parquet(s"$root/preledger"), post)
+      .orderBy(col("doc_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -3025,6 +3084,7 @@ object SparkEntry {
     "t150_winnowing_stream" -> t150WinnowingStream _,
     "t151_ann_hierarchical" -> t151AnnHierarchical _,
     "t152_ann_ivfpq" -> t152AnnIvfPq _,
+    "t153_ledger_changed" -> t153LedgerChanged _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3066,6 +3126,7 @@ object SparkEntry {
     "t149_store_maintenance" -> t149Fixture _,
     "t151_ann_hierarchical" -> t151Fixture _,
     "t152_ann_ivfpq" -> t152Fixture _,
+    "t153_ledger_changed" -> t153Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -4638,7 +4699,28 @@ object SparkEntry {
       // answers, so t142's oracle applies verbatim
       ("t149_store_maintenance" -> base("t26_jaccard_pairs").replace(
         "WHERE a.doc_id < b.doc_id",
-        "WHERE a.doc_id < b.doc_id AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)"))
+        "WHERE a.doc_id < b.doc_id AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)")) +
+      // t153: churn-bounded ledger output — the post-replace rebuild
+      // twin EXCEPT the same twin over the pre-batch placeholder
+      // corpus (post == t141's convergence; pre == t128's twin on any
+      // corpus, the t133/t134 rationale; bench docs are never touched:
+      // doc_id ≡ 0 (mod 50) is even, never ≡ 3 (mod 4), so the gram
+      // index is identical in both operands)
+      ("t153_ledger_changed" -> {
+        val post = base("t128_curation_e2e")
+        val pre = post.replace("FROM documents", "FROM predocs")
+          .replace("JOIN documents", "JOIN predocs")
+        s"""WITH predocs AS (SELECT doc_id,
+             CASE WHEN doc_id % 4 = 3
+               THEN 'obsolete draft placeholder revision ' || substring(text, 1, 48)
+               ELSE text END AS text,
+             n_chars, source FROM documents)
+           SELECT * FROM (
+             SELECT * FROM ($post) post_ledger
+             EXCEPT
+             SELECT * FROM ($pre) pre_ledger
+           ) ORDER BY doc_id"""
+      })
   }
 }
 

@@ -367,6 +367,25 @@ object Curation {
           .otherwise("pack_lost").as("verdict"))
   }
 
+  /** The ledger rows a batch CHANGED — the operational OUTPUT form at
+    * 100 TB. The full ledger is Ω(corpus) (a verdict per doc), and a
+    * deployment that re-writes it per daily batch pays corpus-sized
+    * write I/O for a churn-sized difference. `post.except(prev)` emits
+    * exactly the rows whose (id, n_tokens, verdict) is new or changed:
+    * the re-uploaded docs whose stats moved, plus every OLD doc whose
+    * verdict flipped through the global stages (cluster membership can
+    * change under keep-best, the LM model shift re-scores everyone,
+    * quotas re-derive from survivor counts). Deletion is not an intake
+    * event in this engine (re-uploads displace, nothing removes an id
+    * — SURVEY.md P3's strict-`>` gate), so prev ∖ post is empty by
+    * construction and the one-sided diff is the complete delta: prev
+    * updated by these rows IS the post ledger (pinned in CurationSpec).
+    * Compute stays the post ledger's (corpus-THIN — a verdict is a
+    * global property); the per-batch ledger WRITE becomes
+    * churn-bounded. */
+  def ledgerChangedRows(prev: DataFrame, post: DataFrame): DataFrame =
+    post.except(prev)
+
   /** [[State]] with the shingle side living in a PERSISTED near-dup
     * index ([[Dedup.writeNearDupIndex]]'s root) instead of an in-frame
     * projection — the 100 TB deployment shape: the four remaining

@@ -250,6 +250,36 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ledgerChangedRows: one-sided diff is the complete delta — prev patched by it == post") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = d.withColumn("text",
+      when($"doc_id" % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "), substring($"text", 1, 48)))
+        .otherwise($"text"))
+    val bench = d.filter($"doc_id" % 50 === 0)
+    def ledger(docs: org.apache.spark.sql.DataFrame) =
+      Curation.fullPipelineLedger(docs, "doc_id", "text",
+        scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"verdict")
+        .as[(Long, Long, String)].collect().toSet
+    val pre = ledger(old)
+    val post = ledger(d)
+    val preR = rows(pre); val postR = rows(post)
+    val changed = rows(Curation.ledgerChangedRows(pre, post))
+    // the diff is exactly post ∖ pre, non-trivial on both sides of the
+    // churn boundary (some docs changed, most did not)
+    assert(changed == postR -- preR && changed.nonEmpty)
+    assert(changed.size < postR.size, "everything changed — churn-bounded claim untestable")
+    // deletion-free intake: no prev row vanishes without a replacement
+    // row for the same id in the diff ⇒ patching prev BY ID yields post
+    val changedIds = changed.map(_._1)
+    val patched = preR.filterNot(r => changedIds(r._1)) ++ changed
+    assert(patched == postR)
+    Seq(old, d).foreach(graft.llm.Dedup.releaseShingleSetCache(_, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+
   test("verdicts and span scrub are partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter($"doc_id" % 50 === 0)
