@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.AnnIndexStore
+
+/** [[StoreProbeBench]]'s ×1/×10/×50 selective-probe question asked of
+  * the VERSIONED ANN STORE ([[graft.llm.AnnIndexStore]]) — the
+  * embedding family's delta-bounded claim gets the same half-decade of
+  * slope evidence the four shingle families got in r18.
+  *
+  * The claim under test: a CONSTANT-size operation's wall grows with
+  * the operation (flat-ish), not the corpus, provided the store is
+  * SIZED to the corpus the way a 100 TB deployment would size it:
+  *
+  *  - CELLS grow ∝ corpus ([[AnnIndexStore.autoCells]] at a constant
+  *    `cellTarget`): per-task state (one cell's vectors + adjacency)
+  *    stays bounded, and a constant `nprobe` touches a constant number
+  *    of constant-sized cells;
+  *  - BUCKETS grow ∝ corpus (the [[graft.sources.PrunedIndex]] sizing
+  *    rule): a probed cell's bucket carries corpus-independent bytes.
+  *
+  * The corpus scales by [[ScaleBench.scaledEmbeddingsDf]]'s
+  * norm-preserving rotation (copies are rotated, not duplicated — no
+  * degenerate identical-vector cells). Three operations, each constant
+  * size across factors:
+  *
+  *  - `search_graph`: a `nQueries`-query graph search (k=10, nprobe=8,
+  *    ef=96 — the measured defaults);
+  *  - `search_pq`: the IVF-PQ composition over the same queries (ADC
+  *    shortlist + id-keyed exact re-rank — the r18 `vecsbyid` fetch);
+  *  - `append`: a `nQueries`-vector re-upload delta absorbed under
+  *    frozen centroids (touched-cell graph recompute + delta-bounded
+  *    bucket writes; each rep re-lands the same ids — replace-by-key
+  *    replay, the operational batch shape).
+  *
+  * Build cost (train + assign + graph + PQ encode + id layout) is
+  * one-time and reported separately, exactly like the dedup store's.
+  *
+  * Usage: `runMain graft.AnnStoreProbeBench [baseSfDir] [workDir]
+  *   [factorsCsv] [nQueries] [reps] [cellTarget] [bucketsBase]` */
+object AnnStoreProbeBench {
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val workDir = if (args.length > 1) args(1) else "/root/repo/target/annstoreprobe"
+    val factors = (if (args.length > 2) args(2) else "1,10,50")
+      .split(",").map(_.trim.toInt).toSeq
+    val nQueries = if (args.length > 3) args(3).toInt else 100
+    val reps = if (args.length > 4) args(4).toInt else 3
+    val cellTarget = if (args.length > 5) args(5).toLong else 500L
+    val bucketsBase = if (args.length > 6) args(6).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark-local")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
+
+    def timeMin(run: () => Long): (Double, Long) = {
+      var rows = 0L
+      val walls = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        rows = run()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (walls.min, rows)
+    }
+
+    val cells = factors.map { f =>
+      val corpusPath = ScaleBench.scaledEmbeddings(spark, baseDir, workDir, f)
+      val corpus = spark.read.parquet(corpusPath)
+      val root = s"$workDir/annstore_x$f"
+      val p = AnnIndexStore.Params(nCells = 0, cellTarget = cellTarget,
+        iters = 2, numBuckets = bucketsBase * f, m = 8, efConstruction = 48,
+        multiAssign = 2, pqM = 8, pqKsub = 16, idBuckets = bucketsBase * f)
+      val buildSec =
+        if (AnnIndexStore.currentVersion(root).isEmpty) {
+          val t0 = System.nanoTime()
+          AnnIndexStore.build(spark, corpus, "vec_id", "embedding", root, p)
+          (System.nanoTime() - t0) / 1e9
+        } else -1.0
+      // constant-size probe/delta sets: the copy-0 rows of the first
+      // nQueries base ids (deterministic at every factor)
+      val headIds = corpus
+        .filter(pmod(col("vec_id"), lit(f.toLong)) === 0L &&
+          col("vec_id") < lit(nQueries.toLong * f))
+        .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      // the re-upload delta: same ids, vector rotated by one position —
+      // a CHANGED revision, so the append exercises displacement
+      val delta = headIds.select(col("vec_id"),
+        concat(slice(col("embedding"), lit(2), size(col("embedding")) - 1),
+          slice(col("embedding"), lit(1), lit(1))).as("embedding"))
+        .localCheckpoint()
+      val ops: Seq[(String, () => Long)] = Seq(
+        ("search_graph", () => AnnIndexStore.searchGraph(spark, root, headIds,
+          "vec_id", "embedding", k = 10, nprobe = 8, efSearch = 96).count()),
+        ("search_pq", () => AnnIndexStore.searchPq(spark, root, headIds,
+          "vec_id", "embedding", k = 10, nprobe = 8, refine = 4).count()),
+        ("append", () => AnnIndexStore.appendDelta(spark, root, delta,
+          "vec_id", "embedding", p)))
+      val probes = ops.map { case (op, run) =>
+        val (sec, rows) = timeMin(run)
+        println(s"""{"metric":"ann_store_probe","op":"$op","factor":$f,""" +
+          s""""num_buckets":${bucketsBase * f},"cell_target":$cellTarget,""" +
+          s""""probe_sec":$sec,"rows":$rows,"build_sec":$buildSec,""" +
+          s""""n_queries":$nQueries}""")
+        (op, sec, rows)
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      (f, buildSec, probes)
+    }
+    val base = cells.head
+    val summary = cells.map { case (f, build, probes) =>
+      val ops = probes.map { case (op, sec, rows) =>
+        val ratio = sec / base._3.find(_._1 == op).get._2
+        s""""$op":{"probe_sec":$sec,"rows":$rows,"probe_over_x1":$ratio}"""
+      }.mkString("{", ",", "}")
+      s""""x$f":{"build_sec":$build,"ops":$ops}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"ann_store_probe_summary","n_queries":$nQueries,""" +
+      s""""reps":$reps,"cell_target":$cellTarget,"buckets_base":$bucketsBase,""" +
+      s""""scales":$summary}""")
+    spark.stop()
+  }
+}
