@@ -30,6 +30,9 @@ import graft.llm.AnnIndexStore
   *    ef=96 — the measured defaults);
   *  - `search_pq`: the IVF-PQ composition over the same queries (ADC
   *    shortlist + id-keyed exact re-rank — the r18 `vecsbyid` fetch);
+  *  - `semdedup_delta`: SemDeDup pairs of the delta against the store
+  *    ([[AnnIndexStore.semDedupPairsForDelta]] — cell-pruned
+  *    assignment reads, the embedding family's dedup probe);
   *  - `append`: a `nQueries`-vector re-upload delta absorbed under
   *    frozen centroids (touched-cell graph recompute + delta-bounded
   *    bucket writes; each rep re-lands the same ids — replace-by-key
@@ -104,6 +107,8 @@ object AnnStoreProbeBench {
           "vec_id", "embedding", k = 10, nprobe = 8, efSearch = 96).count()),
         ("search_pq", () => AnnIndexStore.searchPq(spark, root, headIds,
           "vec_id", "embedding", k = 10, nprobe = 8, refine = 4).count()),
+        ("semdedup_delta", () => AnnIndexStore.semDedupPairsForDelta(spark,
+          root, delta, "vec_id", "embedding", minCos = 0.35).count()),
         ("append", () => AnnIndexStore.appendDelta(spark, root, delta,
           "vec_id", "embedding", p)))
       val probes = ops.map { case (op, run) =>

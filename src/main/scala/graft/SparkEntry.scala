@@ -2730,6 +2730,47 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture: a FLAT versioned ANN store over the %5≠0 embeddings
+    * under the recall default `multiAssign = 2` — the store side of
+    * the semantic-dedup probe ([[t154SemDedupStore]]). Graph params
+    * stay small: SemDeDup probes the assignment component only. */
+  private def t154Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings")
+    val root = scratch("semstore", dir)
+    ensureFixture(root) {
+      AnnIndexStore.build(s, e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", root,
+        AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 16,
+          m = 4, efConstruction = 12)): Unit
+    }
+  }
+
+  /** SemDeDup THROUGH the versioned ANN store
+    * ([[graft.llm.AnnIndexStore.semDedupPairsForDelta]]) — the
+    * embedding family joins the five shingle/hash families behind a
+    * delta-bounded store probe: the %5==0 batch routes to its primary
+    * cells (broadcast centroid literals), ONLY those cells' assignment
+    * buckets load (strict-subset gate in ScaleSpec), multiAssign
+    * routing copies drop by the store's own argmin rule, and pairs ==
+    * batch SemDeDup at the store's centroids restricted to the delta
+    * (AnnIndexStoreSpec). Deterministic (decimal-exact stored
+    * centroids, index-ordered dots, ppm floor) → literal oracle;
+    * partitioning-independent because every pair's cosine is a pure
+    * per-row function and cell assignment a pure argmin. */
+  private def t154SemDedupStore(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.AnnIndexStore
+    t154Fixture(s, dir)
+    val e = t(s, dir, "embeddings")
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val root = scratch("semstore", dir)
+    AnnIndexStore.semDedupPairsForDelta(s, root, delta,
+        "vec_id", "embedding", minCos = 0.35)
+      .select(col("cell"), col("a_id"), col("b_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -3085,6 +3126,7 @@ object SparkEntry {
     "t151_ann_hierarchical" -> t151AnnHierarchical _,
     "t152_ann_ivfpq" -> t152AnnIvfPq _,
     "t153_ledger_changed" -> t153LedgerChanged _,
+    "t154_semdedup_store" -> t154SemDedupStore _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3127,6 +3169,7 @@ object SparkEntry {
     "t151_ann_hierarchical" -> t151Fixture _,
     "t152_ann_ivfpq" -> t152Fixture _,
     "t153_ledger_changed" -> t153Fixture _,
+    "t154_semdedup_store" -> t154Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -3611,6 +3654,11 @@ object SparkEntry {
       "t150_winnowing_stream" -> LiteralOracles.t46,
       "t151_ann_hierarchical" -> LiteralOracles.t151,
       "t152_ann_ivfpq" -> LiteralOracles.t152,
+      // SemDeDup through the versioned ANN store: deterministic
+      // (decimal-exact stored centroids, index-ordered dots, ppm floor)
+      // and partitioning-independent — pinned identical at 8 and 32
+      // threads; probe == batch twin proved in AnnIndexStoreSpec
+      "t154_semdedup_store" -> LiteralOracles.t154,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

@@ -45,6 +45,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   *       [[graft.llm.NearDupIndexStore]] ∪ the delta — the
   *       delta-bounded daily-batch probe (bucket-pruned reads,
   *       broadcast candidate join), SQL-reachable
+  *   graft_semdedup_delta(storeRoot, deltaParquet, idCol, vecCol, minCos)
+  *     → (cell, a_id, b_id, cos_sim): SemDeDup pairs of a DELTA batch
+  *       against the CURRENT committed version of a persisted flat
+  *       [[graft.llm.AnnIndexStore]] ∪ the delta — the embedding
+  *       family's delta-bounded probe (cell-pruned assignment reads,
+  *       primary-cell semantics), SQL-reachable
   *
   * Mechanics: each function is a Catalyst table-function — its builder
   * receives the call's argument expressions at ANALYSIS time, evaluates
@@ -132,13 +138,23 @@ object GraftTableFunctions {
       .queryExecution.logical
   }
 
+  private def semdedupDelta(exprs: Seq[Expression]): LogicalPlan = {
+    arity("graft_semdedup_delta", exprs, 5)
+    val s = SparkSession.active
+    graft.llm.AnnIndexStore.semDedupPairsForDelta(s, str(exprs(0)),
+        s.read.parquet(str(exprs(1))), str(exprs(2)), str(exprs(3)),
+        minCos = dbl(exprs(4)))
+      .queryExecution.logical
+  }
+
   private val builders: Seq[(String, Seq[Expression] => LogicalPlan)] = Seq(
     "graft_neardup_pairs" -> (nearDupPairs _),
     "graft_bm25_topk" -> (bm25TopK _),
     "graft_curation_ledger" -> (curationLedger _),
     "graft_ann_topk" -> (annTopK _),
     "graft_ann_pq_topk" -> (annPqTopK _),
-    "graft_neardup_delta" -> (neardupDelta _))
+    "graft_neardup_delta" -> (neardupDelta _),
+    "graft_semdedup_delta" -> (semdedupDelta _))
 
   /** Runtime registration on a live session (temp, session-scoped). */
   def register(spark: SparkSession): Unit = {

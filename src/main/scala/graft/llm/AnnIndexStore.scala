@@ -644,4 +644,108 @@ object AnnIndexStore {
     Similarity.ivfSearchPrunedAdaptive(spark, Fs.child(cur, "assigned"),
       centroids(spark, root), queries, idCol, vecCol, k, minProbe, maxProbe, ratioPpm)
   }
+
+  /** SemDeDup THROUGH the versioned store — the embedding family's
+    * delta-bounded dedup probe, closing the gap the five shingle/hash
+    * families closed behind [[NearDupIndexStore]]: every within-cell
+    * pair (a_id < b_id, cosine ≥ `minCos`) touching the delta, under
+    * the store's CURRENT centroid partition. Equals
+    * [[Dedup.semDedupPairsWithCentroids]](stored ∪ delta, centroids)
+    * restricted to pairs touching the delta (AnnIndexStoreSpec pins
+    * the equivalence, re-upload replacement, and probe-after-append
+    * parity), at per-batch cost:
+    *
+    *  - the delta routes to its primary cells with one narrow map
+    *    (broadcast centroid literals — k·dim driver state);
+    *  - ONLY those cells' assignment buckets are read
+    *    ([[graft.sources.PrunedIndex.readPruned]] — strict-subset file
+    *    I/O, gated in ScaleSpec); the corpus is never scanned;
+    *  - stored `multiAssign` copies drop by re-deriving each fetched
+    *    member's primary cell under the SAME argmin rule (a narrow map
+    *    over delta-cell members only — secondary-cell rows are routing
+    *    redundancy for ANN search, not semantic-cluster membership);
+    *  - ids present in the delta leave the member side by a broadcast
+    *    anti-join: a re-uploaded id pairs under its NEW vector only,
+    *    the store-wide replace semantics [[appendDelta]] lands.
+    *
+    * The answer is a function of the store's current centroids — a
+    * [[reclusterIfDrifted]] pass may legitimately change the cell
+    * partition and hence future probes' pairs (unlike the shingle
+    * stores, whose maintenance is answer-invariant); probe-vs-batch
+    * parity is always stated AT the store's centroids. Deterministic
+    * end-to-end (decimal-exact stored centroids, index-ordered dot
+    * products, (d², cell) tie order), so partitioning-independent and
+    * literal-oracle-able.
+    *
+    * Hierarchical stores (subCells > 0) compare within FINE cells —
+    * the partition at the scale semantic dedup actually needs (10⁹
+    * vectors want 10⁵–10⁶ cells, past any driver-resident flat
+    * matrix): the delta resolves coarse driver-side (k₁ rows), ONLY
+    * its coarse cells' sub-centroid buckets load to resolve primary
+    * fine cells ([[HierarchicalRouting.assignFine]], multiAssign 1),
+    * and member primary-filtering re-derives the same two-level rule.
+    * A stored copy's fine cell always lies inside its primary coarse
+    * cell (assignFine assigns within the coarse argmin), so the one
+    * pruned sub-centroid read covers the member re-derive too. */
+  def semDedupPairsForDelta(spark: SparkSession, root: String, delta: DataFrame,
+                            idCol: String, vecCol: String, minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.norm
+    val cur = currentPath(root).getOrElse(
+      throw new IllegalStateException(s"no committed version under $root"))
+    val cents = centroids(spark, root)
+
+    // (delta with primary cells, stored members of those cells kept to
+    // their PRIMARY rows) under the store's partition — flat: one
+    // argmin level; hierarchical: coarse argmin then within-coarse sub
+    val (dAssigned, prim) =
+      if (!Fs.exists(subCentsPath(cur))) {
+        val dA = Dedup.assignWithNorm(delta, idCol, vecCol, cents)
+        // only the delta's cells' buckets are read; readPruned's exact
+        // semi-join drops same-bucket strangers from other cells
+        val members = graft.sources.PrunedIndex.readPruned(
+          spark, Fs.child(cur, "assigned"), dA.select(col("cell")).distinct())
+        // multiAssign stores hold ≥1 routing copies per id; the
+        // SEMANTIC cluster is the primary (argmin) cell — re-derive it
+        // on the fetched members (delta-bounded narrow map) and keep
+        // the primary row. An id whose primary cell is outside the
+        // delta's cells drops here (correct: it clusters elsewhere);
+        // one whose primary IS a delta cell always survives (rank-1 is
+        // always stored).
+        val p = Similarity.assignCells(
+            members.withColumnRenamed("cell", "stored_cell")
+              .select(col(idCol).as("id"), col(vecCol).as("fv"),
+                col("stored_cell"),
+                transform(col(vecCol), x => x.cast("double")).as("v")), cents)
+          .filter(col("cell") === col("stored_cell"))
+          .select(col("id"), col("fv"), col("cell"))
+        (dA, p)
+      } else {
+        val dCoarse = coarseAssigned(delta, idCol, vecCol, cents)
+        val subCents = graft.sources.PrunedIndex.readPruned(spark,
+          subCentsPath(cur), dCoarse.select(col("coarse")).distinct())
+        val dFine = HierarchicalRouting.assignFine(dCoarse, subCents,
+          idCol, vecCol, multiAssign = 1).localCheckpoint()
+        val dA = dFine.select(col(idCol).as("id"), col(vecCol).as("fv"),
+          col("cell"), norm(col(vecCol)).as("nrm"))
+        val members = graft.sources.PrunedIndex.readPruned(spark,
+          Fs.child(cur, "assigned"), dFine.select(col("cell")).distinct())
+        // member primary fine cells under the same frozen two-level
+        // rule; the semi-join keeps each member's primary row and
+        // drops secondary copies (and members clustering elsewhere)
+        val mFine = HierarchicalRouting.assignFine(
+          coarseAssigned(members.dropDuplicates(idCol), idCol, vecCol, cents),
+          subCents, idCol, vecCol, multiAssign = 1)
+        val p = members.join(mFine.select(col(idCol), col("cell")),
+            Seq(idCol, "cell"), "left_semi")
+          .select(col(idCol).as("id"), col(vecCol).as("fv"), col("cell"))
+        (dA, p)
+      }
+
+    val deltaIds = delta.select(col(idCol).as("id")).distinct()
+    val cVecs = prim
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("id"), col("fv"), col("cell"), norm(col("fv")).as("nrm"))
+
+    Dedup.deltaPairsWithinCells(dAssigned, cVecs, minCos)
+  }
 }

@@ -1721,8 +1721,8 @@ object Dedup {
   /** Nearest-centroid assignment with the float vector and its norm
     * hoisted for the pair stage: (id, fv, cell, nrm). One narrow map
     * over the scan — the centroid matrix rides as literals. */
-  private def assignWithNorm(embs: DataFrame, idCol: String, vecCol: String,
-                             centroids: Array[(Int, Array[Double])]): DataFrame = {
+  private[llm] def assignWithNorm(embs: DataFrame, idCol: String, vecCol: String,
+                                  centroids: Array[(Int, Array[Double])]): DataFrame = {
     import graft.functions.VectorFunctions.norm
     val dv = embs.select(col(idCol).as("id"), col(vecCol).as("fv"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
@@ -1743,6 +1743,32 @@ object Dedup {
       .withColumn("cos", cosineWithNorms(dot(col("a_v"), col("b_v")), col("a_n"), col("b_n")))
       .filter(col("cos") >= minCos)
       .select(col("cell"), col("a_id"), col("b_id"), col("cos").as("cos_sim"))
+  }
+
+  /** The delta side of an incremental SemDeDup pass: all within-cell
+    * pairs touching `dAssigned` (an (id, fv, cell, nrm) delta frame,
+    * broadcast — batches are delta-sized) against `cVecs` (the stored
+    * members of the delta's cells, same shape, delta ids already
+    * removed). Intra-delta pairs come from the delta's own broadcast
+    * self-join; cross pairs from ONE broadcast-hash join on the cell
+    * id — no shuffle of the member side beyond its (pruned) scan.
+    * Shared by [[semDedupDeltaPairs]] (plain persisted cell index) and
+    * [[AnnIndexStore.semDedupPairsForDelta]] (versioned store). */
+  private[llm] def deltaPairsWithinCells(dAssigned: DataFrame, cVecs: DataFrame,
+                                         minCos: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot}
+    val dk = broadcast(dAssigned)
+    val intra = pairsWithinCells(dk, minCos)
+    val cross = cVecs
+      .join(dk.select(col("cell"), col("id").as("d_id"),
+        col("fv").as("d_v"), col("nrm").as("d_n")), Seq("cell"))
+      .withColumn("cos", cosineWithNorms(dot(col("fv"), col("d_v")), col("nrm"), col("d_n")))
+      .filter(col("cos") >= minCos)
+      .select(col("cell"),
+        least(col("id"), col("d_id")).as("a_id"),
+        greatest(col("id"), col("d_id")).as("b_id"),
+        col("cos").as("cos_sim"))
+    intra.unionByName(cross)
   }
 
   /** Semantic-dedup cell index over a corpus: (id, cell) under a
@@ -1777,12 +1803,9 @@ object Dedup {
   def semDedupDeltaPairs(delta: DataFrame, corpus: DataFrame,
                          centroidIndex: DataFrame, cellIndex: DataFrame,
                          idCol: String, vecCol: String, minCos: Double): DataFrame = {
-    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    import graft.functions.VectorFunctions.norm
     val centroids = Similarity.centroidsOf(centroidIndex)
     val dAssigned = assignWithNorm(delta, idCol, vecCol, centroids)
-    val dk = broadcast(dAssigned)
-
-    val intra = pairsWithinCells(dk, minCos)
 
     // corpus members of the delta's cells, via the thin persisted index;
     // ids also in the delta leave through a broadcast anti-join (NOT a
@@ -1798,17 +1821,7 @@ object Dedup {
       .join(matched, Seq("id"))
       .select(col("id"), col("fv"), col("cell"), norm(col("fv")).as("nrm"))
 
-    val cross = cVecs
-      .join(dk.select(col("cell"), col("id").as("d_id"),
-        col("fv").as("d_v"), col("nrm").as("d_n")), Seq("cell"))
-      .withColumn("cos", cosineWithNorms(dot(col("fv"), col("d_v")), col("nrm"), col("d_n")))
-      .filter(col("cos") >= minCos)
-      .select(col("cell"),
-        least(col("id"), col("d_id")).as("a_id"),
-        greatest(col("id"), col("d_id")).as("b_id"),
-        col("cos").as("cos_sim"))
-
-    intra.unionByName(cross)
+    deltaPairsWithinCells(dAssigned, cVecs, minCos)
   }
 
   /** Embedding near-dup via cosine LSH — the 100 TB path: sign-sketch

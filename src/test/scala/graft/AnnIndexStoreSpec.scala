@@ -465,4 +465,121 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(k1 == 5L && k8 >= 36L && k8 <= 40L, s"cells $k1 / $k8")
     assert(m1 <= 125.0 && m8 <= 125.0, s"mean cells $m1 / $m8")
   }
+
+  // ------------------------------------------------------------------
+  // SemDeDup through the store (the embedding family's delta-bounded
+  // dedup probe). The reference every test compares against is the
+  // BATCH SemDeDup under the store's own centroids, restricted to
+  // pairs touching the delta — the contract stated on
+  // AnnIndexStore.semDedupPairsForDelta.
+
+  private def pairsPpm(df: org.apache.spark.sql.DataFrame) =
+    df.select($"cell", $"a_id", $"b_id",
+        org.apache.spark.sql.functions.floor($"cos_sim" * 1e6).cast("long").as("ppm"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+
+  /** Batch twin: semDedupPairsWithCentroids over `all` at the store's
+    * centroids, kept to pairs with at least one id in `deltaIds`. */
+  private def batchTwin(all: org.apache.spark.sql.DataFrame, root: String,
+                        deltaIds: Set[Long], minCos: Double) = {
+    val cents = AnnIndexStore.centroids(spark, root)
+    val full = graft.llm.Dedup.semDedupPairsWithCentroids(
+      all, "vec_id", "embedding", cents, minCos)
+    pairsPpm(full.filter($"a_id".isin(deltaIds.toSeq: _*) ||
+      $"b_id".isin(deltaIds.toSeq: _*)))
+  }
+
+  test("semDedup store probe == batch SemDeDup at the store's centroids, delta-restricted (multiAssign=2)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semstore").toString + "/s"
+    val stored = embs.filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    AnnIndexStore.build(spark, stored, "vec_id", "embedding", root,
+      P.copy(multiAssign = 2))
+    val probe = AnnIndexStore.semDedupPairsForDelta(spark, root, delta,
+      "vec_id", "embedding", minCos = 0.35)
+    val got = pairsPpm(probe)
+    val deltaIds = delta.select($"vec_id").as[Long].collect().toSet
+    val want = batchTwin(stored.unionByName(delta), root, deltaIds, 0.35)
+    assert(got.nonEmpty, "probe must find pairs at this threshold")
+    assert(got == want)
+    // every pair touches the delta; no within-stored pair leaks in
+    assert(got.forall(p => deltaIds(p._2) || deltaIds(p._3)))
+  }
+
+  test("semDedup store probe: re-uploaded ids pair under their NEW vectors only") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semstore_ru").toString + "/s"
+    AnnIndexStore.build(spark, embs, "vec_id", "embedding", root,
+      P.copy(multiAssign = 2))
+    // the delta re-uploads ids 0..19 wearing the vectors of 100..119 —
+    // any pair involving id i<20 must be computed from embedding(i+100)
+    val delta = embs.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select(($"vec_id" - 100L).as("vec_id"), $"embedding")
+    val probe = AnnIndexStore.semDedupPairsForDelta(spark, root, delta,
+      "vec_id", "embedding", minCos = 0.30)
+    val got = pairsPpm(probe)
+    val deltaIds = (0L until 20L).toSet
+    val merged = embs.filter($"vec_id" >= 20)
+      .select($"vec_id", $"embedding").unionByName(delta)
+    val want = batchTwin(merged, root, deltaIds, 0.30)
+    assert(got.nonEmpty && got == want)
+    // the witness that the OLD vector left: id i's strongest partner
+    // under the new vector is its donor's neighborhood, and the pair
+    // (i, i+100) appears at cos ≈ 1 (identical vectors)
+    assert(got.exists(p => deltaIds(p._2) && p._3 == p._2 + 100L && p._4 >= 999999L))
+  }
+
+  test("semDedup store probe after appendDelta: day-2 batch sees day-1's rows") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semstore_ap").toString + "/s"
+    val day0 = embs.filter($"vec_id" % 3 === 0)
+    val day1 = embs.filter($"vec_id" % 3 === 1)
+    val day2 = embs.filter($"vec_id" % 3 === 2)
+    val P2 = P.copy(multiAssign = 2)
+    AnnIndexStore.build(spark, day0, "vec_id", "embedding", root, P2)
+    AnnIndexStore.appendDelta(spark, root, day1, "vec_id", "embedding", P2)
+    val probe = AnnIndexStore.semDedupPairsForDelta(spark, root, day2,
+      "vec_id", "embedding", minCos = 0.35)
+    val deltaIds = day2.select($"vec_id").as[Long].collect().toSet
+    val want = batchTwin(day0.unionByName(day1).unionByName(day2), root,
+      deltaIds, 0.35)
+    assert(pairsPpm(probe).nonEmpty && pairsPpm(probe) == want)
+  }
+
+  test("semDedup store probe on a HIERARCHICAL store: pairs within FINE cells == two-level batch twin") {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    import graft.llm.HierarchicalRouting
+    val root = java.nio.file.Files.createTempDirectory("graft_semstore_h").toString + "/s"
+    val stored = embs.filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    val P2 = P.copy(multiAssign = 2, subCells = 2)
+    AnnIndexStore.build(spark, stored, "vec_id", "embedding", root, P2)
+    val probe = AnnIndexStore.semDedupPairsForDelta(spark, root, delta,
+      "vec_id", "embedding", minCos = 0.35)
+    val got = pairsPpm(probe)
+
+    // independent twin: every vector's primary FINE cell through the
+    // same frozen two-level rule (public assignFine over the full
+    // union), then a plain within-cell pair join — no store involved
+    val cents = AnnIndexStore.centroids(spark, root) // coarse
+    val subCents = graft.sources.PrunedIndex.read(spark,
+      graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "subcents"))
+    val all = stored.unionByName(delta).select($"vec_id", $"embedding")
+    val cc = Similarity.ivfAssignedIndex(all, "vec_id", "embedding", cents)
+      .withColumnRenamed("cell", "coarse")
+      .withColumn("v", org.apache.spark.sql.functions.transform(
+        $"embedding", x => x.cast("double")))
+    val fine = HierarchicalRouting.assignFine(cc, subCents,
+      "vec_id", "embedding", multiAssign = 1)
+    val an = fine.select($"cell", $"vec_id".as("a_id"),
+      $"embedding".as("a_v"), norm($"embedding").as("a_n"))
+    val bn = fine.select($"cell", $"vec_id".as("b_id"),
+      $"embedding".as("b_v"), norm($"embedding").as("b_n"))
+    val deltaIds = delta.select($"vec_id").as[Long].collect().toSet
+    val want = pairsPpm(an.join(bn, Seq("cell")).filter($"a_id" < $"b_id")
+      .withColumn("cos_sim",
+        cosineWithNorms(dot($"a_v", $"b_v"), $"a_n", $"b_n"))
+      .filter($"cos_sim" >= 0.35)
+      .filter($"a_id".isin(deltaIds.toSeq: _*) ||
+        $"b_id".isin(deltaIds.toSeq: _*)))
+    assert(got.nonEmpty && got == want)
+  }
 }

@@ -529,6 +529,35 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("semDedup store probe reads a strict subset of assignment files") {
+    import graft.llm.AnnIndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_semprune").toString
+    val root = s"$dir/s"
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnIndexStore.build(spark, embs.filter($"vec_id" >= 10), "vec_id", "embedding",
+      root, AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 8, m = 4,
+        efConstruction = 12))
+    // a 10-vector delta routes to few cells; only their buckets may load
+    val delta = embs.filter($"vec_id" < 10)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      def indexFilesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains("/assigned")) =>
+            s.metrics("numFiles").value
+        }.sum
+      }
+      val pruned = indexFilesRead(AnnIndexStore.semDedupPairsForDelta(
+        spark, root, delta, "vec_id", "embedding", minCos = 0.35))
+      val full = indexFilesRead(AnnIndexStore.assigned(spark, root))
+      assert(pruned > 0 && pruned < full,
+        s"semDedup probe read $pruned of $full assignment files — no pruning happened")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("hierarchical ANN probe reads a strict subset at BOTH routing levels (subcents and assignment)") {
     import graft.llm.AnnIndexStore
     val dir = java.nio.file.Files.createTempDirectory("graft_hierprune").toString

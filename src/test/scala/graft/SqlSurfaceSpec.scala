@@ -106,7 +106,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // the functions without any runtime register() call
     assert(graft.functions.GraftTableFunctions.descriptions.map(_._1.funcName) ==
       Seq("graft_neardup_pairs", "graft_bm25_topk", "graft_curation_ledger",
-        "graft_ann_topk", "graft_ann_pq_topk", "graft_neardup_delta"))
+        "graft_ann_topk", "graft_ann_pq_topk", "graft_neardup_delta",
+        "graft_semdedup_delta"))
+  }
+
+  test("graft_semdedup_delta from pure SQL == AnnIndexStore.semDedupPairsForDelta") {
+    graft.functions.GraftTableFunctions.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlsd").toString
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val stored = e.filter($"vec_id" % 5 =!= 0)
+    val delta = e.filter($"vec_id" % 5 === 0)
+    delta.select($"vec_id", $"embedding").write.mode("overwrite")
+      .parquet(s"$root/delta")
+    graft.llm.AnnIndexStore.build(spark, stored, "vec_id", "embedding",
+      s"$root/store", graft.llm.AnnIndexStore.Params(nCells = 8, iters = 2,
+        numBuckets = 8, m = 4, efConstruction = 12))
+    val sqlRows = spark.sql(
+      s"""SELECT cell, a_id, b_id, CAST(floor(cos_sim * 1000000.0) AS BIGINT) AS cos_ppm
+          FROM graft_semdedup_delta('$root/store', '$root/delta', 'vec_id', 'embedding', 0.35)
+          ORDER BY a_id, b_id""")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val api = graft.llm.AnnIndexStore.semDedupPairsForDelta(spark, s"$root/store",
+        spark.read.parquet(s"$root/delta"), "vec_id", "embedding", minCos = 0.35)
+      .select($"cell", $"a_id", $"b_id", floor($"cos_sim" * 1e6).cast("long"))
+      .as[(Int, Long, Long, Long)].collect().sortBy(r => (r._2, r._3)).toSeq
+    assert(sqlRows.nonEmpty && sqlRows == api)
+    spark.catalog.clearCache()
   }
 
   test("graft_neardup_delta from pure SQL == NearDupIndexStore.pairsForDelta") {
