@@ -115,14 +115,23 @@ object Bench {
       .sortBy(_._1).map { case (name, fn) =>
       SparkEntry.benchFixtures.get(name).foreach { f =>
         val t0 = System.nanoTime()
-        try f(spark, sfDir) catch { case _: Throwable => }
+        // a failed fixture must be LOUD: the query path re-runs the
+        // fixture inline every rep, so the reps silently time fixture
+        // rebuild + failure instead of the probe the query exists to
+        // measure (and the run's numbers poison suspect detection)
+        try f(spark, sfDir) catch { case e: Throwable =>
+          System.err.println(s"[bench] FIXTURE FAILED for $name: ${e.getMessage}")
+        }
         fixtureSecs(name) = (System.nanoTime() - t0) / 1e9
       }
       val runs = (1 to reps).map { _ =>
         val startMs = System.currentTimeMillis()
         val loadBefore = load1()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] QUERY FAILED for $name: ${e.getMessage}")
+          -1L
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         (sec, startMs, loadBefore, load1())
       }

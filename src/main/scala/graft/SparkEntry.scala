@@ -2771,6 +2771,54 @@ object SparkEntry {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Fixture: the ANN store's self-triggering maintenance loop
+    * ([[graft.llm.AnnIndexStore.maybeMaintain]] — the t149 idiom for
+    * the embedding family): v1 over the id≥5 corpus, a FIXED 5-id
+    * delta (ids 0–4 — constant at every scale factor, so most cells
+    * stay untouched and the append stitches a reference chain, depth
+    * 2 > 1, at sf0.01 AND the bench/slope scales), and the store
+    * compacts ITSELF
+    * into a self-contained version. Idempotent: after the maintained
+    * version commits, chainDepth == 1 and the guarded block never
+    * re-runs. */
+  private def t155Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings")
+    val root = scratch("annmaint", dir)
+    ensureFixture(root) {
+      val p = AnnIndexStore.Params(nCells = 16, iters = 2, numBuckets = 16,
+        m = 8, efConstruction = 48)
+      AnnIndexStore.build(s, e.filter(col("vec_id") >= 5),
+        "vec_id", "embedding", root, p)
+      AnnIndexStore.appendDelta(s, root, e.filter(col("vec_id") < 5),
+        "vec_id", "embedding", p)
+      val maintained = AnnIndexStore.maybeMaintain(s, root,
+        "vec_id", "embedding", p, maxChainDepth = 1)
+      require(maintained.nonEmpty,
+        "t155 fixture: maintenance must auto-trigger (chain depth 2 > 1)")
+    }
+  }
+
+  /** Graph-ANN search across the ANN store's AUTO-TRIGGERED compaction
+    * ([[t155Fixture]]): the timed path searches the maintained
+    * (folded, self-contained) store and grades recall against brute
+    * force — maintenance changes layout, never answers
+    * (AnnIndexStoreSpec pins search AND the semantic-dedup probe
+    * bit-equal across [[graft.llm.AnnIndexStore.maybeMaintain]], plus
+    * the no-op below threshold and the structural hysteresis).
+    * Deterministic end-to-end → literal recall-census oracle. */
+  private def t155AnnMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.AnnIndexStore
+    t155Fixture(s, dir)
+    val e = t(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+    val root = scratch("annmaint", dir)
+    val ann = AnnIndexStore.searchGraph(s, root, q, "vec_id", "embedding",
+      k = 10, nprobe = 8, efSearch = 96)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -3127,6 +3175,7 @@ object SparkEntry {
     "t152_ann_ivfpq" -> t152AnnIvfPq _,
     "t153_ledger_changed" -> t153LedgerChanged _,
     "t154_semdedup_store" -> t154SemDedupStore _,
+    "t155_ann_maintenance" -> t155AnnMaintenance _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3170,6 +3219,7 @@ object SparkEntry {
     "t152_ann_ivfpq" -> t152Fixture _,
     "t153_ledger_changed" -> t153Fixture _,
     "t154_semdedup_store" -> t154Fixture _,
+    "t155_ann_maintenance" -> t155Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -3659,6 +3709,10 @@ object SparkEntry {
       // and partitioning-independent — pinned identical at 8 and 32
       // threads; probe == batch twin proved in AnnIndexStoreSpec
       "t154_semdedup_store" -> LiteralOracles.t154,
+      // search across the store's auto-triggered compaction: the
+      // maintained layout must answer exactly like the stitched one
+      // (invariance pinned in AnnIndexStoreSpec; census deterministic)
+      "t155_ann_maintenance" -> LiteralOracles.t155,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

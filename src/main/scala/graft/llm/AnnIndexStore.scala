@@ -421,6 +421,40 @@ object AnnIndexStore {
       subCents, pq, vecsById)
   }
 
+  /** Stitched reference-chain depth of the CURRENT version: 1 + the
+    * number of OTHER version dirs its component manifests still
+    * reference ([[NearDupIndexStore.chainDepth]]'s contract). Depth 1
+    * = self-contained (fresh build or just compacted); each
+    * [[appendDelta]] can extend the chain by one. Manifest reads only
+    * — no data I/O. */
+  def chainDepth(root: String): Int = {
+    val curV = currentVersion(root).getOrElse(return 0)
+    val referenced = referencedEntries(root, Seq(curV))
+      .filter(_.startsWith(root + "/"))
+      .map(_.stripPrefix(root + "/").takeWhile(_ != '/'))
+    1 + (referenced - s"v$curV").size
+  }
+
+  /** Self-triggering maintenance — [[NearDupIndexStore.maybeMaintain]]
+    * for the ANN store: [[compact]] when the stitched reference chain
+    * exceeds `maxChainDepth` versions, making older versions sparable
+    * by [[vacuum]]. Hysteresis is structural (a compaction folds the
+    * current version self-contained, resetting the depth to 1).
+    * Answer-invariant: compaction re-lands the same centroids,
+    * assignment and adjacency — searches and [[semDedupPairsForDelta]]
+    * probes are unchanged (pinned in AnnIndexStoreSpec). The DRIFT
+    * half of maintenance stays with [[reclusterIfDrifted]], which is
+    * delta-driven by design (drift is a property of incoming batches,
+    * not of the stored layout). Returns the new committed version when
+    * maintenance ran, None below the threshold. Single-writer contract
+    * like [[compact]]/[[vacuum]]. */
+  def maybeMaintain(spark: SparkSession, root: String,
+                    idCol: String, vecCol: String, p: Params,
+                    maxChainDepth: Int = 8): Option[Long] =
+    if (chainDepth(root) > maxChainDepth)
+      Some(compact(spark, root, idCol, vecCol, p))
+    else None
+
   /** Retention: drop committed versions beyond the newest `keep`
     * (always sparing the current pointer's), but NEVER a version dir
     * whose files a retained version's manifest still references

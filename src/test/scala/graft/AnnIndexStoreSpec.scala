@@ -544,6 +544,46 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(pairsPpm(probe).nonEmpty && pairsPpm(probe) == want)
   }
 
+  test("maybeMaintain: compacts past maxChainDepth with structural hysteresis; answers invariant; vacuum then drops the chain") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annmaint").toString + "/s"
+    val P8 = P.copy(nCells = 8, numBuckets = 8)
+    AnnIndexStore.build(spark, embs.filter($"vec_id" >= 20 && $"vec_id" < 480),
+      "vec_id", "embedding", root, P8)
+    assert(AnnIndexStore.chainDepth(root) == 1)
+    // below threshold: byte-identical store (the no-drift idiom)
+    val before = listing(root)
+    assert(AnnIndexStore.maybeMaintain(spark, root, "vec_id", "embedding",
+      P8, maxChainDepth = 1).isEmpty)
+    assert(listing(root) == before)
+
+    // a small delta leaves most buckets stitched: the chain deepens
+    AnnIndexStore.appendDelta(spark, root, embs.filter($"vec_id" < 10),
+      "vec_id", "embedding", P8)
+    assert(AnnIndexStore.chainDepth(root) == 2)
+    val q = embs.filter($"vec_id" < 6)
+    def search() = rows(AnnIndexStore.searchGraph(spark, root, q,
+      "vec_id", "embedding", k = 4, nprobe = 2, efSearch = 12))
+    def semProbe() = pairsPpm(AnnIndexStore.semDedupPairsForDelta(spark, root,
+      embs.filter($"vec_id" >= 480), "vec_id", "embedding", minCos = 0.30))
+    val (preSearch, preProbe) = (search(), semProbe())
+
+    val v = AnnIndexStore.maybeMaintain(spark, root, "vec_id", "embedding",
+      P8, maxChainDepth = 1)
+    assert(v.nonEmpty && AnnIndexStore.currentVersion(root) == v)
+    // hysteresis: compaction folds the version self-contained
+    assert(AnnIndexStore.chainDepth(root) == 1)
+    assert(AnnIndexStore.maybeMaintain(spark, root, "vec_id", "embedding",
+      P8, maxChainDepth = 1).isEmpty)
+    // maintenance changes layout, never answers — search AND the
+    // semantic-dedup probe replay identically over the folded store
+    assert(search() == preSearch && semProbe() == preProbe)
+
+    // the folded version references nothing older: vacuum drops the chain
+    val dropped = AnnIndexStore.vacuum(root, keep = 1)
+    assert(dropped.nonEmpty)
+    assert(search() == preSearch && semProbe() == preProbe)
+  }
+
   test("semDedup store probe on a HIERARCHICAL store: pairs within FINE cells == two-level batch twin") {
     import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
     import graft.llm.HierarchicalRouting
