@@ -113,6 +113,43 @@ object AnnIndexStore {
 
   private def ptr(root: String): String = Fs.child(root, "_CURRENT")
 
+  private def paramsPath(versionDir: String): String =
+    Fs.child(versionDir, "_PARAMS")
+
+  private def renderParams(p: Params): String =
+    Seq("nCells" -> p.nCells, "cellTarget" -> p.cellTarget,
+      "iters" -> p.iters, "numBuckets" -> p.numBuckets, "m" -> p.m,
+      "efConstruction" -> p.efConstruction,
+      "maxRecordsPerFile" -> p.maxRecordsPerFile,
+      "multiAssign" -> p.multiAssign, "subCells" -> p.subCells,
+      "subTrainCap" -> p.subTrainCap, "pqM" -> p.pqM,
+      "pqKsub" -> p.pqKsub, "idBuckets" -> p.idBuckets)
+      .map { case (k, v) => s"$k=$v" }.mkString("\n")
+
+  /** The CURRENT version's build/maintenance parameters, from the
+    * `_PARAMS` sidecar every [[build]]/[[appendDelta]]/[[compact]]
+    * lands — the store REMEMBERS how it was built, so maintenance
+    * cannot silently drift its assignment or graph semantics by being
+    * called with a different `Params` than the build's (the
+    * dfHeadSize-refreeze lesson from the dedup store, applied here).
+    * None for stores created before the sidecar existed. */
+  def params(root: String): Option[Params] =
+    currentPath(root).map(paramsPath).filter(Fs.exists).map { pp =>
+      val kv = Fs.readString(pp).split("\n").iterator
+        .map(_.trim).filter(_.contains("="))
+        .map { l => val Array(k, v) = l.split("=", 2); k -> v }.toMap
+      Params(kv("nCells").toInt, kv("cellTarget").toLong, kv("iters").toInt,
+        kv("numBuckets").toInt, kv("m").toInt, kv("efConstruction").toInt,
+        kv("maxRecordsPerFile").toLong, kv("multiAssign").toInt,
+        kv("subCells").toInt, kv("subTrainCap").toInt, kv("pqM").toInt,
+        kv("pqKsub").toInt, kv("idBuckets").toInt)
+    }
+
+  private def storedParams(root: String, op: String): Params =
+    params(root).getOrElse(throw new IllegalStateException(
+      s"$op: store $root has no _PARAMS sidecar (built before params " +
+        "persistence) — pass Params explicitly"))
+
   /** Committed versions, ascending (a version counts only once its
     * `_SUCCESS` marker exists — an in-flight build is invisible). */
   def versions(root: String): Seq[Long] =
@@ -173,6 +210,7 @@ object AnnIndexStore {
     graft.sources.PrunedIndex.write(
       edges.select(col("cell"), col("src"), col("dst"), col("pos")),
       Fs.child(dir, "graph"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
+    Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
     Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
     Fs.writeStringAtomic(ptr(root), s"v$v")
     v
@@ -372,10 +410,20 @@ object AnnIndexStore {
     graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "graph"),
       recomputedEdges.select(col("cell"), col("src"), col("dst"), col("pos")),
       touchedCells, basePath = Some(Fs.child(cur, "graph")), p.maxRecordsPerFile)
+    Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
     Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
     Fs.writeStringAtomic(ptr(root), s"v$v")
     v
   }
+
+  /** [[appendDelta]] under the store's OWN persisted parameters — the
+    * drift-proof maintenance entry point: assignment fan-out
+    * (multiAssign), graph shape (m, efConstruction) and file sizing
+    * replay exactly as built, whoever calls. */
+  def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
+                  idCol: String, vecCol: String): Long =
+    appendDelta(spark, root, delta, idCol, vecCol,
+      storedParams(root, "appendDelta"))
 
   /** Absolute file entries the given versions' component manifests
     * reference — the retention dependency set [[vacuum]] honors. */
@@ -421,6 +469,11 @@ object AnnIndexStore {
       subCents, pq, vecsById)
   }
 
+  /** [[compact]] under the store's own persisted parameters. */
+  def compact(spark: SparkSession, root: String,
+              idCol: String, vecCol: String): Long =
+    compact(spark, root, idCol, vecCol, storedParams(root, "compact"))
+
   /** Stitched reference-chain depth of the CURRENT version: 1 + the
     * number of OTHER version dirs its component manifests still
     * reference ([[NearDupIndexStore.chainDepth]]'s contract). Depth 1
@@ -454,6 +507,13 @@ object AnnIndexStore {
     if (chainDepth(root) > maxChainDepth)
       Some(compact(spark, root, idCol, vecCol, p))
     else None
+
+  /** [[maybeMaintain]] under the store's own persisted parameters. */
+  def maybeMaintain(spark: SparkSession, root: String,
+                    idCol: String, vecCol: String,
+                    maxChainDepth: Int): Option[Long] =
+    maybeMaintain(spark, root, idCol, vecCol,
+      storedParams(root, "maybeMaintain"), maxChainDepth)
 
   /** Retention: drop committed versions beyond the newest `keep`
     * (always sparing the current pointer's), but NEVER a version dir
@@ -536,6 +596,13 @@ object AnnIndexStore {
       Decision(drift, reclustered = true, v)
     }
   }
+
+  /** [[reclusterIfDrifted]] under the store's own persisted parameters. */
+  def reclusterIfDrifted(spark: SparkSession, root: String, delta: DataFrame,
+                         idCol: String, vecCol: String,
+                         thresholdPpm: Long): Decision =
+    reclusterIfDrifted(spark, root, delta, idCol, vecCol, thresholdPpm,
+      storedParams(root, "reclusterIfDrifted"))
 
   /** Graph search over the CURRENT version — probe-bounded reads of
     * the assignment and edge buckets, graphs reconstructed from stored

@@ -584,6 +584,42 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(search() == preSearch && semProbe() == preProbe)
   }
 
+  test("the store remembers its Params: sidecar roundtrip; param-less maintenance replays build semantics; legacy stores refuse") {
+    val base = java.nio.file.Files.createTempDirectory("graft_annparams").toString
+    val P2 = P.copy(multiAssign = 2, numBuckets = 8, m = 6, efConstruction = 16)
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", s"$base/a", P2)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", s"$base/b", P2)
+    assert(AnnIndexStore.params(s"$base/a").contains(P2))
+
+    // param-less append reads the sidecar: identical store state to the
+    // explicit-params twin (assignment fan-out ×2 preserved, search
+    // bit-equal)
+    AnnIndexStore.appendDelta(spark, s"$base/a", delta, "vec_id", "embedding")
+    AnnIndexStore.appendDelta(spark, s"$base/b", delta, "vec_id", "embedding", P2)
+    val q = embs.filter($"vec_id" < 6)
+    def search(r: String) = rows(AnnIndexStore.searchGraph(spark, r, q,
+      "vec_id", "embedding", k = 4, nprobe = 2, efSearch = 12))
+    assert(search(s"$base/a") == search(s"$base/b"))
+    assert(AnnIndexStore.assigned(spark, s"$base/a").count() ==
+      AnnIndexStore.assigned(spark, s"$base/b").count())
+    // the sidecar rides through append and param-less compaction
+    assert(AnnIndexStore.params(s"$base/a").contains(P2))
+    AnnIndexStore.compact(spark, s"$base/a", "vec_id", "embedding")
+    assert(AnnIndexStore.params(s"$base/a").contains(P2))
+    assert(search(s"$base/a") == search(s"$base/b"))
+
+    // a store without the sidecar (built before params persistence)
+    // refuses param-less maintenance with a clear message
+    val cur = AnnIndexStore.currentPath(s"$base/b").get
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$cur/_PARAMS"))
+    val e = intercept[IllegalStateException] {
+      AnnIndexStore.appendDelta(spark, s"$base/b", delta, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("_PARAMS"))
+  }
+
   test("semDedup store probe on a HIERARCHICAL store: pairs within FINE cells == two-level batch twin") {
     import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
     import graft.llm.HierarchicalRouting
