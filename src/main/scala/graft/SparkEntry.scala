@@ -2819,6 +2819,41 @@ object SparkEntry {
     Similarity.recallAtK(ann, brute, floorPpm = 500000L).orderBy(col("query_id"))
   }
 
+  /** Streaming SemDeDup over the versioned ANN store
+    * ([[graft.streaming.SemDedupStream.startIndexed]] — the t150
+    * streaming-store idiom for the embedding family): the embeddings
+    * corpus arrives as a bounded two-file micro-stream (even ids, then
+    * odd — one file per trigger, each coalesced to one part so the
+    * batch composition is deterministic), the FIRST batch builds the
+    * store and freezes the centroids, the second probes the committed
+    * version and appends behind the atomic swap (under the persisted
+    * `_PARAMS`). Accumulated emissions telescope to the one-shot batch
+    * SemDeDup of the full corpus at the frozen (even-half) centroids —
+    * each pair lands exactly once, in the batch where its later member
+    * arrived (AnnIndexStoreSpec pins the telescoping AND restart
+    * safety). Deterministic end-to-end → literal oracle. */
+  private def t156SemDedupStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val root = scratch("sstream", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    e.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$root/in1")
+    e.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(s"$root/in2")
+    val stream = s.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in*")
+    val q = graft.streaming.SemDedupStream.startIndexed(stream,
+      "vec_id", "embedding", s"$root/store", s"$root/ckpt", minCos = 0.35,
+      AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 16,
+        m = 4, efConstruction = 12)) { (pairs, _) =>
+      pairs.write.mode("append").parquet(s"$root/out")
+    }
+    q.awaitTermination(300000): Unit
+    s.read.parquet(s"$root/out")
+      .select(col("cell"), col("a_id"), col("b_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
     * scores, ties on the term string — the corpus-exploration signal. */
   private def t88TfidfTerms(s: SparkSession, dir: String): DataFrame =
@@ -3176,6 +3211,7 @@ object SparkEntry {
     "t153_ledger_changed" -> t153LedgerChanged _,
     "t154_semdedup_store" -> t154SemDedupStore _,
     "t155_ann_maintenance" -> t155AnnMaintenance _,
+    "t156_semdedup_stream" -> t156SemDedupStream _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3713,6 +3749,10 @@ object SparkEntry {
       // maintained layout must answer exactly like the stitched one
       // (invariance pinned in AnnIndexStoreSpec; census deterministic)
       "t155_ann_maintenance" -> LiteralOracles.t155,
+      // streamed emissions telescope to the batch SemDeDup at the
+      // first micro-batch's frozen centroids (see t156's Scaladoc);
+      // deterministic two-file intake → literal, pinned at 8+32 threads
+      "t156_semdedup_stream" -> LiteralOracles.t156,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,

@@ -204,8 +204,13 @@ object AnnIndexStore {
     vecsById.foreach(v2 => graft.sources.PrunedIndex.write(
       v2.select(col(idCol), col(vecCol)),
       vecsByIdPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile))
+    // the rank column (1 = argmin/primary, 2.. = routing redundancy)
+    // persists when the assignment carries it — primary-cell consumers
+    // filter it instead of re-deriving the argmin per probe
+    val assignedCols = Seq(col(idCol), col(vecCol), col("cell")) ++
+      (if (assignedDf.columns.contains("rank")) Seq(col("rank")) else Nil)
     graft.sources.PrunedIndex.write(
-      assignedDf.select(col(idCol), col(vecCol), col("cell")),
+      assignedDf.select(assignedCols: _*),
       Fs.child(dir, "assigned"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
     graft.sources.PrunedIndex.write(
       edges.select(col("cell"), col("src"), col("dst"), col("pos")),
@@ -269,10 +274,10 @@ object AnnIndexStore {
           else trained.unionByName(missing.toSeq
             .map { case (c, v) => (c, c * p.subCells, v.toSeq) }
             .toDF("coarse", "cell", "centroid"))
-        (HierarchicalRouting.assignFine(cc, sc, idCol, vecCol, p.multiAssign),
-          Some(sc))
+        (HierarchicalRouting.assignFineRanked(cc, sc, idCol, vecCol,
+          p.multiAssign), Some(sc))
       } else
-        (Similarity.ivfAssignedIndexMulti(corpus, idCol, vecCol,
+        (Similarity.ivfAssignedIndexMultiRanked(corpus, idCol, vecCol,
           cents, p.multiAssign), None)
     val edges = GraphAnn.buildGraphEdges(assignedDf, idCol, vecCol, p.m, p.efConstruction)
     val pq =
@@ -329,15 +334,21 @@ object AnnIndexStore {
     // state: coarse argmin, then ONLY the delta's coarse cells'
     // sub-centroid buckets are read — delta-bounded, like everything
     // else in this method
-    val deltaAssigned =
+    val deltaRanked =
       if (Fs.exists(subCentsPath(cur))) {
         val cc = coarseAssigned(delta, idCol, vecCol, cents).localCheckpoint()
-        HierarchicalRouting.assignFine(cc,
+        HierarchicalRouting.assignFineRanked(cc,
           graft.sources.PrunedIndex.readPruned(spark, subCentsPath(cur),
             cc.select(col("coarse")).distinct()),
           idCol, vecCol, p.multiAssign)
-      } else Similarity.ivfAssignedIndexMulti(delta, idCol, vecCol,
+      } else Similarity.ivfAssignedIndexMultiRanked(delta, idCol, vecCol,
         cents, p.multiAssign)
+    // a legacy store (no rank column) stays legacy: the merge needs
+    // matching schemas, and a half-ranked assignment would be worse
+    // than none
+    val deltaAssigned =
+      if (oldAssigned.columns.contains("rank")) deltaRanked
+      else deltaRanked.drop("rank")
     // touched = the delta's cells plus any re-uploaded id's OLD cell
     // (the displaced row must leave its bucket) — the same set the
     // graph recompute derives
@@ -404,8 +415,10 @@ object AnnIndexStore {
         delta.select(col(idCol), col(vecCol)), deltaIds,
         basePath = Some(vecsByIdPath(cur)), p.maxRecordsPerFile)
     }
+    val touchedCols = Seq(col(idCol), col(vecCol), col("cell")) ++
+      (if (touchedAssigned.columns.contains("rank")) Seq(col("rank")) else Nil)
     graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
-      touchedAssigned.select(col(idCol), col(vecCol), col("cell")),
+      touchedAssigned.select(touchedCols: _*),
       touchedCells, basePath = Some(Fs.child(cur, "assigned")), p.maxRecordsPerFile)
     graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "graph"),
       recomputedEdges.select(col("cell"), col("src"), col("dst"), col("pos")),
@@ -806,19 +819,27 @@ object AnnIndexStore {
         val members = graft.sources.PrunedIndex.readPruned(
           spark, Fs.child(cur, "assigned"), dA.select(col("cell")).distinct())
         // multiAssign stores hold ≥1 routing copies per id; the
-        // SEMANTIC cluster is the primary (argmin) cell — re-derive it
-        // on the fetched members (delta-bounded narrow map) and keep
-        // the primary row. An id whose primary cell is outside the
-        // delta's cells drops here (correct: it clusters elsewhere);
-        // one whose primary IS a delta cell always survives (rank-1 is
-        // always stored).
-        val p = Similarity.assignCells(
-            members.withColumnRenamed("cell", "stored_cell")
-              .select(col(idCol).as("id"), col(vecCol).as("fv"),
-                col("stored_cell"),
-                transform(col(vecCol), x => x.cast("double")).as("v")), cents)
-          .filter(col("cell") === col("stored_cell"))
-          .select(col("id"), col("fv"), col("cell"))
+        // SEMANTIC cluster is the primary (argmin) cell. Stores carry
+        // the assignment rank, so the primary row is a FILTER — the
+        // store recorded its own argmin at write time. (Re-deriving it
+        // against every centroid costs O(members·nCells·dim) per
+        // probe, growing with the corpus through nCells — measured 55×
+        // at ×50 in AnnStoreProbeBench; the legacy fallback below
+        // keeps rank-less stores answering, at that cost.) An id whose
+        // primary cell is outside the delta's cells drops (correct: it
+        // clusters elsewhere); one whose primary IS a delta cell
+        // always survives (rank-1 is always stored).
+        val p =
+          if (members.columns.contains("rank"))
+            members.filter(col("rank") === 1)
+              .select(col(idCol).as("id"), col(vecCol).as("fv"), col("cell"))
+          else Similarity.assignCells(
+              members.withColumnRenamed("cell", "stored_cell")
+                .select(col(idCol).as("id"), col(vecCol).as("fv"),
+                  col("stored_cell"),
+                  transform(col(vecCol), x => x.cast("double")).as("v")), cents)
+            .filter(col("cell") === col("stored_cell"))
+            .select(col("id"), col("fv"), col("cell"))
         (dA, p)
       } else {
         val dCoarse = coarseAssigned(delta, idCol, vecCol, cents)
@@ -830,15 +851,21 @@ object AnnIndexStore {
           col("cell"), norm(col(vecCol)).as("nrm"))
         val members = graft.sources.PrunedIndex.readPruned(spark,
           Fs.child(cur, "assigned"), dFine.select(col("cell")).distinct())
-        // member primary fine cells under the same frozen two-level
-        // rule; the semi-join keeps each member's primary row and
-        // drops secondary copies (and members clustering elsewhere)
-        val mFine = HierarchicalRouting.assignFine(
-          coarseAssigned(members.dropDuplicates(idCol), idCol, vecCol, cents),
-          subCents, idCol, vecCol, multiAssign = 1)
-        val p = members.join(mFine.select(col(idCol), col("cell")),
-            Seq(idCol, "cell"), "left_semi")
-          .select(col(idCol).as("id"), col(vecCol).as("fv"), col("cell"))
+        // member primary rows: the stored rank filter when the store
+        // carries it (see the flat branch); legacy fallback re-derives
+        // the same frozen two-level rule and semi-joins the primary
+        val p =
+          if (members.columns.contains("rank"))
+            members.filter(col("rank") === 1)
+              .select(col(idCol).as("id"), col(vecCol).as("fv"), col("cell"))
+          else {
+            val mFine = HierarchicalRouting.assignFine(
+              coarseAssigned(members.dropDuplicates(idCol), idCol, vecCol, cents),
+              subCents, idCol, vecCol, multiAssign = 1)
+            members.join(mFine.select(col(idCol), col("cell")),
+                Seq(idCol, "cell"), "left_semi")
+              .select(col(idCol).as("id"), col(vecCol).as("fv"), col("cell"))
+          }
         (dA, p)
       }
 

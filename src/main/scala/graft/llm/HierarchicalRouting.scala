@@ -152,7 +152,19 @@ object HierarchicalRouting {
     * float arrays (re-emitted as such). */
   def assignFine(corpusCoarse: DataFrame, subCents: DataFrame,
                  idCol: String, vecCol: String,
-                 multiAssign: Int = 1): DataFrame = {
+                 multiAssign: Int = 1): DataFrame =
+    assignFineRanked(corpusCoarse, subCents, idCol, vecCol, multiAssign)
+      .drop("rank")
+
+  /** [[assignFine]] with the assignment RANK kept (1 = the within-
+    * coarse argmin sub-cell — the SEMANTIC fine cluster; 2.. = routing
+    * redundancy), the two-level twin of
+    * [[Similarity.ivfAssignedIndexMultiRanked]]: persisting rank at
+    * assignment time is what spares primary-cell consumers the
+    * per-probe argmin re-derive. */
+  def assignFineRanked(corpusCoarse: DataFrame, subCents: DataFrame,
+                       idCol: String, vecCol: String,
+                       multiAssign: Int = 1): DataFrame = {
     require(multiAssign >= 1, s"multiAssign must be >= 1, got $multiAssign")
     val spark = corpusCoarse.sparkSession
     import spark.implicits._
@@ -175,11 +187,13 @@ object HierarchicalRouting {
           val v = vSeq.toArray
           cellVecs.indices.map(i => (d2(v, cellVecs(i)), cellIds(i)))
             .sorted.take(multiAssign)
-            .iterator.map { case (_, cell) => (id, vec, cell) }
+            .iterator.zipWithIndex
+            .map { case ((_, cell), i) => (id, vec, cell, i + 1) }
         }
       }
-    }.toDF("__id", "__vec", "cell")
-      .select(col("__id").as(idCol), col("__vec").as(vecCol), col("cell"))
+    }.toDF("__id", "__vec", "cell", "rank")
+      .select(col("__id").as(idCol), col("__vec").as(vecCol),
+        col("cell"), col("rank"))
   }
 
   /** Route queries to their global-best `nprobe` fine cells through the

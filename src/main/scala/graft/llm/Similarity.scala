@@ -150,9 +150,26 @@ object Similarity {
     * before ranking, so recall rises at unchanged output semantics. */
   def ivfAssignedIndexMulti(corpus: DataFrame, idCol: String, vecCol: String,
                             centroids: Array[(Int, Array[Double])],
-                            assign: Int): DataFrame = {
+                            assign: Int): DataFrame =
+    ivfAssignedIndexMultiRanked(corpus, idCol, vecCol, centroids, assign)
+      .drop("rank")
+
+  /** [[ivfAssignedIndexMulti]] with the assignment RANK kept (1 = the
+    * argmin cell, the SEMANTIC cluster; 2.. = routing redundancy).
+    * Persisting the rank is what lets a downstream primary-cell
+    * consumer (SemDeDup through [[AnnIndexStore]]) filter `rank = 1`
+    * instead of re-deriving the argmin against EVERY centroid — an
+    * O(members·nCells·dim) per-probe step that grows with the corpus
+    * (nCells ∝ n under auto-sizing) and measured 55× at ×50 corpus in
+    * AnnStoreProbeBench before the rank column existed. */
+  def ivfAssignedIndexMultiRanked(corpus: DataFrame, idCol: String,
+                                  vecCol: String,
+                                  centroids: Array[(Int, Array[Double])],
+                                  assign: Int): DataFrame = {
     require(assign >= 1, s"assign must be >= 1, got $assign")
-    if (assign == 1) ivfAssignedIndex(corpus, idCol, vecCol, centroids)
+    if (assign == 1)
+      ivfAssignedIndex(corpus, idCol, vecCol, centroids)
+        .withColumn("rank", lit(1))
     else {
       import graft.functions.VectorFunctions.dot
       val dv = corpus.select(col(idCol), col(vecCol),
@@ -163,10 +180,11 @@ object Similarity {
         val d2 = v2 - lit(2.0) * dot(col("v"), cCol) + lit(c.map(x => x * x).sum)
         struct(d2.as("d2"), lit(cell).as("cell"))
       }
-      dv.withColumn("cell",
-          explode(slice(array_sort(array(scored.toIndexedSeq: _*)),
+      dv.select(col(idCol), col(vecCol),
+          posexplode(slice(array_sort(array(scored.toIndexedSeq: _*)),
             1, assign).getField("cell")))
-        .select(col(idCol), col(vecCol), col("cell"))
+        .select(col(idCol), col(vecCol), col("col").as("cell"),
+          (col("pos") + 1).cast("int").as("rank"))
     }
   }
 

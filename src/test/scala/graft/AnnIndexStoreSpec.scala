@@ -226,7 +226,8 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     // data file lives under a writeDelta delta-subdir
     val v2Data = (listing(root) -- v1Files).map(_._1)
       .filterNot(f => f.contains("centroids") || f.contains("_PRUNE") ||
-        f.endsWith("_SUCCESS") || f.endsWith("_CURRENT") || f.contains("/."))
+        f.endsWith("_SUCCESS") || f.endsWith("_CURRENT") ||
+        f.endsWith("_PARAMS") || f.contains("/."))
     assert(v2Data.nonEmpty && v2Data.forall(f => f.contains("/delta-")),
       s"non-delta data files in v2: ${v2Data.filterNot(_.contains("/delta-"))}")
     // search over the stitched version == fresh build at the same centroids
@@ -618,6 +619,66 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       AnnIndexStore.appendDelta(spark, s"$base/b", delta, "vec_id", "embedding")
     }
     assert(e.getMessage.contains("_PARAMS"))
+  }
+
+  test("semDedup probe on a rank-less (legacy) store: argmin fallback == the ranked store's answers") {
+    val root = java.nio.file.Files.createTempDirectory("graft_semlegacy").toString + "/s"
+    val stored = embs.filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    AnnIndexStore.build(spark, stored, "vec_id", "embedding", root,
+      P.copy(multiAssign = 2, numBuckets = 8))
+    val ranked = pairsPpm(AnnIndexStore.semDedupPairsForDelta(spark, root,
+      delta, "vec_id", "embedding", minCos = 0.35))
+    // new stores persist the assignment rank
+    val cur = AnnIndexStore.currentPath(root).get
+    val asg = graft.sources.PrunedIndex.read(spark,
+      graft.fs.Fs.child(cur, "assigned")).localCheckpoint()
+    assert(asg.columns.contains("rank"))
+    // simulate a pre-rank store: re-land the component without the column
+    graft.sources.PrunedIndex.write(asg.drop("rank"),
+      graft.fs.Fs.child(cur, "assigned"), Seq("cell"), 8)
+    val legacy = pairsPpm(AnnIndexStore.semDedupPairsForDelta(spark, root,
+      delta, "vec_id", "embedding", minCos = 0.35))
+    assert(ranked.nonEmpty && legacy == ranked)
+  }
+
+  test("streaming SemDeDup over the store: accumulated emissions == one-shot batch at the frozen centroids, across a RESTART") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_semstream").toString
+    val root = s"$dir/store"
+    val e2 = embs.select($"vec_id", $"embedding")
+    def run(): Unit = {
+      val stream = spark.readStream.schema(e2.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+      val q = graft.streaming.SemDedupStream.startIndexed(stream,
+        "vec_id", "embedding", root, s"$dir/ckpt", minCos = 0.35,
+        AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 8,
+          m = 4, efConstruction = 12)) { (pairs, _) =>
+        pairs.write.mode("append").parquet(s"$dir/out")
+      }
+      q.awaitTermination(120000): Unit
+    }
+    e2.filter($"vec_id" % 2 === 0).write.parquet(s"$dir/in1")
+    run()
+    val v1 = AnnIndexStore.currentVersion(root)
+    assert(v1.nonEmpty)
+    e2.filter($"vec_id" % 2 =!= 0).write.parquet(s"$dir/in2")
+    run() // restart, same checkpoint: only the new file processes
+    assert(AnnIndexStore.currentVersion(root).exists(_ > v1.get))
+
+    // telescoping: each pair is emitted exactly once (in the batch
+    // where its LATER member arrived), so the union of emissions
+    // equals the one-shot batch SemDeDup of everything ingested at the
+    // centroids the FIRST batch froze
+    val streamed = pairsPpm(spark.read.parquet(s"$dir/out"))
+    val cents = AnnIndexStore.centroids(spark, root)
+    val batch = pairsPpm(graft.llm.Dedup.semDedupPairsWithCentroids(
+      e2, "vec_id", "embedding", cents, 0.35))
+    assert(streamed.nonEmpty && streamed == batch)
+    // the store absorbed every batch: params sidecar rode along and
+    // the assignment holds the full corpus at the built fan-out
+    assert(AnnIndexStore.params(root).exists(_.multiAssign == 2))
+    assert(AnnIndexStore.assigned(spark, root)
+      .select($"vec_id").distinct().count() == e2.count())
   }
 
   test("semDedup store probe on a HIERARCHICAL store: pairs within FINE cells == two-level batch twin") {
