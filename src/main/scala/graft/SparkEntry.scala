@@ -2841,10 +2841,15 @@ object SparkEntry {
     e.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(s"$root/in2")
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/in*")
+    // cells AUTO-SIZE to the first batch (⌈250/32⌉ = 8 at sf0.01 —
+    // the literal oracle's partition): with fixed nCells the
+    // within-cell pair stage is O((n/k)²)·k and the stream would go
+    // quadratic at scale; cellTarget keeps cell size — and with it
+    // per-batch probe cost — bounded as the corpus grows
     val q = graft.streaming.SemDedupStream.startIndexed(stream,
       "vec_id", "embedding", s"$root/store", s"$root/ckpt", minCos = 0.35,
-      AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 16,
-        m = 4, efConstruction = 12)) { (pairs, _) =>
+      AnnIndexStore.Params(nCells = 0, cellTarget = 32, iters = 2,
+        numBuckets = 16, m = 4, efConstruction = 12)) { (pairs, _) =>
       pairs.write.mode("append").parquet(s"$root/out")
     }
     q.awaitTermination(300000): Unit
