@@ -1891,6 +1891,181 @@ object Dedup {
     signSketched(embs, idCol, vecCol, numBits, seed).unpersist(): Unit
   }
 
+  // ---------------------------------------------------------------------
+  // Embedding-LSH over a persisted bucket-pruned index — the
+  // centroid-FREE semantic near-dup family's delta-bounded form. Unlike
+  // the store-backed SemDeDup probe ([[AnnIndexStore
+  // .semDedupPairsForDelta]], whose answers are a function of the
+  // store's current centroid partition), the banded sign-sketch is a
+  // PURE function of each vector: answers never change under
+  // maintenance, and recall is the LSH S-curve rather than the
+  // same-cluster assumption. Components (the fuzzy-key layout shape):
+  //   root/bands (id, band, bkey, sk)  keyed by (band, bkey)
+  //   root/byid  (id, band, bkey, sk)  keyed by id  (replacement lookup)
+  //   root/byvec (id, vec)             keyed by id  (verification fetch)
+  // A batch reads only the delta's (band, bkey) buckets plus the
+  // candidates' byvec buckets; the corpus is never re-sketched and
+  // never fully scanned. numBits/bandBits/seed freeze in the meta (they
+  // DEFINE the index); the cosine threshold stays a per-probe argument.
+  // ---------------------------------------------------------------------
+
+  private[llm] def elshMetaPath(root: String): String =
+    graft.fs.Fs.child(root, "_ELSH_META")
+
+  private[llm] def readElshMeta(root: String): (Int, Int, Long) = {
+    val ls = graft.fs.Fs.readString(elshMetaPath(root)).split("\n")
+    (ls(0).trim.toInt, ls(1).trim.toInt, ls(2).trim.toLong)
+  }
+
+  /** (id, band, bkey, sk) banded rows for a [[signSketched]] frame. */
+  private def elshBandRows(sketched: DataFrame, numBits: Int,
+                           bandBits: Int): DataFrame = {
+    val bands = numBits / bandBits
+    val mask = (1L << bandBits) - 1
+    sketched.select(col("id"), col("sk"),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("sk"), b * bandBits).bitwiseAND(mask)
+        }: _*)).as(Seq("band", "bkey")))
+      .select(col("id"), col("band"), col("bkey"), col("sk"))
+  }
+
+  /** A pair's FIRST agreeing band over the two sketches riding in the
+    * joined row — the emit-once rule shared with
+    * [[embeddingNearDupLsh]] (a pure pair function, so batch and
+    * indexed probes dedup candidates identically). */
+  private def elshFirstAgreeingBand(aSk: Column, bSk: Column,
+                                    numBits: Int, bandBits: Int): Column = {
+    val bands = numBits / bandBits
+    val mask = (1L << bandBits) - 1
+    def bandOf(sk: Column, b: Int): Column =
+      shiftright(sk, b * bandBits).bitwiseAND(mask)
+    least((0 until bands).map { b =>
+      when(bandOf(aSk, b) === bandOf(bSk, b), lit(b)).otherwise(lit(bands))
+    }: _*)
+  }
+
+  /** Build the persisted embedding-LSH index for `embs` (one corpus
+    * version). Probe with [[embeddingLshDeltaPairsIndexed]]; maintain
+    * with [[appendEmbeddingLshIndexDelta]]. */
+  def writeEmbeddingLshIndex(spark: org.apache.spark.sql.SparkSession,
+                             embs: DataFrame, idCol: String, vecCol: String,
+                             root: String, numBits: Int = 32,
+                             bandBits: Int = 8, seed: Long = 42L,
+                             numBuckets: Int = 64): Unit = {
+    require(numBits % bandBits == 0, "bandBits must divide numBits")
+    val sk = signSketched(embs, idCol, vecCol, numBits, seed)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = elshBandRows(sk, numBits, bandBits)
+    graft.sources.PrunedIndex.write(bandRows,
+      graft.fs.Fs.child(root, "bands"), Seq("band", "bkey"), numBuckets)
+    graft.sources.PrunedIndex.write(bandRows,
+      graft.fs.Fs.child(root, "byid"), Seq("id"), numBuckets)
+    graft.sources.PrunedIndex.write(sk.select(col("id"), col("v").as("vec")),
+      graft.fs.Fs.child(root, "byvec"), Seq("id"), numBuckets)
+    graft.fs.Fs.writeStringAtomic(elshMetaPath(root),
+      s"$numBits\n$bandBits\n$seed")
+    sk.unpersist(false): Unit
+  }
+
+  /** [[embeddingNearDupLsh]] restricted to pairs touching `delta`,
+    * over the persisted index: the delta sketches itself (one narrow
+    * map), ONLY its (band, bkey) buckets load, candidates dedup by the
+    * shared first-agreeing-band rule, and exact-cosine verification
+    * fetches ONLY the candidates' stored vectors through the id-keyed
+    * byvec buckets — delta-bounded read I/O end to end. Stale
+    * re-upload rows leave by a broadcast anti-join (a re-uploaded id
+    * pairs under its NEW vector only). */
+  def embeddingLshDeltaPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                                    root: String, delta: DataFrame,
+                                    idCol: String, vecCol: String,
+                                    threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions.{cosineWithNorms, dot, norm}
+    val (numBits, bandBits, seed) = readElshMeta(root)
+    val dSk = signSketched(delta, idCol, vecCol, numBits, seed).localCheckpoint()
+    val dBands = broadcast(elshBandRows(dSk, numBits, bandBits).localCheckpoint())
+    val deltaIds = dSk.select(col("id")).distinct()
+    val stored = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "bands"),
+        dBands.select(col("band"), col("bkey")))
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+
+    val fab = elshFirstAgreeingBand(col("a_sk"), col("b_sk"), numBits, bandBits)
+    val cross = dBands
+      .select(col("band"), col("bkey"), col("id").as("d_id"), col("sk").as("d_sk"))
+      .join(stored.select(col("band"), col("bkey"),
+        col("id").as("c_id"), col("sk").as("c_sk")), Seq("band", "bkey"))
+      .filter(col("d_id") =!= col("c_id"))
+      .select(col("band"),
+        least(col("d_id"), col("c_id")).as("a_id"),
+        greatest(col("d_id"), col("c_id")).as("b_id"),
+        when(col("d_id") < col("c_id"), col("d_sk")).otherwise(col("c_sk")).as("a_sk"),
+        when(col("d_id") < col("c_id"), col("c_sk")).otherwise(col("d_sk")).as("b_sk"))
+      .filter(col("band") === fab)
+      .select(col("a_id"), col("b_id"))
+    val within = dBands
+      .select(col("band"), col("bkey"), col("id").as("a_id"), col("sk").as("a_sk"))
+      .join(dBands.select(col("band"), col("bkey"),
+        col("id").as("b_id"), col("sk").as("b_sk")), Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(col("band") === fab)
+      .select(col("a_id"), col("b_id"))
+    // no checkpoint: the byvec bucket resolution below evaluates the
+    // candidate join once eagerly anyway, and keeping the lineage means
+    // the returned plan SHOWS its pruned bands scan (the ScaleSpec
+    // file-gate observes it there); the join is broadcast-driven and
+    // delta-bounded, so the one recompute is cheap
+    val cand = cross.unionByName(within)
+
+    // verification vectors: the delta's ride in dSk; candidates' stored
+    // partners fetch through the id-keyed byvec buckets (point lookups,
+    // candidate-bounded — never a corpus scan)
+    val candIds = cand.select(col("a_id").as("id"))
+      .unionByName(cand.select(col("b_id").as("id"))).distinct()
+    val storedNeeded = candIds.join(broadcast(deltaIds), Seq("id"), "left_anti")
+    val cVecs = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "byvec"), storedNeeded)
+      .select(col("id"), col("vec").as("v"), norm(col("vec")).as("nrm"))
+    val allVecs = dSk.select(col("id"), col("v"), col("nrm")).unionByName(cVecs)
+    cand
+      .join(allVecs.select(col("id").as("a_id"), col("v").as("a_v"),
+        col("nrm").as("a_n")), Seq("a_id"))
+      .join(allVecs.select(col("id").as("b_id"), col("v").as("b_v"),
+        col("nrm").as("b_n")), Seq("b_id"))
+      .withColumn("cos", cosineWithNorms(dot(col("a_v"), col("b_v")),
+        col("a_n"), col("b_n")))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos").as("cos_sim"))
+  }
+
+  /** Absorb `delta` into the persisted embedding-LSH index (REPLACE
+    * semantics for re-uploaded ids, delta-bounded write I/O,
+    * replay-idempotent — the kept side anti-joins delta ids in every
+    * crash window). */
+  def appendEmbeddingLshIndexDelta(spark: org.apache.spark.sql.SparkSession,
+                                   root: String, delta: DataFrame,
+                                   idCol: String, vecCol: String): Unit = {
+    val (numBits, bandBits, seed) = readElshMeta(root)
+    val dSk = signSketched(delta, idCol, vecCol, numBits, seed).localCheckpoint()
+    val dBands = elshBandRows(dSk, numBits, bandBits).localCheckpoint()
+    val deltaIds = dSk.select(col("id")).distinct()
+    val replacedOld = graft.sources.PrunedIndex.readPruned(spark,
+      graft.fs.Fs.child(root, "byid"), deltaIds)
+    val touchedKeys = dBands.select(col("band"), col("bkey"))
+      .unionByName(replacedOld.select(col("band"), col("bkey")))
+      .distinct().localCheckpoint()
+    val kept = graft.sources.PrunedIndex.readPruned(spark,
+        graft.fs.Fs.child(root, "bands"), touchedKeys)
+      .join(broadcast(deltaIds), Seq("id"), "left_anti")
+      .select(col("id"), col("band"), col("bkey"), col("sk"))
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "bands"), kept.unionByName(dBands), touchedKeys)
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "byid"), dBands, deltaIds)
+    graft.sources.PrunedIndex.writeDelta(spark,
+      graft.fs.Fs.child(root, "byvec"),
+      dSk.select(col("id"), col("v").as("vec")), deltaIds)
+  }
+
   /** Connected components over an undirected pair graph — the group
     * resolution step every near-dup pipeline needs after pair
     * generation: pairs only SAY a~b; keeping one doc per cluster needs

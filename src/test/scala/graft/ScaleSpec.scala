@@ -529,6 +529,46 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("embedding-LSH indexed probe reads a strict subset of bands AND byvec files") {
+    import graft.llm.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft_elshprune").toString
+    val root = s"$dir/idx"
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    Dedup.writeEmbeddingLshIndex(spark, embs.filter($"vec_id" >= 10),
+      "vec_id", "embedding", root, numBits = 32, bandBits = 8,
+      seed = 42L, numBuckets = 16)
+    val delta = embs.filter($"vec_id" < 3)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // the candidate frame is referenced several times (its lineage is
+      // deliberately kept so the pruned scan is observable), so the
+      // same pruned bands scan appears more than once in the plan —
+      // gate on the PER-SCAN file count, not the sum
+      def filesRead(df: org.apache.spark.sql.DataFrame, frag: String): Long = {
+        df.collect()
+        df.queryExecution.executedPlan.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+              if s.relation.location.rootPaths.exists(_.toString.contains(frag)) =>
+            s.metrics("numFiles").value
+        }.max
+      }
+      val probe = Dedup.embeddingLshDeltaPairsIndexed(spark, root, delta,
+        "vec_id", "embedding", threshold = 0.30)
+      val bandsRead = filesRead(probe, "/bands")
+      val byvecRead = filesRead(probe, "/byvec")
+      val bandsTotal = filesRead(
+        graft.sources.PrunedIndex.read(spark, s"$root/bands"), "/bands")
+      val byvecTotal = filesRead(
+        graft.sources.PrunedIndex.read(spark, s"$root/byvec"), "/byvec")
+      assert(bandsRead > 0 && bandsRead < bandsTotal,
+        s"bands: read $bandsRead of $bandsTotal — no pruning")
+      assert(byvecRead > 0 && byvecRead < byvecTotal,
+        s"byvec: read $byvecRead of $byvecTotal — no pruning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("semDedup store probe reads a strict subset of assignment files") {
     import graft.llm.AnnIndexStore
     val dir = java.nio.file.Files.createTempDirectory("graft_semprune").toString

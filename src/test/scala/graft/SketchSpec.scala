@@ -33,6 +33,63 @@ class SketchSpec extends AnyFunSuite {
       s"recall ${lsh.size}/${brute.size}")
   }
 
+  test("indexed embedding-LSH: probe == batch delta-restricted incl. re-uploads; append == rebuild; replay idempotent") {
+    import org.apache.spark.sql.functions.floor
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val corpus = e.filter($"vec_id" % 5 =!= 0)
+    val delta = e.filter($"vec_id" % 5 === 0)
+    val base = java.nio.file.Files.createTempDirectory("graft_elshidx").toString
+    val root = s"$base/idx"
+    Dedup.writeEmbeddingLshIndex(spark, corpus, "vec_id", "embedding", root,
+      numBits = 32, bandBits = 8, seed = 42L, numBuckets = 16)
+    def pset(df: org.apache.spark.sql.DataFrame) =
+      df.select($"a_id", $"b_id", floor($"cos_sim" * 1e6).cast("long"))
+        .as[(Long, Long, Long)].collect().toSet
+    val deltaIds = delta.select($"vec_id").as[Long].collect().toSet
+    val want = pset(Dedup.embeddingNearDupLsh(e, "vec_id", "embedding", 0.30))
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    val got = pset(Dedup.embeddingLshDeltaPairsIndexed(spark, root, delta,
+      "vec_id", "embedding", threshold = 0.30))
+    assert(got.nonEmpty && got == want)
+    Dedup.releaseEmbeddingLshCache(e, "vec_id", "embedding")
+
+    // absorb the delta; then a RE-UPLOAD batch — ids 0..19 wearing the
+    // vectors of 100..119: pairs must form under the new vectors only,
+    // with the (i, i+100) identical-vector witness at cos ≈ 1
+    Dedup.appendEmbeddingLshIndexDelta(spark, root, delta, "vec_id", "embedding")
+    val delta2 = e.filter($"vec_id" >= 100 && $"vec_id" < 120)
+      .select(($"vec_id" - 100L).as("vec_id"), $"embedding")
+    val post = e.filter($"vec_id" >= 20).unionByName(delta2)
+    val d2Ids = (0L until 20L).toSet
+    val want2 = pset(Dedup.embeddingNearDupLsh(post, "vec_id", "embedding", 0.30))
+      .filter(p => d2Ids(p._1) || d2Ids(p._2))
+    def probe2() = pset(Dedup.embeddingLshDeltaPairsIndexed(spark, root, delta2,
+      "vec_id", "embedding", threshold = 0.30))
+    assert(probe2().nonEmpty && probe2() == want2)
+    assert(probe2().exists(p => d2Ids(p._1) && p._2 == p._1 + 100L && p._3 >= 999999L))
+    Dedup.releaseEmbeddingLshCache(post, "vec_id", "embedding")
+
+    // append delta2: probe unchanged (order independence), replay
+    // idempotent, components == a fresh build over the post-replace corpus
+    Dedup.appendEmbeddingLshIndexDelta(spark, root, delta2, "vec_id", "embedding")
+    assert(probe2() == want2)
+    Dedup.appendEmbeddingLshIndexDelta(spark, root, delta2, "vec_id", "embedding")
+    assert(probe2() == want2)
+    val root2 = s"$base/rebuild"
+    Dedup.writeEmbeddingLshIndex(spark, post, "vec_id", "embedding", root2,
+      numBits = 32, bandBits = 8, seed = 42L, numBuckets = 16)
+    for (comp <- Seq("bands", "byid"))
+      assert(graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(root, comp))
+          .as[(Long, Int, Long, Long)].collect().toSet ==
+        graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(root2, comp))
+          .as[(Long, Int, Long, Long)].collect().toSet, comp)
+    assert(graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(root, "byvec"))
+        .as[(Long, Seq[Float])].collect().toSet ==
+      graft.sources.PrunedIndex.read(spark, graft.fs.Fs.child(root2, "byvec"))
+        .as[(Long, Seq[Float])].collect().toSet)
+  }
+
   test("winnowing: doc sharing a long substring is caught, unrelated is not") {
     val common = "spark structured streaming watermarks and stateful aggregation semantics"
     val docs = Seq(
