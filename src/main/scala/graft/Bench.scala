@@ -186,6 +186,16 @@ object Bench {
     // median survives verbatim (committed per round as BENCH_full_r{N}).
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outName), line + "\n")
+    // A COMPACT machine-readable result as the LAST stdout line: the
+    // full line above exceeds the driver's capture window (r18's
+    // BENCH_r18.json landed "parsed": null off a 2000-char tail), so a
+    // parser that keeps only the tail still gets one complete JSON
+    // object with the headline totals and a pointer to the full file.
+    val compact =
+      s"""BENCH_RESULT {"metric":"total","value":$total,"unit":"sec",""" +
+        s""""total_min_sec":$totalMin,"n_queries":${results.size},""" +
+        s""""suspects":$suspectsJson,"queries_file":"$outName","sf":"$sfDir"}"""
+    println(compact)
     spark.stop()
   }
 }

@@ -2589,7 +2589,11 @@ object SparkEntry {
       k = 16, w = 8, minShared = 8) { (pairs, _) =>
       pairs.write.mode("append").parquet(s"$root/out")
     }
-    q.awaitTermination(300000): Unit
+    // (t150's emissions are batch-order-independent — telescoping holds
+    // for ANY partition — so no mtime pinning needed here, unlike t156;
+    // but a hung stream must still fail loudly, not read partial out)
+    require(q.awaitTermination(300000),
+      "t150: stream did not terminate within 300s")
     s.read.parquet(s"$root/out").orderBy(col("a_id"), col("b_id"))
   }
 
@@ -2839,6 +2843,15 @@ object SparkEntry {
     if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
     e.filter(col("vec_id") % 2 === 0).coalesce(1).write.parquet(s"$root/in1")
     e.filter(col("vec_id") % 2 =!= 0).coalesce(1).write.parquet(s"$root/in2")
+    // the file source orders batches by modification time; the two
+    // writes land within ms of each other, and an mtime TIE could
+    // process in2 first — freezing centroids on the odd half and
+    // breaking the literal oracle. Pin the order explicitly.
+    def touch(d: String, t: Long): Unit =
+      new java.io.File(d).listFiles().foreach(_.setLastModified(t))
+    val now = System.currentTimeMillis()
+    touch(s"$root/in1", now - 60000)
+    touch(s"$root/in2", now)
     val stream = s.readStream.schema(e.schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$root/in*")
     // cells AUTO-SIZE to the first batch (⌈250/32⌉ = 8 at sf0.01 —
@@ -2852,11 +2865,126 @@ object SparkEntry {
         numBuckets = 16, m = 4, efConstruction = 12)) { (pairs, _) =>
       pairs.write.mode("append").parquet(s"$root/out")
     }
-    q.awaitTermination(300000): Unit
+    // a hung stream must fail LOUDLY — a discarded false would read
+    // partial output as if it were the full corpus's pairs
+    require(q.awaitTermination(300000),
+      "t156: stream did not terminate within 300s")
     s.read.parquet(s"$root/out")
       .select(col("cell"), col("a_id"), col("b_id"),
         floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
       .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** The t132 drift loop on a HIERARCHICAL (subCells > 0) store — the
+    * deployment shape for the 10⁵–10⁶-fine-cell regime, where no flat
+    * driver-resident centroid matrix exists: drift measures against
+    * the COARSE matrix (and reads its corpus baseline from the
+    * persisted `_DRIFTBASE` — the check is version-metadata + delta
+    * only, gated in ScaleSpec), the in-distribution delta stays below
+    * threshold and is absorbed by the frozen two-level
+    * [[graft.llm.AnnIndexStore.appendDelta]] (only its coarse cells'
+    * sub-centroid buckets load), and the shifted delta retrains the
+    * FULL two-level state — coarse AND sub-centroids — as a new
+    * version equal to a fresh hierarchical build on the merged corpus
+    * (pinned in AnnIndexStoreSpec). Maintenance runs under the store's
+    * OWN persisted `_PARAMS` (the param-less deployment entry points).
+    * Literal checksum oracle over the post-maintenance routed search,
+    * t132's idiom. */
+  private def t157AnnHierDrift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val v1 = e.filter(col("vec_id") % 5 =!= 0)
+    val deltaSame = e.filter(col("vec_id") % 5 === 0)
+    val deltaShift = deltaSame.select(col("vec_id"),
+      transform(col("embedding"), x => (x + lit(3.0f)).cast("float")).as("embedding"))
+    val root = scratch("hierdrift", dir)
+    // idempotent across bench reps: each run replays the loop from v1
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    val p = AnnIndexStore.Params(nCells = 4, iters = 2, numBuckets = 16,
+      m = 8, efConstruction = 48, subCells = 4)
+    val q = e.filter(col("vec_id") < 20)
+    def scenario(name: String, delta: DataFrame): (String, Long, Int, Long, Long, Long, Long) = {
+      val r = s"$root/$name"
+      AnnIndexStore.build(s, v1, "vec_id", "embedding", r, p)
+      val d = AnnIndexStore.reclusterIfDrifted(s, r, delta, "vec_id", "embedding",
+        thresholdPpm = 2000000L)
+      val vAfter =
+        if (d.reclustered) d.version
+        else AnnIndexStore.appendDelta(s, r, delta, "vec_id", "embedding")
+      val store = AnnIndexStore.searchGraph(s, r, q, "vec_id", "embedding",
+        k = 10, nprobe = 8, efSearch = 48, nprobeCoarse = 2)
+      val (nbrCk, cosCk) = store.select(
+          sum(col("rank") * col("neighbor_id")).cast("long"),
+          sum(floor(col("cos_sim") * 1e6)).cast("long"))
+        .as[(Long, Long)].head()
+      val nIndex = AnnIndexStore.assigned(s, r).count()
+      (name, d.driftPpm, if (d.reclustered) 1 else 0, vAfter, nIndex, nbrCk, cosCk)
+    }
+    Seq(scenario("in_dist", deltaSame), scenario("shifted", deltaShift))
+      .toDF("scenario", "drift_ppm", "reclustered", "version_after", "n_index",
+        "nbr_ck", "cos_ck")
+      .orderBy(col("scenario"))
+  }
+
+  /** Fixture: t154's twin store built HIERARCHICAL (4 coarse × 4 sub
+    * under multiAssign 2) — the store side of the two-level semantic
+    * dedup probe. */
+  private def t158Fixture(s: SparkSession, dir: String): Unit = {
+    import graft.llm.AnnIndexStore
+    val e = t(s, dir, "embeddings")
+    val root = scratch("semstoreh", dir)
+    ensureFixture(root) {
+      AnnIndexStore.build(s, e.filter(col("vec_id") % 5 =!= 0),
+        "vec_id", "embedding", root,
+        AnnIndexStore.Params(nCells = 4, iters = 2, numBuckets = 16,
+          m = 4, efConstruction = 12, subCells = 4)): Unit
+    }
+  }
+
+  /** SemDeDup through a HIERARCHICAL ANN store
+    * ([[graft.llm.AnnIndexStore.semDedupPairsForDelta]]'s two-level
+    * branch — t154's twin at the partition scale semantic dedup
+    * actually needs: 10⁹ vectors want 10⁵–10⁶ cells, past any
+    * driver-resident flat matrix): the %5==0 batch resolves coarse
+    * driver-side (k₁ rows), ONLY its coarse cells' sub-centroid
+    * buckets load to resolve primary FINE cells, members filter to
+    * their stored rank-1 rows, and pairs compare within fine cells.
+    * Deterministic end to end → literal oracle (pairs == the frozen
+    * two-level batch twin, pinned in AnnIndexStoreSpec). */
+  private def t158SemDedupHier(s: SparkSession, dir: String): DataFrame = {
+    import graft.llm.AnnIndexStore
+    t158Fixture(s, dir)
+    val e = t(s, dir, "embeddings")
+    val delta = e.filter(col("vec_id") % 5 === 0)
+    val root = scratch("semstoreh", dir)
+    AnnIndexStore.semDedupPairsForDelta(s, root, delta,
+        "vec_id", "embedding", minCos = 0.35)
+      .select(col("cell"), col("a_id"), col("b_id"),
+        floor(col("cos_sim") * 1e6).cast("long").as("cos_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Zipf-skewed fact-side join — the classic 100×-scale killer the
+    * relational surface must survive: ~90 % of lineitem rows hash to
+    * ONE join key (synthetic hot-key remap of l_orderkey), so a naive
+    * shuffle join lands most of the fact table in a single reducer.
+    * The engine leaves the plan declarative and lets AQE's skew-join
+    * handling split the hot partition at runtime (gated with a
+    * plan-shape + partition-size assertion in ScaleSpec; an explicit
+    * salting operator exists as [[graft.operators.Scale.saltedJoin]]
+    * for engines/paths without AQE). The aggregate output is exact
+    * integer money math — the DuckDB twin re-derives it. */
+  private def t159SkewJoin(s: SparkSession, dir: String): DataFrame = {
+    val l = t(s, dir, "lineitem").withColumn("fk",
+      when(pmod(col("l_orderkey"), lit(100)) < 90, lit(1L))
+        .otherwise(col("l_orderkey")))
+    val o = t(s, dir, "orders")
+    l.join(o, col("fk") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_li"),
+        moneySum(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
   }
 
   /** TF-IDF keyword extraction: top-3 terms per document, ppm-floored
@@ -3217,6 +3345,9 @@ object SparkEntry {
     "t154_semdedup_store" -> t154SemDedupStore _,
     "t155_ann_maintenance" -> t155AnnMaintenance _,
     "t156_semdedup_stream" -> t156SemDedupStream _,
+    "t157_ann_hier_drift" -> t157AnnHierDrift _,
+    "t158_semdedup_hier" -> t158SemDedupHier _,
+    "t159_skew_join" -> t159SkewJoin _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3261,6 +3392,7 @@ object SparkEntry {
     "t153_ledger_changed" -> t153Fixture _,
     "t154_semdedup_store" -> t154Fixture _,
     "t155_ann_maintenance" -> t155Fixture _,
+    "t158_semdedup_hier" -> t158Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -3758,10 +3890,28 @@ object SparkEntry {
       // first micro-batch's frozen centroids (see t156's Scaladoc);
       // deterministic two-file intake → literal, pinned at 8+32 threads
       "t156_semdedup_stream" -> LiteralOracles.t156,
+      // t132's drift loop on a hierarchical store: integer checksums
+      // over the post-maintenance routed search (deterministic —
+      // decimal centroids, total-order ties; recluster == fresh
+      // hierarchical build pinned in AnnIndexStoreSpec)
+      "t157_ann_hier_drift" -> LiteralOracles.t157,
+      // two-level SemDeDup probe == the frozen two-level batch twin
+      // (AnnIndexStoreSpec); deterministic like t154 → literal
+      "t158_semdedup_hier" -> LiteralOracles.t158,
       "t115_ivf_drift" -> LiteralOracles.t115,
       "t50_bpe_tokens" -> LiteralOracles.t50,
       "t62_distinct_approx" -> LiteralOracles.t62,
       "t65_incremental_minhash" -> LiteralOracles.t65,
+      // Zipf-skewed join: the remap is pure integer CASE logic, the
+      // aggregate exact cents — SQL re-derives it verbatim (the AQE
+      // skew-split behavior itself is gated plan-side in ScaleSpec;
+      // the oracle pins that splitting never changes answers)
+      "t159_skew_join" ->
+        """SELECT o_orderpriority, count(*) AS n_li,
+          CAST(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price
+          FROM lineitem JOIN orders
+            ON (CASE WHEN l_orderkey % 100 < 90 THEN 1 ELSE l_orderkey END) = o_orderkey
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""",
       "t33_sql_custom_fn" ->
         """SELECT vec_id,
           list_sum(list_transform(list_zip(embedding, embedding),

@@ -116,4 +116,11 @@ object Fs {
   }
 
   def child(parent: String, name: String): String = new Path(parent, name).toString
+
+  /** Fully-qualified (scheme + authority) form of a path — the
+    * comparison form for prefix tests between caller-supplied roots and
+    * manifest entries, which may differ in scheme qualification
+    * (file:/ vs plain), trailing-slash, or relativity. */
+  def qualified(p: String): String =
+    fs(p).makeQualified(new Path(p)).toString
 }

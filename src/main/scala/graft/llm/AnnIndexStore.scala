@@ -116,6 +116,61 @@ object AnnIndexStore {
   private def paramsPath(versionDir: String): String =
     Fs.child(versionDir, "_PARAMS")
 
+  private def driftBasePath(versionDir: String): String =
+    Fs.child(versionDir, "_DRIFTBASE")
+
+  /** Per-cell (n, Σ d2_ppm) of the stored assignment under the version's
+    * centroids — the drift BASELINE persisted at build/recluster and
+    * maintained INCREMENTALLY by [[appendDelta]] (sums are additive:
+    * new = old + delta's rows − replaced ids' old rows), so
+    * [[driftPpm]] reads k rows of metadata instead of re-scoring the
+    * full corpus against every centroid per drift check. Keyed by the
+    * argmin cell under the version's DRIVER-VISIBLE centroid matrix
+    * (coarse cells for hierarchical stores — the same matrix driftPpm
+    * measures against), so the sidecar is at most centroid-matrix-sized
+    * driver state. Values reproduce the legacy full recompute
+    * bit-for-bit: per-row d2_ppm is a pure function of (vec, centroids)
+    * and the fold applies the same per-cell `sum DIV n` then global
+    * `Σ(mean·n) DIV Σn` integer arithmetic. */
+  private def renderDriftBase(stats: Seq[(Int, Long, Long)]): String =
+    stats.sortBy(_._1).map { case (c, n, s) => s"$c\t$n\t$s" }.mkString("\n")
+
+  private def readDriftBase(versionDir: String): Option[Map[Int, (Long, Long)]] = {
+    val p = driftBasePath(versionDir)
+    if (!Fs.exists(p)) None
+    else Some(Fs.readString(p).split("\n").iterator
+      .map(_.trim).filter(_.nonEmpty)
+      .map { l => val Array(c, n, s) = l.split("\t"); c.toInt -> (n.toLong, s.toLong) }
+      .toMap)
+  }
+
+  /** The legacy global-mean fold over per-cell (n, sum) stats —
+    * floor(Σ(floor(s/n)·n) / Σn), exactly [[driftPpm]]'s historical
+    * arithmetic over [[Similarity.ivfCellStats]] rows. */
+  private def foldGlobalMean(stats: Iterable[(Long, Long)]): Long = {
+    var num = 0L; var den = 0L
+    stats.foreach { case (n, s) => if (n > 0) { num += (s / n) * n; den += n } }
+    if (den == 0) 0L else num / den
+  }
+
+  private def collectCellStatsRaw(df: DataFrame, idCol: String, vecCol: String,
+                                  cents: Array[(Int, Array[Double])]): Seq[(Int, Long, Long)] =
+    Similarity.ivfCellStatsRaw(df, idCol, vecCol, cents)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
+  /** old + added − removed, per cell; cells folding to n == 0 drop
+    * (matching a fresh recompute, which emits no row for them). */
+  private def mergeDriftBase(old: Map[Int, (Long, Long)],
+                             added: Seq[(Int, Long, Long)],
+                             removed: Seq[(Int, Long, Long)]): Seq[(Int, Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[Int, (Long, Long)] ++= old
+    added.foreach { case (c, n, s) =>
+      val (n0, s0) = m.getOrElse(c, (0L, 0L)); m(c) = (n0 + n, s0 + s) }
+    removed.foreach { case (c, n, s) =>
+      val (n0, s0) = m.getOrElse(c, (0L, 0L)); m(c) = (n0 - n, s0 - s) }
+    m.iterator.collect { case (c, (n, s)) if n > 0 => (c, n, s) }.toSeq.sortBy(_._1)
+  }
+
   private def renderParams(p: Params): String =
     Seq("nCells" -> p.nCells, "cellTarget" -> p.cellTarget,
       "iters" -> p.iters, "numBuckets" -> p.numBuckets, "m" -> p.m,
@@ -146,9 +201,16 @@ object AnnIndexStore {
     }
 
   private def storedParams(root: String, op: String): Params =
-    params(root).getOrElse(throw new IllegalStateException(
-      s"$op: store $root has no _PARAMS sidecar (built before params " +
-        "persistence) — pass Params explicitly"))
+    params(root).getOrElse {
+      // distinguish "no store at all" from "legacy store without the
+      // sidecar" — the former is the caller's real problem and the
+      // sidecar message would send them chasing the wrong cause
+      if (currentPath(root).isEmpty)
+        throw new IllegalStateException(s"no committed version under $root")
+      throw new IllegalStateException(
+        s"$op: store $root has no _PARAMS sidecar (built before params " +
+          "persistence) — pass Params explicitly")
+    }
 
   /** Committed versions, ascending (a version counts only once its
     * `_SUCCESS` marker exists — an in-flight build is invisible). */
@@ -187,7 +249,8 @@ object AnnIndexStore {
                            idCol: String, vecCol: String, p: Params,
                            subCents: Option[DataFrame] = None,
                            pq: Option[(DataFrame, DataFrame)] = None,
-                           vecsById: Option[DataFrame] = None): Long = {
+                           vecsById: Option[DataFrame] = None,
+                           driftBase: Option[Seq[(Int, Long, Long)]] = None): Long = {
     import spark.implicits._
     val dir = vPath(root, v)
     cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
@@ -216,6 +279,8 @@ object AnnIndexStore {
       edges.select(col("cell"), col("src"), col("dst"), col("pos")),
       Fs.child(dir, "graph"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
     Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
+    driftBase.foreach(db =>
+      Fs.writeStringAtomic(driftBasePath(dir), renderDriftBase(db)))
     Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
     Fs.writeStringAtomic(ptr(root), s"v$v")
     v
@@ -299,8 +364,14 @@ object AnnIndexStore {
     // id-keyed point-lookup layout alongside the codes
     val vecsById =
       if (p.pqM > 0) Some(corpus.select(col(idCol), col(vecCol))) else None
+    // the drift BASELINE, captured while the assignment is in hand: the
+    // store remembers at write time what reclusterIfDrifted would
+    // otherwise re-derive from the full corpus on every check (the
+    // census-head/rank-column lesson applied to the drift monitor)
+    val driftBase = collectCellStatsRaw(assignedDf, idCol, vecCol, cents)
     val v = writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
-      cents, assignedDf, edges, idCol, vecCol, p, subCents, pq._1, vecsById)
+      cents, assignedDf, edges, idCol, vecCol, p, subCents, pq._1, vecsById,
+      Some(driftBase))
     // the build report: multiAssign's storage factor is the recall
     // knob's explicit price (r17 verdict item #5)
     log.info(s"AnnIndexStore.build $root v$v: multiAssign=${p.multiAssign} " +
@@ -424,6 +495,25 @@ object AnnIndexStore {
       recomputedEdges.select(col("cell"), col("src"), col("dst"), col("pos")),
       touchedCells, basePath = Some(Fs.child(cur, "graph")), p.maxRecordsPerFile)
     Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
+    // advance the drift baseline from the batch's OWN stats — per-cell
+    // (n, Σ d2_ppm) are pure sums, so old + delta rows − replaced ids'
+    // old rows equals a full recompute over the post-append assignment
+    // bit-for-bit, at O(delta·nCells·dim) instead of O(corpus·nCells·dim)
+    // per batch. Legacy stores (no sidecar) stay legacy: a half-upgraded
+    // chain would silently pay the full scan on SOME checks only.
+    readDriftBase(cur).foreach { base =>
+      val added = collectCellStatsRaw(deltaAssigned, idCol, vecCol, cents)
+      // replaced ids' old rows live only in touched cells (touchedCells
+      // includes every re-uploaded id's OLD cell by construction), so
+      // the subtraction side is a bucket-pruned read, not a corpus scan
+      val removed = collectCellStatsRaw(
+        graft.sources.PrunedIndex.readPruned(spark, Fs.child(cur, "assigned"),
+            touchedCells)
+          .join(broadcast(deltaIds), Seq(idCol), "left_semi"),
+        idCol, vecCol, cents)
+      Fs.writeStringAtomic(driftBasePath(dir),
+        renderDriftBase(mergeDriftBase(base, added, removed)))
+    }
     Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
     Fs.writeStringAtomic(ptr(root), s"v$v")
     v
@@ -479,7 +569,11 @@ object AnnIndexStore {
     writeVersion(spark, root,
       math.max(versions(root).lastOption.getOrElse(0L), currentVersion(root).get) + 1,
       centroids(spark, root), assigned(spark, root), edges, idCol, vecCol, p,
-      subCents, pq, vecsById)
+      subCents, pq, vecsById,
+      // compaction changes layout, never content — the drift baseline
+      // carries forward verbatim (recomputing it would be the full
+      // corpus re-score this sidecar exists to kill)
+      readDriftBase(cur).map(_.toSeq.map { case (c, (n, s)) => (c, n, s) }))
   }
 
   /** [[compact]] under the store's own persisted parameters. */
@@ -495,9 +589,15 @@ object AnnIndexStore {
     * — no data I/O. */
   def chainDepth(root: String): Int = {
     val curV = currentVersion(root).getOrElse(return 0)
+    // qualify BOTH sides of the prefix test (the sweepUnreferenced
+    // idiom): a scheme-qualified or relative caller root would
+    // otherwise match no absolutized manifest entry, silently report
+    // depth 1, and starve maybeMaintain forever
+    val qRoot = Fs.qualified(root)
     val referenced = referencedEntries(root, Seq(curV))
-      .filter(_.startsWith(root + "/"))
-      .map(_.stripPrefix(root + "/").takeWhile(_ != '/'))
+      .map(Fs.qualified)
+      .filter(_.startsWith(qRoot + "/"))
+      .map(_.stripPrefix(qRoot + "/").takeWhile(_ != '/'))
     1 + (referenced - s"v$curV").size
   }
 
@@ -578,7 +678,17 @@ object AnnIndexStore {
         .select(expr("s DIV n")).collect()(0)
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
-    val base = globalMean(assigned(spark, root))
+    // the corpus baseline comes from the persisted `_DRIFTBASE` — k rows
+    // of version metadata maintained incrementally by build/append — so
+    // the per-batch drift check scores the DELTA only; it never touches
+    // the assignment buckets (gated in ScaleSpec by physically deleting
+    // them). The fold reproduces the legacy full-recompute arithmetic
+    // bit-for-bit (same per-cell DIV, same global weighted DIV); stores
+    // from before the sidecar fall back to the full re-score.
+    val base = readDriftBase(currentPath(root).getOrElse(
+        throw new IllegalStateException(s"no committed version under $root")))
+      .map(m => foldGlobalMean(m.values))
+      .getOrElse(globalMean(assigned(spark, root)))
     val dlt = globalMean(delta)
     dlt * 1000000L / math.max(base, 1L)
   }

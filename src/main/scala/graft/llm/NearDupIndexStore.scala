@@ -328,14 +328,20 @@ object NearDupIndexStore {
     * or compacted version reports 1. */
   def chainDepth(root: String): Int = {
     val cur = current(root)
+    // qualified prefix compare on both sides (the AnnIndexStore fix):
+    // a scheme-qualified or relative caller root must still match the
+    // absolutized manifest entries, or the depth under-reports and
+    // maybeMaintain never compacts
+    val qRoot = Fs.qualified(root)
     val referenced = AllComponents.flatMap { comp =>
       val mp = Fs.child(Fs.child(cur, comp), "_PRUNE_MANIFEST")
       if (!Fs.exists(mp)) Nil
       else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
         .map(l => l.substring(l.indexOf('\t') + 1))
-        .filter(e => (e.startsWith("/") || e.contains("://")) &&
-          e.startsWith(root + "/"))
-        .map(_.stripPrefix(root + "/").takeWhile(_ != '/'))
+        .filter(e => e.startsWith("/") || e.contains("://"))
+        .map(Fs.qualified)
+        .filter(_.startsWith(qRoot + "/"))
+        .map(_.stripPrefix(qRoot + "/").takeWhile(_ != '/'))
         .toSeq
     }.toSet
     1 + (referenced - new java.io.File(cur).getName).size

@@ -200,6 +200,19 @@ object Similarity {
     * (/root/reference/delta_load.py:267-286: verify, then notify). */
   def ivfCellStats(corpus: DataFrame, idCol: String, vecCol: String,
                    centroids: Array[(Int, Array[Double])]): DataFrame =
+    ivfCellStatsRaw(corpus, idCol, vecCol, centroids)
+      .select(col("cell"), col("n"),
+        expr("sum_d2_ppm DIV n").as("mean_d2_ppm"))
+
+  /** [[ivfCellStats]] BEFORE the per-cell mean division: (cell, n,
+    * sum_d2_ppm) with sum over the per-vector ppm floors. Unlike the
+    * mean, these are pure SUMS — additive under union and subtraction
+    * — so a store can maintain them incrementally across deltas and
+    * re-derive the exact mean (and the exact global drift baseline)
+    * without ever re-scoring the stored corpus
+    * ([[AnnIndexStore.driftPpm]]'s persisted `_DRIFTBASE`). */
+  private[llm] def ivfCellStatsRaw(corpus: DataFrame, idCol: String, vecCol: String,
+                                   centroids: Array[(Int, Array[Double])]): DataFrame =
     assignCells(corpus.select(col(idCol),
         transform(col(vecCol), x => x.cast("double")).as("v")), centroids)
       .select(col("cell"),
@@ -210,8 +223,6 @@ object Similarity {
           .cast("long").as("d2_ppm"))
       .groupBy(col("cell"))
       .agg(count(lit(1)).as("n"), sum(col("d2_ppm")).as("sum_d2_ppm"))
-      .select(col("cell"), col("n"),
-        expr("sum_d2_ppm DIV n").as("mean_d2_ppm"))
 
   /** IVF search over a persisted [[ivfAssignedIndex]]: each query
     * probes its `nprobe` nearest cells (centroid matrix is driver-side

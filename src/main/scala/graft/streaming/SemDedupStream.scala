@@ -70,6 +70,11 @@ object SemDedupStream {
             sink(AnnIndexStore.semDedupPairsForDelta(spark, storeRoot,
               cached, idCol, vecCol, minCos), id)
           } else sink(emptyPairs, id)
+        } else if (cached.isEmpty) {
+          // an empty micro-batch must not commit a new stitched store
+          // version (a zero-row append per idle trigger would grow the
+          // reference chain for nothing) — mirror the first-batch guard
+          sink(emptyPairs, id)
         } else {
           sink(AnnIndexStore.semDedupPairsForDelta(spark, storeRoot,
             cached, idCol, vecCol, minCos), id)

@@ -719,4 +719,84 @@ class AnnIndexStoreSpec extends AnyFunSuite {
         $"b_id".isin(deltaIds.toSeq: _*)))
     assert(got.nonEmpty && got == want)
   }
+
+  test("drift baseline sidecar == legacy full re-score, through build, append (re-uploads), and compact") {
+    // multiAssign = 2: the baseline must count routing copies exactly as
+    // the legacy globalMean(assigned) did (each copy re-argmins to the
+    // primary cell — n and sum double uniformly, the mean is unchanged)
+    val root = java.nio.file.Files.createTempDirectory("graft_dbase").toString + "/s"
+    val P2 = P.copy(multiAssign = 2)
+    val v1 = embs.filter($"vec_id" % 5 =!= 0)
+    val probe = embs.filter($"vec_id" % 7 === 0)
+    def sidecar: String =
+      graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "_DRIFTBASE")
+    // both paths on the SAME store state: sidecar read vs (sidecar
+    // removed ⇒) legacy full recompute must agree bit-for-bit
+    def bothPathsAgree(): Long = {
+      val fast = AnnIndexStore.driftPpm(spark, root, probe, "vec_id", "embedding")
+      val sc = graft.fs.Fs.readString(sidecar)
+      graft.fs.Fs.deleteRecursive(sidecar)
+      val legacy = AnnIndexStore.driftPpm(spark, root, probe, "vec_id", "embedding")
+      graft.fs.Fs.writeStringAtomic(sidecar, sc)
+      assert(fast == legacy, s"sidecar base $fast != legacy re-score $legacy")
+      fast
+    }
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P2)
+    assert(graft.fs.Fs.exists(sidecar), "build landed no _DRIFTBASE")
+    bothPathsAgree()
+    // append with re-uploads: 3 replaced ids (reversed vectors — they
+    // move cells) + the genuinely-new %5==0 tail; the incremental merge
+    // must subtract the replaced rows' OLD stats exactly
+    val reup = embs.filter($"vec_id".isin(1L, 17L, 41L))
+      .select($"vec_id", org.apache.spark.sql.functions.reverse($"embedding").as("embedding"))
+      .unionByName(embs.filter($"vec_id" % 5 === 0)
+        .select($"vec_id", $"embedding"))
+    AnnIndexStore.appendDelta(spark, root, reup, "vec_id", "embedding", P2)
+    bothPathsAgree()
+    // compact carries the baseline verbatim (layout fold, same content)
+    AnnIndexStore.compact(spark, root, "vec_id", "embedding", P2)
+    assert(graft.fs.Fs.exists(sidecar), "compact dropped the _DRIFTBASE")
+    bothPathsAgree()
+  }
+
+  test("drifted delta on a HIERARCHICAL store: recluster == fresh hierarchical build on the merged corpus") {
+    val base = java.nio.file.Files.createTempDirectory("graft_hierrecl").toString
+    val root = s"$base/s"; val root2 = s"$base/fresh"
+    val P2 = P.copy(subCells = 2)
+    val v1 = embs.select($"vec_id", $"embedding").filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0).select($"vec_id",
+      transform($"embedding", x => (x + lit(3.0f)).cast("float")).as("embedding"))
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P2)
+    // param-less: the retrain must replay the persisted subCells shape
+    val d = AnnIndexStore.reclusterIfDrifted(spark, root, delta,
+      "vec_id", "embedding", thresholdPpm = 2000000L)
+    assert(d.reclustered && AnnIndexStore.isHierarchical(root),
+      s"recluster must fire (drift ${d.driftPpm}) and stay hierarchical")
+    AnnIndexStore.build(spark, v1.unionByName(delta), "vec_id", "embedding", root2, P2)
+    // same coarse matrix, same routed answers — the t132 parity on the
+    // two-level store (sub-centroids retrained under _PARAMS)
+    assert(AnnIndexStore.centroids(spark, root).map(_._2.toSeq).toSeq ==
+      AnnIndexStore.centroids(spark, root2).map(_._2.toSeq).toSeq)
+    val q = embs.filter($"vec_id" < 8)
+    val a = rows(AnnIndexStore.searchGraph(spark, root, q, "vec_id", "embedding",
+      k = 4, nprobe = 3, efSearch = 16, nprobeCoarse = 2))
+    val b = rows(AnnIndexStore.searchGraph(spark, root2, q, "vec_id", "embedding",
+      k = 4, nprobe = 3, efSearch = 16, nprobeCoarse = 2))
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("drift baseline on a HIERARCHICAL store: sidecar == legacy re-score against the coarse matrix") {
+    val root = java.nio.file.Files.createTempDirectory("graft_dbaseh").toString + "/s"
+    val P2 = P.copy(multiAssign = 2, subCells = 2)
+    val v1 = embs.filter($"vec_id" % 5 =!= 0)
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P2)
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", P2)
+    val sc = graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "_DRIFTBASE")
+    val probe = embs.filter($"vec_id" % 7 === 0)
+    val fast = AnnIndexStore.driftPpm(spark, root, probe, "vec_id", "embedding")
+    graft.fs.Fs.deleteRecursive(sc)
+    val legacy = AnnIndexStore.driftPpm(spark, root, probe, "vec_id", "embedding")
+    assert(fast == legacy, s"hier sidecar base $fast != legacy $legacy")
+  }
 }

@@ -713,4 +713,97 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() == l.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  test("Zipf-skewed join: AQE splits the hot partition, answers unchanged (t159's shape)") {
+    import org.apache.spark.sql.functions._
+    // .repartition(8): AQE splits a skewed reduce partition along MAP
+    // output boundaries — a single-mapper stage (sf0.01 is one parquet
+    // file) leaves nothing to split and the rule reports zero skew.
+    // Production inputs have thousands of mappers; the test gives the
+    // fact side eight so the split is observable at this scale.
+    val l = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+      .repartition(8)
+      .withColumn("fk", when(pmod($"l_orderkey", lit(100)) < 90, lit(1L))
+        .otherwise($"l_orderkey"))
+      .select($"fk", $"l_extendedprice")
+    val o = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+      .select($"o_orderkey", $"o_orderpriority")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.join(o, df("fk") === o("o_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_li"),
+          sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
+    val keep = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      // ~90 % of the fact side hashes to one key: force the shuffled
+      // join shape (no broadcast escape hatch) and thresholds at which
+      // the hot partition is unambiguously skewed at sf0.01
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val skewed = agg(l)
+      // collect on THIS Dataset (an .as[...] would fork a fresh, never-
+      // executed QueryExecution) — the final adaptive plan carries the
+      // skew-split marks only after execution
+      val got = skewed.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      val plan = skewed.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"AQE did not mark/split the skewed join:\n$plan")
+      // and splitting never changes answers: AQE off, same aggregate
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val want = agg(l).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      assert(got.nonEmpty && got == want)
+    } finally keep.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
+  test("ANN drift check reads version meta + delta only — assignment buckets can be GONE") {
+    import graft.llm.AnnIndexStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_driftmeta").toString
+    val root = s"$dir/s"
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnIndexStore.build(spark, embs.filter($"vec_id" % 5 =!= 0),
+      "vec_id", "embedding", root,
+      AnnIndexStore.Params(nCells = 8, iters = 2, numBuckets = 8, m = 4,
+        efConstruction = 12))
+    val delta = embs.filter($"vec_id" % 5 === 0)
+    val before = AnnIndexStore.driftPpm(spark, root, delta, "vec_id", "embedding")
+    // prove behaviorally (the census-head idiom): physically delete
+    // EVERY assignment bucket's data files — the baseline lives in the
+    // _DRIFTBASE sidecar, so the per-batch drift check must not notice
+    val cur = AnnIndexStore.currentPath(root).get
+    val bucketPrefix = graft.sources.PrunedIndex.BucketCol + "="
+    var deleted = 0
+    graft.fs.Fs.list(s"$cur/assigned").filter(f => f.isDirectory &&
+        f.getPath.getName.startsWith(bucketPrefix))
+      .foreach { f =>
+        graft.fs.Fs.list(f.getPath.toString).filterNot(_.getPath.getName.startsWith("_"))
+          .foreach { df => graft.fs.Fs.deleteRecursive(df.getPath.toString); deleted += 1 }
+      }
+    assert(deleted > 0, "scenario must actually remove assignment files")
+    intercept[Exception] {
+      AnnIndexStore.assigned(spark, root).collect()
+    }
+    assert(AnnIndexStore.driftPpm(spark, root, delta, "vec_id", "embedding") == before,
+      "drift check touched the (deleted) assignment buckets or drifted in value")
+    // the legacy path (sidecar removed) NEEDS those buckets — proving
+    // the sidecar is what made the check metadata-only
+    graft.fs.Fs.deleteRecursive(graft.fs.Fs.child(cur, "_DRIFTBASE"))
+    intercept[Exception] {
+      AnnIndexStore.driftPpm(spark, root, delta, "vec_id", "embedding")
+    }
+  }
 }

@@ -45,6 +45,8 @@ QUERIES = {
     "t155_ann_maintenance": (["query_id", "n_brute", "n_hits", "recall_ppm", "floor_ok"], "query_id"),
     "t156_semdedup_stream": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t132_ann_drift_recluster": (["scenario", "drift_ppm", "reclustered", "version_after", "n_index", "nbr_ck", "cos_ck"], "scenario"),
+    "t157_ann_hier_drift": (["scenario", "drift_ppm", "reclustered", "version_after", "n_index", "nbr_ck", "cos_ck"], "scenario"),
+    "t158_semdedup_hier": (["cell", "a_id", "b_id", "cos_ppm"], "a_id, b_id"),
     "t115_ivf_drift": (["cell", "n_v1", "mean_d2_v1", "n_delta", "mean_d2_delta", "drift_ppm"], "cell"),
 }
 
