@@ -36,13 +36,29 @@ import graft.llm.AnnIndexStore
   *  - `append`: a `nQueries`-vector re-upload delta absorbed under
   *    frozen centroids (touched-cell graph recompute + delta-bounded
   *    bucket writes; each rep re-lands the same ids — replace-by-key
-  *    replay, the operational batch shape).
+  *    replay, the operational batch shape);
+  *  - `drift`: the per-batch drift check ([[AnnIndexStore.driftPpm]])
+  *    — with the persisted `_DRIFTBASE` this must be flat: it scores
+  *    the DELTA against k centroids and folds version metadata, never
+  *    the stored corpus.
+  *
+  * A second, HIERARCHICAL store (`hier_*` ops) measures the two-level
+  * routing at its declared scale shape: a CONSTANT coarse matrix
+  * (driver state never grows) with `subCells` ∝ corpus, so fine cells
+  * track the corpus exactly like the flat store's autoCells — the
+  * regime where the flat driver-resident matrix stops existing.
   *
   * Build cost (train + assign + graph + PQ encode + id layout) is
   * one-time and reported separately, exactly like the dedup store's.
   *
+  * The summary line carries a SlopeGate-style BUDGET gate: any op
+  * whose ×maxFactor/×1 ratio exceeds `budget` (default 10) is a breach
+  * and the process exits 2 — the delta-bounded claim is
+  * regression-tested per round (STOREPROBE contract), not re-argued.
+  *
   * Usage: `runMain graft.AnnStoreProbeBench [baseSfDir] [workDir]
-  *   [factorsCsv] [nQueries] [reps] [cellTarget] [bucketsBase]` */
+  *   [factorsCsv] [nQueries] [reps] [cellTarget] [bucketsBase]
+  *   [budget]` */
 object AnnStoreProbeBench {
 
   def main(args: Array[String]): Unit = {
@@ -54,6 +70,7 @@ object AnnStoreProbeBench {
     val reps = if (args.length > 4) args(4).toInt else 3
     val cellTarget = if (args.length > 5) args(5).toLong else 500L
     val bucketsBase = if (args.length > 6) args(6).toInt else 8
+    val budget = if (args.length > 7) args(7).toDouble else 10.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -102,6 +119,22 @@ object AnnStoreProbeBench {
         concat(slice(col("embedding"), lit(2), size(col("embedding")) - 1),
           slice(col("embedding"), lit(1), lit(1))).as("embedding"))
         .localCheckpoint()
+      // hierarchical twin: coarse matrix CONSTANT (4 cells — driver
+      // state never grows), subCells ∝ corpus so fine cells track the
+      // corpus like the flat store's autoCells
+      val rootH = s"$workDir/annstore_hier_x$f"
+      val nCorpus = corpus.count()
+      val subCells = math.max(1L,
+        (nCorpus + cellTarget * 4 - 1) / (cellTarget * 4)).toInt
+      val pH = AnnIndexStore.Params(nCells = 4, iters = 2,
+        numBuckets = bucketsBase * f, m = 8, efConstruction = 48,
+        multiAssign = 2, subCells = subCells)
+      val buildHierSec =
+        if (AnnIndexStore.currentVersion(rootH).isEmpty) {
+          val t0 = System.nanoTime()
+          AnnIndexStore.build(spark, corpus, "vec_id", "embedding", rootH, pH)
+          (System.nanoTime() - t0) / 1e9
+        } else -1.0
       val ops: Seq[(String, () => Long)] = Seq(
         ("search_graph", () => AnnIndexStore.searchGraph(spark, root, headIds,
           "vec_id", "embedding", k = 10, nprobe = 8, efSearch = 96).count()),
@@ -110,30 +143,53 @@ object AnnStoreProbeBench {
         ("semdedup_delta", () => AnnIndexStore.semDedupPairsForDelta(spark,
           root, delta, "vec_id", "embedding", minCos = 0.35).count()),
         ("append", () => AnnIndexStore.appendDelta(spark, root, delta,
-          "vec_id", "embedding", p)))
+          "vec_id", "embedding", p)),
+        ("drift", () => AnnIndexStore.driftPpm(spark, root, delta,
+          "vec_id", "embedding")),
+        ("hier_search", () => AnnIndexStore.searchGraph(spark, rootH, headIds,
+          "vec_id", "embedding", k = 10, nprobe = 8, efSearch = 96,
+          nprobeCoarse = 2).count()),
+        ("hier_semdedup", () => AnnIndexStore.semDedupPairsForDelta(spark,
+          rootH, delta, "vec_id", "embedding", minCos = 0.35).count()),
+        ("hier_append", () => AnnIndexStore.appendDelta(spark, rootH, delta,
+          "vec_id", "embedding", pH)),
+        ("hier_drift", () => AnnIndexStore.driftPpm(spark, rootH, delta,
+          "vec_id", "embedding")))
       val probes = ops.map { case (op, run) =>
         val (sec, rows) = timeMin(run)
+        val bs = if (op.startsWith("hier_")) buildHierSec else buildSec
         println(s"""{"metric":"ann_store_probe","op":"$op","factor":$f,""" +
           s""""num_buckets":${bucketsBase * f},"cell_target":$cellTarget,""" +
-          s""""probe_sec":$sec,"rows":$rows,"build_sec":$buildSec,""" +
-          s""""n_queries":$nQueries}""")
+          s""""sub_cells":$subCells,"probe_sec":$sec,"rows":$rows,""" +
+          s""""build_sec":$bs,"n_queries":$nQueries}""")
         (op, sec, rows)
       }
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-      (f, buildSec, probes)
+      (f, buildSec, buildHierSec, probes)
     }
     val base = cells.head
-    val summary = cells.map { case (f, build, probes) =>
+    val top = cells.last
+    val breaches = top._4.flatMap { case (op, sec, _) =>
+      val ratio = sec / base._4.find(_._1 == op).get._2
+      if (ratio > budget) Some(op -> ratio) else None
+    }
+    val summary = cells.map { case (f, build, buildH, probes) =>
       val ops = probes.map { case (op, sec, rows) =>
-        val ratio = sec / base._3.find(_._1 == op).get._2
+        val ratio = sec / base._4.find(_._1 == op).get._2
         s""""$op":{"probe_sec":$sec,"rows":$rows,"probe_over_x1":$ratio}"""
       }.mkString("{", ",", "}")
-      s""""x$f":{"build_sec":$build,"ops":$ops}"""
+      s""""x$f":{"build_sec":$build,"build_hier_sec":$buildH,"ops":$ops}"""
     }.mkString("{", ",", "}")
+    val breachesJson = breaches
+      .map { case (op, r) => s"""{"op":"$op","ratio":$r}""" }
+      .mkString("[", ",", "]")
     println(s"""{"metric":"ann_store_probe_summary","n_queries":$nQueries,""" +
       s""""reps":$reps,"cell_target":$cellTarget,"buckets_base":$bucketsBase,""" +
-      s""""scales":$summary}""")
+      s""""budget":$budget,"breaches":$breachesJson,""" +
+      s""""pass":${breaches.isEmpty},"scales":$summary}""")
     spark.stop()
+    // the gate: a probe slope past budget is a regression, not a datum
+    if (breaches.nonEmpty) sys.exit(2)
   }
 }

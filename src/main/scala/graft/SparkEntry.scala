@@ -2713,9 +2713,16 @@ object SparkEntry {
       // yesterday's ledger — (bench docs are never %4==3: doc_id ≡ 0
       // mod 50 is even, so the placeholder rewrite misses them and the
       // bench gram index is identical on both corpora)
-      rt(graft.llm.Curation.fullPipelineLedger(old, "doc_id", "text",
-        scoreCol = "n_chars", sourceCol = "source",
-        bench = bench, benchTextCol = "text"), "preledger")
+      val preledger = graft.llm.Curation.fullPipelineLedger(old, "doc_id",
+        "text", scoreCol = "n_chars", sourceCol = "source",
+        bench = bench, benchTextCol = "text").localCheckpoint()
+      rt(preledger, "preledger")
+      // ...and yesterday's per-source quality counts (#sources rows) —
+      // what the churn-bounded diff needs to re-derive the prev
+      // sampling fractions without touching yesterday's corpus
+      import s.implicits._
+      rt(graft.llm.Curation.qualitySourceCounts(preledger, st.thin,
+        "doc_id", "source").toDF("source", "n"), "prevcounts")
     }
   }
 
@@ -2728,9 +2735,77 @@ object SparkEntry {
       s.read.parquet(s"$root/thin"), s.read.parquet(s"$root/pairs"),
       s.read.parquet(s"$root/clean"), s.read.parquet(s"$root/census"),
       s.read.parquet(s"$root/grams"))
-    val post = graft.llm.Curation.fullPipelineLedgerDeltaIndexed(s, persisted,
-      s"$root/idx", delta, "doc_id", "text", "n_chars", "source")
-    graft.llm.Curation.ledgerChangedRows(s.read.parquet(s"$root/preledger"), post)
+    // churn-bounded end to end (r18 verdict #3): the candidate bands
+    // bound the diff's INPUTS — prev and post are scanned through a
+    // candidate semi-join, never shuffled whole; equality with the
+    // unbounded except is pinned in CurationSpec, the output oracle
+    // (rebuild-twin EXCEPT rebuild-twin) is unchanged by mechanism
+    val prevCounts = s.read.parquet(s"$root/prevcounts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.llm.Curation.fullPipelineLedgerDeltaIndexedChanged(s, persisted,
+        s"$root/idx", delta, "doc_id", "text", "n_chars", "source",
+        s.read.parquet(s"$root/preledger"), prevCounts)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Fixture for [[t160LedgerChangedSmall]]: t153's shape at the
+    * STEADY-STATE batch size — placeholders (and hence the day's
+    * re-uploads) on %64==3, ~1.6 % of the corpus, under the default
+    * 10 % churn crossover. Persists the same six frames plus
+    * yesterday's ledger and per-source quality counts. */
+  private def t160Fixture(s: SparkSession, dir: String): Unit = {
+    val d = t(s, dir, "documents")
+    val old = d.withColumn("text",
+      when(col("doc_id") % 64 === 3,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val root = scratch("curchgsm", dir)
+    ensureFixture(root) {
+      val st = graft.llm.Curation.buildStateIndexed(s, old, "doc_id", "text",
+        "n_chars", "source", bench, "text", s"$root/idx")
+      def rt(df: DataFrame, name: String): Unit = {
+        df.write.mode("overwrite").parquet(s"$root/$name"): Unit
+      }
+      rt(st.thin, "thin"); rt(st.pairs, "pairs"); rt(st.cleanIds, "clean")
+      rt(st.census, "census"); rt(st.gramIndex, "grams")
+      val preledger = graft.llm.Curation.fullPipelineLedger(old, "doc_id",
+        "text", scoreCol = "n_chars", sourceCol = "source",
+        bench = bench, benchTextCol = "text").localCheckpoint()
+      rt(preledger, "preledger")
+      import s.implicits._
+      rt(graft.llm.Curation.qualitySourceCounts(preledger, st.thin,
+        "doc_id", "source").toDF("source", "n"), "prevcounts")
+    }
+  }
+
+  /** [[t153LedgerChanged]] at the STEADY-STATE batch size — a ~1.6 %
+    * re-upload batch against the indexed curation state, through the
+    * churn-BOUNDED diff: candidate ids derive from the batch (touched
+    * docs, pair-churned clusters, the LM-shift band, the sampling
+    * hash-band), prev and post ledgers are scanned through a candidate
+    * semi-join and never shuffled whole, and only candidate rows reach
+    * the except. This is the per-batch output path a 100 TB deployment
+    * actually runs daily; t153 keeps the quarter-corpus batch (which
+    * the adaptive crossover routes to the plain diff — a
+    * corpus-proportional batch makes a corpus-sized diff
+    * churn-proportional by definition). Oracle: the nested
+    * rebuild-twin EXCEPT, t153's pattern at %64. */
+  private def t160LedgerChangedSmall(s: SparkSession, dir: String): DataFrame = {
+    t160Fixture(s, dir)
+    val d = t(s, dir, "documents")
+    val delta = d.filter(col("doc_id") % 64 === 3)
+    val root = scratch("curchgsm", dir)
+    val persisted = graft.llm.Curation.IndexedState(
+      s.read.parquet(s"$root/thin"), s.read.parquet(s"$root/pairs"),
+      s.read.parquet(s"$root/clean"), s.read.parquet(s"$root/census"),
+      s.read.parquet(s"$root/grams"))
+    val prevCounts = s.read.parquet(s"$root/prevcounts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    graft.llm.Curation.fullPipelineLedgerDeltaIndexedChanged(s, persisted,
+        s"$root/idx", delta, "doc_id", "text", "n_chars", "source",
+        s.read.parquet(s"$root/preledger"), prevCounts)
       .orderBy(col("doc_id"))
   }
 
@@ -3348,6 +3423,7 @@ object SparkEntry {
     "t157_ann_hier_drift" -> t157AnnHierDrift _,
     "t158_semdedup_hier" -> t158SemDedupHier _,
     "t159_skew_join" -> t159SkewJoin _,
+    "t160_ledger_changed_small" -> t160LedgerChangedSmall _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3393,6 +3469,7 @@ object SparkEntry {
     "t154_semdedup_store" -> t154Fixture _,
     "t155_ann_maintenance" -> t155Fixture _,
     "t158_semdedup_hier" -> t158Fixture _,
+    "t160_ledger_changed_small" -> t160Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -5009,6 +5086,24 @@ object SparkEntry {
           .replace("JOIN documents", "JOIN predocs")
         s"""WITH predocs AS (SELECT doc_id,
              CASE WHEN doc_id % 4 = 3
+               THEN 'obsolete draft placeholder revision ' || substring(text, 1, 48)
+               ELSE text END AS text,
+             n_chars, source FROM documents)
+           SELECT * FROM (
+             SELECT * FROM ($post) post_ledger
+             EXCEPT
+             SELECT * FROM ($pre) pre_ledger
+           ) ORDER BY doc_id"""
+      }) +
+      // t160: t153's nested rebuild-twin EXCEPT at the steady-state
+      // batch size (%64==3 placeholders) — the diff mechanism (bounded
+      // candidates vs plain except) is answer-invariant by CurationSpec
+      ("t160_ledger_changed_small" -> {
+        val post = base("t128_curation_e2e")
+        val pre = post.replace("FROM documents", "FROM predocs")
+          .replace("JOIN documents", "JOIN predocs")
+        s"""WITH predocs AS (SELECT doc_id,
+             CASE WHEN doc_id % 64 = 3
                THEN 'obsolete draft placeholder revision ' || substring(text, 1, 48)
                ELSE text END AS text,
              n_chars, source FROM documents)

@@ -68,6 +68,7 @@ object StoreProbeBench {
     val reps = if (args.length > 4) args(4).toInt else 3
     val classesBase = if (args.length > 5) args(5).toInt else 50
     val bucketsBase = if (args.length > 6) args(6).toInt else 64
+    val budget = if (args.length > 7) args(7).toDouble else 10.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -137,6 +138,13 @@ object StoreProbeBench {
       (f, buildSec, probes)
     }
     val base = cells.head
+    // SlopeGate-style budget: the delta-bounded claim is a per-round
+    // regression gate (STOREPROBE contract), not a re-argued table —
+    // any family whose xMax/x1 probe ratio exceeds `budget` breaches
+    val breaches = cells.last._3.flatMap { case (fam, sec, _) =>
+      val ratio = sec / base._3.find(_._1 == fam).get._2
+      if (ratio > budget) Some(fam -> ratio) else None
+    }
     val summary = cells.map { case (f, build, probes) =>
       val fams = probes.map { case (fam, sec, rows) =>
         val ratio = sec / base._3.find(_._1 == fam).get._2
@@ -144,8 +152,14 @@ object StoreProbeBench {
       }.mkString("{", ",", "}")
       s""""x$f":{"build_sec":$build,"families":$fams}"""
     }.mkString("{", ",", "}")
+    val breachesJson = breaches
+      .map { case (fam, r) => s"""{"family":"$fam","ratio":$r}""" }
+      .mkString("[", ",", "]")
     println(s"""{"metric":"store_probe_summary","n_delta":$nDelta,"reps":$reps,""" +
-      s""""classes_base":$classesBase,"buckets_base":$bucketsBase,"scales":$summary}""")
+      s""""classes_base":$classesBase,"buckets_base":$bucketsBase,""" +
+      s""""budget":$budget,"breaches":$breachesJson,""" +
+      s""""pass":${breaches.isEmpty},"scales":$summary}""")
     spark.stop()
+    if (breaches.nonEmpty) sys.exit(2)
   }
 }

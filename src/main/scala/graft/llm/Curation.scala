@@ -319,12 +319,22 @@ object Curation {
     * survivor set is checkpointed (materialized) — the point where the
     * pair-generation caches of the merge step have no remaining
     * consumer. */
-  private def ledgerFromFrames(thin: DataFrame, pairs: DataFrame,
+  /** The per-stage id sets behind a ledger — materialized once and
+    * shared between the ledger assembly and the churn-candidate
+    * derivation ([[fullPipelineLedgerDeltaIndexedChanged]]). `quality`
+    * keeps the thin columns (the mix stage and the hash-band candidate
+    * both need the source). */
+  private final case class StageSets(allThin: DataFrame, survIds: DataFrame,
+                                     cleanIds: DataFrame, qualIds: DataFrame,
+                                     scores: DataFrame, quality: DataFrame,
+                                     mixIds: DataFrame, packed: DataFrame)
+
+  private def ledgerStages(thin: DataFrame, pairs: DataFrame,
       clean: DataFrame, census: DataFrame,
       idCol: String, scoreCol: String, sourceCol: String,
       minAvgLogProbPpm: Long, targetPpm: Long,
       capacity: Long, nBuckets: Int,
-      afterSurvivors: () => Unit = () => ()): DataFrame = {
+      afterSurvivors: () => Unit): StageSets = {
     def checkpointIds(df: DataFrame): DataFrame =
       df.select(col(idCol)).localCheckpoint()
     val allThin = thin.localCheckpoint()
@@ -335,10 +345,14 @@ object Curation {
     // 2 — per-doc contamination: survivors ∩ clean
     val cleanIds = checkpointIds(
       survIds.join(clean, Seq(idCol), "left_semi"))
-    // 3 — quality floor under the post-delta LM (census-scored)
+    // 3 — quality floor under the post-delta LM (census-scored); the
+    // full score frame is checkpointed once — the churn-candidate
+    // derivation's band filter reads it instead of re-running the
+    // corpus-thin scoring shuffle
+    val scores = TextAnalysis.unigramLogProbPpmFromCensus(census, idCol)
+      .localCheckpoint()
     val qualIds = checkpointIds(
-      TextAnalysis.unigramLogProbPpmFromCensus(census, idCol)
-        .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
+      scores.filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
     val quality = allThin.join(cleanIds, Seq(idCol), "left_semi")
       .join(qualIds, Seq(idCol), "left_semi")
     // 4 — temperature mix over what survived
@@ -349,15 +363,19 @@ object Curation {
     val packed = Packing.packBinsBFD(mixed, idCol, col("n_tokens"),
         capacity, nBuckets)
       .groupBy(col(idCol)).agg(count(lit(1)).as("n_assigned"))
+    StageSets(allThin, survIds, cleanIds, qualIds, scores, quality, mixIds,
+      packed)
+  }
 
+  private def ledgerFromStages(st: StageSets, idCol: String): DataFrame = {
     def flag(df: DataFrame, name: String): DataFrame =
       df.withColumn(name, lit(true))
-    allThin.select(col(idCol), col("n_tokens"))
-      .join(flag(survIds, "s_dedup"), Seq(idCol), "left")
-      .join(flag(cleanIds, "s_clean"), Seq(idCol), "left")
-      .join(flag(qualIds, "s_qual"), Seq(idCol), "left")
-      .join(flag(mixIds, "s_mix"), Seq(idCol), "left")
-      .join(packed, Seq(idCol), "left")
+    st.allThin.select(col(idCol), col("n_tokens"))
+      .join(flag(st.survIds, "s_dedup"), Seq(idCol), "left")
+      .join(flag(st.cleanIds, "s_clean"), Seq(idCol), "left")
+      .join(flag(st.qualIds, "s_qual"), Seq(idCol), "left")
+      .join(flag(st.mixIds, "s_mix"), Seq(idCol), "left")
+      .join(st.packed, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         when(col("s_dedup").isNull, "near_dup")
           .when(col("s_clean").isNull, "contaminated")
@@ -366,6 +384,16 @@ object Curation {
           .when(col("n_assigned") === 1L, "packed")
           .otherwise("pack_lost").as("verdict"))
   }
+
+  private def ledgerFromFrames(thin: DataFrame, pairs: DataFrame,
+      clean: DataFrame, census: DataFrame,
+      idCol: String, scoreCol: String, sourceCol: String,
+      minAvgLogProbPpm: Long, targetPpm: Long,
+      capacity: Long, nBuckets: Int,
+      afterSurvivors: () => Unit = () => ()): DataFrame =
+    ledgerFromStages(ledgerStages(thin, pairs, clean, census, idCol, scoreCol,
+      sourceCol, minAvgLogProbPpm, targetPpm, capacity, nBuckets,
+      afterSurvivors), idCol)
 
   /** The ledger rows a batch CHANGED — the operational OUTPUT form at
     * 100 TB. The full ledger is Ω(corpus) (a verdict per doc), and a
@@ -444,14 +472,26 @@ object Curation {
                         delta: DataFrame,
                         idCol: String, textCol: String,
                         scoreCol: String, sourceCol: String,
-                        gramN: Int = 8, minShared: Int = 2): IndexedState = {
+                        gramN: Int = 8, minShared: Int = 2): IndexedState =
+    mergeStateIndexedCore(spark, state, indexRoot, delta, idCol, textCol,
+      scoreCol, sourceCol, gramN, minShared)._1
+
+  /** [[mergeStateIndexed]] also handing back the batch's near-dup pair
+    * DELTA (every pair touching a delta id, at the new revisions) — the
+    * churn-candidate derivation's stage-1 seed set. */
+  private def mergeStateIndexedCore(spark: org.apache.spark.sql.SparkSession,
+                        state: IndexedState, indexRoot: String,
+                        delta: DataFrame,
+                        idCol: String, textCol: String,
+                        scoreCol: String, sourceCol: String,
+                        gramN: Int, minShared: Int): (IndexedState, DataFrame) = {
     val deltaIds = delta.select(col(idCol)).distinct()
     def fresh(df: DataFrame, key: String): DataFrame =
       df.join(broadcast(deltaIds.toDF(key)), Seq(key), "left_anti")
     val deltaPairs = Dedup.jaccardDeltaPairsIndexed(spark, indexRoot,
       delta, idCol, textCol).localCheckpoint()
     Dedup.appendNearDupIndexDelta(spark, indexRoot, delta, idCol, textCol)
-    IndexedState(
+    (IndexedState(
       thin = fresh(state.thin, idCol).unionByName(
         delta.select(col(idCol), col(scoreCol),
           col(sourceCol), tokenCount(col(textCol)).cast("long").as("n_tokens"))),
@@ -463,7 +503,7 @@ object Curation {
           state.gramIndex, gramN, minShared).select(col(idCol))),
       census = fresh(state.census, "id").unionByName(
         TextAnalysis.unigramCensus(delta, idCol, textCol)),
-      gramIndex = state.gramIndex)
+      gramIndex = state.gramIndex), deltaPairs)
   }
 
   /** [[fullPipelineLedgerDelta]] over the INDEXED state — identical
@@ -486,5 +526,230 @@ object Curation {
       idCol, scoreCol, sourceCol, minAvgLogProbPpm, targetPpm, capacity, nBuckets,
       afterSurvivors = () =>
         Dedup.releaseIndexedProbeCache(indexRoot, delta, idCol, textCol))
+  }
+
+  /** [[ledgerChangedRows]] with its INPUTS bounded to a candidate id
+    * set: equals `post.except(prev)` whenever `candidateIds` contains
+    * every id whose ledger row changed (the contract
+    * [[fullPipelineLedgerDeltaIndexedChanged]]'s derivation proves
+    * stage by stage, pinned against the unbounded except in
+    * CurationSpec). The full frames are each SCANNED once through a
+    * semi-join against the (churn-sized, broadcastable) candidates —
+    * never shuffled; only the candidate rows reach the except's
+    * shuffle. This is the 100 TB shape: per-batch diff cost follows
+    * the churn, not the corpus. */
+  def ledgerChangedRowsBounded(prev: DataFrame, post: DataFrame,
+                               candidateIds: DataFrame, idCol: String): DataFrame =
+    post.join(candidateIds, Seq(idCol), "left_semi")
+      .except(prev.join(candidateIds, Seq(idCol), "left_semi"))
+
+  /** Ids reachable from the seeds in the pair graph `pairs ∪
+    * deltaPairs` — every member of every cluster a batch's pair churn
+    * can have touched (keep-best survivorship is a per-component
+    * property: a verdict can only flip in a component containing a
+    * changed edge, and every changed edge — added, or dropped by a
+    * re-upload — has a delta endpoint). Frontier-BFS with the frontier
+    * broadcast per hop: the pair frames are scanned, never shuffled;
+    * hops are bounded by the touched components' diameter (near-dup
+    * clusters are shallow in practice — boilerplate families, mirror
+    * sets). */
+  private def pairReach(pairs: DataFrame, deltaPairs: DataFrame,
+                        seeds: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id"))
+      .unionByName(deltaPairs.select(col("a_id"), col("b_id")))
+      .localCheckpoint()
+    var visited = seeds.select(col(idCol).as("id")).distinct().localCheckpoint()
+    var growing = true
+    while (growing) {
+      val next = edges.join(broadcast(visited.toDF("a_id")), Seq("a_id"), "left_semi")
+        .select(col("b_id").as("id"))
+        .unionByName(edges.join(broadcast(visited.toDF("b_id")), Seq("b_id"), "left_semi")
+          .select(col("a_id").as("id")))
+        .distinct()
+      val fresh = next.join(visited, Seq("id"), "left_anti").localCheckpoint()
+      if (fresh.isEmpty) growing = false
+      else visited = visited.unionByName(fresh).localCheckpoint()
+    }
+    visited.select(col("id").as(idCol))
+  }
+
+  /** Quality-stage flip candidates from the LM model shift, derived
+    * EXACTLY from churn-sized census arithmetic: the only way an
+    * untouched doc's avg_logprob_ppm moves is through the global token
+    * distribution, and that movement is bounded — for tokens whose
+    * count did not change, by the total-count shift |log₂(N_prev /
+    * N_post)|·10⁶ (+ floor wobble); for touched tokens, by their own
+    * recomputed per-token shift. Tokens shifting past the bound
+    * ("significant" — possible only for rare tokens, whose doc lists
+    * are short) contribute their containing docs directly; every other
+    * doc can flip only if its POST score lies within the bound of the
+    * floor. Returns (candidate ids, bound) — candidates are exact
+    * supersets of the stage-3 flips among non-delta docs. */
+  private def qualFlipCandidates(prevCensus: DataFrame, postCensus: DataFrame,
+                                 deltaCensus: DataFrame, deltaIds: DataFrame,
+                                 postScores: DataFrame,
+                                 floorPpm: Long, idCol: String): DataFrame = {
+    val dIds = broadcast(deltaIds.toDF("id"))
+    val replaced = prevCensus.join(dIds, Seq("id"), "left_semi")
+    val touched = deltaCensus.select(col("tok"))
+      .unionByName(replaced.select(col("tok"))).distinct().localCheckpoint()
+    val dAgg = deltaCensus.groupBy(col("tok")).agg(sum(col("n")).as("dn"))
+    val rAgg = replaced.groupBy(col("tok")).agg(sum(col("n")).as("rn"))
+    val cPost = postCensus.join(broadcast(touched), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(sum(col("n")).as("cpost"))
+    // c_prev by churn arithmetic — the prev census is never re-aggregated
+    val counts = cPost.join(dAgg, Seq("tok"), "full_outer")
+      .join(rAgg, Seq("tok"), "full_outer")
+      .select(col("tok"), coalesce(col("cpost"), lit(0L)).as("cpost"),
+        (coalesce(col("cpost"), lit(0L)) - coalesce(col("dn"), lit(0L))
+          + coalesce(col("rn"), lit(0L))).as("cprev"))
+      .localCheckpoint()
+    val nPost = postCensus.agg(sum(col("n"))).collect()(0).getLong(0)
+    val dSum = Option(deltaCensus.agg(sum(col("n"))).collect()(0).get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val rSum = Option(replaced.agg(sum(col("n"))).collect()(0).get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val nPrev = nPost - dSum + rSum
+    // |Δ score| ≤ max per-token |Δ lp| + 1 (integer DIV); untouched
+    // tokens shift by u ± 1 floor wobble; +1 fp slack on u itself
+    val u = math.abs(math.log(nPrev.toDouble / nPost.toDouble) / math.log(2.0)) * 1e6
+    val bound = math.ceil(u).toLong + 3
+    def lp(c: org.apache.spark.sql.Column, n: Long) =
+      floor(log2(c.cast("double") / lit(n.toDouble)) * 1e6 + 1e-4).cast("long")
+    // a token with cprev == 0 (brand new) or cpost == 0 (fully removed)
+    // can only appear in delta/replaced docs — already candidates
+    val sigToks = counts.filter(col("cpost") > 0 && col("cprev") > 0)
+      .select(col("tok"),
+        abs(lp(col("cpost"), nPost) - lp(col("cprev"), nPrev)).as("dlp"))
+      .filter(col("dlp") >= bound)
+      .select(col("tok")).localCheckpoint()
+    val sigDocs = postCensus.join(broadcast(sigToks), Seq("tok"), "left_semi")
+      .select(col("id").as(idCol)).distinct()
+    val band = postScores
+      .filter(col("avg_logprob_ppm") >= floorPpm - bound &&
+        col("avg_logprob_ppm") < floorPpm + bound)
+      .select(col(idCol))
+    sigDocs.unionByName(band)
+  }
+
+  /** Mix-stage flip candidates for quality-STABLE docs: membership is
+    * the pure per-doc test hashUnit(id) < quota_s/n_s, so with the prev
+    * and post per-source (quota, n) in hand — both #sources-row driver
+    * arithmetic — the flips are exactly the docs whose hash lands
+    * between the two fractions. Docs whose quality membership itself
+    * changed are earlier-stage candidates by construction. */
+  private def mixFlipCandidates(postQuality: DataFrame,
+                                prevSourceCounts: Seq[(String, Long)],
+                                targetPpm: Long,
+                                idCol: String, sourceCol: String): DataFrame = {
+    val postCounts = postQuality.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    if (postCounts.isEmpty) return postQuality.select(col(idCol)).limit(0)
+    val prevSorted = prevSourceCounts.sortBy(_._1)
+    val qPrev = graft.operators.Sampling.temperatureQuotas(prevSorted, targetPpm)
+    val qPost = graft.operators.Sampling.temperatureQuotas(postCounts, targetPpm)
+    val fPrev = prevSorted.map { case (s, n) =>
+      s -> qPrev(s).toDouble / n.toDouble }.toMap
+    val fPost = postCounts.map { case (s, n) =>
+      s -> qPost(s).toDouble / n.toDouble }.toMap
+    // a source with no prev quality members samples nothing prev-side:
+    // fraction −1 (never a member) is exact, not an over-approximation
+    val f1 = fPrev.toSeq.sortBy(_._1).foldLeft(lit(-1.0)) {
+      case (acc, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(acc) }
+    val f2 = fPost.toSeq.sortBy(_._1).foldLeft(lit(-1.0)) {
+      case (acc, (s, f)) => when(col(sourceCol) === s, lit(f)).otherwise(acc) }
+    val h = graft.operators.Sampling.hashUnit(col(idCol))
+    postQuality.filter((h < f1) =!= (h < f2)).select(col(idCol))
+  }
+
+  /** The per-source QUALITY-survivor counts a deployment persists
+    * alongside each batch's ledger (#sources rows) — the prev-side
+    * input [[fullPipelineLedgerDeltaIndexedChanged]] needs to re-derive
+    * yesterday's sampling fractions without touching yesterday's
+    * corpus. Stage-3 survivors are exactly the docs whose first-fail
+    * verdict got past the quality gate: not_sampled or packed. */
+  def qualitySourceCounts(ledger: DataFrame, thin: DataFrame,
+                          idCol: String, sourceCol: String): Seq[(String, Long)] =
+    ledger.filter(col("verdict").isin("not_sampled", "packed"))
+      .select(col(idCol))
+      .join(thin.select(col(idCol), col(sourceCol)), Seq(idCol))
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+
+  /** [[fullPipelineLedgerDeltaIndexedChanged]]'s candidate derivation,
+    * exposed for the spec/scale gates: an id set PROVABLY containing
+    * every doc whose ledger row the batch changed (see each family's
+    * doc), churn-proportional in the benign case and never larger than
+    * correct in the adversarial one. */
+  private[graft] def ledgerChangeCandidates(
+      prevState: IndexedState, delta: DataFrame, deltaPairs: DataFrame,
+      postCensus: DataFrame, postScores: DataFrame, postQuality: DataFrame,
+      prevSourceCounts: Seq[(String, Long)],
+      idCol: String, textCol: String, sourceCol: String,
+      minAvgLogProbPpm: Long, targetPpm: Long): DataFrame = {
+    val deltaIds = delta.select(col(idCol)).distinct().localCheckpoint()
+    val deltaCensus = TextAnalysis.unigramCensus(delta, idCol, textCol)
+    deltaIds
+      .unionByName(pairReach(prevState.pairs, deltaPairs, deltaIds, idCol))
+      .unionByName(qualFlipCandidates(prevState.census, postCensus,
+        deltaCensus, deltaIds, postScores, minAvgLogProbPpm, idCol))
+      .unionByName(mixFlipCandidates(postQuality, prevSourceCounts,
+        targetPpm, idCol, sourceCol))
+      .distinct()
+  }
+
+  /** The operational 100 TB batch: [[fullPipelineLedgerDeltaIndexed]]'s
+    * exact stages, emitting ONLY the ledger rows the batch changed —
+    * with the diff's INPUTS churn-bounded, not just its output. The
+    * r18 form computed the full post ledger then `post.except(prev)`,
+    * shuffling two corpus-sized frames per batch; here a candidate id
+    * set is derived stage by stage (touched docs; members of
+    * pair-churned clusters; LM-shift band + significant-token docs;
+    * sampling hash-band from the prev/post quota fractions), each full
+    * frame is scanned once through a candidate semi-join, and only
+    * candidate rows reach the except. Equality with the unbounded diff
+    * is pinned in CurationSpec, including the adversarial cases the
+    * bands exist for (quota flips and LM flips on untouched docs).
+    * `prevSourceCounts` is the #sources-row frame the previous batch
+    * persisted ([[qualitySourceCounts]]). Also advances the near-dup
+    * index on disk (the [[mergeStateIndexed]] append). */
+  def fullPipelineLedgerDeltaIndexedChanged(
+      spark: org.apache.spark.sql.SparkSession,
+      state: IndexedState, indexRoot: String, delta: DataFrame,
+      idCol: String, textCol: String, scoreCol: String, sourceCol: String,
+      prevLedger: DataFrame, prevSourceCounts: Seq[(String, Long)],
+      gramN: Int = 8, minShared: Int = 2,
+      minAvgLogProbPpm: Long = -4930000L, targetPpm: Long = 300000L,
+      capacity: Long = 128L, nBuckets: Int = 8,
+      boundedChurnCapPpm: Long = 100000L): DataFrame = {
+    val (merged, deltaPairs) = mergeStateIndexedCore(spark, state, indexRoot,
+      delta, idCol, textCol, scoreCol, sourceCol, gramN, minShared)
+    val st = ledgerStages(merged.thin, merged.pairs, merged.cleanIds,
+      merged.census, idCol, scoreCol, sourceCol, minAvgLogProbPpm, targetPpm,
+      capacity, nBuckets,
+      afterSurvivors = () =>
+        Dedup.releaseIndexedProbeCache(indexRoot, delta, idCol, textCol))
+    val post = ledgerFromStages(st, idCol)
+    // Adaptive diff: the candidate machinery pays off when churn is
+    // SMALL next to the corpus (the 100 TB steady state — a daily batch
+    // against a year's intake). When the batch itself is
+    // corpus-proportional (>10% of ids), a corpus-sized except IS
+    // churn-proportional by definition, and the touched-token/band
+    // derivations would re-aggregate most of the vocabulary for no
+    // bound — take the plain diff (same output either way; equality is
+    // pinned in CurationSpec). `boundedChurnCapPpm` is the crossover
+    // (default 10%); the spec pins both paths equal at any churn.
+    val deltaCount = delta.select(col(idCol)).distinct().count()
+    val corpusCount = state.thin.count()
+    if (deltaCount * 1000000L > boundedChurnCapPpm * math.max(corpusCount, 1L))
+      ledgerChangedRows(prevLedger, post)
+    else {
+      val candidates = ledgerChangeCandidates(state, delta, deltaPairs,
+        merged.census, st.scores, st.quality, prevSourceCounts,
+        idCol, textCol, sourceCol, minAvgLogProbPpm, targetPpm)
+        .localCheckpoint()
+      ledgerChangedRowsBounded(prevLedger, post, candidates, idCol)
+    }
   }
 }

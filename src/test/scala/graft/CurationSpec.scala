@@ -280,6 +280,69 @@ class CurationSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("churn-bounded changed rows == unbounded except, incl. untouched-doc flips from quota/LM shifts") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = d.filter($"doc_id" % 8 =!= 1).withColumn("text",
+      when($"doc_id" % 4 === 3,
+        concat(lit("obsolete draft placeholder revision "), substring($"text", 1, 48)))
+        .otherwise($"text"))
+    val bench = d.filter($"doc_id" % 50 === 0)
+    // the adversarial batch: re-uploads (%4==3 true revisions) + held-out
+    // new ids (%8==1) + a SOURCE-SKEWED influx of brand-new src0 docs
+    // with word-reversed text — enough churn to move every global stage
+    // (cluster membership, the LM distribution, and the √n quotas of
+    // every OTHER source, flipping mix verdicts on untouched docs)
+    val influx = d.filter($"source" === "src0")
+      .select(($"doc_id" + 200000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        $"lang", $"source", $"n_chars")
+    val delta = d.filter($"doc_id" % 4 === 3 || $"doc_id" % 8 === 1)
+      .unionByName(influx)
+    val trueCorpus = d.unionByName(influx)
+    val root = java.nio.file.Files.createTempDirectory("graft_curchg2").toString
+    val prevLedger = Curation.fullPipelineLedger(old, "doc_id", "text",
+      scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+      .localCheckpoint()
+    // two identical indexed states: the bounded path consumes one index
+    // append; the unbounded twin needs a pristine copy
+    val st1 = Curation.buildStateIndexed(spark, old, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx1", numBuckets = 16)
+    val st2 = Curation.buildStateIndexed(spark, old, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx2", numBuckets = 16)
+    val prevCounts = Curation.qualitySourceCounts(prevLedger, st1.thin,
+      "doc_id", "source")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"verdict")
+        .as[(Long, Long, String)].collect().toSet
+    // cap at 100% churn: the batch is deliberately corpus-proportional
+    // (the adversarial regime), and the point is to pin the BOUNDED
+    // path's equality there — the default cap would fall back to the
+    // plain except and leave the bands untested
+    val bounded = rows(Curation.fullPipelineLedgerDeltaIndexedChanged(spark,
+      st1, s"$root/idx1", delta, "doc_id", "text", "n_chars", "source",
+      prevLedger, prevCounts, boundedChurnCapPpm = 1000000L))
+    val post = Curation.fullPipelineLedgerDeltaIndexed(spark, st2,
+      s"$root/idx2", delta, "doc_id", "text", "n_chars", "source")
+    val unbounded = rows(Curation.ledgerChangedRows(prevLedger, post))
+    assert(bounded == unbounded, {
+      val miss = unbounded -- bounded; val extra = bounded -- unbounded
+      s"missed: ${miss.toSeq.sortBy(_._1).take(10)}; extra: ${extra.toSeq.sortBy(_._1).take(10)}"
+    })
+    // the adversarial point: the diff includes UNTOUCHED docs (not in
+    // the delta) whose verdicts flipped through the global stages —
+    // the rows only the candidate bands can have caught
+    val deltaIds = delta.select($"doc_id").as[Long].collect().toSet
+    val untouchedChanged = bounded.filterNot(r => deltaIds(r._1))
+    assert(untouchedChanged.nonEmpty,
+      "scenario must flip verdicts on untouched docs — bands untested otherwise")
+    // and the full rebuild twin agrees end to end (sanity anchor)
+    val rebuildPost = Curation.fullPipelineLedger(trueCorpus, "doc_id", "text",
+      scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+    assert(rows(post) == rows(rebuildPost))
+    Seq(old, trueCorpus).foreach(graft.llm.Dedup.releaseShingleSetCache(_, "doc_id", "text"))
+    spark.catalog.clearCache()
+  }
+
   test("verdicts and span scrub are partitioning-independent") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val bench = d.filter($"doc_id" % 50 === 0)

@@ -770,6 +770,53 @@ class ScaleSpec extends AnyFunSuite {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  test("ledger-diff candidates are churn-proportional on a small batch (the bounded except's input)") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{Curation, Dedup, TextAnalysis}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val old = d.filter($"doc_id" =!= 3L)
+    val bench = d.filter($"doc_id" % 50 === 0)
+    // a 2-doc batch: one re-upload, one new id — the benign steady state
+    val delta = d.filter($"doc_id" === 3L).unionByName(
+      d.filter($"doc_id" === 7L).select(($"doc_id" + 300000L).as("doc_id"),
+        concat_ws(" ", reverse(split($"text", " "))).as("text"),
+        $"lang", $"source", $"n_chars"))
+    val root = java.nio.file.Files.createTempDirectory("graft_candbound").toString
+    val prevLedger = Curation.fullPipelineLedger(old, "doc_id", "text",
+      scoreCol = "n_chars", sourceCol = "source", bench = bench, benchTextCol = "text")
+      .localCheckpoint()
+    val st = Curation.buildStateIndexed(spark, old, "doc_id", "text",
+      "n_chars", "source", bench, "text", s"$root/idx", numBuckets = 16)
+    val prevCounts = Curation.qualitySourceCounts(prevLedger, st.thin,
+      "doc_id", "source")
+    val merged = Curation.mergeStateIndexed(spark, st, s"$root/idx", delta,
+      "doc_id", "text", "n_chars", "source")
+    // the probe is order-independent with the append (documented on
+    // mergeStateIndexed), so the post-append probe is the batch's pairs
+    val deltaPairs = Dedup.jaccardDeltaPairsIndexed(spark, s"$root/idx",
+      delta, "doc_id", "text")
+    // post quality, from the public stage pieces
+    val survIds = Dedup.dedupByPairsKeepBest(merged.thin, "doc_id", "n_chars",
+      merged.pairs, "a_id", "b_id").select($"doc_id")
+    val scores = TextAnalysis.unigramLogProbPpmFromCensus(merged.census, "doc_id")
+      .localCheckpoint()
+    val qualIds = scores.filter($"avg_logprob_ppm" >= -4930000L).select($"doc_id")
+    val quality = merged.thin
+      .join(survIds.join(merged.cleanIds, Seq("doc_id"), "left_semi"),
+        Seq("doc_id"), "left_semi")
+      .join(qualIds, Seq("doc_id"), "left_semi")
+    val cands = Curation.ledgerChangeCandidates(st, delta, deltaPairs,
+      merged.census, scores, quality, prevCounts, "doc_id", "text", "source",
+      minAvgLogProbPpm = -4930000L, targetPpm = 300000L)
+    val n = cands.count(); val corpus = merged.thin.count()
+    // churn-proportional: a 2-doc batch over ~500 docs must not drag a
+    // corpus-sized candidate set into the diff (the bands are narrow
+    // when the batch barely moves N and the quotas)
+    assert(n < corpus / 5, s"candidates $n of $corpus — not churn-bounded")
+    graft.llm.Dedup.releaseIndexedProbeCache(s"$root/idx", delta, "doc_id", "text")
+    spark.catalog.clearCache()
+  }
+
   test("ANN drift check reads version meta + delta only — assignment buckets can be GONE") {
     import graft.llm.AnnIndexStore
     val dir = java.nio.file.Files.createTempDirectory("graft_driftmeta").toString
