@@ -227,7 +227,7 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     val v2Data = (listing(root) -- v1Files).map(_._1)
       .filterNot(f => f.contains("centroids") || f.contains("_PRUNE") ||
         f.endsWith("_SUCCESS") || f.endsWith("_CURRENT") ||
-        f.endsWith("_PARAMS") || f.contains("/."))
+        f.endsWith("_PARAMS") || f.endsWith("_DRIFTBASE") || f.contains("/."))
     assert(v2Data.nonEmpty && v2Data.forall(f => f.contains("/delta-")),
       s"non-delta data files in v2: ${v2Data.filterNot(_.contains("/delta-"))}")
     // search over the stitched version == fresh build at the same centroids
