@@ -237,6 +237,18 @@ object SlopeGate {
         "IVF-PQ probe (codes-only shortlist + k*refine exact re-rank, " +
         "probe-bounded reads) plus the in-query brute grading side — " +
         "t112's harness-bound shape and budget"),
+    "t157_ann_hier_drift" -> Budget(20.0,
+      "t132's maintenance scenario on a HIERARCHICAL store: two " +
+        "in-query two-level builds + one recluster retrain + one frozen " +
+        "two-level append; every stage is a gated linear shape (k-means " +
+        "fixed iterations, capped per-coarse-cell sub-training, t131 " +
+        "graph builds), t132's budget and rationale apply"),
+    "t160_ledger_changed_small" -> Budget(20.0,
+      "t153's family at the steady-state batch size: the timed path is " +
+        "the delta ledger's census-dominated verdict recompute (t128's " +
+        "shape, budget 20) plus the churn-bounded diff, whose candidate " +
+        "derivation is scan + churn-sized work by construction " +
+        "(ScaleSpec-gated)"),
     "t150_winnowing_stream" -> Skip(
       "the streamed twin of t46's UNCAPPED winnowing over the full " +
         "corpus — df^2-output-quadratic by contract on the scaled " +
