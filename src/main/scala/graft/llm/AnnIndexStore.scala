@@ -267,6 +267,11 @@ object AnnIndexStore {
     vecsById.foreach(v2 => graft.sources.PrunedIndex.write(
       v2.select(col(idCol), col(vecCol)),
       vecsByIdPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile))
+    // the id-keyed cell map rides every version (appendDelta's
+    // touched-cell point lookup — see idCellsPath)
+    graft.sources.PrunedIndex.write(
+      assignedDf.select(col(idCol), col("cell")),
+      idCellsPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile)
     // the rank column (1 = argmin/primary, 2.. = routing redundancy)
     // persists when the assignment carries it — primary-cell consumers
     // filter it instead of re-deriving the argmin per probe
@@ -292,6 +297,18 @@ object AnnIndexStore {
     Fs.child(versionDir, "codes")
   private def vecsByIdPath(versionDir: String): String =
     Fs.child(versionDir, "vecsbyid")
+
+  /** The id-keyed CELL MAP — one thin (id, cell) row per assignment row
+    * (all multiAssign copies), in id buckets. What [[appendDelta]] needs
+    * to find a re-uploaded id's old cells WITHOUT scanning the
+    * cell-keyed assignment: the touched-cell set becomes a point lookup
+    * of the delta's id buckets, and from there every read in the append
+    * is bucket-pruned — per-batch READ I/O O(touched buckets), matching
+    * the write side's long-standing bound. Maintained by the same
+    * replace-by-key writeDelta as `vecsbyid`; regenerated whole by
+    * [[compact]] (which is O(index) by design). */
+  private def idCellsPath(versionDir: String): String =
+    Fs.child(versionDir, "idcells")
 
   private def resolveCells(corpus: DataFrame, p: Params): Int =
     if (p.nCells > 0) p.nCells else autoCells(corpus.count(), p.cellTarget)
@@ -393,14 +410,22 @@ object AnnIndexStore {
     * assignment by [[graft.operators.Relational.mergeReplaceGroups]],
     * the graph by the displaced-node handling in
     * [[GraphAnn.mergeGraphEdgesForDelta]] (the replaced id's old cell
-    * recomputes even when the updated vector lands elsewhere). */
+    * recomputes even when the updated vector lands elsewhere).
+    *
+    * READ I/O is delta-bounded too (not just the write side): the
+    * touched-cell set comes from the id-keyed cell map (a point lookup
+    * of the delta's id buckets — see [[idCellsPath]]), and every
+    * pre-delta read (assignment merge, graph node rows, drift-base
+    * subtraction, codes) is then bucket-pruned to those cells —
+    * ScaleSpec proves it by deleting every untouched bucket's data
+    * files and appending anyway. Stores from before the component
+    * fall back to the full-scan derivation (a compact upgrades them). */
   def appendDelta(spark: SparkSession, root: String, delta: DataFrame,
                   idCol: String, vecCol: String, p: Params): Long = {
     import spark.implicits._
     val cur = currentPath(root).getOrElse(
       throw new IllegalStateException(s"no committed version under $root"))
     val cents = centroids(spark, root)
-    val oldAssigned = assigned(spark, root)
     // hierarchical stores route the delta through the frozen two-level
     // state: coarse argmin, then ONLY the delta's coarse cells'
     // sub-centroid buckets are read — delta-bounded, like everything
@@ -414,25 +439,45 @@ object AnnIndexStore {
           idCol, vecCol, p.multiAssign)
       } else Similarity.ivfAssignedIndexMultiRanked(delta, idCol, vecCol,
         cents, p.multiAssign)
-    // a legacy store (no rank column) stays legacy: the merge needs
-    // matching schemas, and a half-ranked assignment would be worse
-    // than none
-    val deltaAssigned =
-      if (oldAssigned.columns.contains("rank")) deltaRanked
-      else deltaRanked.drop("rank")
-    // touched = the delta's cells plus any re-uploaded id's OLD cell
-    // (the displaced row must leave its bucket) — the same set the
-    // graph recompute derives
-    val deltaIds = delta.select(col(idCol)).distinct()
-    val touchedCells = deltaAssigned.select(col("cell"))
-      .unionByName(oldAssigned.join(broadcast(deltaIds), Seq(idCol), "left_semi")
-        .select(col("cell")))
-      .distinct().localCheckpoint()
+    val deltaIds = delta.select(col(idCol)).distinct().localCheckpoint()
+    val hasIdCells = Fs.exists(idCellsPath(cur))
+    // touched = the delta's cells plus any re-uploaded id's OLD cells
+    // (ALL multiAssign copies — the displaced rows must leave their
+    // buckets). With the id-keyed cell map this is a point lookup of
+    // the delta's id buckets, and EVERY pre-delta read below is then
+    // bucket-pruned — per-batch read I/O O(touched buckets), matching
+    // the write side; the full assignment view is never even
+    // CONSTRUCTED (its file enumeration alone is O(index)). Legacy
+    // stores (no idcells component) keep the full-scan derivation.
+    // The rank-schema check (a legacy rank-less store must stay
+    // rank-less — the merge needs matching schemas) reads the pruned
+    // view's schema on the idcells path.
+    val (touchedCells, oldTouched, deltaAssigned) =
+      if (hasIdCells) {
+        val tc = deltaRanked.select(col("cell"))
+          .unionByName(graft.sources.PrunedIndex.readPruned(spark,
+            idCellsPath(cur), deltaIds).select(col("cell")))
+          .distinct().localCheckpoint()
+        val ot = graft.sources.PrunedIndex.readPruned(spark,
+          Fs.child(cur, "assigned"), tc)
+        val da = if (ot.columns.contains("rank")) deltaRanked
+                 else deltaRanked.drop("rank")
+        (tc, ot, da)
+      } else {
+        val oldAssigned = assigned(spark, root)
+        val da = if (oldAssigned.columns.contains("rank")) deltaRanked
+                 else deltaRanked.drop("rank")
+        val tc = da.select(col("cell"))
+          .unionByName(oldAssigned.join(broadcast(deltaIds), Seq(idCol), "left_semi")
+            .select(col("cell")))
+          .distinct().localCheckpoint()
+        (tc, oldAssigned, da)
+      }
     val merged = graft.operators.Relational.mergeReplaceGroups(
-      oldAssigned, deltaAssigned, Seq(idCol))
+      oldTouched, deltaAssigned, Seq(idCol))
     val touchedAssigned = merged.join(touchedCells, Seq("cell"), "left_semi")
     val (_, recomputedEdges) = GraphAnn.recomputedGraphEdgesForDelta(spark,
-      Fs.child(cur, "graph"), oldAssigned, deltaAssigned, idCol, vecCol,
+      Fs.child(cur, "graph"), oldTouched, deltaAssigned, idCol, vecCol,
       p.m, p.efConstruction)
     // allocate past BOTH the last committed version and _CURRENT: after
     // a crash between a writer's _SUCCESS land and its pointer swap,
@@ -486,6 +531,13 @@ object AnnIndexStore {
         delta.select(col(idCol), col(vecCol)), deltaIds,
         basePath = Some(vecsByIdPath(cur)), p.maxRecordsPerFile)
     }
+    if (hasIdCells) {
+      // the cell map advances the same way: one (id, cell) row per
+      // delta assignment row, replace-by-key on the delta's ids
+      graft.sources.PrunedIndex.writeDelta(spark, idCellsPath(dir),
+        deltaAssigned.select(col(idCol), col("cell")), deltaIds,
+        basePath = Some(idCellsPath(cur)), p.maxRecordsPerFile)
+    }
     val touchedCols = Seq(col(idCol), col(vecCol), col("cell")) ++
       (if (touchedAssigned.columns.contains("rank")) Seq(col("rank")) else Nil)
     graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
@@ -505,11 +557,9 @@ object AnnIndexStore {
       val added = collectCellStatsRaw(deltaAssigned, idCol, vecCol, cents)
       // replaced ids' old rows live only in touched cells (touchedCells
       // includes every re-uploaded id's OLD cell by construction), so
-      // the subtraction side is a bucket-pruned read, not a corpus scan
+      // the subtraction side is the already-pruned read, not a corpus scan
       val removed = collectCellStatsRaw(
-        graft.sources.PrunedIndex.readPruned(spark, Fs.child(cur, "assigned"),
-            touchedCells)
-          .join(broadcast(deltaIds), Seq(idCol), "left_semi"),
+        oldTouched.join(broadcast(deltaIds), Seq(idCol), "left_semi"),
         idCol, vecCol, cents)
       Fs.writeStringAtomic(driftBasePath(dir),
         renderDriftBase(mergeDriftBase(base, added, removed)))
@@ -532,7 +582,8 @@ object AnnIndexStore {
     * reference — the retention dependency set [[vacuum]] honors. */
   private def referencedEntries(root: String, vs: Seq[Long]): Set[String] =
     vs.flatMap { v =>
-      Seq("assigned", "graph", "subcents", "codes", "vecsbyid").flatMap { comp =>
+      Seq("assigned", "graph", "subcents", "codes", "vecsbyid", "idcells")
+        .flatMap { comp =>
         val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
         if (!Fs.exists(mp)) Nil
         else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)

@@ -337,8 +337,6 @@ object PrunedIndex {
       .distinct().collect().map(_.getInt(0)).toSet
     require(!newKeyRows.columns.contains(BucketCol),
       s"input already carries a $BucketCol column")
-    // the stored column order is the layout's schema; rows land in it
-    val dataCols = read(spark, base).columns.toSeq
     // stray keys would silently vanish (their bucket's files are not
     // rewritten) — fail loudly instead; newKeyRows is delta-bounded so
     // this check is one cheap job
@@ -351,6 +349,19 @@ object PrunedIndex {
     val touchedEntries = old.iterator
       .collect { case (b, fs) if touched(b) => fs }
       .flatten.toSeq
+    // the stored column order is the layout's schema; resolve it from
+    // ONE manifest entry (a touched bucket's first, when any — those
+    // files are read below anyway) — constructing the full view here
+    // would enumerate and validate every index file per delta write:
+    // O(index files) driver work per batch, and a hard failure when
+    // untouched buckets' files are gone (retention, or the ScaleSpec
+    // mutilation proof)
+    val dataCols =
+      (touchedEntries.headOption.orElse(old.valuesIterator.flatten.take(1)
+          .toSeq.headOption) match {
+        case Some(one) => readEntries(spark, base, Seq(one))
+        case None      => read(spark, base)
+      }).columns.filterNot(_ == BucketCol).toSeq
     val strangers =
       if (touchedEntries.isEmpty) None
       else Some(readEntries(spark, base, touchedEntries)

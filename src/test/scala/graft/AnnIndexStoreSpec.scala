@@ -720,6 +720,33 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("id-cells map: bucket-pruned append == legacy full-scan append, bit for bit (multiAssign copies included)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_idcells").toString
+    val P2 = P.copy(multiAssign = 2, nCells = 8, numBuckets = 8)
+    val v1 = embs.filter($"vec_id" % 5 =!= 0)
+    // re-uploads with MOVED vectors (old cells must recompute) + new ids
+    val delta = embs.filter($"vec_id".isin(1L, 17L, 41L))
+      .select($"vec_id", org.apache.spark.sql.functions.reverse($"embedding").as("embedding"))
+      .unionByName(embs.filter($"vec_id" % 5 === 0)
+        .select($"vec_id", $"embedding"))
+    def mkStore(root: String, legacy: Boolean): Unit = {
+      AnnIndexStore.build(spark, v1, "vec_id", "embedding", root, P2)
+      if (legacy) graft.fs.Fs.deleteRecursive(
+        graft.fs.Fs.child(AnnIndexStore.currentPath(root).get, "idcells"))
+      AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", P2): Unit
+    }
+    mkStore(s"$base/pruned", legacy = false)
+    mkStore(s"$base/legacy", legacy = true)
+    def assignedRows(root: String) = AnnIndexStore.assigned(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(assignedRows(s"$base/pruned") == assignedRows(s"$base/legacy"))
+    val q = embs.filter($"vec_id" < 8)
+    def search(root: String) = rows(AnnIndexStore.searchGraph(spark, root, q,
+      "vec_id", "embedding", k = 4, nprobe = 3, efSearch = 16))
+    assert(search(s"$base/pruned").nonEmpty &&
+      search(s"$base/pruned") == search(s"$base/legacy"))
+  }
+
   test("drift baseline sidecar == legacy full re-score, through build, append (re-uploads), and compact") {
     // multiAssign = 2: the baseline must count routing copies exactly as
     // the legacy globalMean(assigned) did (each copy re-argmins to the

@@ -817,6 +817,55 @@ class ScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("ANN appendDelta reads only touched buckets — untouched assignment/graph data can be GONE") {
+    import graft.llm.AnnIndexStore
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_appendprune").toString
+    val p = AnnIndexStore.Params(nCells = 16, iters = 2, numBuckets = 16,
+      m = 4, efConstruction = 12)
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v1 = embs.filter($"vec_id" >= 5)
+    val delta = embs.filter($"vec_id" < 5).select($"vec_id", $"embedding")
+    // twin stores: one mutilated, one intact (the answer reference)
+    Seq("s", "ref").foreach(n => AnnIndexStore.build(spark, v1,
+      "vec_id", "embedding", s"$dir/$n", p))
+    val root = s"$dir/s"; val cur = AnnIndexStore.currentPath(root).get
+    // the buckets the append may touch: the delta's assigned cells ∪
+    // (none re-uploaded here — new ids), hashed like the layout
+    val touchedBuckets = graft.llm.Similarity.ivfAssignedIndexMulti(delta,
+        "vec_id", "embedding", AnnIndexStore.centroids(spark, root),
+        p.multiAssign)
+      .select(pmod(hash($"cell"), lit(16)).as("b"))
+      .distinct().as[Int].collect().toSet
+    val bucketPrefix = graft.sources.PrunedIndex.BucketCol + "="
+    var deleted = 0
+    Seq("assigned", "graph").foreach { comp =>
+      graft.fs.Fs.list(s"$cur/$comp").filter(f => f.isDirectory &&
+          f.getPath.getName.startsWith(bucketPrefix))
+        .foreach { f =>
+          val b = f.getPath.getName.stripPrefix(bucketPrefix).toInt
+          if (!touchedBuckets(b)) {
+            graft.fs.Fs.list(f.getPath.toString)
+              .filterNot(_.getPath.getName.startsWith("_"))
+              .foreach { df =>
+                graft.fs.Fs.deleteRecursive(df.getPath.toString); deleted += 1 }
+          }
+        }
+    }
+    assert(deleted > 0, "scenario must actually remove untouched files")
+    intercept[Exception] { AnnIndexStore.assigned(spark, root).collect() }
+    // the append neither needs nor notices the deleted buckets...
+    AnnIndexStore.appendDelta(spark, root, delta, "vec_id", "embedding", p)
+    // ...and the delta-bounded probe over the new version answers
+    // exactly like the intact twin (same build inputs → same store)
+    AnnIndexStore.appendDelta(spark, s"$dir/ref", delta, "vec_id", "embedding", p)
+    def probe(r: String) = AnnIndexStore.semDedupPairsForDelta(spark, r,
+        delta, "vec_id", "embedding", minCos = 0.2)
+      .select($"a_id", $"b_id", floor($"cos_sim" * 1e6).cast("long"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(probe(root) == probe(s"$dir/ref"))
+  }
+
   test("ANN drift check reads version meta + delta only — assignment buckets can be GONE") {
     import graft.llm.AnnIndexStore
     val dir = java.nio.file.Files.createTempDirectory("graft_driftmeta").toString
