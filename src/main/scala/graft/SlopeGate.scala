@@ -249,6 +249,15 @@ object SlopeGate {
         "shape, budget 20) plus the churn-bounded diff, whose candidate " +
         "derivation is scan + churn-sized work by construction " +
         "(ScaleSpec-gated)"),
+    "t161_ledger_store" -> Budget(20.0,
+      "t160's batch through the curation-ledger STORE: the timed path " +
+        "is the churn-bounded absorb (candidate point lookups + exact " +
+        "candidate rescore + splice writes — all ∝ the %64 batch, " +
+        "which itself grows with the corpus) plus the near-dup index " +
+        "probe/append; reads outside candidate buckets are " +
+        "ScaleSpec-impossible (mutilation gate), t160's family budget " +
+        "applies. Rep 2+ rebuilds the fixture store (replay guard) — " +
+        "min-of-reps times the clean first absorb"),
     "t150_winnowing_stream" -> Skip(
       "the streamed twin of t46's UNCAPPED winnowing over the full " +
         "corpus — df^2-output-quadratic by contract on the scaled " +

@@ -2809,6 +2809,60 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixture: the versioned curation-LEDGER store
+    * ([[graft.llm.CurationLedgerStore]]) built over the %64==3
+    * placeholder corpus — t160's scenario with the state moved from
+    * parquet frames into the store whose per-batch verdict COMPUTE is
+    * churn-bounded. The build is the one-time corpus cost (pipeline
+    * stages + every component layout); [[t161LedgerStoreAbsorb]] times
+    * only the operational absorb. */
+  private def t161Fixture(s: SparkSession, dir: String): Unit = {
+    val root = scratch("curledst", dir)
+    ensureFixture(root) { buildT161Store(s, dir, root) }
+  }
+
+  private def buildT161Store(s: SparkSession, dir: String, root: String): Unit = {
+    val d = t(s, dir, "documents")
+    val old = d.withColumn("text",
+      when(col("doc_id") % 64 === 3,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    graft.llm.CurationLedgerStore.build(s, old, bench, "text", s"$root/store",
+      graft.llm.CurationLedgerStore.Params(
+        idCol = "doc_id", textCol = "text",
+        scoreCol = "n_chars", sourceCol = "source")): Unit
+  }
+
+  /** t160's steady-state batch through the curation-ledger STORE — the
+    * r19 capstone: the per-batch verdict COMPUTE is churn-bounded, not
+    * just the diff. [[graft.llm.CurationLedgerStore.absorbBatch]]
+    * derives a provably-complete candidate set (touched docs; pair-BFS
+    * components via the id-keyed edge component; LM-shift flips via
+    * the certified lazy-rescoring score band + significant-token doc
+    * lists; sampling flips via the (source, hash-band) component),
+    * recomputes EXACTLY those verdicts from point lookups, and splices
+    * them onto the stored ledger — no corpus-thin frame is built, let
+    * alone shuffled (ScaleSpec proves it by deleting untouched
+    * buckets' files). Output == the rebuild-twin EXCEPT, so t160's
+    * nested oracle applies verbatim; equality with the frame-path diff
+    * and with full-rebuild twins is pinned in CurationLedgerStoreSpec.
+    * The absorb ADVANCES the store, so a replay (second run in one
+    * process) rebuilds the fixture store first — [[Bench]]'s min-of-reps
+    * therefore reports the clean first-absorb probe. */
+  private def t161LedgerStoreAbsorb(s: SparkSession, dir: String): DataFrame = {
+    t161Fixture(s, dir)
+    val root = scratch("curledst", dir)
+    if (graft.llm.CurationLedgerStore.currentVersion(s"$root/store").exists(_ > 1)) {
+      graft.fs.Fs.deleteRecursive(s"$root/store")
+      buildT161Store(s, dir, root)
+    }
+    val delta = t(s, dir, "documents").filter(col("doc_id") % 64 === 3)
+    graft.llm.CurationLedgerStore.absorbBatch(s, s"$root/store", delta)
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixture: a FLAT versioned ANN store over the %5≠0 embeddings
     * under the recall default `multiAssign = 2` — the store side of
     * the semantic-dedup probe ([[t154SemDedupStore]]). Graph params
@@ -3424,6 +3478,7 @@ object SparkEntry {
     "t158_semdedup_hier" -> t158SemDedupHier _,
     "t159_skew_join" -> t159SkewJoin _,
     "t160_ledger_changed_small" -> t160LedgerChangedSmall _,
+    "t161_ledger_store" -> t161LedgerStoreAbsorb _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -3470,6 +3525,7 @@ object SparkEntry {
     "t155_ann_maintenance" -> t155Fixture _,
     "t158_semdedup_hier" -> t158Fixture _,
     "t160_ledger_changed_small" -> t160Fixture _,
+    "t161_ledger_store" -> t161Fixture _,
   )
 
   /** DuckDB twins. Formulas/aliases/order mirror the Spark side exactly.
@@ -5099,6 +5155,25 @@ object SparkEntry {
       // batch size (%64==3 placeholders) — the diff mechanism (bounded
       // candidates vs plain except) is answer-invariant by CurationSpec
       ("t160_ledger_changed_small" -> {
+        val post = base("t128_curation_e2e")
+        val pre = post.replace("FROM documents", "FROM predocs")
+          .replace("JOIN documents", "JOIN predocs")
+        s"""WITH predocs AS (SELECT doc_id,
+             CASE WHEN doc_id % 64 = 3
+               THEN 'obsolete draft placeholder revision ' || substring(text, 1, 48)
+               ELSE text END AS text,
+             n_chars, source FROM documents)
+           SELECT * FROM (
+             SELECT * FROM ($post) post_ledger
+             EXCEPT
+             SELECT * FROM ($pre) pre_ledger
+           ) ORDER BY doc_id"""
+      }) +
+      // t161: t160's oracle VERBATIM — the store path changes how the
+      // answer is computed (churn-bounded candidate recompute + splice
+      // instead of a full post ledger), never what it is; equality with
+      // the frame path and rebuild twins is CurationLedgerStoreSpec's
+      ("t161_ledger_store" -> {
         val post = base("t128_curation_e2e")
         val pre = post.replace("FROM documents", "FROM predocs")
           .replace("JOIN documents", "JOIN predocs")

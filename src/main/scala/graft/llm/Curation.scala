@@ -324,12 +324,12 @@ object Curation {
     * derivation ([[fullPipelineLedgerDeltaIndexedChanged]]). `quality`
     * keeps the thin columns (the mix stage and the hash-band candidate
     * both need the source). */
-  private final case class StageSets(allThin: DataFrame, survIds: DataFrame,
-                                     cleanIds: DataFrame, qualIds: DataFrame,
-                                     scores: DataFrame, quality: DataFrame,
-                                     mixIds: DataFrame, packed: DataFrame)
+  private[llm] final case class StageSets(allThin: DataFrame, survIds: DataFrame,
+                                          cleanIds: DataFrame, qualIds: DataFrame,
+                                          scores: DataFrame, quality: DataFrame,
+                                          mixIds: DataFrame, packed: DataFrame)
 
-  private def ledgerStages(thin: DataFrame, pairs: DataFrame,
+  private[llm] def ledgerStages(thin: DataFrame, pairs: DataFrame,
       clean: DataFrame, census: DataFrame,
       idCol: String, scoreCol: String, sourceCol: String,
       minAvgLogProbPpm: Long, targetPpm: Long,
@@ -367,7 +367,7 @@ object Curation {
       packed)
   }
 
-  private def ledgerFromStages(st: StageSets, idCol: String): DataFrame = {
+  private[llm] def ledgerFromStages(st: StageSets, idCol: String): DataFrame = {
     def flag(df: DataFrame, name: String): DataFrame =
       df.withColumn(name, lit(true))
     st.allThin.select(col(idCol), col("n_tokens"))

@@ -270,10 +270,18 @@ object PrunedIndex {
         val sel = m.iterator.collect { case (b, fs) if buckets(b) => fs }
           .flatten.toSeq
         if (sel.nonEmpty) readEntries(spark, path, sel)
-        else
+        else {
           // no probed bucket holds rows: an empty frame with the stored
-          // schema, read from one arbitrary data file
-          readEntries(spark, path, Seq(m.valuesIterator.flatten.next())).limit(0)
+          // schema, read from one data file that still EXISTS — an
+          // arbitrary pick could name a file retention (or a ScaleSpec
+          // mutilation proof) legitimately removed from an untouched
+          // bucket, turning a rows-free probe into a read error
+          val one = m.valuesIterator.flatten
+            .find(e => graft.fs.Fs.exists(resolveEntry(path, e)))
+            .getOrElse(throw new IllegalStateException(
+              s"no readable data file under $path to derive the stored schema"))
+          readEntries(spark, path, Seq(one)).limit(0)
+        }
       case _ => listedBase(spark, path)
     }
     // using-column joins reorder output (key columns first); re-select
@@ -400,6 +408,64 @@ object PrunedIndex {
     val kept = old.iterator.collect { case (b, fs) if !touched(b) =>
       fs.map(e => s"$b\t${resolveEntry(base, e)}")
     }.flatten.toSeq
+    Fs.writeStringAtomic(manifestPath(path), (kept ++ newLines).mkString("\n"))
+    Fs.writeStringAtomic(metaPath(path),
+      s"${keyCols.mkString(",")}\n$numBuckets\n$token")
+    manifestCache.filterInPlace((k, _) => k._2 != path)
+    baseCache.filterInPlace((k, _) => k._2 != path)
+  }
+
+  /** APPEND-only delta: land `rows` as new files in their key buckets
+    * and carry EVERY old manifest entry forward — no replacement, no
+    * same-bucket stranger re-land, so per-batch write I/O is O(rows)
+    * regardless of how hot the touched buckets are. The layout becomes
+    * STALE-TOLERANT by contract: a key re-landed by a later append has
+    * BOTH generations of rows in its bucket, and the reader owns the
+    * dedup story (e.g. keep the max-stamp row per id, or treat the
+    * row set as a candidate SUPERSET that a downstream exact check
+    * resolves — [[graft.llm.CurationLedgerStore]]'s score-band and
+    * hash-band components do the latter). Use [[writeDelta]] when the
+    * reader needs replace-by-key truth; use a full [[write]]
+    * (compaction) to fold the stale generations out.
+    *
+    * `basePath` stitches from a different index dir exactly as
+    * [[writeDelta]]'s does — `path` is created fresh, referencing the
+    * base's files by absolute path, and the base is never modified. */
+  def appendRows(spark: SparkSession, path: String, rows: DataFrame,
+                 basePath: Option[String] = None,
+                 maxRecordsPerFile: Long = 0L): Unit = {
+    val base = basePath.getOrElse(path)
+    val (keyCols, numBuckets) = meta(base)
+    val old = manifestFor(spark, base).getOrElse(throw new IllegalStateException(
+      s"appendRows needs a _PRUNE_MANIFEST at $base — build the index with PrunedIndex.write"))
+    require(!rows.columns.contains(BucketCol),
+      s"input already carries a $BucketCol column")
+    val token = newVersionToken()
+    val deltaDirName = s"delta-$token"
+    val deltaDir = Fs.child(path, deltaDirName)
+    val writer = rows
+      .withColumn(BucketCol, pmod(hash(keyCols.map(col): _*), lit(numBuckets)))
+      .repartition(math.min(numBuckets, 32), col(BucketCol))
+      .write.mode("overwrite")
+    (if (maxRecordsPerFile > 0L)
+       writer.option("maxRecordsPerFile", maxRecordsPerFile)
+     else writer)
+      .partitionBy(BucketCol).parquet(deltaDir)
+    val prefix = BucketCol + "="
+    val newLines = Fs.list(deltaDir)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { d =>
+        val bucket = d.getPath.getName.substring(prefix.length).toInt
+        Fs.list(d.getPath.toString)
+          .filter { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          .map(f => s"$bucket\t$deltaDirName/${d.getPath.getName}/${f.getPath.getName}")
+      }
+    val kept = old.iterator.flatMap { case (b, fs) =>
+      fs.map(e => s"$b\t${resolveEntry(base, e)}")
+    }.toSeq
     Fs.writeStringAtomic(manifestPath(path), (kept ++ newLines).mkString("\n"))
     Fs.writeStringAtomic(metaPath(path),
       s"${keyCols.mkString(",")}\n$numBuckets\n$token")

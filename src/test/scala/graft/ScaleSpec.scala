@@ -902,4 +902,144 @@ class ScaleSpec extends AnyFunSuite {
       AnnIndexStore.driftPpm(spark, root, delta, "vec_id", "embedding")
     }
   }
+
+  test("curation-ledger store absorb reads only candidate buckets — " +
+      "untouched data in EVERY component can be GONE") {
+    import org.apache.spark.sql.functions._
+    import graft.llm.{CurationLedgerStore, TextAnalysis}
+    import graft.sources.PrunedIndex
+    val dir = java.nio.file.Files.createTempDirectory("graft_curstoreprune").toString
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val p = CurationLedgerStore.Params(idCol = "doc_id", textCol = "text",
+      scoreCol = "n_chars", sourceCol = "source",
+      neardupBuckets = 16, idBuckets = 8, tokBuckets = 8)
+    // twin stores: one mutilated, one intact (the answer reference)
+    Seq("s", "ref").foreach(n =>
+      CurationLedgerStore.build(spark, d, bench, "text", s"$dir/$n", p))
+    val root = s"$dir/s"
+    val cur = CurationLedgerStore.currentPath(root).get
+
+    // the steady-state batch: two re-uploads appending one never-seen
+    // token, chosen pair-free and BELOW the quality floor — a rare
+    // token only pushes the average log-prob further down, so their
+    // quality membership (hence the quotas, hence the hash bands) is
+    // UNCHANGED by construction and the absorb must read NO mixhash
+    // file at all
+    val floorQ = -4930000L
+    val edgeSrcs = PrunedIndex.read(spark, s"$cur/edges")
+      .select($"src").distinct().as[Long].collect().toSet
+    val bandRows = PrunedIndex.read(spark, s"$cur/bands").localCheckpoint()
+    val deltaPick = bandRows
+      .filter($"score_ppm" < lit(floorQ))
+      .select($"id").as[Long].collect().filterNot(edgeSrcs).sorted.take(2)
+    assert(deltaPick.length == 2, "scenario needs two pair-free below-floor docs")
+    val delta = d.filter($"doc_id".isin(deltaPick: _*))
+      .select($"doc_id", concat($"text", lit(" zzqx")).as("text"),
+        $"lang", $"source", $"n_chars")
+      .localCheckpoint()
+    val deltaIds = deltaPick.toSet
+
+    // ---- test-side candidate SUPERSET from the store's own components
+    //      (the implementation reading outside it is the regression this
+    //      gate exists to catch) ----
+    val censusAll = PrunedIndex.read(spark, s"$cur/census").localCheckpoint()
+    val deltaOldCensus = censusAll.filter($"id".isin(deltaPick: _*))
+    val deltaNewCensus = TextAnalysis.unigramCensus(delta, "doc_id", "text")
+    val touchedToks = deltaOldCensus.select($"tok")
+      .unionByName(deltaNewCensus.select($"tok")).distinct()
+      .as[String].collect().toSet
+    val vocabAll = PrunedIndex.read(spark, s"$cur/vocab").localCheckpoint()
+    val nPrev = vocabAll.agg(sum($"c")).as[Long].collect()(0)
+    val dSum = Option(deltaNewCensus.agg(sum($"n")).collect()(0).get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val rSum = Option(deltaOldCensus.agg(sum($"n")).collect()(0).get(0))
+      .fold(0L)(_.asInstanceOf[Long])
+    val nPost = nPrev + dSum - rSum
+    val u = math.abs(math.log(nPrev.toDouble / nPost.toDouble) / math.log(2.0)) * 1e6
+    val bound = math.ceil(u).toLong + 3
+    val bK = bound // the build's B ledger starts at 0
+    def lp(c: Long, n: Long): Long =
+      math.floor(math.log(c.toDouble / n.toDouble) / math.log(2.0) * 1e6 + 1e-4).toLong
+    val dByTok = deltaNewCensus.groupBy($"tok").agg(sum($"n").as("dn"))
+      .as[(String, Long)].collect().toMap
+    val rByTok = deltaOldCensus.groupBy($"tok").agg(sum($"n").as("rn"))
+      .as[(String, Long)].collect().toMap
+    val cPrevByTok = vocabAll.filter($"tok".isin(touchedToks.toSeq: _*))
+      .as[(String, Long)].collect().toMap
+    val sigToks = touchedToks.filter { t =>
+      val cprev = cPrevByTok.getOrElse(t, 0L)
+      val cpost = cprev + dByTok.getOrElse(t, 0L) - rByTok.getOrElse(t, 0L)
+      cprev > 0L && cpost > 0L && math.abs(lp(cpost, nPost) - lp(cprev, nPrev)) >= bound
+    }
+    val censusTokAll = PrunedIndex.read(spark, s"$cur/censustok").localCheckpoint()
+    val sigDocIds = censusTokAll.filter($"tok".isin(sigToks.toSeq: _*))
+      .select($"id").as[Long].collect().toSet
+    val bandIds = bandRows.filter(abs($"score_ppm" - lit(floorQ)) <= bK)
+      .select($"id").as[Long].collect().toSet
+    // pair-free delta ⇒ reach == delta; the superset every absorb read
+    // must stay inside
+    val keptIds = deltaIds ++ sigDocIds ++ bandIds
+    val keptToks = touchedToks ++
+      censusAll.filter($"id".isin(keptIds.toSeq: _*))
+        .select($"tok").as[String].collect().toSet
+    val w = p.scoreBandPpm
+    val keptBands = (Math.floorDiv(floorQ - bK, w) to Math.floorDiv(floorQ + bK, w)).toSet
+
+    // ---- mutilate: delete every data file outside the kept buckets,
+    //      in EVERY component ----
+    def bucketsOf(keys: org.apache.spark.sql.DataFrame, nb: Int): Set[Int] =
+      if (keys.isEmpty) Set.empty
+      else keys.select(pmod(hash(col(keys.columns.head)), lit(nb)).as("b"))
+        .distinct().as[Int].collect().toSet
+    val keptIdsDf = keptIds.toSeq.toDF("k")
+    val keep: Map[String, Set[Int]] = Map(
+      "thin" -> bucketsOf(keptIdsDf, p.idBuckets),
+      "census" -> bucketsOf(keptIdsDf, p.idBuckets),
+      "ledger" -> bucketsOf(keptIdsDf, p.idBuckets),
+      "edges" -> bucketsOf(keptIdsDf, p.idBuckets),
+      "vocab" -> bucketsOf(keptToks.toSeq.toDF("k"), p.tokBuckets),
+      "censustok" -> bucketsOf(sigToks.toSeq.toDF("k"), p.tokBuckets),
+      "bands" -> bucketsOf(keptBands.toSeq.toDF("k"), p.tokBuckets),
+      "mixhash" -> Set.empty[Int])
+    val bucketPrefix = PrunedIndex.BucketCol + "="
+    var deleted = 0
+    keep.foreach { case (comp, keepB) =>
+      graft.fs.Fs.list(s"$cur/$comp").filter(f => f.isDirectory &&
+          f.getPath.getName.startsWith(bucketPrefix))
+        .foreach { f =>
+          val b = f.getPath.getName.stripPrefix(bucketPrefix).toInt
+          if (!keepB(b)) {
+            graft.fs.Fs.list(f.getPath.toString)
+              .filterNot(_.getPath.getName.startsWith("_"))
+              .foreach { df =>
+                graft.fs.Fs.deleteRecursive(df.getPath.toString); deleted += 1 }
+          }
+        }
+    }
+    assert(deleted > 10, s"scenario must remove real data files, deleted=$deleted")
+    intercept[Exception] {
+      CurationLedgerStore.ledger(spark, root).collect()
+    }
+
+    // the absorb neither needs nor notices the deleted buckets...
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_tokens", $"verdict")
+        .as[(Long, Long, String)].collect().toSet
+    val changed = rows(CurationLedgerStore.absorbBatch(spark, root, delta))
+    val changedRef = rows(CurationLedgerStore.absorbBatch(spark, s"$dir/ref", delta))
+    assert(changed == changedRef, {
+      s"missed: ${(changedRef -- changed).take(5)}; extra: ${(changed -- changedRef).take(5)}"
+    })
+    assert(changed.nonEmpty, "scenario must change some verdicts (the re-uploads moved)")
+    // ...and the new version's point lookups answer like the intact twin
+    val lookNew = PrunedIndex.readPruned(spark,
+        s"${CurationLedgerStore.currentPath(root).get}/ledger",
+        deltaPick.toSeq.toDF("doc_id"))
+    val lookRef = PrunedIndex.readPruned(spark,
+        s"${CurationLedgerStore.currentPath(s"$dir/ref").get}/ledger",
+        deltaPick.toSeq.toDF("doc_id"))
+    assert(rows(lookNew) == rows(lookRef))
+    spark.catalog.clearCache()
+  }
 }
