@@ -2829,7 +2829,11 @@ object SparkEntry {
           substring(col("text"), 1, 48)))
         .otherwise(col("text")))
     val bench = d.filter(col("doc_id") % 50 === 0)
-    graft.llm.CurationLedgerStore.build(s, old, bench, "text", s"$root/store",
+    // the PRISTINE v1 — the query's replay guard restores from it by
+    // file copy (build layouts carry only relative manifest entries,
+    // so the tree is location-independent)
+    graft.llm.CurationLedgerStore.build(s, old, bench, "text",
+      s"$root/pristine",
       graft.llm.CurationLedgerStore.Params(
         idCol = "doc_id", textCol = "text",
         scoreCol = "n_chars", sourceCol = "source")): Unit
@@ -2854,12 +2858,24 @@ object SparkEntry {
   private def t161LedgerStoreAbsorb(s: SparkSession, dir: String): DataFrame = {
     t161Fixture(s, dir)
     val root = scratch("curledst", dir)
-    if (graft.llm.CurationLedgerStore.currentVersion(s"$root/store").exists(_ > 1)) {
-      graft.fs.Fs.deleteRecursive(s"$root/store")
-      buildT161Store(s, dir, root)
+    // a marker from a pre-pristine fixture layout skips the build —
+    // self-heal rather than fail the copy below
+    if (!graft.fs.Fs.exists(s"$root/pristine")) buildT161Store(s, dir, root)
+    val store = s"$root/store"
+    // replay guard: the absorb ADVANCES the store, so a re-run (bench
+    // reps 2+, repeated Verify in one JVM) restores the pristine v1 by
+    // FILE COPY — cheap metadata+data clone, never a rebuild
+    if (graft.llm.CurationLedgerStore.currentVersion(store).isEmpty ||
+        graft.llm.CurationLedgerStore.currentVersion(store).exists(_ > 1)) {
+      if (graft.fs.Fs.exists(store)) graft.fs.Fs.deleteRecursive(store)
+      val conf = graft.fs.Fs.conf
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$root/pristine"),
+        fs, new org.apache.hadoop.fs.Path(store), false, conf): Unit
     }
     val delta = t(s, dir, "documents").filter(col("doc_id") % 64 === 3)
-    graft.llm.CurationLedgerStore.absorbBatch(s, s"$root/store", delta)
+    graft.llm.CurationLedgerStore.absorbBatch(s, store, delta)
       .orderBy(col("doc_id"))
   }
 

@@ -650,6 +650,75 @@ object CurationLedgerStore {
     changed
   }
 
+  private val AllComponents: Seq[String] = Seq("thin", "census", "censustok",
+    "vocab", "edges", "bands", "mixhash", "ledger")
+
+  private def referencedEntries(root: String, vs: Seq[Long]): Set[String] =
+    vs.flatMap { v =>
+      AllComponents.flatMap { comp =>
+        val mp = Fs.child(Fs.child(vPath(root, v), comp), "_PRUNE_MANIFEST")
+        if (!Fs.exists(mp)) Nil
+        else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
+          .map(l => l.substring(l.indexOf('\t') + 1))
+          .filter(e => e.startsWith("/") || e.contains("://")).toSeq
+      }
+    }.toSet
+
+  /** How many version dirs the CURRENT version's stitched manifests
+    * reach into (1 = self-contained) — the structural staleness signal
+    * [[maybeMaintain]] acts on. Both sides of the prefix test are
+    * qualified (the sweepUnreferenced idiom), so a scheme-qualified or
+    * relative caller root cannot silently report depth 1. */
+  def chainDepth(root: String): Int = {
+    val curV = currentVersion(root).getOrElse(return 0)
+    val qRoot = Fs.qualified(root)
+    val referenced = referencedEntries(root, Seq(curV))
+      .map(Fs.qualified)
+      .filter(_.startsWith(qRoot + "/"))
+      .map(_.stripPrefix(qRoot + "/").takeWhile(_ != '/'))
+    1 + (referenced - s"v$curV").size
+  }
+
+  /** Self-triggering maintenance (the [[NearDupIndexStore]]/
+    * [[AnnIndexStore]] contract): [[compact]] when the stitched
+    * reference chain exceeds `maxChainDepth` versions — hysteresis is
+    * structural (a compaction resets the depth to 1), the trigger is
+    * metadata-only (manifest lines), and the fold is answer-invariant
+    * (pinned in CurationLedgerStoreSpec). Returns the new committed
+    * version when maintenance ran. Single-writer contract. */
+  def maybeMaintain(spark: SparkSession, root: String,
+                    maxChainDepth: Int = 8): Option[Long] =
+    if (chainDepth(root) > maxChainDepth) Some(compact(spark, root))
+    else None
+
+  /** Retention: drop committed versions beyond the newest `keep`
+    * (always sparing the current pointer's), but NEVER a version dir
+    * whose files a retained version's manifest still references —
+    * those are sparable only after [[compact]] folds the chain flat.
+    * Also sweeps ORPHANED version dirs (a crashed absorb's uncommitted
+    * `v<N>`). Single-writer contract. Returns the dropped versions.
+    * The near-dup index under `root/neardup` has its own in-place
+    * retention ([[Dedup]]'s refreeze + sweep). */
+  def vacuum(root: String, keep: Int = 1): Seq[Long] = {
+    val all = versions(root)
+    val cur = currentVersion(root)
+    val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
+    val refs = referencedEntries(root, retained)
+    val orphans =
+      if (!Fs.exists(root)) Seq.empty[Long]
+      else Fs.list(root).map(_.getPath.getName)
+        .collect { case s if s.startsWith("v") && s.drop(1).nonEmpty &&
+            s.drop(1).forall(_.isDigit) &&
+            !Fs.exists(Fs.child(Fs.child(root, s), "_SUCCESS")) => s.drop(1).toLong }
+        .filterNot(v => cur.contains(v))
+    (all.filterNot(retained.contains) ++ orphans).filter { v =>
+      val dir = vPath(root, v)
+      val stillReferenced = refs.exists(_.startsWith(dir + "/"))
+      if (!stillReferenced) Fs.deleteRecursive(dir)
+      !stillReferenced
+    }
+  }
+
   /** Fold the current version self-contained: replace-by-key layouts
     * rewrite flat, the append-only layouts drop their stale
     * generations (bands keep each id's max-stamp row; the hash-band

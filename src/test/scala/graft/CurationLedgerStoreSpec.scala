@@ -126,9 +126,18 @@ class CurationLedgerStoreSpec extends AnyFunSuite {
     assert(replay.isEmpty, s"replay emitted ${replay.take(5)}")
     assert(rows(CurationLedgerStore.ledger(spark, root)) == prevTwin)
 
-    // compaction changes representation, never answers — and the next
-    // batch still absorbs correctly on the folded layout
-    CurationLedgerStore.compact(spark, root)
+    // lifecycle: three absorbs + a replay stitched a reference chain;
+    // self-triggering maintenance folds it flat (compaction changes
+    // representation, never answers), and vacuum can then drop every
+    // older version — none of the folded layout's files are references
+    assert(CurationLedgerStore.chainDepth(root) > 1,
+      "scenario must stitch a cross-version chain before maintenance")
+    assert(CurationLedgerStore.maybeMaintain(spark, root, maxChainDepth = 1).nonEmpty,
+      "depth above threshold must trigger the compaction")
+    assert(CurationLedgerStore.chainDepth(root) == 1, "compaction must fold flat")
+    assert(CurationLedgerStore.vacuum(root).nonEmpty, "older versions sparable")
+    assert(CurationLedgerStore.maybeMaintain(spark, root, maxChainDepth = 1).isEmpty,
+      "structural hysteresis: a folded store must not re-compact")
     assert(rows(CurationLedgerStore.ledger(spark, root)) == prevTwin,
       "compaction changed the ledger")
     val b4 = d.filter($"doc_id" % 64 === 24)
