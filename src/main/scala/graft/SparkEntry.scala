@@ -2864,15 +2864,30 @@ object SparkEntry {
     val store = s"$root/store"
     // replay guard: the absorb ADVANCES the store, so a re-run (bench
     // reps 2+, repeated Verify in one JVM) restores the pristine v1 by
-    // FILE COPY — cheap metadata+data clone, never a rebuild
-    if (graft.llm.CurationLedgerStore.currentVersion(store).isEmpty ||
-        graft.llm.CurationLedgerStore.currentVersion(store).exists(_ > 1)) {
+    // FILE COPY — cheap data clone, never a rebuild. NIO copy, NOT
+    // FileUtil.copy: the checksummed LocalFileSystem would mint a
+    // `.crc` sidecar for `_CURRENT` that the store's NIO-atomic
+    // pointer swap later invalidates (checksum error on the next
+    // Hadoop read). An unreadable/advanced/missing pointer all mean
+    // the same thing here — restore.
+    val pristineOk = scala.util.Try(
+      graft.llm.CurationLedgerStore.currentVersion(store)).toOption.flatten
+      .contains(1L)
+    if (!pristineOk) {
       if (graft.fs.Fs.exists(store)) graft.fs.Fs.deleteRecursive(store)
-      val conf = graft.fs.Fs.conf
-      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(s"$root/pristine"),
-        fs, new org.apache.hadoop.fs.Path(store), false, conf): Unit
+      val src = java.nio.file.Paths.get(s"$root/pristine")
+      val dst = java.nio.file.Paths.get(store)
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      } finally walk.close()
     }
     val delta = t(s, dir, "documents").filter(col("doc_id") % 64 === 3)
     graft.llm.CurationLedgerStore.absorbBatch(s, store, delta)
