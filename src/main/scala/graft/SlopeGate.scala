@@ -256,8 +256,8 @@ object SlopeGate {
         "which itself grows with the corpus) plus the near-dup index " +
         "probe/append; reads outside candidate buckets are " +
         "ScaleSpec-impossible (mutilation gate), t160's family budget " +
-        "applies. Rep 2+ rebuilds the fixture store (replay guard) — " +
-        "min-of-reps times the clean first absorb"),
+        "applies. Rep 2+ restores the pristine store by file copy " +
+        "(replay guard) — min-of-reps times the cheapest clean absorb"),
     "t150_winnowing_stream" -> Skip(
       "the streamed twin of t46's UNCAPPED winnowing over the full " +
         "corpus — df^2-output-quadratic by contract on the scaled " +
