@@ -97,9 +97,12 @@ object AnnStoreProbeBench {
       val corpusPath = ScaleBench.scaledEmbeddings(spark, baseDir, workDir, f)
       val corpus = spark.read.parquet(corpusPath)
       val root = s"$workDir/annstore_x$f"
+      // maxFlatCells = 0: this store MEASURES the flat shape's slope —
+      // the auto two-level switch must not quietly rescue it at ×50
       val p = AnnIndexStore.Params(nCells = 0, cellTarget = cellTarget,
         iters = 2, numBuckets = bucketsBase * f, m = 8, efConstruction = 48,
-        multiAssign = 2, pqM = 8, pqKsub = 16, idBuckets = bucketsBase * f)
+        multiAssign = 2, pqM = 8, pqKsub = 16, idBuckets = bucketsBase * f,
+        maxFlatCells = 0)
       val buildSec =
         if (AnnIndexStore.currentVersion(root).isEmpty) {
           val t0 = System.nanoTime()
@@ -135,6 +138,41 @@ object AnnStoreProbeBench {
           AnnIndexStore.build(spark, corpus, "vec_id", "embedding", rootH, pH)
           (System.nanoTime() - t0) / 1e9
         } else -1.0
+      // ---- storage-amplification audit (r19 verdict #5): bytes per
+      // component of the PURE BUILD version (v1 — always
+      // self-contained; `current` may already be an appended stitch
+      // from a cached prior invocation), against the raw corpus
+      // parquet. The assigned component carries the raw vector
+      // ×multiAssign, PQ builds add codes + vecsbyid + idcells — this
+      // is the multiplier a 100 TB embedding bill pays for the
+      // recall/latency posture, printed so NOTES can table it. ----
+      def dirBytes(ds: String): Long = {
+        val pth = java.nio.file.Paths.get(ds)
+        if (!java.nio.file.Files.exists(pth)) 0L
+        else {
+          var b = 0L
+          val walk = java.nio.file.Files.walk(pth)
+          try walk.forEach { q =>
+            if (java.nio.file.Files.isRegularFile(q))
+              b += java.nio.file.Files.size(q)
+          } finally walk.close()
+          b
+        }
+      }
+      val rawBytes = dirBytes(corpusPath)
+      Seq(("flat", root), ("hier", rootH)).foreach { case (shape, r) =>
+        val v1 = s"$r/v1"
+        val comps = Option(new java.io.File(v1).listFiles()).getOrElse(Array.empty)
+          .filter(_.isDirectory).sortBy(_.getName)
+          .map(dd => dd.getName -> dirBytes(dd.toString))
+        val total = comps.map(_._2).sum
+        val compJson = comps.map { case (n, b) => s""""$n":$b""" }
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"ann_store_bytes","shape":"$shape","factor":$f,""" +
+          s""""raw_corpus_bytes":$rawBytes,"store_bytes":$total,""" +
+          s""""amplification":${if (rawBytes > 0) total.toDouble / rawBytes else -1.0},""" +
+          s""""components":$compJson}""")
+      }
       val ops: Seq[(String, () => Long)] = Seq(
         ("search_graph", () => AnnIndexStore.searchGraph(spark, root, headIds,
           "vec_id", "embedding", k = 10, nprobe = 8, efSearch = 96).count()),

@@ -36,10 +36,13 @@ import graft.llm.CurationLedgerStore
   * then time the operational `absorb` of a constant `nDelta`-doc
   * re-upload batch (trailer-token revisions — near-dups of their
   * stored selves, with real vocab/count churn) and a `lookup` of the
-  * batch ids in the stored ledger. Reps 2+ of the absorb are replays
-  * (idempotent by contract) exercising the same candidate machinery.
-  * The summary carries the SlopeGate-style budget gate (exit 2 on
-  * breach) — the per-round STOREPROBE contract.
+  * batch ids in the stored ledger. EVERY absorb rep is a CLEAN
+  * steady-state absorb: the store is restored from a post-build
+  * pristine snapshot (untimed NIO tree copy — the t161 pattern)
+  * before each rep, so min-of-reps can never report a cheap replay
+  * (empty changed set, near-dup index already advanced) as the absorb
+  * wall (r19 ADVICE). The summary carries the SlopeGate-style budget
+  * gate (exit 2 on breach) — the per-round STOREPROBE contract.
   *
   * Usage: `runMain graft.LedgerStoreProbeBench [baseSfDir] [workDir]
   *   [factorsCsv] [nDelta] [reps] [classesBase] [bucketsBase]
@@ -87,17 +90,41 @@ object LedgerStoreProbeBench {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warm-up
 
-    def timeMin(run: () => Long): (Double, Long) = {
+    // `reset` runs UNTIMED before every rep (store restore for absorb)
+    def timeMin(run: () => Long, reset: () => Unit = () => ()): (Double, Long) = {
       var rows = -1L
       val walls = (1 to reps).map { _ =>
+        reset()
         val t0 = System.nanoTime()
         val r = run()
-        // keep the FIRST rep's row count: absorb reps 2+ are replays
-        // whose changed set is empty by the idempotence contract
         if (rows < 0L) rows = r
         (System.nanoTime() - t0) / 1e9
       }
       (walls.min, rows)
+    }
+
+    /** NIO tree copy (not FileUtil.copy — the checksummed
+      * LocalFileSystem would mint `.crc` sidecars the store's atomic
+      * pointer swap later invalidates). */
+    def copyTree(srcS: String, dstS: String): Unit = {
+      val src = java.nio.file.Paths.get(srcS)
+      val dst = java.nio.file.Paths.get(dstS)
+      val walk = java.nio.file.Files.walk(src)
+      try walk.forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else {
+          java.nio.file.Files.createDirectories(t.getParent)
+          java.nio.file.Files.copy(p, t,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+        }
+      } finally walk.close()
+    }
+
+    def restoreTree(srcS: String, dstS: String): Unit = {
+      if (graft.fs.Fs.exists(dstS)) graft.fs.Fs.deleteRecursive(dstS)
+      copyTree(srcS, dstS)
     }
 
     val cells = factors.map { f =>
@@ -107,6 +134,13 @@ object LedgerStoreProbeBench {
           .write.mode("overwrite").parquet(docsPath)
       val docs = spark.read.parquet(docsPath)
       val root = s"$workDir/ledgerstore_x$f"
+      // the pristine snapshot IS the build artifact: a store without
+      // one may already be absorbed (a prior invocation's end state) —
+      // rebuild rather than snapshot a polluted root
+      val pristine = s"$root.pristine"
+      if (!graft.fs.Fs.exists(s"$pristine/_CURRENT") &&
+          CurationLedgerStore.currentVersion(root).nonEmpty)
+        graft.fs.Fs.deleteRecursive(root)
       val buildSec =
         if (CurationLedgerStore.currentVersion(root).isEmpty) {
           // the floor must sit IN the scaled distribution: one untimed
@@ -125,8 +159,41 @@ object LedgerStoreProbeBench {
             idBuckets = bucketsBase * f, tokBuckets = bucketsBase * f)
           val t0 = System.nanoTime()
           CurationLedgerStore.build(spark, docs, bench, "text", root, p)
-          (System.nanoTime() - t0) / 1e9
+          val sec = (System.nanoTime() - t0) / 1e9
+          restoreTree(root, pristine)
+          sec
         } else -1.0
+      // ---- the NON-store bounded diff (t160's migration path for
+      // deployments not yet on the ledger store): indexed state frames
+      // + yesterday's ledger + per-source counts, one-time and untimed.
+      // The floor matches the store's (persisted in its _PARAMS) so the
+      // LM band probes the same in-distribution slice. ----
+      val floor = CurationLedgerStore.params(root).get.minAvgLogProbPpm
+      val broot = s"$workDir/bounded_x$f"
+      if (!graft.fs.Fs.exists(s"$broot/_FIXTURE_OK")) {
+        if (graft.fs.Fs.exists(broot)) graft.fs.Fs.deleteRecursive(broot)
+        val bench = docs.filter(pmod(col("doc_id"), lit(997L)) === 0L)
+        val st = graft.llm.Curation.buildStateIndexed(spark, docs,
+          "doc_id", "text", "n_chars", "source", bench, "text",
+          s"$broot/idx", numBuckets = 64 * f)
+        def rt(df: DataFrame, name: String): Unit = {
+          df.write.mode("overwrite").parquet(s"$broot/$name"): Unit
+        }
+        rt(st.thin, "thin"); rt(st.pairs, "pairs"); rt(st.cleanIds, "clean")
+        rt(st.census, "census"); rt(st.gramIndex, "grams")
+        val preledger = graft.llm.Curation.fullPipelineLedger(docs,
+          "doc_id", "text", scoreCol = "n_chars", sourceCol = "source",
+          bench = bench, benchTextCol = "text",
+          minAvgLogProbPpm = floor).localCheckpoint()
+        rt(preledger, "preledger")
+        import spark.implicits._
+        rt(graft.llm.Curation.qualitySourceCounts(preledger, st.thin,
+          "doc_id", "source").toDF("source", "n"), "prevcounts")
+        graft.llm.Dedup.releaseShingleSetCache(docs, "doc_id", "text")
+        // the diff ADVANCES the near-dup index — snapshot it pristine
+        copyTree(s"$broot/idx", s"$broot/idx.pristine")
+        graft.fs.Fs.writeStringAtomic(s"$broot/_FIXTURE_OK", "")
+      }
       // the CONSTANT-size batch: nDelta copy-0 docs re-uploaded with a
       // trailer — real vocab/count/pair churn, corpus-independent size
       val delta = docs
@@ -137,14 +204,17 @@ object LedgerStoreProbeBench {
           col("source"), col("n_chars"))
         .localCheckpoint()
       val deltaIds = delta.select(col("doc_id")).localCheckpoint()
-      val ops: Seq[(String, () => Long)] = Seq(
+      val ops: Seq[(String, () => Long, () => Unit)] = Seq(
         ("absorb", () =>
-          CurationLedgerStore.absorbBatch(spark, root, delta).count()),
+          CurationLedgerStore.absorbBatch(spark, root, delta).count(),
+          // every rep absorbs into the PRISTINE store — a replay's
+          // empty-changed-set fast path must not set the gated wall
+          () => restoreTree(pristine, root)),
         ("lookup", () => graft.sources.PrunedIndex.readPruned(spark,
           s"${CurationLedgerStore.currentPath(root).get}/ledger",
-          deltaIds).count()))
-      val probes = ops.map { case (op, run) =>
-        val (sec, rows) = timeMin(run)
+          deltaIds).count(), () => ()))
+      val probes = ops.map { case (op, run, reset) =>
+        val (sec, rows) = timeMin(run, reset)
         println(s"""{"metric":"ledger_store_probe","op":"$op","factor":$f,""" +
           s""""id_buckets":${bucketsBase * f},"probe_sec":$sec,"rows":$rows,""" +
           s""""build_sec":$buildSec,"n_delta":$nDelta}""")

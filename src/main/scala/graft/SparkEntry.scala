@@ -2894,6 +2894,63 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The curation-ledger store's STREAMING twin
+    * ([[graft.streaming.CurationLedgerStream.start]] — the t156
+    * streaming-store idiom for the curation capstone): the quarter
+    * corpus (%4==0) arrives as a bounded two-file micro-stream —
+    * yesterday's docs (placeholders on %32==0) build the store on the
+    * first trigger and emit the full initial ledger; the day's
+    * re-upload revisions absorb on the second (churn-bounded
+    * candidates + exact rescoring + splice) and emit only the CHANGED
+    * rows. Emissions TELESCOPE: upserting each batch's rows by id,
+    * latest batch wins, reproduces the from-scratch pipeline over the
+    * final corpus — so the oracle is t128's e2e SQL over the same
+    * quarter corpus (CurationLedgerStoreSpec pins the telescoping AND
+    * restart/idle safety across a real restart). */
+  private def t162LedgerStream(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // quarter corpus: the stream REBUILDS the store every run (it must
+    // start empty), so unlike t161 no untimed fixture can carry the
+    // build — size the corpus so the whole loop stays bench-friendly
+    val d = t(s, dir, "documents").filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+    val root = scratch("lstream", dir)
+    if (graft.fs.Fs.exists(root)) graft.fs.Fs.deleteRecursive(root)
+    val old = d.withColumn("text",
+      when(col("doc_id") % 32 === 0,
+        concat(lit("obsolete draft placeholder revision "),
+          substring(col("text"), 1, 48)))
+        .otherwise(col("text")))
+    old.coalesce(1).write.parquet(s"$root/in1")
+    d.filter(col("doc_id") % 32 === 0).coalesce(1).write.parquet(s"$root/in2")
+    // pin batch order against an mtime tie (the t156 lesson): the
+    // placeholder corpus MUST build the store
+    def touch(dd: String, tm: Long): Unit =
+      new java.io.File(dd).listFiles().foreach(_.setLastModified(tm))
+    val now = System.currentTimeMillis()
+    touch(s"$root/in1", now - 60000)
+    touch(s"$root/in2", now)
+    val stream = s.readStream.schema(d.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$root/in*")
+    val bench = d.filter(col("doc_id") % 50 === 0)
+    val q = graft.streaming.CurationLedgerStream.start(stream,
+      s"$root/store", s"$root/ckpt", bench, "text",
+      graft.llm.CurationLedgerStore.Params(
+        idCol = "doc_id", textCol = "text",
+        scoreCol = "n_chars", sourceCol = "source")) { (changed, id) =>
+      changed.withColumn("batch", lit(id))
+        .write.mode("append").parquet(s"$root/out")
+    }
+    require(q.awaitTermination(600000),
+      "t162: stream did not terminate within 600s")
+    s.read.parquet(s"$root/out")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("batch").desc)))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Fixture: a FLAT versioned ANN store over the %5≠0 embeddings
     * under the recall default `multiAssign = 2` — the store side of
     * the semantic-dedup probe ([[t154SemDedupStore]]). Graph params
@@ -3510,6 +3567,7 @@ object SparkEntry {
     "t159_skew_join" -> t159SkewJoin _,
     "t160_ledger_changed_small" -> t160LedgerChangedSmall _,
     "t161_ledger_store" -> t161LedgerStoreAbsorb _,
+    "t162_ledger_stream" -> t162LedgerStream _,
     "t49_knn_ivf_kmeans" -> t49KnnIvfKmeans _,
     "t50_bpe_tokens" -> t50BpeTokens _,
     "t21_fingerprint" -> t21Fingerprint _,
@@ -5218,6 +5276,17 @@ object SparkEntry {
              EXCEPT
              SELECT * FROM ($pre) pre_ledger
            ) ORDER BY doc_id"""
+      }) +
+      // t162: the streaming twin's emissions TELESCOPE (upsert by id,
+      // latest batch wins) to the from-scratch pipeline over the final
+      // corpus — t128's e2e oracle over the query's quarter corpus
+      ("t162_ledger_stream" -> {
+        val post = base("t128_curation_e2e")
+          .replace("FROM documents", "FROM sdocs")
+          .replace("JOIN documents", "JOIN sdocs")
+        s"""WITH sdocs AS (SELECT doc_id, text, n_chars, source
+             FROM documents WHERE doc_id % 4 = 0)
+           SELECT * FROM ($post) final_ledger ORDER BY doc_id"""
       })
   }
 }

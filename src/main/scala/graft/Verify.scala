@@ -21,13 +21,15 @@ object Verify {
     // (the driver never sets it, so the contract run is unchanged).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    SparkEntry.queries
+    val toRun = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    val dumpErrors = scala.collection.mutable.ArrayBuffer.empty[String]
+    toRun.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dumpErrors += name
       }
       // release per-query persisted state (shared shingle projections,
       // localCheckpoint cuts) so pins don't accumulate across the suite
@@ -49,6 +51,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Tail-survivable result marker (the BENCH_RESULT treatment — the
+    // driver's parsed correctness artifact arrived empty in r17 and
+    // r19, so the dump phase's outcome must be recoverable from the
+    // captured stdout tail alone). "dumped" counts queries whose
+    // parquet landed; the DuckDB value compare is the driver's (or
+    // tools/verify_local.py's) phase and prints its own marker.
+    val marker = s"""CORRECTNESS_RESULT {"phase":"dump","dumped":${
+      toRun.size - dumpErrors.size},"total":${toRun.size},"errors":${
+      dumpErrors.sorted.map(q).mkString("[", ",", "]")},"out":${q(outDir)}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_result.json"),
+      marker.stripPrefix("CORRECTNESS_RESULT "))
+    println(marker)
+    // exit 0 even with per-query dump errors — the driver's compare
+    // phase decides pass/fail per query; a non-zero exit here could
+    // abort its artifact for the queries that DID land
     spark.stop()
   }
 }

@@ -97,6 +97,17 @@ object AnnIndexStore {
     * target SF, ≤ the shortlist cardinality above which pruning stops
     * helping. Storage price: one extra raw-vector copy (×1/multiAssign
     * of the assignment component's vector bytes). */
+  /** `maxFlatCells` is the AUTOMATIC scale shape's switch point: when a
+    * build resolves MORE cells than this and the caller did not choose
+    * a shape (`subCells == 0`), [[build]] lands the store TWO-LEVEL
+    * ([[effectiveShape]]: k₁ ≈ √nCells coarse × k₂ ≈ nCells/k₁ sub) —
+    * the flat router's driver-resident centroid matrix and its
+    * O(delta·nCells·dim) append/drift terms grow ∝ corpus, while the
+    * two-level twin's driver state and per-batch assignment cost are
+    * ∝ √corpus (measured flat at ×50 — ANNSTORE probe: hier append
+    * 1.09×, drift 0.70× vs flat 2.79×/3.19×). The caller should not
+    * need to know the knob for the store to survive 100×. Pass 0 to
+    * pin the flat shape deliberately (probe benches measuring it). */
   final case class Params(nCells: Int = 16, cellTarget: Long = 10000L,
                           iters: Int = 2, numBuckets: Int = 16,
                           m: Int = 8, efConstruction: Int = 48,
@@ -106,7 +117,8 @@ object AnnIndexStore {
                           subTrainCap: Int = 100000,
                           pqM: Int = 0,
                           pqKsub: Int = 16,
-                          idBuckets: Int = 64)
+                          idBuckets: Int = 64,
+                          maxFlatCells: Int = 4096)
 
   /** Recluster decision: what [[reclusterIfDrifted]] saw and did. */
   final case class Decision(driftPpm: Long, reclustered: Boolean, version: Long)
@@ -178,7 +190,8 @@ object AnnIndexStore {
       "maxRecordsPerFile" -> p.maxRecordsPerFile,
       "multiAssign" -> p.multiAssign, "subCells" -> p.subCells,
       "subTrainCap" -> p.subTrainCap, "pqM" -> p.pqM,
-      "pqKsub" -> p.pqKsub, "idBuckets" -> p.idBuckets)
+      "pqKsub" -> p.pqKsub, "idBuckets" -> p.idBuckets,
+      "maxFlatCells" -> p.maxFlatCells)
       .map { case (k, v) => s"$k=$v" }.mkString("\n")
 
   /** The CURRENT version's build/maintenance parameters, from the
@@ -197,7 +210,10 @@ object AnnIndexStore {
         kv("numBuckets").toInt, kv("m").toInt, kv("efConstruction").toInt,
         kv("maxRecordsPerFile").toLong, kv("multiAssign").toInt,
         kv("subCells").toInt, kv("subTrainCap").toInt, kv("pqM").toInt,
-        kv("pqKsub").toInt, kv("idBuckets").toInt)
+        kv("pqKsub").toInt, kv("idBuckets").toInt,
+        // sidecars from before the auto-switch existed: the field's
+        // default (a rebuild at scale then picks the two-level shape)
+        kv.getOrElse("maxFlatCells", "4096").toInt)
     }
 
   private def storedParams(root: String, op: String): Params =
@@ -313,6 +329,20 @@ object AnnIndexStore {
   private def resolveCells(corpus: DataFrame, p: Params): Int =
     if (p.nCells > 0) p.nCells else autoCells(corpus.count(), p.cellTarget)
 
+  /** The automatic shape rule ([[Params.maxFlatCells]]): given a build's
+    * resolved cell count, returns (coarseCells, subCells) — subCells 0
+    * = flat. Past the threshold, k₁ = ⌈√nCells⌉ coarse cells (bounding
+    * driver-resident centroid state AND per-batch coarse-assignment
+    * cost at ∝ √corpus) each split ⌈nCells/k₁⌉ ways, so fine-cell
+    * count — hence per-task cell size — still tracks [[autoCells]]'
+    * target. Pure and public: the spec pins auto == explicit through
+    * it. */
+  def effectiveShape(resolvedCells: Int, maxFlatCells: Int): (Int, Int) =
+    if (maxFlatCells > 0 && resolvedCells > maxFlatCells) {
+      val k1 = math.ceil(math.sqrt(resolvedCells.toDouble)).toInt
+      (k1, (resolvedCells + k1 - 1) / k1)
+    } else (resolvedCells, 0)
+
   private def subCentsPath(versionDir: String): String =
     Fs.child(versionDir, "subcents")
 
@@ -337,13 +367,29 @@ object AnnIndexStore {
     * pruned layout, assignment/graph keyed by GLOBAL fine cell. */
   def build(spark: SparkSession, corpus: DataFrame,
             idCol: String, vecCol: String, root: String, p: Params): Long = {
-    val cents = Similarity.kMeansCentroids(corpus, idCol, vecCol, resolveCells(corpus, p), p.iters)
+    // the shape decision: an explicit subCells wins; otherwise the
+    // automatic rule picks two-level once the resolved cell count
+    // crosses maxFlatCells — the caller never has to know the knob for
+    // the store to keep its driver state and per-batch append/drift
+    // cost sub-linear in the corpus. A recluster re-applies the rule
+    // against the GROWN corpus (params persist the caller's intent,
+    // not the derived shape), so an auto-sized store upgrades itself
+    // the first rebuild past the threshold.
+    val resolved = resolveCells(corpus, p)
+    val (kCoarse, kSub) =
+      if (p.subCells > 0) (resolved, p.subCells)
+      else effectiveShape(resolved, p.maxFlatCells)
+    if (p.subCells == 0 && kSub > 0)
+      log.info(s"AnnIndexStore.build $root: auto two-level shape — " +
+        s"$resolved resolved cells > maxFlatCells=${p.maxFlatCells}; " +
+        s"landing $kCoarse coarse x $kSub sub")
+    val cents = Similarity.kMeansCentroids(corpus, idCol, vecCol, kCoarse, p.iters)
     val (assignedDf, subCents) =
-      if (p.subCells > 0) {
+      if (kSub > 0) {
         import spark.implicits._
         val cc = coarseAssigned(corpus, idCol, vecCol, cents)
         val trained = HierarchicalRouting.trainSubCentroids(cc, idCol,
-          p.subCells, p.iters, p.subTrainCap).localCheckpoint()
+          kSub, p.iters, p.subTrainCap).localCheckpoint()
         // a coarse cell EMPTY at build (a stranded k-means seed) trains
         // no sub-centroids, yet a later delta's argmin can still route
         // there — seed it with its coarse centroid as the single
@@ -354,7 +400,7 @@ object AnnIndexStore {
         val sc =
           if (missing.isEmpty) trained
           else trained.unionByName(missing.toSeq
-            .map { case (c, v) => (c, c * p.subCells, v.toSeq) }
+            .map { case (c, v) => (c, c * kSub, v.toSeq) }
             .toDF("coarse", "cell", "centroid"))
         (HierarchicalRouting.assignFineRanked(cc, sc, idCol, vecCol,
           p.multiAssign), Some(sc))
@@ -393,7 +439,7 @@ object AnnIndexStore {
     // knob's explicit price (r17 verdict item #5)
     log.info(s"AnnIndexStore.build $root v$v: multiAssign=${p.multiAssign} " +
       s"(assignment storage x${p.multiAssign}), cells=" +
-      (if (p.subCells > 0) s"${cents.length} coarse x ${p.subCells} sub"
+      (if (kSub > 0) s"${cents.length} coarse x $kSub sub"
        else s"${cents.length} flat") +
       (if (p.pqM > 0) s", pqM=${p.pqM} + vecsbyid (${p.idBuckets} id " +
         "buckets; one extra raw-vector copy)" else ""))
@@ -696,7 +742,13 @@ object AnnIndexStore {
     val all = versions(root)
     val cur = currentVersion(root)
     val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
-    val refs = referencedEntries(root, retained)
+    // qualify BOTH sides of the prefix test (the chainDepth idiom):
+    // manifest entries are absolutized in the writer's root form while
+    // vPath uses the caller's root form — a scheme-qualified or
+    // otherwise differently-spelled root would make every referenced
+    // version dir look unreferenced and DELETE files the current
+    // manifest still stitches in
+    val refs = referencedEntries(root, retained).map(Fs.qualified)
     val orphans =
       if (!Fs.exists(root)) Seq.empty[Long]
       else Fs.list(root).map(_.getPath.getName)
@@ -706,7 +758,8 @@ object AnnIndexStore {
         .filterNot(v => cur.contains(v))
     val dropped = (all.filterNot(retained.contains) ++ orphans).filter { v =>
       val dir = vPath(root, v)
-      val stillReferenced = refs.exists(_.startsWith(dir + "/"))
+      val qDir = Fs.qualified(dir) + "/"
+      val stillReferenced = refs.exists(_.startsWith(qDir))
       if (!stillReferenced) Fs.deleteRecursive(dir)
       !stillReferenced
     }

@@ -72,9 +72,13 @@ import graft.sources.PrunedIndex
   * rescored EXACTLY (census point lookup × vocabulary point lookup,
   * bit-identical arithmetic to [[TextAnalysis.unigramLogProbPpmFromCensus]])
   * and re-stamped, which keeps the band sparse: rows leave it as fast
-  * as drift pulls them in. B grows with log(corpus growth), so the
-  * read window widens LOGARITHMICALLY in total intake; [[compact]]
-  * folds stale generations out.
+  * as drift pulls them in. B grows by `bound_k ≥ 3` per batch — the
+  * floor accrues even for zero-churn/replay batches, so BETWEEN
+  * compactions the probe window widens linearly in batch count plus
+  * logarithmically in corpus growth. [[compact]] rescores every doc
+  * exactly and folds B back to `[0]` (stamps reset with it), so the
+  * steady-state window is bounded by the compaction cadence — which
+  * [[maybeMaintain]] already self-triggers on chain depth.
   *
   * Components (all [[graft.sources.PrunedIndex]] layouts under
   * `root/v<N>/`, advanced per batch by `writeDelta` replace-by-key or
@@ -363,9 +367,9 @@ object CurationLedgerStore {
     if (deltaIds.isEmpty)
       return PrunedIndex.read(spark, ledgerDir(cur)).limit(0)
 
-    // ---- pre-update point lookups (the PREV version's truth) ----
-    val prevThinDelta = PrunedIndex.readPruned(spark, thinDir(cur), deltaIds)
-      .localCheckpoint()
+    // ---- pre-update point lookups (the PREV version's truth; the
+    //      thin component's delta rows come from the fused c3 read
+    //      below — thin is unchanged until the write phase) ----
     val prevCensusDelta = PrunedIndex.readPruned(spark, censusDir(cur),
       deltaIds.select(col(idCol).as("id"))).localCheckpoint()
 
@@ -407,10 +411,14 @@ object CurationLedgerStore {
         (coalesce(col("cprevraw"), lit(0L)) + coalesce(col("dn"), lit(0L))
           - coalesce(col("rn"), lit(0L))).as("cpost"))
       .localCheckpoint()
-    def sumOf(df: DataFrame): Long =
-      Option(df.agg(sum(col("n"))).collect()(0).get(0)).fold(0L)(_.asInstanceOf[Long])
-    val dSum = sumOf(deltaCensus)
-    val rSum = sumOf(prevCensusDelta)
+    // both census sums in ONE job (they were two sequential folds —
+    // part of the fixed per-batch overhead r19's verdict #3 named)
+    val sumsRow = deltaCensus.select(col("n"), lit(1).as("side"))
+      .unionByName(prevCensusDelta.select(col("n"), lit(2).as("side")))
+      .agg(sum(when(col("side") === 1, col("n"))).as("d"),
+        sum(when(col("side") === 2, col("n"))).as("r")).collect()(0)
+    val dSum = if (sumsRow.isNullAt(0)) 0L else sumsRow.getLong(0)
+    val rSum = if (sumsRow.isNullAt(1)) 0L else sumsRow.getLong(1)
     val nPrev = m.nTotal
     val nPost = nPrev + dSum - rSum
     val u =
@@ -439,22 +447,35 @@ object CurationLedgerStore {
 
     // ---- pair-reach BFS over stored edges ∪ the batch's pair delta:
     //      every member of every component a changed edge touches,
-    //      point lookups per hop ----
-    var visited = deltaIds.localCheckpoint()
+    //      point lookups per hop. Each hop's pruned edge read is
+    //      checkpointed and ACCUMULATED: a reach member passes through
+    //      exactly one frontier, so the union of the hop reads equals
+    //      readPruned(edges, reach) — the post-pair derivation and the
+    //      write phase reuse it below instead of re-reading the edge
+    //      buckets (three fused point-lookups, r19 verdict #3) ----
+    var visited: DataFrame = deltaIds
     var frontier = visited
+    val hopReads = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     while (!frontier.isEmpty) {
       val storedNbrs = PrunedIndex.readPruned(spark, edgesDir(cur),
-        frontier.select(col(idCol).as("src"))).select(col("dst"))
+        frontier.select(col(idCol).as("src"))).localCheckpoint()
+      hopReads += storedNbrs
       val deltaNbrs = deltaEdges
         .join(broadcast(frontier.select(col(idCol).as("src"))), Seq("src"), "left_semi")
         .select(col("dst"))
-      val fresh = storedNbrs.unionByName(deltaNbrs).distinct()
+      val fresh = storedNbrs.select(col("dst")).unionByName(deltaNbrs).distinct()
         .select(col("dst").as(idCol))
         .join(visited, Seq(idCol), "left_anti").localCheckpoint()
-      if (!fresh.isEmpty) visited = visited.unionByName(fresh).localCheckpoint()
+      if (!fresh.isEmpty) visited = visited.unionByName(fresh)
       frontier = fresh
     }
     val reach = visited
+    // == readPruned(edges, reach): all stored (src, dst) with src ∈ reach
+    val reachEdges = hopReads.map(_.select(col("src"), col("dst")))
+      .reduce(_.unionByName(_))
+    // hop 1's probe was exactly deltaIds — the write phase's "previous
+    // neighbors of re-uploaded ids" lookup, already in hand
+    val prevNbrs = hopReads.head
 
     // ---- score-band candidates under the lazy-rescoring invariant ----
     val w = p.scoreBandPpm
@@ -473,10 +494,14 @@ object CurationLedgerStore {
     // ---- the pre-mix candidate set, rescored EXACTLY ----
     val c3 = deltaIds.unionByName(reach).unionByName(sigDocs)
       .unionByName(bandQualified).distinct().localCheckpoint()
-    val candThin = PrunedIndex.readPruned(spark, thinDir(cur), c3)
+    // ONE pruned thin read serves three consumers (candidate rows,
+    // srcPrev, the quality-flow fold): deltaIds ⊆ c3, and thin is
+    // untouched until the write phase
+    val thinC3 = PrunedIndex.readPruned(spark, thinDir(cur), c3)
+      .localCheckpoint()
+    val candThin = thinC3
       .join(broadcast(deltaIds), Seq(idCol), "left_anti")
       .unionByName(deltaThin)
-      .localCheckpoint()
     val candCensus = PrunedIndex.readPruned(spark, censusDir(cur),
         c3.select(col(idCol).as("id")))
       .join(broadcast(deltaIds.select(col(idCol).as("id"))), Seq("id"), "left_anti")
@@ -500,8 +525,7 @@ object CurationLedgerStore {
       .localCheckpoint()
     // post pairs among the reach (post = stored − touching-delta + delta;
     // reach components are closed under post ∪ prev edges)
-    val storedReachEdges = PrunedIndex.readPruned(spark, edgesDir(cur),
-        reach.select(col(idCol).as("src")))
+    val storedReachEdges = reachEdges
       .join(broadcast(deltaIds.select(col(idCol).as("src"))), Seq("src"), "left_anti")
       .join(broadcast(deltaIds.select(col(idCol).as("dst"))), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"))
@@ -532,19 +556,25 @@ object CurationLedgerStore {
       .localCheckpoint()
 
     // ---- per-source quality-survivor counts, advanced exactly from
-    //      the candidates' own flips (#sources-row driver arithmetic) ----
+    //      the candidates' own flips (#sources-row driver arithmetic;
+    //      post and prev sides folded in ONE job). srcPrev — every
+    //      candidate's PRE-update source — is thinC3 itself: the delta
+    //      ids' stored rows (semi) plus the untouched candidates'
+    //      (anti) partition the read. ----
     val qVerdicts = Seq("not_sampled", "packed", "pack_lost")
-    val postQ = candBits.filter(col("surv") && col("clean") && col("qual"))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val srcPrev = prevThinDelta.select(col(idCol), col(sourceCol))
-      .unionByName(candThin.join(broadcast(deltaIds), Seq(idCol), "left_anti")
-        .select(col(idCol), col(sourceCol)))
-    val prevQ = prevLedgerCand
-      .filter(col("verdict").isin(qVerdicts: _*))
-      .join(srcPrev, Seq(idCol))
-      .groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcPrev = thinC3.select(col(idCol), col(sourceCol))
+    val qFlows = candBits.filter(col("surv") && col("clean") && col("qual"))
+      .select(col(sourceCol).as("qsrc"), lit(1).as("side"))
+      .unionByName(prevLedgerCand
+        .filter(col("verdict").isin(qVerdicts: _*))
+        .join(srcPrev, Seq(idCol))
+        .select(col(sourceCol).as("qsrc"), lit(2).as("side")))
+      .groupBy(col("qsrc"), col("side")).agg(count(lit(1)).as("n"))
+      .collect()
+    val postQ = qFlows.filter(_.getInt(1) == 1)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val prevQ = qFlows.filter(_.getInt(1) == 2)
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
     val countsPost = (m.counts.keySet ++ postQ.keySet ++ prevQ.keySet).iterator
       .map { s => s -> (m.counts.getOrElse(s, 0L)
         + postQ.getOrElse(s, 0L) - prevQ.getOrElse(s, 0L)) }
@@ -617,14 +647,17 @@ object CurationLedgerStore {
     PrunedIndex.writeDelta(spark, vocabDir(d),
       cRows.filter(col("cpost") > 0L).select(col("tok"), col("cpost").as("c")),
       touchedToks, basePath = Some(vocabDir(cur)), mrpf)
-    val prevNbrs = PrunedIndex.readPruned(spark, edgesDir(cur),
-      deltaIds.select(col(idCol).as("src")))
+    // prevNbrs is BFS hop 1's read (same probe: deltaIds as src), and
+    // touchedSrcs ⊆ reach (hop-1 dsts and every delta-pair endpoint are
+    // reached in ≤1 hop), so the stored side of the edge rewrite is a
+    // semi-join of the accumulated reachEdges — no edge bucket re-read
     val touchedSrcs = deltaIds.select(col(idCol).as("src"))
       .unionByName(prevNbrs.select(col("dst").as("src")))
       .unionByName(deltaEdges.select(col("src")))
       .unionByName(deltaEdges.select(col("dst").as("src")))
       .distinct().localCheckpoint()
-    val newEdgeRows = PrunedIndex.readPruned(spark, edgesDir(cur), touchedSrcs)
+    val newEdgeRows = reachEdges
+      .join(broadcast(touchedSrcs), Seq("src"), "left_semi")
       .join(broadcast(deltaIds.select(col(idCol).as("src"))), Seq("src"), "left_anti")
       .join(broadcast(deltaIds.select(col(idCol).as("dst"))), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"))
@@ -703,7 +736,13 @@ object CurationLedgerStore {
     val all = versions(root)
     val cur = currentVersion(root)
     val retained = (all.takeRight(math.max(keep, 1)) ++ cur.toSeq).distinct
-    val refs = referencedEntries(root, retained)
+    // qualify BOTH sides of the prefix test (the chainDepth idiom):
+    // manifest entries are absolutized in the writer's root form while
+    // vPath uses the caller's root form — a scheme-qualified or
+    // otherwise differently-spelled root would make every referenced
+    // version dir look unreferenced and DELETE files the current
+    // manifest still stitches in
+    val refs = referencedEntries(root, retained).map(Fs.qualified)
     val orphans =
       if (!Fs.exists(root)) Seq.empty[Long]
       else Fs.list(root).map(_.getPath.getName)
@@ -713,7 +752,8 @@ object CurationLedgerStore {
         .filterNot(v => cur.contains(v))
     (all.filterNot(retained.contains) ++ orphans).filter { v =>
       val dir = vPath(root, v)
-      val stillReferenced = refs.exists(_.startsWith(dir + "/"))
+      val qDir = Fs.qualified(dir) + "/"
+      val stillReferenced = refs.exists(_.startsWith(qDir))
       if (!stillReferenced) Fs.deleteRecursive(dir)
       !stillReferenced
     }
@@ -721,11 +761,19 @@ object CurationLedgerStore {
 
   /** Fold the current version self-contained: replace-by-key layouts
     * rewrite flat, the append-only layouts drop their stale
-    * generations (bands keep each id's max-stamp row; the hash-band
-    * layout re-derives from the thin truth), and the version chain's
-    * cross-version file references collapse. Metadata (including the
-    * drift-bound ledger B) carries verbatim — compaction changes
-    * REPRESENTATION, never answers. */
+    * generations, and the version chain's cross-version file
+    * references collapse. The score bands are RE-DERIVED EXACTLY from
+    * census × vocabulary (compaction is O(index) by design — the one
+    * place the full rescore is the right price): every doc's stored
+    * score becomes its true score, stamps reset to 0, and the
+    * cumulative drift-bound ledger B folds back to a single 0 entry —
+    * without this the per-batch floor (ceil(u)+3 ppm) accretes
+    * LINEARLY in batch count and the band probe window widens forever
+    * (r19 ADVICE). The candidate-band invariant is preserved: after an
+    * exact full rescore, |true − stored| = 0 for every doc, so
+    * B = [0] certifies it. Answers never change — ledger, thin,
+    * census, vocabulary, edges carry verbatim; only the lazy-rescoring
+    * bookkeeping tightens. */
   def compact(spark: SparkSession, root: String): Long = {
     val p = storedParams(root)
     val cur = current(root)
@@ -736,21 +784,25 @@ object CurationLedgerStore {
     val mrpf = p.maxRecordsPerFile
     val thin = PrunedIndex.read(spark, thinDir(cur))
     PrunedIndex.write(thin, thinDir(d), Seq(idCol), p.idBuckets, mrpf)
-    val census = PrunedIndex.read(spark, censusDir(cur))
+    val census = PrunedIndex.read(spark, censusDir(cur)).localCheckpoint()
     PrunedIndex.write(census, censusDir(d), Seq("id"), p.idBuckets, mrpf)
     PrunedIndex.write(census.select(col("tok"), col("id"), col("n")),
       censusTokDir(d), Seq("tok"), p.tokBuckets, mrpf)
-    PrunedIndex.write(PrunedIndex.read(spark, vocabDir(cur)),
-      vocabDir(d), Seq("tok"), p.tokBuckets, mrpf)
+    val vocab = PrunedIndex.read(spark, vocabDir(cur)).localCheckpoint()
+    PrunedIndex.write(vocab, vocabDir(d), Seq("tok"), p.tokBuckets, mrpf)
     PrunedIndex.write(PrunedIndex.read(spark, edgesDir(cur)),
       edgesDir(d), Seq("src"), p.idBuckets, mrpf)
-    val bandRows = PrunedIndex.read(spark, bandsDir(cur))
-    val currentBand = bandRows
-      .withColumn("_rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("stamp").desc, col("score_ppm"))))
-      .filter(col("_rk") === 1).drop("_rk")
-    PrunedIndex.write(currentBand, bandsDir(d), Seq("band"), p.tokBuckets, mrpf)
+    // exact rescore — bit-identical arithmetic to absorbBatch's
+    // candScores (same lpPpm, same DIV folds) under the carried nTotal
+    val exactBands = census
+      .join(vocab, Seq("tok"))
+      .select(col("id"), col("n"), (col("n") * lpPpm(col("c"), m.nTotal)).as("nlp"))
+      .groupBy(col("id"))
+      .agg(sum(col("n")).as("nt"), sum(col("nlp")).as("slp"))
+      .select(col("id"), expr("slp DIV nt").as("score_ppm"))
+      .select(bandOf(col("score_ppm"), p.scoreBandPpm).as("band"),
+        col("id"), col("score_ppm"), lit(0).as("stamp"))
+    PrunedIndex.write(exactBands, bandsDir(d), Seq("band"), p.tokBuckets, mrpf)
     PrunedIndex.write(
       thin.select(col(p.sourceCol).as("msource"),
         hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
@@ -758,7 +810,10 @@ object CurationLedgerStore {
     PrunedIndex.write(PrunedIndex.read(spark, ledgerDir(cur)),
       ledgerDir(d), Seq(idCol), p.idBuckets, mrpf)
     Fs.writeStringAtomic(paramsPath(d), renderParams(p))
-    Fs.writeStringAtomic(metaPath(d), renderMeta(m))
+    // the bound ledger folds to its base: every doc just rescored
+    // exactly (stamp 0), so the certified drift since stamp 0 is 0
+    Fs.writeStringAtomic(metaPath(d),
+      renderMeta(Meta(0, m.nTotal, Seq(0L), m.counts)))
     commit(root, v)
   }
 }

@@ -411,7 +411,11 @@ object NearDupIndexStore {
         if (!Fs.exists(mp)) Nil
         else Fs.readString(mp).split("\n").iterator.filter(_.nonEmpty)
           .map(l => l.substring(l.indexOf('\t') + 1))
-          .filter(e => e.startsWith("/") || e.contains("://")).toSeq
+          .filter(e => e.startsWith("/") || e.contains("://"))
+          // qualify (the chainDepth idiom): manifest entries carry the
+          // writer's root spelling; the prefix test below must not
+          // depend on the caller's
+          .map(Fs.qualified).toSeq
       }
     }.toSet
     val cutoffMs = System.currentTimeMillis() - math.max(orphanGraceMs, 0L)
@@ -432,7 +436,8 @@ object NearDupIndexStore {
     val dropped = all.filterNot(retained.contains) ++ orphans
     dropped.filter { v =>
       val dir = vPath(root, v)
-      val stillReferenced = refs.exists(_.startsWith(dir + "/"))
+      val qDir = Fs.qualified(dir) + "/"
+      val stillReferenced = refs.exists(_.startsWith(qDir))
       if (!stillReferenced) Fs.deleteRecursive(dir)
       !stillReferenced
     }

@@ -238,8 +238,11 @@ class AnnIndexStoreSpec extends AnyFunSuite {
       Similarity.ivfAssignedIndex(corpus, "vec_id", "embedding", cents), cents,
       q, "vec_id", "embedding", k = 4, nprobe = 2, m = 4, efConstruction = 12, efSearch = 12))
     assert(storeRows() == fresh && fresh.nonEmpty)
-    // vacuum with keep=1 must SPARE v1: v2's manifests reference its files
-    assert(AnnIndexStore.vacuum(root, keep = 1).isEmpty)
+    // vacuum with keep=1 must SPARE v1: v2's manifests reference its
+    // files — under a scheme-qualified root spelling too (r19 ADVICE:
+    // raw-string prefix compares made every referenced dir look
+    // unreferenced and deleted live stitched files)
+    assert(AnnIndexStore.vacuum("file:" + root, keep = 1).isEmpty)
     assert(AnnIndexStore.versions(root) == Seq(1L, 2L) && storeRows() == fresh)
     // compact folds the current version self-contained; answers unchanged
     val v3 = AnnIndexStore.compact(spark, root, "vec_id", "embedding", P16)
@@ -326,6 +329,52 @@ class AnnIndexStoreSpec extends AnyFunSuite {
     assert(AnnIndexStore.vacuum(root, keep = 1).nonEmpty)
     assert(search(root, 3, 32, 2) == r1)
     assert(AnnIndexStore.isHierarchical(root))
+  }
+
+  test("automatic two-level shape: past maxFlatCells build lands hierarchical == explicit build; boundary stays flat") {
+    // the shape rule is pure and pinned first: > (not >=), 0 disables
+    assert(AnnIndexStore.effectiveShape(6, 5) == (3, 2))
+    assert(AnnIndexStore.effectiveShape(6, 6) == (6, 0))
+    assert(AnnIndexStore.effectiveShape(6, 0) == (6, 0))
+    assert(AnnIndexStore.effectiveShape(1000000, 4096) == (1000, 1000))
+    val base = Params(nCells = 6, iters = 2, numBuckets = 4, m = 4,
+      efConstruction = 12) // multiAssign default (2)
+    val v1 = embs.filter($"vec_id" < 400)
+    val delta = embs.filter($"vec_id" >= 400)
+    val rootA = java.nio.file.Files.createTempDirectory("graft_autoh_a").toString + "/s"
+    val rootE = java.nio.file.Files.createTempDirectory("graft_autoh_e").toString + "/s"
+    // 6 resolved cells > maxFlatCells=5 ⇒ the rule derives 3 coarse × 2 sub
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", rootA,
+      base.copy(maxFlatCells = 5))
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", rootE,
+      base.copy(nCells = 3, subCells = 2))
+    assert(AnnIndexStore.isHierarchical(rootA),
+      "auto-switch must land the two-level shape")
+    // the sidecar records the caller's INTENT (auto), not the derived
+    // shape — a recluster at a grown corpus re-derives from scratch
+    assert(AnnIndexStore.params(rootA).get.subCells == 0 &&
+      AnnIndexStore.params(rootA).get.maxFlatCells == 5)
+    def cset(r: String) = AnnIndexStore.centroids(spark, r)
+      .map { case (c, a) => (c, a.toSeq) }.toSeq.sortBy(_._1)
+    assert(cset(rootA) == cset(rootE) && cset(rootA).length == 3)
+    def asg(r: String) = AnnIndexStore.assigned(spark, r)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toSet
+    assert(asg(rootA) == asg(rootE))
+    // param-less maintenance (the _PARAMS path) follows the two-level
+    // branch on both stores and stays bit-equal
+    AnnIndexStore.appendDelta(spark, rootA, delta, "vec_id", "embedding")
+    AnnIndexStore.appendDelta(spark, rootE, delta, "vec_id", "embedding")
+    assert(asg(rootA) == asg(rootE))
+    val q = embs.filter($"vec_id" < 6)
+    def s(r: String) = rows(AnnIndexStore.searchGraph(spark, r, q,
+      "vec_id", "embedding", k = 4, nprobe = 3, efSearch = 32, nprobeCoarse = 2))
+    assert(s(rootA).nonEmpty && s(rootA) == s(rootE))
+    // boundary: resolved == maxFlatCells stays flat (strict >)
+    val rootF = java.nio.file.Files.createTempDirectory("graft_autoh_f").toString + "/s"
+    AnnIndexStore.build(spark, v1, "vec_id", "embedding", rootF,
+      base.copy(maxFlatCells = 6))
+    assert(!AnnIndexStore.isHierarchical(rootF))
+    assert(AnnIndexStore.centroids(spark, rootF).length == 6)
   }
 
   test("two-level routing: driver-side fast path == distributed ranking, row for row") {

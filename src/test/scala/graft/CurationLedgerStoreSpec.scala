@@ -132,9 +132,25 @@ class CurationLedgerStoreSpec extends AnyFunSuite {
     // older version — none of the folded layout's files are references
     assert(CurationLedgerStore.chainDepth(root) > 1,
       "scenario must stitch a cross-version chain before maintenance")
+    // r19 ADVICE regression: vacuum under a scheme-qualified root
+    // spelling must spare every version the current manifests still
+    // stitch in (raw-string prefix compares deleted live files)
+    CurationLedgerStore.vacuum("file:" + root)
+    assert(rows(CurationLedgerStore.ledger(spark, root)) == prevTwin,
+      "qualified-root vacuum deleted live stitched files")
+    assert(CurationLedgerStore.chainDepth(root) > 1,
+      "qualified-root vacuum must leave the stitched chain intact")
     assert(CurationLedgerStore.maybeMaintain(spark, root, maxChainDepth = 1).nonEmpty,
       "depth above threshold must trigger the compaction")
     assert(CurationLedgerStore.chainDepth(root) == 1, "compaction must fold flat")
+    // r19 ADVICE: compact must fold the cumulative bound ledger back
+    // to a single 0 entry (exact full rescore, stamps reset) — without
+    // it the band probe window widens linearly in batch count forever
+    val metaTxt = graft.fs.Fs.readString(graft.fs.Fs.child(
+      CurationLedgerStore.currentPath(root).get, "_META"))
+    assert(metaTxt.linesIterator.contains("k\t0") &&
+      metaTxt.linesIterator.contains("B\t0"),
+      s"compact must reset the bound ledger; _META:\n$metaTxt")
     assert(CurationLedgerStore.vacuum(root).nonEmpty, "older versions sparable")
     assert(CurationLedgerStore.maybeMaintain(spark, root, maxChainDepth = 1).isEmpty,
       "structural hysteresis: a folded store must not re-compact")
@@ -148,6 +164,61 @@ class CurationLedgerStoreSpec extends AnyFunSuite {
     val postTwin4 = rows(twinLedger(corpus, bench))
     assert(changed4 == (postTwin4 -- prevTwin), "post-compact absorb diverged")
     assert(rows(CurationLedgerStore.ledger(spark, root)) == postTwin4)
+    spark.catalog.clearCache()
+  }
+
+  test("streaming twin: emissions telescope to the rebuild-twin ledger, across a RESTART") {
+    import org.apache.spark.sql.expressions.Window
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" % 2 === 0)
+      .select($"doc_id", $"text", $"source", $"n_chars")
+    val bench = d.filter($"doc_id" % 50 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_curlstream").toString
+    val root = s"$dir/store"
+    def run(): Unit = {
+      val stream = spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in*")
+      val q = graft.streaming.CurationLedgerStream.start(stream, root,
+        s"$dir/ckpt", bench, "text", storeParams) { (changed, id) =>
+        changed.withColumn("batch", lit(id))
+          .write.mode("append").parquet(s"$dir/out")
+      }
+      assert(q.awaitTermination(300000), "stream did not terminate")
+    }
+    // batch 1 — yesterday's corpus, placeholders on %32==4 — builds
+    // the store and emits the FULL initial ledger
+    val old = d.withColumn("text",
+      when($"doc_id" % 32 === 4,
+        concat(lit("obsolete draft placeholder revision "),
+          substring($"text", 1, 48)))
+        .otherwise($"text"))
+    old.coalesce(1).write.parquet(s"$dir/in1")
+    run()
+    val v1 = CurationLedgerStore.currentVersion(root)
+    assert(v1.nonEmpty, "first batch must build the store")
+    // batch 2 — the day's re-upload revisions — arrives AFTER a real
+    // restart (new query, same checkpoint): only the new file processes
+    d.filter($"doc_id" % 32 === 4).coalesce(1).write.parquet(s"$dir/in2")
+    run()
+    assert(CurationLedgerStore.currentVersion(root).exists(_ > v1.get),
+      "restarted stream must absorb the new batch")
+    val vPost = CurationLedgerStore.currentVersion(root)
+    // idle restart: no new file ⇒ no new store commit
+    run()
+    assert(CurationLedgerStore.currentVersion(root) == vPost,
+      "an idle restart must not commit a store version")
+    // telescoping: upsert emissions by id, latest batch wins — equals
+    // the from-scratch pipeline over the final corpus
+    val tele = spark.read.parquet(s"$dir/out")
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"batch".desc)))
+      .filter($"_rk" === 1)
+      .select($"doc_id", $"n_tokens", $"verdict")
+    val twin = rows(twinLedger(d, bench))
+    assert(rows(tele) == twin && twin.nonEmpty,
+      "telescoped emissions != rebuild twin")
+    assert(rows(CurationLedgerStore.ledger(spark, root)) == twin)
+    graft.llm.Dedup.releaseShingleSetCache(d, "doc_id", "text")
     spark.catalog.clearCache()
   }
 }

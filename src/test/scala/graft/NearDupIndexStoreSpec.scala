@@ -54,8 +54,10 @@ class NearDupIndexStoreSpec extends AnyFunSuite {
       Set((5L, 998L)))
 
     // v2 is delta-stitched: its manifests reference v1's files, so
-    // vacuum must SPARE v1 even at keep=1
-    assert(Store.vacuum(root, keep = 1).isEmpty)
+    // vacuum must SPARE v1 even at keep=1 — and under a scheme-
+    // qualified root spelling (r19 ADVICE: raw-string prefix compares
+    // deleted live stitched files)
+    assert(Store.vacuum("file:" + root, keep = 1).isEmpty)
     assert(Store.versions(root) == Seq(1L, 2L))
     // v2's own data footprint is delta-sized (every local file under a
     // delta-*/ subdir)

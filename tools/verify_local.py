@@ -87,6 +87,12 @@ for name in names:
 
 print()
 print(f"{len(names) - len(fails)}/{len(names)} pass; fails: {fails}")
+# Tail-survivable marker (the BENCH_RESULT treatment): one compact line
+# a tail-capturing parser can recover even if the parsed artifact lands
+# empty (it did in r17 and r19).
+print("CORRECTNESS_RESULT " + json.dumps(
+    {"phase": "compare", "pass": len(names) - len(fails),
+     "total": len(names), "fails": fails}, separators=(",", ":")))
 
 # Optional third arg: write a committable JSON artifact of this gate run
 # (the builder's own correctness evidence — r17 verdict item #6: the
