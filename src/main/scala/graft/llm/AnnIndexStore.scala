@@ -269,36 +269,45 @@ object AnnIndexStore {
                            driftBase: Option[Seq[(Int, Long, Long)]] = None): Long = {
     import spark.implicits._
     val dir = vPath(root, v)
-    cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids"))
-    subCents.foreach(sc => HierarchicalRouting.writeSubCentroids(sc,
-      Fs.child(dir, "subcents"), p.numBuckets))
+    // the version's components are independent frames landing under
+    // distinct subdirs — commit markers stay strictly last, so the
+    // atomic-swap contract is untouched; overlapping the writes turns
+    // the commit wall from Σ(component walls) into ~max (guide §2.6;
+    // the r20 job profile measured 7 sequential write jobs per build)
+    val writes = Seq.newBuilder[() => Unit]
+    writes += (() =>
+      cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids")))
+    subCents.foreach(sc => writes += (() =>
+      HierarchicalRouting.writeSubCentroids(sc,
+        Fs.child(dir, "subcents"), p.numBuckets)))
     pq.foreach { case (books, codeRows) =>
-      books.coalesce(1).write.mode("overwrite")
-        .parquet(Fs.child(dir, "pqbooks"))
-      graft.sources.PrunedIndex.write(
+      writes += (() => books.coalesce(1).write.mode("overwrite")
+        .parquet(Fs.child(dir, "pqbooks")))
+      writes += (() => graft.sources.PrunedIndex.write(
         codeRows.select(col(idCol), col("codes"), col("cell")),
-        Fs.child(dir, "codes"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
+        Fs.child(dir, "codes"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile))
     }
-    vecsById.foreach(v2 => graft.sources.PrunedIndex.write(
+    vecsById.foreach(v2 => writes += (() => graft.sources.PrunedIndex.write(
       v2.select(col(idCol), col(vecCol)),
-      vecsByIdPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile))
+      vecsByIdPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile)))
     // the id-keyed cell map rides every version (appendDelta's
     // touched-cell point lookup — see idCellsPath)
-    graft.sources.PrunedIndex.write(
+    writes += (() => graft.sources.PrunedIndex.write(
       assignedDf.select(col(idCol), col("cell")),
-      idCellsPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile)
+      idCellsPath(dir), Seq(idCol), p.idBuckets, p.maxRecordsPerFile))
     // the rank column (1 = argmin/primary, 2.. = routing redundancy)
     // persists when the assignment carries it — primary-cell consumers
     // filter it instead of re-deriving the argmin per probe
     val assignedCols = Seq(col(idCol), col(vecCol), col("cell")) ++
       (if (assignedDf.columns.contains("rank")) Seq(col("rank")) else Nil)
-    graft.sources.PrunedIndex.write(
+    writes += (() => graft.sources.PrunedIndex.write(
       assignedDf.select(assignedCols: _*),
-      Fs.child(dir, "assigned"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
-    graft.sources.PrunedIndex.write(
+      Fs.child(dir, "assigned"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile))
+    writes += (() => graft.sources.PrunedIndex.write(
       edges.select(col("cell"), col("src"), col("dst"), col("pos")),
-      Fs.child(dir, "graph"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile)
+      Fs.child(dir, "graph"), Seq("cell"), p.numBuckets, p.maxRecordsPerFile))
+    graft.util.Par.runUnit(writes.result())
     Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
     driftBase.foreach(db =>
       Fs.writeStringAtomic(driftBasePath(dir), renderDriftBase(db)))
@@ -407,7 +416,15 @@ object AnnIndexStore {
       } else
         (Similarity.ivfAssignedIndexMultiRanked(corpus, idCol, vecCol,
           cents, p.multiAssign), None)
-    val edges = GraphAnn.buildGraphEdges(assignedDf, idCol, vecCol, p.m, p.efConstruction)
+    // materialize the assignment ONCE: its lineage (argmin over
+    // nCells·dim per row, or the two-level route) is consumed by the
+    // graph build, the PQ code join, the drift baseline AND both
+    // assignment-derived component writes — without the cut each
+    // consumer re-ran the full assignment pass (guide §1.2 step 1:
+    // don't compute things twice; measured in the r20 job profile as
+    // the dominant repeated call site of t132/t157's builds)
+    val assignedCk = assignedDf.localCheckpoint()
+    val edges = GraphAnn.buildGraphEdges(assignedCk, idCol, vecCol, p.m, p.efConstruction)
     val pq =
       if (p.pqM > 0) {
         val cbs = Similarity.pqCodebooks(corpus, idCol, vecCol, p.pqM, p.pqKsub,
@@ -419,7 +436,7 @@ object AnnIndexStore {
         // one codes row per ASSIGNMENT row (a multi-assigned id's codes
         // ride into each of its cells, so every probed cell's shortlist
         // is self-contained)
-        val codeRows = assignedDf.select(col(idCol), col("cell"))
+        val codeRows = assignedCk.select(col(idCol), col("cell"))
           .join(Similarity.pqEncode(corpus, idCol, vecCol, cbs), Seq(idCol))
         (Some((books, codeRows)), cbs.length)
       } else (None, 0)
@@ -431,9 +448,9 @@ object AnnIndexStore {
     // store remembers at write time what reclusterIfDrifted would
     // otherwise re-derive from the full corpus on every check (the
     // census-head/rank-column lesson applied to the drift monitor)
-    val driftBase = collectCellStatsRaw(assignedDf, idCol, vecCol, cents)
+    val driftBase = collectCellStatsRaw(assignedCk, idCol, vecCol, cents)
     val v = writeVersion(spark, root, versions(root).lastOption.getOrElse(0L) + 1,
-      cents, assignedDf, edges, idCol, vecCol, p, subCents, pq._1, vecsById,
+      cents, assignedCk, edges, idCol, vecCol, p, subCents, pq._1, vecsById,
       Some(driftBase))
     // the build report: multiAssign's storage factor is the recall
     // knob's explicit price (r17 verdict item #5)
@@ -504,8 +521,11 @@ object AnnIndexStore {
           .unionByName(graft.sources.PrunedIndex.readPruned(spark,
             idCellsPath(cur), deltaIds).select(col("cell")))
           .distinct().localCheckpoint()
+        // materialized once: the assignment merge, the graph recompute
+        // and the drift-base subtraction each consumed this pruned read
+        // — three bucket re-reads + semi-join replays per batch
         val ot = graft.sources.PrunedIndex.readPruned(spark,
-          Fs.child(cur, "assigned"), tc)
+          Fs.child(cur, "assigned"), tc).localCheckpoint()
         val da = if (ot.columns.contains("rank")) deltaRanked
                  else deltaRanked.drop("rank")
         (tc, ot, da)
@@ -519,11 +539,15 @@ object AnnIndexStore {
           .distinct().localCheckpoint()
         (tc, oldAssigned, da)
       }
+    // the delta's routed assignment feeds the merge, the graph
+    // recompute, the codes join, the cell-map write and the drift-base
+    // advance — one materialization instead of five route replays
+    val deltaAssignedCk = deltaAssigned.localCheckpoint()
     val merged = graft.operators.Relational.mergeReplaceGroups(
-      oldTouched, deltaAssigned, Seq(idCol))
+      oldTouched, deltaAssignedCk, Seq(idCol))
     val touchedAssigned = merged.join(touchedCells, Seq("cell"), "left_semi")
     val (_, recomputedEdges) = GraphAnn.recomputedGraphEdgesForDelta(spark,
-      Fs.child(cur, "graph"), oldTouched, deltaAssigned, idCol, vecCol,
+      Fs.child(cur, "graph"), oldTouched, deltaAssignedCk, idCol, vecCol,
       p.m, p.efConstruction)
     // allocate past BOTH the last committed version and _CURRENT: after
     // a crash between a writer's _SUCCESS land and its pointer swap,
@@ -540,9 +564,16 @@ object AnnIndexStore {
     // atomic multi-component swap (_SUCCESS + _CURRENT) but now
     // REFERENCES older version dirs' files — retention goes through
     // [[vacuum]]/[[compact]], never a bare directory delete.
-    cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids"))
-    if (Fs.exists(subCentsPath(cur))) {
+    // independent per-component tasks, overlapped (guide §2.6) — each
+    // writes its own subdir of the new version (or, for the drift
+    // sidecar, collects delta-sized stats); _SUCCESS and the pointer
+    // swap stay strictly after the batch settles, so the atomic
+    // multi-component commit is unchanged
+    val tasks = Seq.newBuilder[() => Unit]
+    tasks += (() =>
+      cents.toSeq.map { case (c, a) => (c, a.toSeq) }.toDF("cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(Fs.child(dir, "centroids")))
+    if (Fs.exists(subCentsPath(cur))) tasks += { () =>
       // sub-centroids are FROZEN control state like the coarse matrix,
       // but live in a pruned layout — carry them into the new version
       // as a zero-touched-bucket stitch (manifest-only write: every
@@ -552,7 +583,7 @@ object AnnIndexStore {
         empty, empty.select(col("coarse")),
         basePath = Some(subCentsPath(cur)))
     }
-    if (Fs.exists(codesPath(cur))) {
+    if (Fs.exists(codesPath(cur))) tasks += { () =>
       // codes advance like the assignment: the delta encodes under the
       // FROZEN codebooks, re-uploaded ids' stale rows displace, only
       // the touched cells' buckets land new files
@@ -560,7 +591,7 @@ object AnnIndexStore {
       val keptCodes = graft.sources.PrunedIndex.readPruned(spark,
           codesPath(cur), touchedCells)
         .join(broadcast(deltaIds), Seq(idCol), "left_anti")
-      val deltaCodeRows = deltaAssigned.select(col(idCol), col("cell"))
+      val deltaCodeRows = deltaAssignedCk.select(col(idCol), col("cell"))
         .join(Similarity.pqEncode(delta, idCol, vecCol, cbs), Seq(idCol))
       graft.sources.PrunedIndex.writeDelta(spark, codesPath(dir),
         keptCodes.select(col(idCol), col("codes"), col("cell"))
@@ -569,7 +600,7 @@ object AnnIndexStore {
       spark.read.parquet(pqBooksPath(cur)).coalesce(1)
         .write.mode("overwrite").parquet(pqBooksPath(dir))
     }
-    if (Fs.exists(vecsByIdPath(cur))) {
+    if (Fs.exists(vecsByIdPath(cur))) tasks += { () =>
       // the id-keyed vector layout advances by key: the delta's id
       // buckets land new files (re-uploads displace by writeDelta's
       // replace-by-key), every other bucket stitches forward
@@ -577,22 +608,24 @@ object AnnIndexStore {
         delta.select(col(idCol), col(vecCol)), deltaIds,
         basePath = Some(vecsByIdPath(cur)), p.maxRecordsPerFile)
     }
-    if (hasIdCells) {
+    if (hasIdCells) tasks += { () =>
       // the cell map advances the same way: one (id, cell) row per
       // delta assignment row, replace-by-key on the delta's ids
       graft.sources.PrunedIndex.writeDelta(spark, idCellsPath(dir),
-        deltaAssigned.select(col(idCol), col("cell")), deltaIds,
+        deltaAssignedCk.select(col(idCol), col("cell")), deltaIds,
         basePath = Some(idCellsPath(cur)), p.maxRecordsPerFile)
     }
-    val touchedCols = Seq(col(idCol), col(vecCol), col("cell")) ++
-      (if (touchedAssigned.columns.contains("rank")) Seq(col("rank")) else Nil)
-    graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
-      touchedAssigned.select(touchedCols: _*),
-      touchedCells, basePath = Some(Fs.child(cur, "assigned")), p.maxRecordsPerFile)
-    graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "graph"),
-      recomputedEdges.select(col("cell"), col("src"), col("dst"), col("pos")),
-      touchedCells, basePath = Some(Fs.child(cur, "graph")), p.maxRecordsPerFile)
-    Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
+    tasks += { () =>
+      val touchedCols = Seq(col(idCol), col(vecCol), col("cell")) ++
+        (if (touchedAssigned.columns.contains("rank")) Seq(col("rank")) else Nil)
+      graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "assigned"),
+        touchedAssigned.select(touchedCols: _*),
+        touchedCells, basePath = Some(Fs.child(cur, "assigned")), p.maxRecordsPerFile)
+    }
+    tasks += (() =>
+      graft.sources.PrunedIndex.writeDelta(spark, Fs.child(dir, "graph"),
+        recomputedEdges.select(col("cell"), col("src"), col("dst"), col("pos")),
+        touchedCells, basePath = Some(Fs.child(cur, "graph")), p.maxRecordsPerFile))
     // advance the drift baseline from the batch's OWN stats — per-cell
     // (n, Σ d2_ppm) are pure sums, so old + delta rows − replaced ids'
     // old rows equals a full recompute over the post-append assignment
@@ -600,16 +633,20 @@ object AnnIndexStore {
     // per batch. Legacy stores (no sidecar) stay legacy: a half-upgraded
     // chain would silently pay the full scan on SOME checks only.
     readDriftBase(cur).foreach { base =>
-      val added = collectCellStatsRaw(deltaAssigned, idCol, vecCol, cents)
-      // replaced ids' old rows live only in touched cells (touchedCells
-      // includes every re-uploaded id's OLD cell by construction), so
-      // the subtraction side is the already-pruned read, not a corpus scan
-      val removed = collectCellStatsRaw(
-        oldTouched.join(broadcast(deltaIds), Seq(idCol), "left_semi"),
-        idCol, vecCol, cents)
-      Fs.writeStringAtomic(driftBasePath(dir),
-        renderDriftBase(mergeDriftBase(base, added, removed)))
+      tasks += { () =>
+        val added = collectCellStatsRaw(deltaAssignedCk, idCol, vecCol, cents)
+        // replaced ids' old rows live only in touched cells (touchedCells
+        // includes every re-uploaded id's OLD cell by construction), so
+        // the subtraction side is the already-pruned read, not a corpus scan
+        val removed = collectCellStatsRaw(
+          oldTouched.join(broadcast(deltaIds), Seq(idCol), "left_semi"),
+          idCol, vecCol, cents)
+        Fs.writeStringAtomic(driftBasePath(dir),
+          renderDriftBase(mergeDriftBase(base, added, removed)))
+      }
     }
+    graft.util.Par.runUnit(tasks.result())
+    Fs.writeStringAtomic(paramsPath(dir), renderParams(p))
     Fs.writeStringAtomic(Fs.child(dir, "_SUCCESS"), "")
     Fs.writeStringAtomic(ptr(root), s"v$v")
     v

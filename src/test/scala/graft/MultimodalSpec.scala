@@ -335,7 +335,7 @@ class MultimodalSpec extends AnyFunSuite {
       stream, s"$dir/wh", "media_sigs", s"$dir/ckpt", maxHamming = 6) {
       (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
     }
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(240000), "stream did not terminate in 240s")
     val streamed = spark.read.parquet(s"$dir/out")
       .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
     val all = (ids1 ++ ids2).map(rec).toDS()

@@ -227,7 +227,7 @@ class SketchSpec extends AnyFunSuite {
       k = 12, w = 8, minShared = 2) {
       (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
     }
-    q.awaitTermination(60000)
+    assert(q.awaitTermination(240000), "stream did not terminate in 240s")
     val streamed = spark.read.parquet(s"$dir/out")
       .as[(Long, Long, Long)].collect().toSet
     val batch = Dedup.winnowingPairs(docs, "doc_id", "text",
@@ -271,7 +271,7 @@ class SketchSpec extends AnyFunSuite {
         k = 12, w = 8, minShared = 2) {
         (pairs, _) => pairs.write.mode("append").parquet(s"$dir/out")
       }
-      q.awaitTermination(60000): Unit
+      assert(q.awaitTermination(240000), "stream did not terminate in 240s")
     }
     docs.filter($"doc_id" <= 2).write.parquet(s"$dir/in1")
     run()
